@@ -1,0 +1,166 @@
+"""End-to-end CDC scenario tests (SURVEY.md §5.2-5.3, FIXTURES.md):
+bootstrap → mutate source → incremental update → replica ≡ source,
+changelog = pre-images, fingerprints consistent, delete guard.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from updater_spark.plans.cdc import CdcEngine
+from updater_spark.schema import MEMBER, PLAYER, TRIBE
+
+N_PLAYERS = 500
+STAT_COLS = [
+    "cheese_gathered",
+    "first",
+    "round_played",
+    "shaman_cheese",
+    "saved_mice",
+    "saved_mice_hard",
+    "saved_mice_divine",
+    "survivor_survivor_count",
+    "survivor_mouse_killed",
+    "survivor_shaman_count",
+    "survivor_round_played",
+    "racing_first",
+    "racing_podium",
+    "racing_round_played",
+    "racing_finished_map",
+    "defilante_points",
+    "defilante_round_played",
+    "defilante_finished_map",
+]
+
+
+def make_players(rng, n, start_id=1):
+    rows = []
+    for i in range(start_id, start_id + n):
+        stats = {c: rng.randint(0, 1000) if rng.random() > 0.1 else 0 for c in STAT_COLS}
+        name = f"player{i}" if rng.random() < 0.1 else f"player{i}#{i % 10000:04d}"
+        rows.append(Row(id=i, name=name, **stats))
+    return rows
+
+
+def snapshot(spark, rows):
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture()
+def rng():
+    return random.Random(42)
+
+
+def data_cols(df):
+    return [c for c in df.columns if not c.startswith("score_")]
+
+
+def test_bootstrap_then_incremental(spark, tmp_store, rng):
+    engine = CdcEngine(tmp_store)
+    s0 = make_players(rng, N_PLAYERS)
+    stats0 = engine.update(PLAYER, snapshot(spark, s0))
+    assert stats0.bootstrap and stats0.total_rows == N_PLAYERS
+
+    replica = tmp_store.read("player")
+    # scores attached, names normalized
+    assert "score_overall" in replica.columns
+    assert replica.filter(~F.col("name").contains("#")).count() == 0
+
+    # S1: mutate ~5% update, 2% insert, 1% delete
+    by_id = {r.id: r for r in s0}
+    updated_ids = rng.sample(sorted(by_id), k=25)
+    for i in updated_ids:
+        d = by_id[i].asDict()
+        d["cheese_gathered"] += 1
+        by_id[i] = Row(**d)
+    deleted_ids = rng.sample([i for i in by_id if i not in updated_ids], k=5)
+    for i in deleted_ids:
+        del by_id[i]
+    inserts = make_players(rng, 10, start_id=N_PLAYERS + 1)
+    s1 = list(by_id.values()) + inserts
+
+    stats1 = engine.update(PLAYER, snapshot(spark, s1))
+    assert not stats1.bootstrap
+    assert stats1.upserts == 25 + 10
+    assert stats1.updates == 25
+    assert stats1.deletes == 5 and stats1.deletes_applied
+    assert stats1.total_rows == N_PLAYERS - 5 + 10
+
+    # replica data columns ≡ S1 (modulo the name normalization the
+    # engine applies on write, download.py:546-555)
+    from updater_spark.functions.scores import normalize_names
+
+    replica = tmp_store.read("player")
+    src = normalize_names(snapshot(spark, s1))
+    dcols = data_cols(replica)
+    assert replica.select(*dcols).exceptAll(src.select(*dcols)).count() == 0
+    assert src.select(*dcols).exceptAll(replica.select(*dcols)).count() == 0
+
+    # changelog = S0 pre-images of updated rows only
+    changelog = tmp_store.read_appendable("player__changelog")
+    assert changelog.count() == 25
+    assert {r["id"] for r in changelog.select("id").collect()} == set(updated_ids)
+    # pre-image values are the OLD ones
+    old_cheese = {r.id: r.cheese_gathered for r in s0}
+    for r in changelog.select("id", "cheese_gathered").collect():
+        assert r["cheese_gathered"] == old_cheese[r["id"]]
+
+    # fingerprints rotated to S1
+    fps = tmp_store.read("player__fingerprints")
+    assert fps.count() == stats1.total_rows
+    # idempotency: a third run with the same source sees zero changes
+    stats2 = engine.update(PLAYER, snapshot(spark, s1))
+    assert stats2.upserts == 0 and stats2.deletes == 0
+
+
+def test_delete_guard(spark, tmp_store, rng):
+    engine = CdcEngine(tmp_store, delete_guard=50)
+    s0 = make_players(rng, 200)
+    engine.update(PLAYER, snapshot(spark, s0))
+    # 60 rows vanish (> guard 50) → deletes skipped, upserts applied
+    s1 = s0[:140]
+    stats = engine.update(PLAYER, snapshot(spark, s1))
+    assert stats.deletes == 60 and not stats.deletes_applied
+    assert tmp_store.read("player").count() == 200  # nothing deleted
+
+
+def test_post_update_aggregates(spark, tmp_store, rng):
+    engine = CdcEngine(tmp_store)
+    players = make_players(rng, 100)
+    tribes = [Row(id=t, name=f"tribe{t}") for t in range(1, 11)]
+    members = [
+        Row(id_member=p.id, id_tribe=(p.id % 10) + 1) for p in players[:80]
+    ]
+    engine.update(PLAYER, snapshot(spark, players))
+    engine.update(TRIBE, snapshot(spark, tribes))
+    engine.update(MEMBER, snapshot(spark, members))
+    engine.post_update(TRIBE, was_bootstrap=True)
+    stats = tmp_store.read("tribe_stats")
+    assert stats.count() == 10  # every tribe has members
+    row = stats.filter(F.col("id") == 1).collect()[0]
+    member_ids = {m.id_member for m in members if m.id_tribe == 1}
+    assert row["members"] == len(member_ids)
+    # bootstrap: every member was in player__delta → active == members
+    assert row["active"] == row["members"]
+    import math
+
+    expected = sum(p.cheese_gathered for p in players if p.id in member_ids) / math.sqrt(
+        len(member_ids)
+    )
+    assert abs(row["cheese_gathered"] - expected) < 1e-9
+
+    # incremental branch: update a few players, rerun post_update
+    by_id = {p.id: p for p in players}
+    for i in [11, 21]:  # members of tribe 2
+        d = by_id[i].asDict()
+        d["cheese_gathered"] += 5
+        by_id[i] = Row(**d)
+    engine.update(PLAYER, snapshot(spark, list(by_id.values())))
+    engine.post_update(TRIBE, was_bootstrap=False)
+    active = tmp_store.read("tribe_active")
+    # only tribe 2 has updated members; quirk: members counts only
+    # *updated* members (post_update.py:36-37 inner join player_new)
+    rows = {r["id"]: r for r in active.collect()}
+    assert set(rows) == {2}
+    assert rows[2]["members"] == 2 and rows[2]["active"] == 2

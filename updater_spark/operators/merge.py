@@ -1,0 +1,85 @@
+"""Merge / upsert / delete / changelog operators (SURVEY.md §2.1
+S4-S10, §2.3 J2/J5).
+
+The reference's sinks are MySQL ``REPLACE INTO`` (delete+insert by
+primary key — last-writer-wins upsert), batched ``DELETE ... WHERE pk
+IN (...)``, and an ``INSERT ... SELECT`` changelog of pre-images. On
+Spark these become keyed anti-join + union (or a real ``MERGE INTO``
+on Delta/Iceberg in production — the operators here are
+format-agnostic DataFrame functions, so swapping the sink for a
+transactional table format changes only the writer, not the plan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# "did tig's db update?" — skip deletes wholesale above this count
+# (download.py:326-330): a huge delete set means the upstream schema
+# or dump broke, not that 100k players vanished.
+DELETE_GUARD_DEFAULT = 100_000
+
+
+def semi_join_fetch(source: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+    """Fetch full rows for a key set (download.py:435-476 S4/J2).
+
+    The reference issues batched ``WHERE pk IN (100 ids)`` point
+    lookups; distributed, this is a left-semi join. The changed-id
+    side of a CDC delta is normally tiny relative to the source, so
+    Catalyst/AQE broadcasts it — the source scan then never shuffles.
+    """
+    return source.join(F.broadcast(keys.select(key).distinct()), on=key, how="semi")
+
+
+def merge_upsert(target: DataFrame, delta: DataFrame, key: str) -> DataFrame:
+    """``REPLACE INTO`` semantics (download.py:489-506, 599-604):
+    delete+insert by primary key, delta wins.
+
+    Anti-join keeps target rows whose key is NOT in the delta, then the
+    delta is unioned in. With a transactional format this is
+    ``MERGE INTO t USING d ON t.pk = d.pk WHEN MATCHED THEN UPDATE *
+    WHEN NOT MATCHED THEN INSERT *``.
+    """
+    keys = delta.select(key).distinct()
+    kept = target.join(F.broadcast(keys), on=key, how="anti")
+    return kept.unionByName(delta)
+
+
+@dataclass
+class DeleteResult:
+    result: DataFrame
+    applied: bool
+    delete_count: int
+
+
+def apply_deletes(
+    target: DataFrame,
+    delete_keys: DataFrame,
+    key: str,
+    guard: int = DELETE_GUARD_DEFAULT,
+) -> DeleteResult:
+    """Bulk delete by key list with the safety valve
+    (download.py:326-366 S7): if the delete set is implausibly large
+    (>= ``guard``), skip deletes entirely rather than wreck the
+    replica. The count is one cheap job over the (small) key set."""
+    n = delete_keys.count()
+    if n >= guard:
+        return DeleteResult(result=target, applied=False, delete_count=n)
+    kept = target.join(F.broadcast(delete_keys.select(key).distinct()), key, "anti")
+    return DeleteResult(result=kept, applied=True, delete_count=n)
+
+
+def changelog_preimages(
+    old_table: DataFrame, updated_keys: DataFrame, key: str
+) -> DataFrame:
+    """Pre-images of updated rows (download.py:585-595 J5): the OLD
+    version of every row that changed this run, appended to
+    ``{table}_changelog``. Inserts have no pre-image — the reference's
+    INNER JOIN against the old table drops them; the semi join here
+    does the same."""
+    return old_table.join(
+        F.broadcast(updated_keys.select(key).distinct()), on=key, how="semi"
+    )

@@ -1,0 +1,221 @@
+"""CDC orchestration: bootstrap / incremental update / post_update.
+
+Re-expresses the reference's three entry points (SURVEY.md §3):
+
+- ``bootstrap``  — empty-replica full sync: one scan computing data
+  cols + scores + fingerprint, written straight to the main table and
+  the fingerprint cache (/root/reference/src/download.py:29-42,
+  376-433, 3-stage pipeline).
+- ``update``     — the main path: fingerprint source, diff against the
+  cached replica fingerprints (full-outer join), fetch full rows for
+  changed/new keys (broadcast semi join), archive pre-images, upsert,
+  apply guarded deletes, rotate fingerprints
+  (download.py:50-63 + post_download 532-604).
+- ``post_update`` — derived aggregates ``tribe_active``/``tribe_stats``
+  (post_update.py:18-91).
+
+Where the reference wires 5 asyncio coroutines through bounded queues,
+here each step is a DataFrame in ONE lazily-built DAG; Spark pipelines
+operators inside stages and the shuffle boundaries replace the queues.
+State between runs (the fingerprint tables) lives in the TableStore
+with atomic promotion (the double-buffer rotation, download.py:572-581).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from updater_spark.functions.fingerprints import fingerprint_table, row_fingerprint
+from updater_spark.functions.scores import (
+    apply_score_overall,
+    apply_scores,
+    normalize_names,
+)
+from updater_spark.operators.diff import snapshot_diff, split_diff
+from updater_spark.operators.merge import (
+    DELETE_GUARD_DEFAULT,
+    apply_deletes,
+    changelog_preimages,
+    merge_upsert,
+    semi_join_fetch,
+)
+from updater_spark.operators.aggregates import tribe_active, tribe_stats
+from updater_spark.schema import TableSpec, classify_df, stat_columns
+from updater_spark.sources.store import TableStore
+
+
+@dataclass
+class UpdateStats:
+    table: str
+    bootstrap: bool
+    upserts: int = 0
+    updates: int = 0
+    deletes: int = 0
+    deletes_applied: bool = True
+    total_rows: int = 0
+    extra: dict = field(default_factory=dict)
+
+
+class CdcEngine:
+    """Per-run orchestrator over a TableStore.
+
+    Naming in the store: ``{name}`` main table, ``{name}__fingerprints``
+    hash cache (the ``_hashes_0/1`` pair collapses into versioned
+    writes), ``{name}__changelog`` pre-image history,
+    ``{name}__delta`` this run's changed rows (the ``{name}_new``
+    staging table, download.py:486-506).
+    """
+
+    def __init__(
+        self,
+        store: TableStore,
+        fingerprint_algo: str = "crc32",
+        delete_guard: int = DELETE_GUARD_DEFAULT,
+    ):
+        self.store = store
+        self.algo = fingerprint_algo
+        self.delete_guard = delete_guard
+
+    # -- per-table transforms ------------------------------------------
+    def _computed(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+        """Attach computed projections (scores P2/P3, name P4) — the
+        fetch-time + post-load column passes fused into one stage."""
+        out = df
+        if spec.has_scores:
+            out = apply_score_overall(apply_scores(out))
+        if spec.normalize_name_col and spec.normalize_name_col in out.columns:
+            out = normalize_names(out, spec.normalize_name_col)
+        return out
+
+    # -- entry point B: bootstrap (download.py:376-433) ----------------
+    def bootstrap(self, spec: TableSpec, source: DataFrame) -> UpdateStats:
+        cols = classify_df(spec, source) if spec.has_scores else None
+        data_cols = cols.data_columns if cols else list(source.columns)
+        # One scan: data columns + fingerprint + computed columns
+        # (S3: SELECT CRC32(...), cols, scores FROM t).
+        with_fp = source.select(
+            *data_cols, row_fingerprint(data_cols, self.algo).alias("_fp")
+        )
+        full = self._computed(spec, with_fp)
+        self.store.write(spec.name, full.drop("_fp"))
+        self.store.write(
+            f"{spec.name}__fingerprints",
+            full.select(
+                F.col(spec.primary_key).alias("id"), F.col("_fp").alias("hashed")
+            ),
+        )
+        total = self.store.read(spec.name).count()
+        # Bootstrap writes straight to the main table; the delta equals
+        # the full table (download.py:494 "" if table.is_empty).
+        self.store.write(f"{spec.name}__delta", self.store.read(spec.name))
+        return UpdateStats(
+            table=spec.name, bootstrap=True, upserts=total, total_rows=total
+        )
+
+    # -- entry point A: incremental update (download.py:50-63) ---------
+    def update(self, spec: TableSpec, source: DataFrame) -> UpdateStats:
+        if not self.store.exists(f"{spec.name}__fingerprints"):
+            return self.bootstrap(spec, source)
+
+        cols = classify_df(spec, source) if spec.has_scores else None
+        data_cols = cols.data_columns if cols else list(source.columns)
+
+        # S2: external scan → (id, hash); S1: cached replica hashes.
+        src_fp = fingerprint_table(source, spec.primary_key, data_cols, self.algo)
+        rep_fp = self.store.read(f"{spec.name}__fingerprints")
+
+        # J1: the diff join. Materialized once (small output: changed
+        # keys only) so the three consumers don't re-run the join.
+        diff = snapshot_diff(src_fp, rep_fp).persist()
+        try:
+            parts = split_diff(diff)
+
+            # J2/S4: fetch full rows for changed/new keys, compute
+            # scores + normalization on the delta only.
+            delta = self._computed(
+                spec,
+                semi_join_fetch(
+                    source.select(*data_cols),
+                    parts.upserts.withColumnRenamed("id", spec.primary_key),
+                    spec.primary_key,
+                ),
+            )
+
+            old = self.store.read(spec.name)
+
+            # J5: changelog pre-images (old versions of updated rows).
+            preimages = changelog_preimages(
+                old, parts.updates.withColumnRenamed("id", spec.primary_key),
+                spec.primary_key,
+            )
+            self.store.append(f"{spec.name}__changelog", preimages)
+
+            # S5/S10: REPLACE-semantics upsert, then guarded deletes S7.
+            merged = merge_upsert(
+                old, delta, spec.primary_key
+            )
+            dres = apply_deletes(
+                merged,
+                parts.deletes.withColumnRenamed("id", spec.primary_key),
+                spec.primary_key,
+                guard=self.delete_guard,
+            )
+
+            self.store.write(f"{spec.name}__delta", delta)
+            self.store.write(spec.name, dres.result)
+
+            # S9/S8: fingerprint rotation — overwrite with this run's
+            # source fingerprints (write-then-promote is atomic).
+            self.store.write(f"{spec.name}__fingerprints", src_fp)
+
+            n_upserts = delta.count()
+            n_updates = parts.updates.count()
+            return UpdateStats(
+                table=spec.name,
+                bootstrap=False,
+                upserts=n_upserts,
+                updates=n_updates,
+                deletes=dres.delete_count,
+                deletes_applied=dres.applied,
+                total_rows=self.store.read(spec.name).count(),
+            )
+        finally:
+            diff.unpersist()
+
+    # -- entry point C: derived aggregates (post_update.py) ------------
+    def post_update(
+        self,
+        tribe_spec: TableSpec,
+        was_bootstrap: bool,
+        stat_cols: list[str] | None = None,
+    ) -> None:
+        tribe = self.store.read("tribe")
+        member = self.store.read("member")
+        player = self.store.read("player")
+        player_new = self.store.read("player__delta")
+        if stat_cols is None:
+            # Discover from the existing sink schema if present
+            # (post_update.py:9-11), else a default set.
+            if self.store.exists("tribe_stats"):
+                stat_cols = stat_columns(self.store.read("tribe_stats").columns)
+            else:
+                stat_cols = [
+                    "cheese_gathered",
+                    "first",
+                    "round_played",
+                    "shaman_cheese",
+                    "saved_mice",
+                ]
+
+        if not was_bootstrap:
+            active = tribe_active(tribe, member, player_new)
+            self.store.write("tribe_active", active)
+            stats = tribe_stats(active, member, player, stat_cols, bootstrap=False)
+        else:
+            stats = tribe_stats(
+                tribe, member, player, stat_cols, bootstrap=True, player_new=player_new
+            )
+        self.store.write("tribe_stats", stats)

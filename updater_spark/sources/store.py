@@ -1,0 +1,112 @@
+"""Versioned parquet table store with atomic promotion.
+
+The reference double-buffers its hash caches — read from
+``{name}_hashes_0``, write ``{name}_hashes_1``, promote on success
+(/root/reference/src/table.py:108-117, download.py:572-581) — so a
+failed run never corrupts the read side. ``TableStore`` generalizes
+that: every write lands in a fresh ``v{N}`` directory and a tiny
+``_CURRENT`` pointer file is swapped only after the write completes.
+Readers always resolve ``_CURRENT`` first, so a crashed writer leaves
+the previous version intact (same crash-safety contract, any table).
+
+In production this store is exactly what Delta/Iceberg provide
+(atomic commit log + snapshots); the engine's operators are pure
+DataFrame functions, so swapping this class for ``spark.table`` /
+``MERGE INTO`` changes no query logic. For the local/benchmark target
+(plain parquet, no extra packages in the container) this gives the
+same semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ----------------------------------------------------------
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_CURRENT")
+
+    def current_path(self, name: str) -> str | None:
+        ptr = self._pointer(name)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            version = f.read().strip()
+        path = os.path.join(self._dir(name), version)
+        return path if os.path.exists(path) else None
+
+    def exists(self, name: str) -> bool:
+        return self.current_path(name) is not None
+
+    # -- IO -------------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        path = self.current_path(name)
+        if path is None:
+            raise FileNotFoundError(f"table {name!r} has no current version")
+        return self.spark.read.parquet(path)
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        num_files: int | None = None,
+    ) -> str:
+        """Write a new version, then atomically promote the pointer
+        (the reference's hash-cache rotation, download.py:572-581).
+
+        ``num_files`` controls output file count for small sink tables
+        (avoid thousands of tiny files at local scale; at cluster
+        scale leave None and let AQE coalesce).
+        """
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
+        versions = [v for v in os.listdir(d) if v.startswith("v")]
+        next_v = f"v{max([int(v[1:]) for v in versions], default=-1) + 1}"
+        path = os.path.join(d, next_v)
+        writer = df.coalesce(num_files) if num_files else df
+        w = writer.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        tmp = self._pointer(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(next_v)
+        os.replace(tmp, self._pointer(name))  # atomic on POSIX
+        self._gc(name, keep=2)
+        return path
+
+    def append(self, name: str, df: DataFrame) -> str:
+        """Append-only history table (the ``{t}_changelog`` sink,
+        download.py:585-595). No pointer dance needed — parquet append
+        into a single live directory."""
+        path = os.path.join(self._dir(name), "data")
+        df.write.mode("append").parquet(path)
+        return path
+
+    def read_appendable(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._dir(name), "data"))
+
+    def _gc(self, name: str, keep: int) -> None:
+        d = self._dir(name)
+        current = self.current_path(name)
+        versions = sorted(
+            (v for v in os.listdir(d) if v.startswith("v")),
+            key=lambda v: int(v[1:]),
+        )
+        for v in versions[:-keep]:
+            path = os.path.join(d, v)
+            if path != current:
+                shutil.rmtree(path, ignore_errors=True)
