@@ -1,38 +1,485 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry demonstrates one operator from SURVEY.md §2
+(reference: cheeseformice/updater) re-expressed Spark-first, bound to
+the driver's TPC-H-ish test tables. ``oracle_sql()`` returns the
+DuckDB twin of each query; the driver compares row counts, schemas and
+order-insensitive value hashes at sf=0.01.
+
+CDC queries simulate the reference's two-snapshot state from
+``customer`` via deterministic modulo arithmetic (updater_spark.demo),
+identically in both engines. Fingerprints use md5 here because DuckDB
+lacks crc32; the production crc32 path is covered by
+tests/test_fingerprint.py against zlib.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from updater_spark import demo
+from updater_spark.functions.scores import (
+    apply_score_overall,
+    apply_scores,
+    normalize_names,
+)
+from updater_spark.operators.aggregates import tribe_active, tribe_stats
+from updater_spark.operators.diff import snapshot_diff, split_diff
+from updater_spark.operators.merge import (
+    changelog_preimages,
+    merge_upsert,
+    semi_join_fetch,
+)
+
+# ---------------------------------------------------------------------------
+# shared demo plumbing
+# ---------------------------------------------------------------------------
+
+
+def _diff_parts(spark: SparkSession, sf_dir: str):
+    customer = demo.load(spark, sf_dir, "customer")
+    new = demo.new_snapshot(customer)
+    old = demo.old_snapshot(customer)
+    diff = snapshot_diff(
+        demo.fingerprint_md5(new), demo.fingerprint_md5(old), key="id"
+    )
+    return customer, new, old, diff
+
+
+_DIFF_CTES = f"""
+WITH old_snap AS ({demo.OLD_SNAPSHOT_SQL}),
+new_snap AS ({demo.NEW_SNAPSHOT_SQL}),
+src AS (SELECT c_custkey AS id, {demo.FP_SQL} AS hashed FROM new_snap),
+rep AS (SELECT c_custkey AS id, {demo.FP_SQL} AS hashed FROM old_snap),
+diff AS (
+    SELECT COALESCE(s.id, r.id) AS id,
+           CASE WHEN r.hashed IS NULL THEN 'insert'
+                WHEN s.hashed IS NULL THEN 'delete'
+                WHEN s.hashed <> r.hashed THEN 'update'
+                ELSE 'unchanged' END AS change_type
+    FROM src s FULL OUTER JOIN rep r ON s.id = r.id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — CDC operator parity (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def q_s2_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: streaming scan + row fingerprint (download.py:131-141)."""
+    customer = demo.load(spark, sf_dir, "customer")
+    return demo.fingerprint_md5(demo.new_snapshot(customer))
+
+
+def q_j1_diff_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the diff-join heart (download.py:113-336) — one full-outer
+    join classifying every key."""
+    _, _, _, diff = _diff_parts(spark, sf_dir)
+    return diff.select("id", "change_type")
+
+
+def q_j2_semi_join_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/S4: fetch full rows for changed/new keys via broadcast semi
+    join (download.py:435-476)."""
+    customer, new, _, diff = _diff_parts(spark, sf_dir)
+    parts = split_diff(diff)
+    keys = parts.upserts.withColumnRenamed("id", "c_custkey")
+    return semi_join_fetch(new, keys, "c_custkey")
+
+
+def q_s5_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S10: REPLACE-semantics upsert of the delta into the replica
+    (download.py:489-506, 599-604)."""
+    customer, new, old, diff = _diff_parts(spark, sf_dir)
+    parts = split_diff(diff)
+    keys = parts.upserts.withColumnRenamed("id", "c_custkey")
+    delta = semi_join_fetch(new, keys, "c_custkey")
+    return merge_upsert(old, delta, "c_custkey")
+
+
+def q_s7_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: bulk delete by key list as an anti join (download.py:
+    338-366). The ≥100k safety valve is engine-level (CdcEngine)."""
+    _, _, old, diff = _diff_parts(spark, sf_dir)
+    deletes = split_diff(diff).deletes.withColumnRenamed("id", "c_custkey")
+    return old.join(F.broadcast(deletes), "c_custkey", "anti")
+
+
+def q_j5_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: changelog pre-images — OLD versions of updated rows
+    (download.py:585-595)."""
+    _, _, old, diff = _diff_parts(spark, sf_dir)
+    updates = split_diff(diff).updates.withColumnRenamed("id", "c_custkey")
+    return changelog_preimages(old, updates, "c_custkey")
+
+
+def q_cdc_full_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: merge + deletes ⇒ replica ≡ source (the engine's
+    whole contract, SURVEY.md §3.1)."""
+    customer, new, old, diff = _diff_parts(spark, sf_dir)
+    parts = split_diff(diff)
+    keys = parts.upserts.withColumnRenamed("id", "c_custkey")
+    delta = semi_join_fetch(new, keys, "c_custkey")
+    merged = merge_upsert(old, delta, "c_custkey")
+    deletes = parts.deletes.withColumnRenamed("id", "c_custkey")
+    return merged.join(F.broadcast(deletes), "c_custkey", "anti")
+
+
+# ---------------------------------------------------------------------------
+# queries — computed projections (P2-P4)
+# ---------------------------------------------------------------------------
+
+
+def q_p2_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3: the five per-mode formulas + score_overall
+    (table.py:5-44) with MySQL NULL-on-div-0, rounded for
+    cross-engine float stability."""
+    players = demo.player_shaped(demo.load(spark, sf_dir, "orders"))
+    scored = apply_score_overall(apply_scores(players))
+    return scored.select(
+        "id",
+        *[
+            F.round(F.col(c), 4).alias(c)
+            for c in (
+                "score_stats",
+                "score_shaman",
+                "score_survivor",
+                "score_racing",
+                "score_defilante",
+                "score_overall",
+            )
+        ],
+    )
+
+
+def q_p4_name_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: CONCAT(name,'#0000') WHERE name NOT LIKE '%#%'
+    (download.py:546-555). part names lack '#'; a deterministic
+    subset gets one so both branches execute."""
+    part = demo.load(spark, sf_dir, "part")
+    named = part.select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 3 == 0, F.concat(F.col("p_name"), F.lit("#tag"))
+        )
+        .otherwise(F.col("p_name"))
+        .alias("name"),
+    )
+    return normalize_names(named, "name")
+
+
+# ---------------------------------------------------------------------------
+# queries — derived aggregates (J3/J4/A2-A4), nation≈tribe, customer≈member
+# ---------------------------------------------------------------------------
+
+
+def _tribe_frames(spark: SparkSession, sf_dir: str):
+    nation = demo.load(spark, sf_dir, "nation")
+    customer = demo.load(spark, sf_dir, "customer")
+    tribe = nation.select(F.col("n_nationkey").cast("long").alias("id"))
+    member = customer.select(
+        F.col("c_custkey").alias("id_member"),
+        F.col("c_nationkey").cast("long").alias("id_tribe"),
+    )
+    player = customer.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("stat_nat"),
+        F.length("c_name").cast("long").alias("stat_len"),
+    )
+    player_new = customer.filter(F.col("c_custkey") % 4 == 0).select(
+        F.col("c_custkey").alias("id")
+    )
+    return tribe, member, player, player_new
+
+
+_TRIBE_CTES = """
+WITH member AS (SELECT c_custkey AS id_member, c_nationkey AS id_tribe FROM customer),
+player AS (SELECT c_custkey AS id, c_nationkey AS stat_nat, length(c_name) AS stat_len FROM customer),
+player_new AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 4 = 0),
+tribe AS (SELECT n_nationkey AS id FROM nation),
+tribe_active AS (
+    SELECT t.id,
+           COUNT(m.id_member) AS members,
+           COUNT(p.id) AS active,
+           sqrt(COUNT(m.id_member)) AS members_sqrt
+    FROM tribe t
+    JOIN member m ON t.id = m.id_tribe
+    JOIN player_new p ON m.id_member = p.id
+    GROUP BY t.id
+)
+"""
+
+
+def q_j3_tribe_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/A2/A4: per-tribe counts over tribe ⋈ member ⋈ player_new
+    (post_update.py:23-39) — preserves the reference quirk that both
+    counts cover only members updated this run."""
+    tribe, member, _, player_new = _tribe_frames(spark, sf_dir)
+    active = tribe_active(tribe, member, player_new)
+    return active.select(
+        "id", "members", "active", F.round("members_sqrt", 6).alias("members_sqrt")
+    )
+
+
+def q_a3_tribe_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/A3 incremental branch: SUM(stat)/members_sqrt per tribe from
+    the precomputed tribe_active (post_update.py:50-91)."""
+    tribe, member, player, player_new = _tribe_frames(spark, sf_dir)
+    active = tribe_active(tribe, member, player_new)
+    stats = tribe_stats(
+        active, member, player, ["stat_nat", "stat_len"], bootstrap=False
+    )
+    return stats.select(
+        "id",
+        "members",
+        "active",
+        F.round("stat_nat", 6).alias("stat_nat"),
+        F.round("stat_len", 6).alias("stat_len"),
+    )
+
+
+def q_a3_tribe_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/A3 bootstrap branch: counts in-query, active via LEFT JOIN
+    player_new with COUNT(col) non-NULL semantics
+    (post_update.py:44-49, 86-89)."""
+    tribe, member, player, player_new = _tribe_frames(spark, sf_dir)
+    stats = tribe_stats(
+        tribe,
+        member,
+        player,
+        ["stat_nat", "stat_len"],
+        bootstrap=True,
+        player_new=player_new,
+    )
+    return stats.select(
+        "id",
+        "members",
+        "active",
+        F.round("stat_nat", 6).alias("stat_nat"),
+        F.round("stat_len", 6).alias("stat_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — analytics headliners (general DataFrame/agg/join coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregation over lineitem."""
+    li = demo.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_a2_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count/sum per event_type per hour (the windowed-agg
+    shape Structured Streaming runs over the events stream)."""
+    ev = demo.load_events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the J1 diff-join classification summarized, on
+    sf0.001."""
+    _, _, _, diff = _diff_parts(spark, "/root/testdata/sf0.001")
+    return (
+        diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).orderBy(
+            "change_type"
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "s2_fingerprint": q_s2_fingerprint,
+        "j1_diff_classify": q_j1_diff_classify,
+        "j2_semi_join_fetch": q_j2_semi_join_fetch,
+        "s5_merge_upsert": q_s5_merge_upsert,
+        "s7_apply_deletes": q_s7_apply_deletes,
+        "j5_changelog": q_j5_changelog,
+        "cdc_full_cycle": q_cdc_full_cycle,
+        "p2_scores": q_p2_scores,
+        "p4_name_normalize": q_p4_name_normalize,
+        "j3_tribe_active": q_j3_tribe_active,
+        "a3_tribe_stats_incremental": q_a3_tribe_stats_incremental,
+        "a3_tribe_stats_bootstrap": q_a3_tribe_stats_bootstrap,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "a2_events_hourly": q_a2_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    score_sql = """
+        SELECT id,
+            round((cheese_gathered + "first" * 3) / pow(round_played, 0.25), 4) AS score_stats,
+            round((shaman_cheese * 0.05 + saved_mice * 0.2 + saved_mice_hard * 0.35
+                   + saved_mice_divine * 0.5) / pow(round_played, 0.25), 4) AS score_shaman,
+            round((1.6 * survivor_survivor_count + 0.8 * survivor_mouse_killed)
+                  / pow(survivor_shaman_count * survivor_round_played, 0.25), 4) AS score_survivor,
+            round((2 * racing_first + racing_podium)
+                  / pow(racing_round_played * racing_finished_map, 0.25), 4) AS score_racing,
+            round(defilante_points
+                  / pow(defilante_round_played * defilante_finished_map, 0.25), 4) AS score_defilante,
+            round(((cheese_gathered + "first" * 3) / pow(round_played, 0.25)) / 35.564
+                + ((shaman_cheese * 0.05 + saved_mice * 0.2 + saved_mice_hard * 0.35
+                    + saved_mice_divine * 0.5) / pow(round_played, 0.25)) / 24.956
+                + ((1.6 * survivor_survivor_count + 0.8 * survivor_mouse_killed)
+                   / pow(survivor_shaman_count * survivor_round_played, 0.25)) / 1.580
+                + ((2 * racing_first + racing_podium)
+                   / pow(racing_round_played * racing_finished_map, 0.25)) / 0.861
+                + (defilante_points
+                   / pow(defilante_round_played * defilante_finished_map, 0.25)) / 2.851, 4)
+                AS score_overall
+        FROM players
     """
-    return {}
+    return {
+        "s2_fingerprint": f"""
+            WITH new_snap AS ({demo.NEW_SNAPSHOT_SQL})
+            SELECT c_custkey AS id, {demo.FP_SQL} AS hashed FROM new_snap
+        """,
+        "j1_diff_classify": _DIFF_CTES + "SELECT id, change_type FROM diff",
+        "j2_semi_join_fetch": _DIFF_CTES
+        + """
+            SELECT n.* FROM new_snap n
+            WHERE n.c_custkey IN (
+                SELECT id FROM diff WHERE change_type IN ('insert', 'update'))
+        """,
+        "s5_merge_upsert": _DIFF_CTES
+        + """
+            , delta AS (
+                SELECT n.* FROM new_snap n
+                WHERE n.c_custkey IN (
+                    SELECT id FROM diff WHERE change_type IN ('insert', 'update')))
+            SELECT o.* FROM old_snap o
+            WHERE o.c_custkey NOT IN (SELECT c_custkey FROM delta)
+            UNION ALL
+            SELECT * FROM delta
+        """,
+        "s7_apply_deletes": _DIFF_CTES
+        + """
+            SELECT o.* FROM old_snap o
+            WHERE o.c_custkey NOT IN (
+                SELECT id FROM diff WHERE change_type = 'delete')
+        """,
+        "j5_changelog": _DIFF_CTES
+        + """
+            SELECT o.* FROM old_snap o
+            WHERE o.c_custkey IN (
+                SELECT id FROM diff WHERE change_type = 'update')
+        """,
+        "cdc_full_cycle": _DIFF_CTES
+        + """
+            , delta AS (
+                SELECT n.* FROM new_snap n
+                WHERE n.c_custkey IN (
+                    SELECT id FROM diff WHERE change_type IN ('insert', 'update'))),
+            merged AS (
+                SELECT o.* FROM old_snap o
+                WHERE o.c_custkey NOT IN (SELECT c_custkey FROM delta)
+                UNION ALL
+                SELECT * FROM delta)
+            SELECT m.* FROM merged m
+            WHERE m.c_custkey NOT IN (
+                SELECT id FROM diff WHERE change_type = 'delete')
+        """,
+        "p2_scores": f"WITH players AS ({demo.PLAYER_SHAPED_SQL}) {score_sql}",
+        "p4_name_normalize": """
+            SELECT p_partkey,
+                   CASE WHEN named NOT LIKE '%#%' THEN named || '#0000'
+                        ELSE named END AS name
+            FROM (
+                SELECT p_partkey,
+                       CASE WHEN p_partkey % 3 = 0 THEN p_name || '#tag'
+                            ELSE p_name END AS named
+                FROM part)
+        """,
+        "j3_tribe_active": _TRIBE_CTES
+        + """
+            SELECT id, members, active,
+                   round(members_sqrt, 6) AS members_sqrt
+            FROM tribe_active
+        """,
+        "a3_tribe_stats_incremental": _TRIBE_CTES
+        + """
+            SELECT t.id, t.members, t.active,
+                   round(SUM(p.stat_nat) / t.members_sqrt, 6) AS stat_nat,
+                   round(SUM(p.stat_len) / t.members_sqrt, 6) AS stat_len
+            FROM tribe_active t
+            JOIN member m ON t.id = m.id_tribe
+            JOIN player p ON p.id = m.id_member
+            GROUP BY t.id, t.members, t.active, t.members_sqrt
+        """,
+        "a3_tribe_stats_bootstrap": _TRIBE_CTES
+        + """
+            SELECT t.id,
+                   COUNT(m.id_member) AS members,
+                   COUNT(p_n.id) AS active,
+                   round(SUM(p.stat_nat) / sqrt(COUNT(m.id_member)), 6) AS stat_nat,
+                   round(SUM(p.stat_len) / sqrt(COUNT(m.id_member)), 6) AS stat_len
+            FROM tribe t
+            JOIN member m ON t.id = m.id_tribe
+            JOIN player p ON p.id = m.id_member
+            LEFT JOIN player_new p_n ON p_n.id = p.id
+            GROUP BY t.id
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 2) AS sum_qty,
+                   round(SUM(l_extendedprice), 2) AS sum_base_price,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(AVG(l_quantity), 4) AS avg_qty,
+                   round(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "a2_events_hourly": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+    }
