@@ -1,0 +1,69 @@
+"""Benchmark the engine's headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": secs, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query is forced end-to-end with the ``noop`` sink (full column
+materialization, no driver collect). The flagship number to compare
+against BASELINE.md is the hash-diff (J1) throughput: the reference
+does 150k rows/s/core; ``hash_diff_rows_per_sec`` reports ours.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from updater_spark import get_spark
+
+    spark = get_spark("updater_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = 0.1
+    for tok in os.path.basename(os.path.normpath(sf_dir)).split("sf"):
+        try:
+            sf = float(tok)
+        except ValueError:
+            pass
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (cache file listings, JIT)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # Hash-diff throughput: rows scanned on both sides of J1 per second.
+    n_src = entrymod.demo.load(spark, sf_dir, "customer").count()
+    diff_rows = 2 * n_src  # both snapshots are fingerprinted + joined
+    t_diff = timings.get("j1_diff_classify", float("nan"))
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "hash_diff_rows_per_sec": round(diff_rows / t_diff) if t_diff else None,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    run()
