@@ -314,6 +314,219 @@ def q_a2_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# queries — training-data pipeline operators (dedup / text / similarity /
+# multimodal), the north-star extensions beyond reference parity
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (ids+100000) of every doc_id % 10 == 0."""
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    return docs.unionByName(copies)
+
+
+_DUPES_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy over the text column."""
+    from updater_spark.operators.dedup import exact_dedup
+
+    deduped = exact_dedup(_docs_with_dupes(spark, sf_dir), ["text"], "doc_id")
+    return deduped.select("keeper_id", "n_copies")
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs scenario: subset of docs ∪ perturbed copies
+    (three tokens appended → Jaccard ≈ n/(n+3))."""
+    docs = (
+        demo.load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 100_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz yy xx"))
+    )
+    return docs.unionByName(copies)
+
+
+_NEAR_DUP_SQL = """
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || ' zz yy xx' AS text
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+_SHINGLE_CTES = f"""
+WITH corpus AS ({_NEAR_DUP_SQL}),
+toked AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus
+),
+idx AS (
+    SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+    FROM toked
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+    FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5)."""
+    from updater_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from updater_spark.operators.text import text_stats
+
+    return text_stats(demo.load(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from updater_spark.operators.text import lang_id
+
+    return lang_id(demo.load(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from updater_spark.operators.text import token_counts
+
+    return token_counts(demo.load(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from updater_spark.operators.text import doc_fingerprint
+
+    return doc_fingerprint(demo.load(spark, sf_dir, "documents"))
+
+
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 (the ANN recall baseline)."""
+    from updater_spark.operators.similarity import cosine_topk
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    return cosine_topk(emb, queries_df, k=5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5
+    (rows-only driver check; exact parity vs a pure-Python MinHash in
+    tests/test_dedup.py)."""
+    from updater_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text", num_hashes=64
+    )
+    pairs = lsh_candidate_pairs(sigs, bands=16)
+    est = minhash_jaccard_estimate(sigs, pairs)
+    return est.filter(F.col("est_jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming ≤ 12 (rows-only driver check;
+    bit-level parity vs pure Python in tests/test_dedup.py)."""
+    from updater_spark.operators.dedup import simhash, simhash_near_pairs
+
+    fps = simhash(_near_dup_corpus(spark, sf_dir), "doc_id", "text")
+    return simhash_near_pairs(fps, max_hamming=12)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (rows-only driver check; recall
+    vs the exact baseline in tests/test_similarity.py)."""
+    from updater_spark.operators.similarity import lsh_topk
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    return lsh_topk(emb, queries_df, k=5, bits=8, dim=64)
+
+
+def q_multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload bytes + typed metadata."""
+    from updater_spark.operators.multimodal import make_blob_table
+
+    blobs = make_blob_table(demo.load(spark, sf_dir, "documents"))
+    return blobs.select("doc_id", "media_type", "n_bytes")
+
+
+def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (rows-only check — genuinely non-SQL-expressible)."""
+    from updater_spark.operators.multimodal import decode_features, make_blob_table
+
+    feats = decode_features(make_blob_table(demo.load(spark, sf_dir, "documents")))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.round("byte_mean", 4).alias("byte_mean"),
+        F.round("byte_entropy_proxy", 4).alias("byte_entropy_proxy"),
+    )
+
+
+def q_j1_diff_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 at bench scale: fingerprint-diff over lineitem (~600k rows
+    at sf0.1), summarized by change class."""
+    li = demo.load(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    base = li.select(key, *cols)
+    new = base
+    old = (
+        base.filter(F.col("id") % 13 != 0)
+        .withColumn(
+            "l_partkey",
+            F.when(F.col("id") % 11 == 0, F.col("l_partkey") + 1).otherwise(
+                F.col("l_partkey")
+            ),
+        )
+        .unionByName(
+            base.filter(F.col("id") % 17 == 0).withColumn(
+                "id", F.col("id") + 1_000_000_000
+            )
+        )
+    )
+
+    def fp(snap):
+        return snap.select(
+            "id",
+            F.md5(
+                F.concat_ws(
+                    "", *[F.col(c).cast("string") for c in ["id"] + cols]
+                ).cast("binary")
+            ).alias("hashed"),
+        )
+
+    diff = snapshot_diff(fp(new), fp(old))
+    return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -345,6 +558,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_tribe_stats_bootstrap": q_a3_tribe_stats_bootstrap,
         "q1_pricing_summary": q_q1_pricing_summary,
         "a2_events_hourly": q_a2_events_hourly,
+        "j1_diff_large": q_j1_diff_large,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "sim_topk_cosine": q_sim_topk_cosine,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_blob_meta": q_multimodal_blob_meta,
+        "multimodal_decode_stub": q_multimodal_decode_stub,
     }
 
 
@@ -481,5 +707,151 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(value), 4) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "j1_diff_large": """
+            WITH base AS (
+                SELECT l_orderkey * 8 + l_linenumber AS id,
+                       l_orderkey, l_partkey, l_suppkey, l_linenumber
+                FROM lineitem
+            ),
+            old_snap AS (
+                SELECT id, l_orderkey,
+                       CASE WHEN id % 11 = 0 THEN l_partkey + 1 ELSE l_partkey END AS l_partkey,
+                       l_suppkey, l_linenumber
+                FROM base WHERE id % 13 <> 0
+                UNION ALL
+                SELECT id + 1000000000, l_orderkey, l_partkey, l_suppkey, l_linenumber
+                FROM base WHERE id % 17 = 0
+            ),
+            src AS (
+                SELECT id, md5(concat_ws('', id, l_orderkey, l_partkey, l_suppkey, l_linenumber)) AS hashed
+                FROM base
+            ),
+            rep AS (
+                SELECT id, md5(concat_ws('', id, l_orderkey, l_partkey, l_suppkey, l_linenumber)) AS hashed
+                FROM old_snap
+            ),
+            diff AS (
+                SELECT COALESCE(s.id, r.id) AS id,
+                       CASE WHEN r.hashed IS NULL THEN 'insert'
+                            WHEN s.hashed IS NULL THEN 'delete'
+                            WHEN s.hashed <> r.hashed THEN 'update'
+                            ELSE 'unchanged' END AS change_type
+                FROM src s FULL OUTER JOIN rep r ON s.id = r.id
+            )
+            SELECT change_type, COUNT(*) AS n FROM diff GROUP BY change_type
+        """,
+        "dedup_exact": f"""
+            WITH corpus AS ({_DUPES_SQL})
+            SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+            FROM corpus GROUP BY text
+        """,
+        "dedup_ngram_jaccard": _SHINGLE_CTES
+        + """
+            , common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+            FROM common c
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+        """,
+        "text_stats": """
+            WITH toked AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(toks) AS n_words,
+                   len(list_distinct(toks)) AS n_uniq_words,
+                   round(len(list_distinct(toks)) / len(toks), 6) AS type_token_ratio,
+                   round(len(list_filter(toks, t -> t IN
+                       ('the','and','of','to','a','in','is','it','for','on','with','as','this')))
+                       / len(toks), 6) AS stopword_ratio,
+                   round(list_sum(list_transform(toks, t -> length(t))) / len(toks), 6)
+                       AS mean_word_len
+            FROM toked
+        """,
+        "text_langid": """
+            WITH toked AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            hits AS (
+                SELECT doc_id,
+                       len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is'))) AS en_hits,
+                       len(list_filter(toks, t -> t IN ('le','la','et','les','des','un','est'))) AS fr_hits,
+                       len(list_filter(toks, t -> t IN ('der','die','und','das','ein','ist','nicht'))) AS de_hits,
+                       len(list_filter(toks, t -> t IN ('el','la','de','los','las','es','una'))) AS es_hits,
+                       len(list_filter(toks, t -> t IN ('de5','shi4','le5','zai4','he2','you3','wo3'))) AS zh_hits
+                FROM toked
+            )
+            SELECT doc_id, en_hits, fr_hits, de_hits, es_hits, zh_hits,
+                   CASE
+                       WHEN zh_hits > en_hits AND zh_hits > fr_hits AND zh_hits > de_hits AND zh_hits > es_hits THEN 'zh'
+                       WHEN es_hits > en_hits AND es_hits > fr_hits AND es_hits > de_hits THEN 'es'
+                       WHEN de_hits > en_hits AND de_hits > fr_hits THEN 'de'
+                       WHEN fr_hits > en_hits THEN 'fr'
+                       ELSE 'en'
+                   END AS pred_lang
+            FROM hits
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            WITH normed AS (
+                SELECT doc_id,
+                       array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ') AS norm
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5(norm) AS md5_fp,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, length(norm) + 1),
+                                          i -> CAST(unicode(substring(norm, i, 1)) AS BIGINT))),
+                       (acc, v) -> (acc * 31 + v) % 1000000007
+                   ) AS rolling_fp
+            FROM normed
+        """,
+        "sim_topk_cosine": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id % 25 = 0
+            ),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(list_cosine_similarity(qv, cv), 4) AS sim
+                FROM q CROSS JOIN c
+                WHERE query_id <> neighbor_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+        """,
+        "multimodal_blob_meta": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
         """,
     }

@@ -1,0 +1,157 @@
+"""Dedup operators vs pure-Python oracles (the non-SQL-expressible
+paths: MinHash signatures, SimHash bits, LSH banding)."""
+
+import pytest
+from pyspark.sql import Row
+
+from updater_spark.operators.dedup import (
+    MERSENNE_P,
+    _hash_coeffs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+    word_shingles,
+)
+
+DOCS = [
+    Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+    Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+    Row(doc_id=3, text="completely different words entirely here now"),
+    Row(doc_id=4, text="the quick brown fox jumps over the lazy dog"),  # dup of 1
+]
+
+
+def py_shingles(text, n=3):
+    toks = text.strip().split()
+    if len(toks) <= n:
+        return {" ".join(toks[:n])}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(DOCS)
+    out = {
+        r["keeper_id"]: r["n_copies"]
+        for r in exact_dedup(df, ["text"], "doc_id").collect()
+    }
+    assert out[1] == 2  # docs 1 and 4 collapse, min id kept
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_word_shingles_match_python(spark):
+    df = spark.createDataFrame(DOCS)
+    got = df.select("doc_id", word_shingles("text", 3).alias("sh")).collect()
+    for r in got:
+        assert set(r["sh"]) == py_shingles(DOCS[r["doc_id"] - 1].text), r["doc_id"]
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(DOCS)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+    # python oracle
+    for (a, b), j in pairs.items():
+        sa, sb = py_shingles(DOCS[a - 1].text), py_shingles(DOCS[b - 1].text)
+        expected = len(sa & sb) / len(sa | sb)
+        assert abs(j - expected) < 1e-12, (a, b)
+    assert pairs[(1, 4)] == 1.0
+    assert pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs  # no shared shingles
+
+
+def py_minhash(text, num_hashes=16, seed=7):
+    """Pure-Python twin of minhash_signatures (same xxhash64 base via
+    Spark; here we only verify the (a*h+b) mod p fold given the base
+    hashes, so the Spark query supplies them)."""
+    return _hash_coeffs(num_hashes, seed)
+
+
+def test_minhash_signature_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(DOCS)
+    # base shingle hashes from Spark (xxhash64 is JVM-specific)
+    base = (
+        df.select(
+            "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+        )
+        .select(
+            "doc_id",
+            F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)).alias("h"),
+        )
+        .collect()
+    )
+    by_doc = {}
+    for r in base:
+        by_doc.setdefault(r["doc_id"], []).append(r["h"])
+    coeffs = _hash_coeffs(16, seed=7)
+    expected = {
+        d: [min(((a * h + b) % MERSENNE_P) for h in hs) for a, b in coeffs]
+        for d, hs in by_doc.items()
+    }
+    sigs = {
+        r["id"]: list(r["signature"])
+        for r in minhash_signatures(
+            df, "doc_id", "text", num_hashes=16, seed=7
+        ).collect()
+    }
+    assert sigs == expected
+
+
+def test_lsh_finds_duplicates(spark):
+    df = spark.createDataFrame(DOCS)
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=32)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, bands=8).collect()
+    }
+    assert (1, 4) in pairs  # exact dups always collide
+    assert (1, 2) in pairs  # near dups collide with 8 bands of 4
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(DOCS)
+    fps = {r["id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[4]  # identical docs → identical fingerprint
+    ham_12 = bin((fps[1] ^ fps[2]) & ((1 << 64) - 1)).count("1")
+    ham_13 = bin((fps[1] ^ fps[3]) & ((1 << 64) - 1)).count("1")
+    assert ham_12 < ham_13  # near-dup closer than unrelated
+
+    near = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            simhash(df, "doc_id", "text"), max_hamming=63
+        ).collect()
+    }
+    assert near[(1, 4)] == 0
+    assert near[(1, 2)] == ham_12
+
+
+def test_simhash_python_bit_oracle(spark):
+    """Recompute the sign-sum from Spark's own token hashes in Python
+    and check bit-for-bit equality."""
+    from pyspark.sql import functions as F
+    from updater_spark.operators.dedup import tokens
+
+    df = spark.createDataFrame(DOCS[:1])
+    hs = [
+        r["h"]
+        for r in df.select(F.explode(tokens("text")).alias("t"))
+        .select(F.xxhash64("t").alias("h"))
+        .collect()
+    ]
+    fp = 0
+    for j in range(64):
+        s = sum(1 if (h >> j) & 1 else -1 for h in hs)
+        if s > 0:
+            fp |= 1 << j
+    if fp & (1 << 63):  # python int → signed 64-bit
+        fp -= 1 << 64
+    got = simhash(df, "doc_id", "text").collect()[0]["simhash"]
+    assert got == fp

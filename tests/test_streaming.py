@@ -1,0 +1,89 @@
+"""Structured Streaming CDC loop: two snapshot drops → two incremental
+micro-batches through foreachBatch; windowed event rollup parity."""
+
+import time
+
+from pyspark.sql import Row, functions as F
+
+from updater_spark.plans.cdc import CdcEngine
+from updater_spark.schema import TableSpec
+from updater_spark.sources.store import TableStore
+from updater_spark.streaming.cdc_stream import run_cdc_stream, windowed_event_counts
+
+
+def test_cdc_stream_two_snapshots(spark, tmp_path):
+    spec = TableSpec("items", "id")
+    store = TableStore(spark, str(tmp_path / "store"))
+    engine = CdcEngine(store)
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+
+    s0 = spark.createDataFrame([Row(id=i, v=i * 10) for i in range(1, 101)])
+    s0.coalesce(1).write.mode("append").parquet(src_dir)
+
+    q = run_cdc_stream(
+        spark, engine, spec, src_dir, s0.schema, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    assert store.read("items").count() == 100
+
+    # second snapshot: 5 changed rows arrive as a new file drop.
+    # (file source appends rows; the CDC update treats the micro-batch
+    # as the delta source — changed rows upsert by pk)
+    s1 = spark.createDataFrame([Row(id=i, v=i * 10 + 1) for i in range(1, 6)])
+    s1.coalesce(1).write.mode("append").parquet(src_dir)
+    q = run_cdc_stream(
+        spark, engine, spec, src_dir, s0.schema, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+    items = store.read("items")
+    assert items.count() == 100
+    changed = {r["id"]: r["v"] for r in items.filter(F.col("id") <= 5).collect()}
+    assert changed == {i: i * 10 + 1 for i in range(1, 6)}
+
+
+def test_windowed_event_counts_batch_parity(spark):
+    import datetime as dt
+
+    rows = [
+        Row(ts=dt.datetime(2026, 1, 1, h, m), event_type=t, value=1.5)
+        for h in (0, 1)
+        for m in (5, 55)
+        for t in ("click", "view")
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(df, window="1 hour").collect()
+    }
+    assert out[("2026-01-01 00:00:00", "click")] == (2, 3.0)
+    assert len(out) == 4
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    """Same rollup as a real stream with watermark, via file source."""
+    import datetime as dt
+
+    rows = [
+        Row(ts=dt.datetime(2026, 1, 1, h, m), event_type="click", value=2.0)
+        for h in (0, 1)
+        for m in (10, 50)
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM ev_counts").collect()
+    }
+    assert got == {"2026-01-01 00:00:00": 2, "2026-01-01 01:00:00": 2}

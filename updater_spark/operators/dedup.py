@@ -1,0 +1,316 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond reference parity (BASELINE.json north star): exact dedup,
+MinHash+LSH, SimHash, and n-gram Jaccard — all expressed with built-in
+Catalyst array/lambda expressions (no Python UDFs), so the hot path is
+whole-stage-codegen'd JVM work and scales linearly with executors.
+
+Scale design notes (100 TB):
+- exact dedup is one hash-shuffle on the dedup key (map-side partial
+  aggregation makes the shuffle carry ~unique keys only).
+- MinHash/LSH: signature computation is a single explode + groupBy
+  (one shuffle keyed by doc); banding shuffles once more on
+  (band, band_hash). Bucket join output is bounded by bucket sizes —
+  salt oversized buckets (cap via ``max_bucket``) to dodge skew.
+- n-gram Jaccard's shingle self-join explodes quadratically on common
+  shingles — use it only AFTER an LSH candidate filter at scale; the
+  direct form here is the small-data verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime for the universal-hash family (public-domain
+# construction: h_i(x) = (a_i * x + b_i) mod p, datasketch-style).
+MERSENNE_P = (1 << 61) - 1
+
+
+def tokens(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> (the classic
+    shingling step; MMDS ch.3)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: one representative (min id) per
+    distinct key tuple, plus multiplicity."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _hash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs — reproducible across runs and in the
+    pure-Python test oracle.
+
+    Sized so ``a * h + b`` stays < 2^63 for 32-bit base hashes (a, b <
+    2^30): the fold is plain signed-long arithmetic, portable to any
+    engine with 64-bit ints — no 128-bit intermediates."""
+    coeffs = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % ((1 << 30) - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % (1 << 30)
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """``(id, signature array<long>)`` — element i is
+    min over shingles of ((a_i * xxhash64(shingle) + b_i) mod p).
+
+    One explode + one groupBy (single shuffle keyed by doc id); the
+    per-shingle k-way hashing is a JVM ``transform`` over a literal
+    coefficient array, no Python in the loop.
+    """
+    coeffs = _hash_coeffs(num_hashes, seed)
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    ).select(
+        "id",
+        # non-negative 32-bit base hash (keeps a*h+b < 2^63, see
+        # _hash_coeffs)
+        F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)).alias("h"),
+    )
+    hashed = base.select(
+        "id",
+        F.zip_with(
+            a_arr,
+            b_arr,
+            lambda a, b: (a * F.col("h") + b) % F.lit(MERSENNE_P),
+        ).alias("hs"),
+    )
+    # element-wise min across shingles: explode position, min, re-collect
+    n = num_hashes
+    agg = hashed.groupBy("id").agg(
+        *[F.min(F.element_at("hs", i + 1)).alias(f"m{i}") for i in range(n)]
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(n)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (id_a < id_b) that
+    collide in ≥1 band. ``max_bucket`` drops degenerate buckets (all-
+    identical boilerplate) that would explode quadratically — the
+    standard skew guard; dropped buckets should be handled by exact
+    dedup first."""
+    n = signatures.select(F.size("signature")).first()[0]
+    rows_per_band = n // bands
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    grouped = banded.groupBy("band", "band_hash").agg(
+        F.collect_list("id").alias("ids")
+    )
+    bounded = grouped.filter(
+        (F.size("ids") > 1) & (F.size("ids") <= max_bucket)
+    )
+    pairs = bounded.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x: F.transform(
+                            F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                        ),
+                    )
+                ),
+                lambda s: s["a"] < s["b"],
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    return pairs.distinct()
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature slots."""
+    sa = signatures.select(
+        F.col("id").alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sb = signatures.select(
+        F.col("id").alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        (match / F.size("sig_a")).alias("est_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact) — small-data verifier / post-LSH refinement
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets for all pairs
+    sharing ≥1 shingle. Shuffles on the shingle (inverted index), then
+    on the pair. Quadratic in per-shingle frequency — at scale run it
+    only on LSH candidates."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    a = inv.select(F.col("id").alias("id_a"), "shingle")
+    b = inv.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over word tokens (Charikar 2002): bit j of the
+    fingerprint is the sign of the sum over tokens of ±1 according to
+    bit j of the token hash. One explode + one groupBy."""
+    toked = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).select("id", F.xxhash64("tok").alias("h"))
+
+    def bit_lit(j: int):
+        # bit 63 of a signed 64-bit long is the sign bit
+        return F.lit((1 << j) if j < 63 else -(1 << 63))
+
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(bit_lit(j)) != 0, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    summed = toked.groupBy("id").agg(*aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, bit_lit(j)).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return summed.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ ``max_hamming`` using
+    the pigeonhole banding trick: split 64 bits into ``chunks`` blocks;
+    any pair within distance < chunks must agree on ≥1 block → block
+    equality is the bucket key, exact Hamming verifies."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    blocks = fingerprints.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "block"),
+    )
+    a = blocks.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "block"
+    )
+    b = blocks.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "block"
+    )
+    cand = (
+        a.join(b, ["chunk", "block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns
+with a metadata struct; decode / feature-extraction runs as
+Arrow-batched ``mapInPandas`` (the only place Python touches bytes —
+everything around it stays JVM-side). The actual codec step is STUBBED
+(no image/audio libraries in this container): ``decode_features``
+computes deterministic byte-level pseudo-features, and
+``real_decode_stub`` raises ``NotImplementedError`` where Pillow/
+ffmpeg would plug in. The Spark-side contract — schema, batch shape,
+partition-parallel Arrow transfer — is real and tested.
+
+Scale notes: payload columns dominate bytes at rest → keep them in a
+separate parquet column (columnar pruning skips them unless selected);
+``mapInPandas`` streams Arrow record batches, so executor memory is
+bounded by batch size, not partition size. Set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` down (e.g. 64) when
+payloads are MBs each.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BLOB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("byte_entropy_proxy", DoubleType()),
+    ]
+)
+
+
+def make_blob_table(documents: DataFrame) -> DataFrame:
+    """Fake a multimodal table from ``documents``: UTF-8 payload bytes
+    + metadata, the exact column shape a real image/audio table has."""
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def real_decode_stub(payload: bytes, media_type: str):
+    """Where Pillow / soundfile / pyav would decode. Deliberately not
+    implemented in this container."""
+    raise NotImplementedError(
+        f"real decoder for {media_type} requires image/audio libraries "
+        "not present in this environment; use decode_features' "
+        "deterministic byte features instead"
+    )
+
+
+def decode_features(blobs: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Uses ``mapInPandas`` so each Python worker sees bounded pandas
+    batches; the features are deterministic byte statistics standing in
+    for real decoded features (resize / frame-sample / mel-spectrogram
+    would produce columns the same way)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            byte_mean = payloads.map(
+                lambda b: (sum(b) / len(b)) if len(b) else 0.0
+            )
+            # cheap entropy proxy: unique-byte fraction
+            entropy = payloads.map(
+                lambda b: (len(set(b)) / 256.0) if len(b) else 0.0
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "byte_mean": byte_mean.astype("float64"),
+                    "byte_entropy_proxy": entropy.astype("float64"),
+                }
+            )
+
+    return blobs.mapInPandas(extract, schema=FEATURE_SCHEMA)

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small)
+query set against the corpus, dot products via ``zip_with`` +
+``aggregate`` (JVM lambda expressions, no Python). Scale path: LSH
+bucketing by random-hyperplane sign bits; queries probe only their
+bucket (and neighbors), cutting the scanned fraction to
+~1/2^bits per probe.
+
+At 100 TB the corpus side stays partitioned; only the query set and
+the hyperplane matrix are broadcast. An IVF variant would replace the
+random planes with k-means centroids — same bucket-join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Brute-force exact top-k: ``(query_id, neighbor_id, sim, rank)``.
+
+    Deterministic ordering: (rounded sim DESC, neighbor id ASC) so
+    results are stable across engines and runs. Self-matches excluded.
+    The query side is broadcast; the corpus is scanned once, fully
+    parallel — this is the exact-recall baseline the ANN variants are
+    measured against.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    sim = cosine(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-driven, reproducible
+    in the pure-Python test oracle without numpy RNG state)."""
+    state = seed
+    planes = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i)."""
+    code = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(vec, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return code
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane
+    signature, rank within the shared bucket only. Trades recall for a
+    ~2^bits scan reduction; measure recall against ``cosine_topk``
+    (tests/test_similarity.py)."""
+    planes = _hyperplanes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: only
+    same-bucket pairs are scored (near-identical vectors land in the
+    same bucket with high probability)."""
+    planes = _hyperplanes(dim, bits, seed)
+    v = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

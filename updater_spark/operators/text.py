@@ -1,0 +1,138 @@
+"""Text-analysis operators: quality stats, language ID, token
+counting, document fingerprinting.
+
+All built-in Catalyst expressions (split / array lambdas / regexp) —
+no Python UDFs, so these run at scan speed and compose with any
+pipeline stage. Designed for the ``documents`` table
+(doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from updater_spark.operators.dedup import tokens
+
+# Tiny marker-word lists for the n-gram/stopword language heuristic.
+# Deliberately short and deterministic — mirrored verbatim in the
+# DuckDB oracle SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+    "de": ["der", "die", "und", "das", "ein", "ist", "nicht"],
+    "es": ["el", "la", "de", "los", "las", "es", "una"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["it", "for", "on", "with", "as", "this"]
+
+# BPE-ish tokenizer regex: word pieces, digit runs, single punctuation.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _count_in(toks: Column, words: list[str]) -> Column:
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, t)))
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, token counts, type-token
+    ratio, stopword ratio, mean word length."""
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_words"),
+        F.round(F.size(F.array_distinct(toks)) / n_words, 6).alias("type_token_ratio"),
+        F.round(_count_in(toks, STOPWORDS_EN) / n_words, 6).alias("stopword_ratio"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / n_words,
+            6,
+        ).alias("mean_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite heuristic quality score in [0, 1]: favors mid-length
+    docs, lexical diversity, and plausible word lengths (the usual
+    C4/Gopher-style filters, condensed)."""
+    s = text_stats(df, id_col, text_col)
+    len_ok = F.when((F.col("n_words") >= 10) & (F.col("n_words") <= 100000), 1.0).otherwise(0.3)
+    diversity = F.least(F.col("type_token_ratio") * 2, F.lit(1.0))
+    word_len_ok = F.when(
+        (F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12), 1.0
+    ).otherwise(0.2)
+    return s.select(
+        id_col,
+        F.round((len_ok * 0.4 + diversity * 0.4 + word_len_ok * 0.2), 6).alias(
+            "quality"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language ID with a deterministic argmax (ties break
+    by the fixed language order en, fr, de, es, zh)."""
+    toks = tokens(text_col)
+    hits = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_n = hits[langs[0]]
+    for lang in langs[1:]:
+        cond = hits[lang] > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, hits[lang]).otherwise(best_n)
+    out = df.select(
+        F.col(id_col),
+        *[hits[lang].alias(f"{lang}_hits") for lang in langs],
+        best.alias("pred_lang"),
+    )
+    return out
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (the cheap
+    proxy pair for LLM token accounting)."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content fingerprints: md5 of whitespace-normalized text plus a
+    31-base polynomial rolling hash over the normalized characters
+    (the Rabin-Karp shape) — both pure Catalyst expressions.
+
+    Modulus 1e9+7 keeps ``acc*31 + v`` < 2^63 (no long overflow, so the
+    arithmetic is portable to any engine/oracle)."""
+    norm = F.concat_ws(" ", tokens(text_col))
+    chars = F.expr(
+        "transform(sequence(1, length(concat_ws(' ', split(trim({t}), '\\\\s+')))), "
+        "i -> ascii(substring(concat_ws(' ', split(trim({t}), '\\\\s+')), i, 1)))".format(
+            t=text_col
+        )
+    )
+    rolling = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 31 + v) % F.lit(1_000_000_007),
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm.cast("binary")).alias("md5_fp"),
+        rolling.alias("rolling_fp"),
+    )

@@ -185,6 +185,65 @@ class CdcEngine:
         finally:
             diff.unpersist()
 
+    # -- streaming delta-apply (micro-batch mode) ----------------------
+    def apply_delta(self, spec: TableSpec, batch: DataFrame) -> UpdateStats:
+        """Apply a micro-batch containing only *arriving* rows (a delta
+        feed, e.g. a Structured Streaming file source), as opposed to
+        ``update`` whose input is a full snapshot.
+
+        Semantics: upsert every arriving key whose fingerprint differs
+        from the cache (unchanged re-deliveries are dropped — the same
+        skip the reference's hash compare gives, download.py:189-205);
+        never delete. Deletes in a delta feed must be explicit (tomb-
+        stone rows), which the reference has no notion of.
+        """
+        if not self.store.exists(f"{spec.name}__fingerprints"):
+            return self.bootstrap(spec, batch)
+
+        cols = classify_df(spec, batch) if spec.has_scores else None
+        data_cols = cols.data_columns if cols else list(batch.columns)
+
+        batch_fp = fingerprint_table(batch, spec.primary_key, data_cols, self.algo)
+        rep_fp = self.store.read(f"{spec.name}__fingerprints")
+        diff = snapshot_diff(batch_fp, rep_fp)
+        # replica-only keys are NOT deletes here — they simply didn't
+        # arrive in this batch.
+        changed = diff.filter(
+            F.col("change_type").isin("insert", "update")
+        ).select("id", "new_hash")
+
+        delta = self._computed(
+            spec,
+            semi_join_fetch(
+                batch.select(*data_cols),
+                changed.withColumnRenamed("id", spec.primary_key),
+                spec.primary_key,
+            ),
+        )
+        old = self.store.read(spec.name)
+        preimages = changelog_preimages(
+            old,
+            diff.filter(F.col("change_type") == "update").withColumnRenamed(
+                "id", spec.primary_key
+            ),
+            spec.primary_key,
+        )
+        self.store.append(f"{spec.name}__changelog", preimages)
+        self.store.write(spec.name, merge_upsert(old, delta, spec.primary_key))
+        self.store.write(
+            f"{spec.name}__delta", delta
+        )
+        new_fp = merge_upsert(
+            rep_fp, changed.withColumnRenamed("new_hash", "hashed"), "id"
+        )
+        self.store.write(f"{spec.name}__fingerprints", new_fp)
+        return UpdateStats(
+            table=spec.name,
+            bootstrap=False,
+            upserts=delta.count(),
+            total_rows=self.store.read(spec.name).count(),
+        )
+
     # -- entry point C: derived aggregates (post_update.py) ------------
     def post_update(
         self,
