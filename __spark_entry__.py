@@ -513,12 +513,14 @@ def q_j1_diff_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fp(snap):
+        # xxhash64: the engine's scale-path fingerprint (8-byte, stays
+        # in codegen). The oracle uses md5 — the diff *classification*
+        # is hash-agnostic, so results match while the Spark side runs
+        # the fast hash.
         return snap.select(
             "id",
-            F.md5(
-                F.concat_ws(
-                    "", *[F.col(c).cast("string") for c in ["id"] + cols]
-                ).cast("binary")
+            F.xxhash64(
+                F.concat_ws("", *[F.col(c).cast("string") for c in ["id"] + cols])
             ).alias("hashed"),
         )
 

@@ -45,10 +45,12 @@ def run() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    # Hash-diff throughput: rows scanned on both sides of J1 per second.
-    n_src = entrymod.demo.load(spark, sf_dir, "customer").count()
-    diff_rows = 2 * n_src  # both snapshots are fingerprinted + joined
-    t_diff = timings.get("j1_diff_classify", float("nan"))
+    # Hash-diff throughput: rows fingerprinted+joined across both sides
+    # of the lineitem-scale J1 per second (BASELINE.md: reference does
+    # 150k rows/s on one core).
+    n_src = entrymod.demo.load(spark, sf_dir, "lineitem").count()
+    diff_rows = 2 * n_src
+    t_diff = timings.get("j1_diff_large", float("nan"))
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -42,6 +42,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit(a: Column) -> Column:
+    """Pre-normalized vector: cosine(a, b) == dot(unit(a), unit(b)).
+    Normalizing each vector ONCE (O(n) work) instead of computing both
+    norms per candidate pair (O(n·m)) is the difference between a
+    linear and a quadratic norm bill in every top-k / near-dup scan."""
+    n = norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -59,12 +68,14 @@ def cosine_topk(
     measured against.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"),
+        unit(as_double(F.col(vec_col))).alias("qv"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        unit(as_double(F.col(vec_col))).alias("cv"),
     )
-    sim = cosine(F.col("qv"), F.col("cv"))
+    sim = dot(F.col("qv"), F.col("cv"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -121,10 +132,12 @@ def lsh_topk(
     (tests/test_similarity.py)."""
     planes = _hyperplanes(dim, bits, seed)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        unit(as_double(F.col(vec_col))).alias("cv"),
     ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"),
+        unit(as_double(F.col(vec_col))).alias("qv"),
     ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -132,7 +145,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"),
+            F.round(dot(F.col("qv"), F.col("cv")), 4).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -157,7 +170,7 @@ def embedding_near_dup_pairs(
     same bucket with high probability)."""
     planes = _hyperplanes(dim, bits, seed)
     v = df.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("id"), unit(as_double(F.col(vec_col))).alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
@@ -167,7 +180,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
+            F.round(dot(F.col("va"), F.col("vb")), 4).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

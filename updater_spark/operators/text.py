@@ -120,19 +120,19 @@ def doc_fingerprint(
     Modulus 1e9+7 keeps ``acc*31 + v`` < 2^63 (no long overflow, so the
     arithmetic is portable to any engine/oracle)."""
     norm = F.concat_ws(" ", tokens(text_col))
-    chars = F.expr(
-        "transform(sequence(1, length(concat_ws(' ', split(trim({t}), '\\\\s+')))), "
-        "i -> ascii(substring(concat_ws(' ', split(trim({t}), '\\\\s+')), i, 1)))".format(
-            t=text_col
-        )
-    )
+    # split('') gives one array element per character — the linear-time
+    # path (substring(norm, i, 1) per index would be O(len²) per doc).
+    chars = F.transform(F.split(F.col("_norm"), ""), lambda ch: F.ascii(ch))
     rolling = F.aggregate(
         chars,
         F.lit(0).cast("long"),
         lambda acc, v: (acc * 31 + v) % F.lit(1_000_000_007),
     )
-    return df.select(
-        F.col(id_col),
-        F.md5(norm.cast("binary")).alias("md5_fp"),
-        rolling.alias("rolling_fp"),
+    return (
+        df.withColumn("_norm", norm)
+        .select(
+            F.col(id_col),
+            F.md5(F.col("_norm").cast("binary")).alias("md5_fp"),
+            rolling.alias("rolling_fp"),
+        )
     )
