@@ -274,27 +274,40 @@ def q_a3_tribe_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _dsum_e(c, scale: int = 4):
+    """Order-independent double aggregation: accumulate in DECIMAL
+    (exact addition — immune to float sum-order and FMA differences
+    across engines/executors) and emit as a scaled BIGINT
+    (value × 10^scale). Integers have no cross-engine rounding
+    boundary at all — doubles like x.425 are unrepresentable and the
+    final round-half tie breaks differently per engine."""
+    return (F.sum(c.cast(f"decimal(18,{scale})")) * F.lit(10**scale)).cast("long")
+
+
 def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style grouped aggregation over lineitem."""
+    """TPC-H Q1-style grouped aggregation over lineitem. Double sums
+    accumulate in decimal (see _dsum) so results are bit-stable
+    regardless of partitioning / aggregation order — a correctness
+    property, not just an oracle convenience, once partial aggregates
+    combine in nondeterministic order on a real cluster."""
     li = demo.load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _dsum_e(F.col("l_quantity")).alias("sum_qty_e4"),
+            _dsum_e(F.col("l_extendedprice")).alias("sum_base_price_e4"),
+            _dsum_e(disc_price, scale=6).alias("sum_disc_price_e6"),
+            _dsum_e(charge, scale=6).alias("sum_charge_e6"),
+            F.expr(
+                "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT)"
+                " div count(*)"
+            ).alias("avg_qty_e4"),
+            F.expr(
+                "CAST(sum(CAST(l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT)"
+                " div count(*)"
+            ).alias("avg_disc_e4"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -309,7 +322,7 @@ def q_a2_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        _dsum_e(F.col("value"), scale=6).alias("sum_value_e6"),
     )
 
 
@@ -528,6 +541,135 @@ def q_j1_diff_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: a query subset ∪ deterministic
+    perturbed copies, brute-force scored (the exact verifier for the
+    LSH-bucketed variant). Threshold 0.9 sits far from both the planted
+    (~1.0) and random (~0) similarity clusters, so float rounding can't
+    flip membership."""
+    from updater_spark.operators.similarity import as_double, dot, unit
+
+    emb = demo.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    perturbed = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * 1.01 + 0.005).alias("v"),
+    )
+    corpus = base.unionByName(perturbed).select(
+        "vec_id", unit(F.col("v")).alias("u")
+    )
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("u").alias("ua"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("u").alias("ub"))
+    return (
+        a.join(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(dot(F.col("ua"), F.col("ub")), 4).alias("sim")
+        )
+        .filter(F.col("sim") >= 0.9)
+    )
+
+
+def q_a1_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: COUNT(*) emptiness/progress checks (table.py:96-105,
+    download.py:119-128) across every table."""
+    out = None
+    for t in ["region", "nation", "customer", "supplier", "part", "orders"]:
+        one = demo.load(spark, sf_dir, t).select(
+            F.lit(t).alias("table_name"), F.lit(1).alias("one")
+        ).groupBy("table_name").agg(F.count(F.lit(1)).alias("n_rows"))
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def q_s11_schema_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: dynamic column discovery (table.py:66-75) — the engine
+    derives its column sets from the live schema, never a static
+    config. Emitted as (table_name, column_name) rows."""
+    rows = []
+    for t in ["customer", "orders", "lineitem"]:
+        for c in demo.load(spark, sf_dir, t).columns:
+            rows.append((t, c))
+    return spark.createDataFrame(rows, "table_name string, column_name string")
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: customer ⋈ orders ⋈ lineitem with segment
+    filter and revenue aggregation (broadcast dim, two-key shuffle)."""
+    cust = demo.load(spark, sf_dir, "customer")
+    orders = demo.load(spark, sf_dir, "orders")
+    li = demo.load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            _dsum_e(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+                "revenue_e6"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: six-table join (region ⋈ nation ⋈ customer ⋈
+    orders ⋈ lineitem ⋈ supplier) with revenue per nation — the
+    broadcast-dim + shuffle-fact join shape."""
+    region = demo.load(spark, sf_dir, "region")
+    nation = demo.load(spark, sf_dir, "nation")
+    cust = demo.load(spark, sf_dir, "customer")
+    orders = demo.load(spark, sf_dir, "orders")
+    li = demo.load(spark, sf_dir, "lineitem")
+    supp = demo.load(spark, sf_dir, "supplier")
+    dims = F.broadcast(
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(dims, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum_e(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+                "revenue_e6"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-N per group: 3 highest-value orders per
+    customer nation (deterministic tie-break on o_orderkey)."""
+    from pyspark.sql import Window
+
+    cust = demo.load(spark, sf_dir, "customer")
+    orders = demo.load(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_nationkey",
+            "rn",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -573,30 +715,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "multimodal_decode_stub": q_multimodal_decode_stub,
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "a1_counts": q_a1_counts,
+        "s11_schema_introspection": q_s11_schema_introspection,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier": q_q5_local_supplier,
+        "window_topn": q_window_topn,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # NB: POWER(x, 0.25) is written sqrt(sqrt(x)) — IEEE sqrt is
+    # correctly rounded everywhere, pow is libm-dependent (see
+    # updater_spark.functions.scores._quartic_root).
     score_sql = """
         SELECT id,
-            round((cheese_gathered + "first" * 3) / pow(round_played, 0.25), 4) AS score_stats,
+            round((cheese_gathered + "first" * 3) / sqrt(sqrt(round_played)), 4) AS score_stats,
             round((shaman_cheese * 0.05 + saved_mice * 0.2 + saved_mice_hard * 0.35
-                   + saved_mice_divine * 0.5) / pow(round_played, 0.25), 4) AS score_shaman,
-            round((1.6 * survivor_survivor_count + 0.8 * survivor_mouse_killed)
-                  / pow(survivor_shaman_count * survivor_round_played, 0.25), 4) AS score_survivor,
-            round((2 * racing_first + racing_podium)
-                  / pow(racing_round_played * racing_finished_map, 0.25), 4) AS score_racing,
+                   + saved_mice_divine * 0.5) / sqrt(sqrt(round_played)), 4) AS score_shaman,
+            round((survivor_survivor_count * 1.6 + survivor_mouse_killed * 0.8)
+                  / sqrt(sqrt(survivor_shaman_count * survivor_round_played)), 4) AS score_survivor,
+            round((racing_first * 2 + racing_podium)
+                  / sqrt(sqrt(racing_round_played * racing_finished_map)), 4) AS score_racing,
             round(defilante_points
-                  / pow(defilante_round_played * defilante_finished_map, 0.25), 4) AS score_defilante,
-            round(((cheese_gathered + "first" * 3) / pow(round_played, 0.25)) / 35.564
+                  / sqrt(sqrt(defilante_round_played * defilante_finished_map)), 4) AS score_defilante,
+            round(((cheese_gathered + "first" * 3) / sqrt(sqrt(round_played))) / 35.564
                 + ((shaman_cheese * 0.05 + saved_mice * 0.2 + saved_mice_hard * 0.35
-                    + saved_mice_divine * 0.5) / pow(round_played, 0.25)) / 24.956
-                + ((1.6 * survivor_survivor_count + 0.8 * survivor_mouse_killed)
-                   / pow(survivor_shaman_count * survivor_round_played, 0.25)) / 1.580
-                + ((2 * racing_first + racing_podium)
-                   / pow(racing_round_played * racing_finished_map, 0.25)) / 0.861
+                    + saved_mice_divine * 0.5) / sqrt(sqrt(round_played))) / 24.956
+                + ((survivor_survivor_count * 1.6 + survivor_mouse_killed * 0.8)
+                   / sqrt(sqrt(survivor_shaman_count * survivor_round_played))) / 1.580
+                + ((racing_first * 2 + racing_podium)
+                   / sqrt(sqrt(racing_round_played * racing_finished_map))) / 0.861
                 + (defilante_points
-                   / pow(defilante_round_played * defilante_finished_map, 0.25)) / 2.851, 4)
+                   / sqrt(sqrt(defilante_round_played * defilante_finished_map))) / 2.851, 4)
                 AS score_overall
         FROM players
     """
@@ -692,12 +843,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(SUM(l_quantity), 2) AS sum_qty,
-                   round(SUM(l_extendedprice), 2) AS sum_base_price,
-                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(AVG(l_quantity), 4) AS avg_qty,
-                   round(AVG(l_discount), 4) AS avg_disc,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_qty_e4,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_base_price_e4,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_disc_price_e6,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_charge_e6,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) // COUNT(*) AS avg_qty_e4,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT) // COUNT(*) AS avg_disc_e4,
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -706,7 +857,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
                    event_type,
                    COUNT(*) AS n_events,
-                   round(SUM(value), 4) AS sum_value
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_e6
             FROM events
             GROUP BY 1, 2
         """,
@@ -855,5 +1006,76 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'video/mp4' END AS media_type,
                    octet_length(encode(text)) AS n_bytes
             FROM documents
+        """,
+        "dedup_embedding_neardup": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            corpus AS (
+                SELECT vec_id, v FROM base
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(v, x -> x * 1.01 + 0.005)
+                FROM base
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS sim
+            FROM corpus a CROSS JOIN corpus b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+        """,
+        "a1_counts": """
+            SELECT 'region' AS table_name, COUNT(*) AS n_rows FROM region
+            UNION ALL SELECT 'nation', COUNT(*) FROM nation
+            UNION ALL SELECT 'customer', COUNT(*) FROM customer
+            UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+            UNION ALL SELECT 'part', COUNT(*) FROM part
+            UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        """,
+        "s11_schema_introspection": """
+            SELECT 'customer' AS table_name, column_name FROM
+                (DESCRIBE customer)
+            UNION ALL
+            SELECT 'orders', column_name FROM (DESCRIBE orders)
+            UNION ALL
+            SELECT 'lineitem', column_name FROM (DESCRIBE lineitem)
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_e6,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderpriority
+        """,
+        "q5_local_supplier": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_e6,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY r_name, n_name
+        """,
+        "window_topn": """
+            SELECT c_nationkey, rn, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM (
+                SELECT c_nationkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rn
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+            )
+            WHERE rn <= 3
         """,
     }

@@ -27,6 +27,14 @@ def _c(name: str) -> Column:
     return F.col(name)
 
 
+def _quartic_root(x: Column) -> Column:
+    """``POWER(x, 0.25)`` as ``sqrt(sqrt(x))``: IEEE-754 sqrt is
+    correctly rounded on every platform, while ``pow`` is libm-
+    dependent (Java vs C can differ in the last ulp) — this keeps the
+    formulas bit-reproducible across engines and executor JVMs."""
+    return F.sqrt(F.sqrt(x))
+
+
 def score_expressions() -> dict[str, Column]:
     """The five per-mode formulas (table.py:5-28), keyed by column."""
     return {
@@ -34,7 +42,7 @@ def score_expressions() -> dict[str, Column]:
         # (table.py:6-8)
         "score_stats": mysql_div(
             _c("cheese_gathered") + _c("first") * 3,
-            F.pow(_c("round_played"), 0.25),
+            _quartic_root(_c("round_played")),
         ),
         # (shaman_cheese*0.05 + saved_mice*0.2 + saved_mice_hard*0.35
         #  + saved_mice_divine*0.5) / POWER(round_played, 0.25)
@@ -45,28 +53,28 @@ def score_expressions() -> dict[str, Column]:
             + _c("saved_mice") * 0.2
             + _c("saved_mice_hard") * 0.35
             + _c("saved_mice_divine") * 0.5,
-            F.pow(_c("round_played"), 0.25),
+            _quartic_root(_c("round_played")),
         ),
         # (1.6*survivor_survivor_count + 0.8*survivor_mouse_killed) /
         #   POWER(survivor_shaman_count * survivor_round_played, 0.25)
         # (table.py:15-19)
         "score_survivor": mysql_div(
             _c("survivor_survivor_count") * 1.6 + _c("survivor_mouse_killed") * 0.8,
-            F.pow(_c("survivor_shaman_count") * _c("survivor_round_played"), 0.25),
+            _quartic_root(_c("survivor_shaman_count") * _c("survivor_round_played")),
         ),
         # (2*racing_first + racing_podium) /
         #   POWER(racing_round_played * racing_finished_map, 0.25)
         # (table.py:20-24)
         "score_racing": mysql_div(
             _c("racing_first") * 2 + _c("racing_podium"),
-            F.pow(_c("racing_round_played") * _c("racing_finished_map"), 0.25),
+            _quartic_root(_c("racing_round_played") * _c("racing_finished_map")),
         ),
         # defilante_points /
         #   POWER(defilante_round_played * defilante_finished_map, 0.25)
         # (table.py:25-28)
         "score_defilante": mysql_div(
             _c("defilante_points"),
-            F.pow(_c("defilante_round_played") * _c("defilante_finished_map"), 0.25),
+            _quartic_root(_c("defilante_round_played") * _c("defilante_finished_map")),
         ),
     }
 
