@@ -670,6 +670,15 @@ def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization over the events stream (30-min
+    inactivity gap): lag → flag → running sum → per-session rollup.
+    The batch twin of the streaming session_window operator."""
+    from updater_spark.operators.sessionize import sessionize
+
+    return sessionize(demo.load_events(spark, sf_dir), gap_minutes=30)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -721,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier": q_q5_local_supplier,
         "window_topn": q_window_topn,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -1077,5 +1087,32 @@ def oracle_sql() -> dict[str, str]:
                 JOIN customer ON o_custkey = c_custkey
             )
             WHERE rn <= 3
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id, value,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id)
+            ),
+            idx AS (
+                SELECT user_id, us, event_id, value,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                           AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   MIN(us) AS session_start_us,
+                   MAX(us) AS session_end_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                       AS sum_value_e6
+            FROM idx GROUP BY user_id, session_idx
         """,
     }

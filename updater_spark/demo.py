@@ -40,9 +40,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution)."""
     ev = load(spark, sf_dir, "events")
     if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division — float division of epoch-nanos (~1.7e18)
+        # exceeds double's 53-bit mantissa and corrupts microseconds
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return ev
 
 

@@ -185,6 +185,25 @@ class CdcEngine:
         finally:
             diff.unpersist()
 
+    # -- concurrent per-table updates (start.py:55-59) -----------------
+    def update_many(
+        self, jobs: list[tuple[TableSpec, DataFrame]], max_workers: int = 3
+    ) -> dict[str, UpdateStats]:
+        """Run several table updates concurrently, as the reference
+        runs its three extracts as concurrent asyncio tasks
+        (start.py:55-59). Spark job submission is thread-safe; each
+        thread drives its own DAG and the scheduler interleaves stages
+        across the cluster (fair-scheduler pools would add isolation).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futures = {
+                spec.name: pool.submit(self.update, spec, src)
+                for spec, src in jobs
+            }
+            return {name: f.result() for name, f in futures.items()}
+
     # -- streaming delta-apply (micro-batch mode) ----------------------
     def apply_delta(self, spec: TableSpec, batch: DataFrame) -> UpdateStats:
         """Apply a micro-batch containing only *arriving* rows (a delta

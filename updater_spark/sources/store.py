@@ -99,6 +99,33 @@ class TableStore:
     def read_appendable(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._dir(name), "data"))
 
+    def write_bucketed(
+        self,
+        table_name: str,
+        df: DataFrame,
+        bucket_col: str,
+        num_buckets: int = 16,
+    ) -> DataFrame:
+        """Write a catalog table bucketed (and sorted) by ``bucket_col``.
+
+        Bucketing is THE 100 TB lever for the CDC diff: when the
+        replica's fingerprint table and the incoming snapshot's
+        fingerprints are both bucketed by pk with the same bucket
+        count, the full-outer diff join needs NO shuffle and NO sort —
+        each task merge-joins one bucket pair (verified by
+        tests/test_bucketing.py asserting an Exchange-free plan).
+        Requires the session catalog (``saveAsTable``); plain
+        directory parquet cannot carry bucket metadata.
+        """
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .saveAsTable(table_name)
+        )
+        return self.spark.table(table_name)
+
     def _gc(self, name: str, keep: int) -> None:
         d = self._dir(name)
         current = self.current_path(name)
