@@ -99,6 +99,41 @@ class TableStore:
     def read_appendable(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._dir(name), "data"))
 
+    # -- hash-partitioned tables (partition-pruned incremental writes) --
+    def _ppath(self, name: str) -> str:
+        return os.path.join(self._dir(name), "pdata")
+
+    def write_partitioned(
+        self, name: str, df: DataFrame, partition_col: str
+    ) -> str:
+        """Full overwrite of a hash-partitioned table (bootstrap)."""
+        path = self._ppath(name)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return path
+
+    def overwrite_partitions(
+        self, name: str, df: DataFrame, partition_col: str
+    ) -> str:
+        """Dynamic partition overwrite: only the partitions present in
+        ``df`` are replaced; every other partition's files are
+        untouched. THE incremental-write lever at 100 TB — a CDC run
+        touching 0.1% of keys rewrites ~0.1% of storage instead of the
+        whole replica. (Production twin: Delta/Iceberg
+        ``replaceWhere`` / MERGE, which adds snapshot atomicity across
+        partitions; per-partition replacement here is atomic per
+        directory.)"""
+        path = self._ppath(name)
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+        return path
+
+    def read_partitioned(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._ppath(name))
+
     def write_bucketed(
         self,
         table_name: str,
