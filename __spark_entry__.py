@@ -275,13 +275,13 @@ def q_a3_tribe_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsum_e(c, scale: int = 4):
-    """Order-independent double aggregation: accumulate in DECIMAL
-    (exact addition — immune to float sum-order and FMA differences
-    across engines/executors) and emit as a scaled BIGINT
-    (value × 10^scale). Integers have no cross-engine rounding
-    boundary at all — doubles like x.425 are unrepresentable and the
-    final round-half tie breaks differently per engine."""
-    return (F.sum(c.cast(f"decimal(18,{scale})")) * F.lit(10**scale)).cast("long")
+    """Order-independent double aggregation as a scaled BIGINT sum:
+    ``sum(floor(x * 10^scale))``. floor of an identical double is
+    bit-deterministic in every engine (no decimal-string rounding, no
+    half-tie ambiguity), and LONG sums are exact regardless of
+    partial-aggregate combine order — and stay whole-stage-codegen
+    fast, unlike DECIMAL accumulation (~8x slower in the agg loop)."""
+    return F.sum(F.floor(c * F.lit(10**scale)).cast("long"))
 
 
 def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,14 +300,14 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum_e(F.col("l_extendedprice")).alias("sum_base_price_e4"),
             _dsum_e(disc_price, scale=6).alias("sum_disc_price_e6"),
             _dsum_e(charge, scale=6).alias("sum_charge_e6"),
-            F.expr(
-                "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT)"
-                " div count(*)"
-            ).alias("avg_qty_e4"),
-            F.expr(
-                "CAST(sum(CAST(l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT)"
-                " div count(*)"
-            ).alias("avg_disc_e4"),
+            F.floor(
+                F.sum(F.floor(F.col("l_quantity") * 10000).cast("long"))
+                / F.count(F.lit(1))
+            ).cast("long").alias("avg_qty_e4"),
+            F.floor(
+                F.sum(F.floor(F.col("l_discount") * 10000).cast("long"))
+                / F.count(F.lit(1))
+            ).cast("long").alias("avg_disc_e4"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -467,6 +467,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fps = simhash(_near_dup_corpus(spark, sf_dir), "doc_id", "text")
     return simhash_near_pairs(fps, max_hamming=12)
+
+
+def q_sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy GEMM brute-force top-k (rows-only driver check;
+    neighbor-set parity with the Catalyst version is asserted in
+    tests/test_similarity.py)."""
+    from updater_spark.operators.similarity import cosine_topk_arrow
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    return cosine_topk_arrow(emb, queries_df, k=5)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "sim_topk_cosine": q_sim_topk_cosine,
+        "sim_topk_arrow": q_sim_topk_arrow,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "multimodal_decode_stub": q_multimodal_decode_stub,
@@ -853,12 +865,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_qty_e4,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_base_price_e4,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_disc_price_e6,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_charge_e6,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) // COUNT(*) AS avg_qty_e4,
-                   CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT) // COUNT(*) AS avg_disc_e4,
+                   SUM(CAST(floor(l_quantity * 10000) AS BIGINT)) AS sum_qty_e4,
+                   SUM(CAST(floor(l_extendedprice * 10000) AS BIGINT)) AS sum_base_price_e4,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS sum_disc_price_e6,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS sum_charge_e6,
+                   CAST(floor(SUM(CAST(floor(l_quantity * 10000) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_qty_e4,
+                   CAST(floor(SUM(CAST(floor(l_discount * 10000) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_disc_e4,
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -867,7 +879,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
                    event_type,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_e6
+                   SUM(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_e6
             FROM events
             GROUP BY 1, 2
         """,
@@ -1053,7 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT o_orderkey, o_orderpriority,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_e6,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS revenue_e6,
                    COUNT(*) AS n_lines
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1063,7 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier": """
             SELECT r_name, n_name,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_e6,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS revenue_e6,
                    COUNT(*) AS n_lines
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1111,7 +1123,7 @@ def oracle_sql() -> dict[str, str]:
                    MIN(us) AS session_start_us,
                    MAX(us) AS session_end_us,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                   SUM(CAST(floor(value * 1000000) AS BIGINT))
                        AS sum_value_e6
             FROM idx GROUP BY user_id, session_idx
         """,

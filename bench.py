@@ -52,6 +52,40 @@ def run() -> None:
     diff_rows = 2 * n_src
     t_diff = timings.get("j1_diff_large", float("nan"))
     total = round(sum(timings.values()), 4)
+
+    # End-to-end CDC cycle on a player-shaped table (the reference's
+    # headline workload: bootstrap ~5-6h, incremental ~1h at 100M rows).
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from updater_spark.plans.cdc import CdcEngine
+    from updater_spark.schema import TableSpec
+    from updater_spark.sources.store import TableStore
+
+    cdc_root = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        players = entrymod.demo.player_shaped(
+            entrymod.demo.load(spark, sf_dir, "orders")
+        )
+        n_players = players.count()
+        engine = CdcEngine(TableStore(spark, cdc_root))
+        spec = TableSpec("player", "id", has_scores=False)
+        t0 = time.perf_counter()
+        engine.update(spec, players)
+        t_boot = time.perf_counter() - t0
+        mutated = players.withColumn(
+            "cheese_gathered",
+            F.when(
+                F.col("id") % 20 == 0, F.col("cheese_gathered") + 1
+            ).otherwise(F.col("cheese_gathered")),
+        ).filter(F.col("id") % 97 != 0)
+        t0 = time.perf_counter()
+        engine.update(spec, mutated)
+        t_incr = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(cdc_root, ignore_errors=True)
     print(
         json.dumps(
             {
@@ -61,6 +95,9 @@ def run() -> None:
                 "queries": timings,
                 "sf": sf,
                 "hash_diff_rows_per_sec": round(diff_rows / t_diff) if t_diff else None,
+                "cdc_bootstrap_sec": round(t_boot, 4),
+                "cdc_incremental_sec": round(t_incr, 4),
+                "cdc_incremental_rows_per_sec": round(n_players / t_incr),
                 "n_queries": len(timings),
             }
         )

@@ -50,6 +50,23 @@ def test_topk_finds_planted_neighbor(spark, emb_df):
     assert top["neighbor_id"] == 1 and top["sim"] > 0.99
 
 
+def test_arrow_topk_matches_catalyst(spark, emb_df):
+    from updater_spark.operators.similarity import cosine_topk_arrow
+
+    df, _ = emb_df
+    qids = [0, 8, 40]
+    queries = df.filter(df.vec_id.isin(qids))
+    cat = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(df, queries, k=4).collect()
+    }
+    arr = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_arrow(df, queries, k=4).collect()
+    }
+    assert cat == arr
+
+
 def test_lsh_recall_reasonable(spark, emb_df):
     df, vecs = emb_df
     qids = list(range(0, 80, 8))

@@ -217,21 +217,21 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
-    a = inv.select(F.col("id").alias("id_a"), "shingle")
-    b = inv.select(F.col("id").alias("id_b"), "shingle")
-    common = (
+    # carry the set size through the explode: the inverted-index rows
+    # are (id, n_sh, shingle), so Jaccard falls out of the pair groupBy
+    # directly — no extra size-lookup joins, one shingle computation
+    inv = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    a = inv.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = inv.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    jac = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",

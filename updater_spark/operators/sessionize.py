@@ -75,9 +75,9 @@ def sessionize(
         F.min("_us").alias("session_start_us"),
         F.max("_us").alias("session_end_us"),
         F.count(F.lit(1)).alias("n_events"),
-        (F.sum(F.col("_val").cast("decimal(18,6)")) * F.lit(1_000_000))
-        .cast("long")
-        .alias("sum_value_e6"),
+        F.sum(F.floor(F.col("_val") * F.lit(1_000_000)).cast("long")).alias(
+            "sum_value_e6"
+        ),
     )
 
 

@@ -92,6 +92,67 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k via Arrow-batched numpy GEMM.
+
+    The exception that proves the "UDFs are the slow path" rule: dense
+    matrix multiply is the one workload where per-element Catalyst
+    lambdas lose to BLAS. The (small) query matrix is closed over and
+    shipped once per executor; each Arrow batch of the corpus does one
+    ``C @ Q.T``; per-batch local top-k keeps the shuffle tiny, a window
+    finishes globally. Same output contract as ``cosine_topk``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            ids = pdf[id_col].to_numpy()
+            sims = cm @ qm.T  # (batch, n_queries)
+            n_local = min(k + 1, len(ids))  # +1 to survive self-match drop
+            frames = []
+            for j in range(len(qids)):
+                col = sims[:, j]
+                top = np.argpartition(-col, n_local - 1)[:n_local]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            "neighbor_id": ids[top],
+                            "sim": np.round(col[top], 4),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 11) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG-driven, reproducible
     in the pure-Python test oracle without numpy RNG state)."""

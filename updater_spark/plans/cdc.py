@@ -162,8 +162,21 @@ class CdcEngine:
         try:
             parts = split_diff(diff)
 
+            # ONE job materializes the diff and yields every count the
+            # cycle needs: upsert/update stats AND the delete guard —
+            # no separate count() jobs later.
+            counts = {
+                r["change_type"]: r["n"]
+                for r in diff.groupBy("change_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            n_deletes = counts.get("delete", 0)
+
             # J2/S4: fetch full rows for changed/new keys, compute
-            # scores + normalization on the delta only.
+            # scores + normalization on the delta only. Persisted: the
+            # changelog, merge, delta-write and stats all reuse it
+            # without re-running the semi join.
             delta = self._computed(
                 spec,
                 semi_join_fetch(
@@ -171,7 +184,7 @@ class CdcEngine:
                     parts.upserts.withColumnRenamed("id", spec.primary_key),
                     spec.primary_key,
                 ),
-            )
+            ).persist()
 
             old = self._read_main(spec.name)
 
@@ -185,34 +198,37 @@ class CdcEngine:
             self.store.write(f"{spec.name}__delta", delta)
 
             delete_keys = parts.deletes.withColumnRenamed("id", spec.primary_key)
+            apply_del = n_deletes < self.delete_guard
             if self.partition_buckets:
-                applied, n_deletes = self._write_incremental_partitioned(
-                    spec, old, delta, delete_keys
-                )
-                dres = DeleteResult(
-                    result=None, applied=applied, delete_count=n_deletes
+                self._write_incremental_partitioned(
+                    spec, old, delta, delete_keys, apply_del
                 )
             else:
                 # S5/S10: REPLACE-semantics upsert + guarded deletes S7,
                 # full-table rewrite (fine for small sinks; partitioned
                 # mode above prunes the rewrite at scale).
                 merged = merge_upsert(old, delta, spec.primary_key)
-                dres = apply_deletes(
-                    merged, delete_keys, spec.primary_key, guard=self.delete_guard
-                )
-                self.store.write(spec.name, dres.result)
+                if apply_del:
+                    merged = merged.join(
+                        F.broadcast(delete_keys.distinct()),
+                        spec.primary_key,
+                        "anti",
+                    )
+                self.store.write(spec.name, merged)
+            dres = DeleteResult(
+                result=None, applied=apply_del, delete_count=n_deletes
+            )
 
             # S9/S8: fingerprint rotation — overwrite with this run's
             # source fingerprints (write-then-promote is atomic).
             self.store.write(f"{spec.name}__fingerprints", src_fp)
 
-            n_upserts = delta.count()
-            n_updates = parts.updates.count()
+            delta.unpersist()
             return UpdateStats(
                 table=spec.name,
                 bootstrap=False,
-                upserts=n_upserts,
-                updates=n_updates,
+                upserts=counts.get("insert", 0) + counts.get("update", 0),
+                updates=counts.get("update", 0),
                 deletes=dres.delete_count,
                 deletes_applied=dres.applied,
                 total_rows=self._read_main(spec.name).count(),
@@ -221,8 +237,13 @@ class CdcEngine:
             diff.unpersist()
 
     def _write_incremental_partitioned(
-        self, spec: TableSpec, old: DataFrame, delta: DataFrame, delete_keys: DataFrame
-    ) -> tuple[bool, int]:
+        self,
+        spec: TableSpec,
+        old: DataFrame,
+        delta: DataFrame,
+        delete_keys: DataFrame,
+        apply_del: bool = True,
+    ) -> None:
         """Rewrite only the hash buckets containing changed/deleted
         keys (dynamic partition overwrite).
 
@@ -231,8 +252,6 @@ class CdcEngine:
         other buckets' files are untouched on disk (verified in
         tests/test_partitioned_cdc.py via file mtimes)."""
         pk = spec.primary_key
-        n_deletes = delete_keys.count()
-        apply_del = n_deletes < self.delete_guard
         bucketed_old = self.store.read_partitioned(spec.name)
         delta_b = delta.withColumn(self.BUCKET_COL, self._bucket_expr(pk))
 
@@ -246,7 +265,7 @@ class CdcEngine:
             ).distinct().collect()
         ]
         if not affected:
-            return apply_del, n_deletes
+            return
         kept = bucketed_old.filter(
             F.col(self.BUCKET_COL).isin(affected)
         ).join(F.broadcast(touched_keys.distinct()), pk, "anti")
@@ -254,7 +273,6 @@ class CdcEngine:
             delta_b.select(*kept.columns)
         )
         self.store.overwrite_partitions(spec.name, new_content, self.BUCKET_COL)
-        return apply_del, n_deletes
 
     # -- concurrent per-table updates (start.py:55-59) -----------------
     def update_many(
