@@ -39,6 +39,39 @@ from updater_spark.operators.merge import (
 )
 
 # ---------------------------------------------------------------------------
+# session hardening — the driver builds its own SparkSession, which on
+# Spark 4 defaults to ANSI mode (errors on the MySQL-style /0 paths) and
+# cannot read the events table's TIMESTAMP(NANOS) parquet. These confs
+# are runtime-settable, so every entry point pins them defensively.
+# ---------------------------------------------------------------------------
+
+_REQUIRED_CONFS = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this runtime — proceed with defaults
+
+
+def _with_confs(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_confs(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+# ---------------------------------------------------------------------------
 # shared demo plumbing
 # ---------------------------------------------------------------------------
 
@@ -698,6 +731,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the J1 diff-join classification summarized, on
     sf0.001."""
+    _ensure_confs(spark)
     _, _, _, diff = _diff_parts(spark, "/root/testdata/sf0.001")
     return (
         diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).orderBy(
@@ -707,6 +741,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        name: _with_confs(fn)
+        for name, fn in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s2_fingerprint": q_s2_fingerprint,
         "j1_diff_classify": q_j1_diff_classify,
