@@ -714,6 +714,61 @@ def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over (region, nation): grand total, per-region
+    and per-nation revenue in one pass (partial-agg friendly — the
+    shape a reporting layer on this engine would use)."""
+    region = demo.load(spark, sf_dir, "region")
+    nation = demo.load(spark, sf_dir, "nation")
+    cust = demo.load(spark, sf_dir, "customer")
+    orders = demo.load(spark, sf_dir, "orders")
+    joined = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.join(
+                    region, nation["n_regionkey"] == region["r_regionkey"]
+                ).select("n_nationkey", "n_name", "r_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_e2"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: nations having BUILDING-segment customers EXCEPT
+    nations having any supplier, UNION nations with no customers at
+    all — exercises distinct/except/union."""
+    nation = demo.load(spark, sf_dir, "nation")
+    cust = demo.load(spark, sf_dir, "customer")
+    supp = demo.load(spark, sf_dir, "supplier")
+    building = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    supplier_nations = supp.select(F.col("s_nationkey").alias("nk")).distinct()
+    no_customers = (
+        nation.select(F.col("n_nationkey").alias("nk"))
+        .exceptAll(cust.select(F.col("c_nationkey").alias("nk")).distinct())
+    )
+    return (
+        building.exceptAll(supplier_nations)
+        .unionByName(no_customers)
+        .distinct()
+        .select(F.col("nk").alias("nationkey"))
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization over the events stream (30-min
     inactivity gap): lag → flag → running sum → per-session rollup.
@@ -784,6 +839,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": q_q5_local_supplier,
         "window_topn": q_window_topn,
         "events_sessionize": q_events_sessionize,
+        "rollup_revenue": q_rollup_revenue,
+        "set_ops": q_set_ops,
     }
 
 
@@ -1140,6 +1197,33 @@ def oracle_sql() -> dict[str, str]:
                 JOIN customer ON o_custkey = c_custkey
             )
             WHERE rn <= 3
+        """,
+        "rollup_revenue": """
+            SELECT r_name, n_name,
+                   SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_e2,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "set_ops": """
+            WITH building AS (
+                SELECT DISTINCT c_nationkey AS nk FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            ),
+            supplier_nations AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+            no_customers AS (
+                SELECT n_nationkey AS nk FROM nation
+                EXCEPT ALL
+                SELECT DISTINCT c_nationkey AS nk FROM customer
+            )
+            SELECT DISTINCT nk AS nationkey FROM (
+                (SELECT nk FROM building EXCEPT ALL SELECT nk FROM supplier_nations)
+                UNION ALL
+                SELECT nk FROM no_customers
+            )
         """,
         "events_sessionize": """
             WITH flagged AS (

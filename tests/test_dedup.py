@@ -1,7 +1,6 @@
 """Dedup operators vs pure-Python oracles (the non-SQL-expressible
 paths: MinHash signatures, SimHash bits, LSH banding)."""
 
-import pytest
 from pyspark.sql import Row
 
 from updater_spark.operators.dedup import (

@@ -5,7 +5,7 @@ fix)."""
 import glob
 import os
 
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row
 
 from updater_spark.plans.cdc import CdcEngine
 from updater_spark.schema import TableSpec

@@ -1,8 +1,6 @@
 """Structured Streaming CDC loop: two snapshot drops → two incremental
 micro-batches through foreachBatch; windowed event rollup parity."""
 
-import time
-
 from pyspark.sql import Row, functions as F
 
 from updater_spark.plans.cdc import CdcEngine

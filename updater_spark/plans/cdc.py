@@ -38,7 +38,6 @@ from updater_spark.operators.diff import snapshot_diff, split_diff
 from updater_spark.operators.merge import (
     DELETE_GUARD_DEFAULT,
     DeleteResult,
-    apply_deletes,
     changelog_preimages,
     merge_upsert,
     semi_join_fetch,

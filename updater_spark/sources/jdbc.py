@@ -15,7 +15,7 @@ only for option construction; at deploy time add
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
 
 def jdbc_reader(

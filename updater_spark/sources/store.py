@@ -51,11 +51,27 @@ class TableStore:
         return self.current_path(name) is not None
 
     # -- IO -------------------------------------------------------------
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Read the current version, or time-travel to an older kept
+        version (``version=N`` reads ``v{N}``; the store keeps the last
+        2 by default — the double-buffer window)."""
+        if version is not None:
+            path = os.path.join(self._dir(name), f"v{version}")
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"table {name!r} has no version v{version}")
+            return self.spark.read.parquet(path)
         path = self.current_path(name)
         if path is None:
             raise FileNotFoundError(f"table {name!r} has no current version")
         return self.spark.read.parquet(path)
+
+    def versions(self, name: str) -> list[int]:
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(v[1:]) for v in os.listdir(d) if v.startswith("v") and v[1:].isdigit()
+        )
 
     def write(
         self,
