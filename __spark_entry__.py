@@ -238,7 +238,7 @@ _TRIBE_CTES = """
 WITH member AS (SELECT c_custkey AS id_member, c_nationkey AS id_tribe FROM customer),
 player AS (SELECT c_custkey AS id, c_nationkey AS stat_nat, length(c_name) AS stat_len FROM customer),
 player_new AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 4 = 0),
-tribe AS (SELECT n_nationkey AS id FROM nation),
+tribe AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
 tribe_active AS (
     SELECT t.id,
            COUNT(m.id_member) AS members,
@@ -703,7 +703,7 @@ def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
+        joined.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select(
             "c_nationkey",
@@ -963,12 +963,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(floor(l_quantity * 10000) AS BIGINT)) AS sum_qty_e4,
-                   SUM(CAST(floor(l_extendedprice * 10000) AS BIGINT)) AS sum_base_price_e4,
-                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS sum_disc_price_e6,
-                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS sum_charge_e6,
-                   CAST(floor(SUM(CAST(floor(l_quantity * 10000) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_qty_e4,
-                   CAST(floor(SUM(CAST(floor(l_discount * 10000) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_disc_e4,
+                   CAST(SUM(CAST(floor(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS sum_qty_e4,
+                   CAST(SUM(CAST(floor(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS sum_base_price_e4,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e6,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+                   CAST(floor(CAST(SUM(CAST(floor(l_quantity * 10000) AS BIGINT)) AS BIGINT) / COUNT(*)) AS BIGINT) AS avg_qty_e4,
+                   CAST(floor(CAST(SUM(CAST(floor(l_discount * 10000) AS BIGINT)) AS BIGINT) / COUNT(*)) AS BIGINT) AS avg_disc_e4,
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -977,7 +977,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
                    event_type,
                    COUNT(*) AS n_events,
-                   SUM(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_e6
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
             FROM events
             GROUP BY 1, 2
         """,
@@ -1163,7 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT o_orderkey, o_orderpriority,
-                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS revenue_e6,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS revenue_e6,
                    COUNT(*) AS n_lines
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1173,7 +1173,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier": """
             SELECT r_name, n_name,
-                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS revenue_e6,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS revenue_e6,
                    COUNT(*) AS n_lines
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1200,7 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_revenue": """
             SELECT r_name, n_name,
-                   SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_e2,
+                   CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2,
                    COUNT(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -1238,9 +1238,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             idx AS (
                 SELECT user_id, us, event_id, value,
-                       SUM(new_s) OVER (PARTITION BY user_id
+                       CAST(SUM(new_s) OVER (PARTITION BY user_id
                                         ORDER BY us, event_id
-                                        ROWS UNBOUNDED PRECEDING)
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
                            AS session_idx
                 FROM flagged
             )
@@ -1248,7 +1248,7 @@ def oracle_sql() -> dict[str, str]:
                    MIN(us) AS session_start_us,
                    MAX(us) AS session_end_us,
                    COUNT(*) AS n_events,
-                   SUM(CAST(floor(value * 1000000) AS BIGINT))
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
                        AS sum_value_e6
             FROM idx GROUP BY user_id, session_idx
         """,

@@ -43,9 +43,9 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     n_words = F.size(toks)
     return df.select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars"),
-        n_words.alias("n_words"),
-        F.size(F.array_distinct(toks)).alias("n_uniq_words"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_words"),
         F.round(F.size(F.array_distinct(toks)) / n_words, 6).alias("type_token_ratio"),
         F.round(_count_in(toks, STOPWORDS_EN) / n_words, 6).alias("stopword_ratio"),
         F.round(
@@ -92,7 +92,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         best_n = F.when(cond, hits[lang]).otherwise(best_n)
     out = df.select(
         F.col(id_col),
-        *[hits[lang].alias(f"{lang}_hits") for lang in langs],
+        *[hits[lang].cast("long").alias(f"{lang}_hits") for lang in langs],
         best.alias("pred_lang"),
     )
     return out
@@ -103,10 +103,10 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     proxy pair for LLM token accounting)."""
     return df.select(
         F.col(id_col),
-        F.size(tokens(text_col)).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)).alias(
-            "n_bpe_tokens"
-        ),
+        F.size(tokens(text_col)).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
 
 
