@@ -523,6 +523,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries_df, k=5, bits=8, dim=64)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer + nprobe cluster-probed top-5
+    (rows-only driver check — iterative training is genuinely
+    non-SQL-expressible; recall vs the exact baseline asserted in
+    tests/test_similarity.py)."""
+    from updater_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    centroids = ivf_train(emb, k=16, iterations=3)
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(emb, queries_df, centroids, k=5, nprobe=4)
+
+
 def q_multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload bytes + typed metadata."""
     from updater_spark.operators.multimodal import make_blob_table
@@ -830,6 +843,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_topk_arrow": q_sim_topk_arrow,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "multimodal_decode_stub": q_multimodal_decode_stub,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,

@@ -66,6 +66,18 @@ def compare(name, spark_df, sql, con, verbose=True):
         problems.append(f"rowcount spark={len(s_rows)} oracle={len(o_rows)}")
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"columns spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+    # type alignment: integral columns must be 64-bit on BOTH sides so a
+    # typed (Arrow) value hash can't diverge on width
+    type_map = {"BIGINT": "bigint", "DOUBLE": "double", "VARCHAR": "string"}
+    s_types = dict(spark_df.dtypes)
+    o_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+    for c in s_types:
+        if c in o_types:
+            ot = type_map.get(o_types[c].split("(")[0], o_types[c].lower())
+            if s_types[c] != ot:
+                problems.append(
+                    f"type skew {c}: spark={s_types[c]} oracle={o_types[c]}"
+                )
     if not problems:
         sc, sv = _normalize(s_rows, s_cols)
         oc, ov = _normalize(o_rows, o_cols)

@@ -67,6 +67,29 @@ def test_arrow_topk_matches_catalyst(spark, emb_df):
     assert cat == arr
 
 
+def test_ivf_beats_random_and_finds_planted(spark, emb_df):
+    from updater_spark.operators.similarity import ivf_topk, ivf_train
+
+    df, vecs = emb_df
+    centroids = ivf_train(df, k=8, iterations=3)
+    assert len(centroids) == 8 and all(len(c) == 16 for c in centroids)
+    # training is deterministic
+    again = ivf_train(df, k=8, iterations=3)
+    assert centroids == again
+
+    qids = list(range(0, 80, 8))
+    queries = df.filter(df.vec_id.isin(qids))
+    approx = {}
+    for r in ivf_topk(df, queries, centroids, k=3, nprobe=3).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert 1 in approx.get(0, set())  # planted near-dup shares the bucket
+    exact = np_topk(vecs, qids, k=3)
+    recalls = [
+        len(set(exact[q][:3]) & approx.get(q, set())) / 3 for q in qids
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # nprobe 3/8 ⇒ high recall
+
+
 def test_lsh_recall_reasonable(spark, emb_df):
     df, vecs = emb_df
     qids = list(range(0, 80, 8))

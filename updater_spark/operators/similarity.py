@@ -217,6 +217,121 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cluster-probed search
+# ---------------------------------------------------------------------------
+
+
+def _centroid_arr(c: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in c])
+
+
+def _nearest_clusters(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the ``n`` nearest centroid indices (by cosine on unit
+    vectors — maximize dot ⇒ minimize -dot; struct sort breaks ties by
+    index)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-dot(vec, _centroid_arr(c))).alias("d"), F.lit(i).alias("i")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["i"])
+
+
+def ivf_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 5,
+) -> list[list[float]]:
+    """Lloyd's k-means over unit vectors, fully distributed per
+    iteration: assignment is a Catalyst argmin against broadcast
+    centroid literals; the mean update is a posexplode + two-level
+    groupBy (shuffle keyed by (cluster, position)). Only the k×dim
+    centroid matrix ever reaches the driver.
+
+    Deterministic: initial centroids are the k lowest-id vectors, and
+    every reduction is over exact per-position float sums in fixed
+    cluster order."""
+    base = corpus.select(
+        F.col(id_col).alias("id"), unit(as_double(F.col(vec_col))).alias("v")
+    )
+    init = base.orderBy("id").limit(k).collect()
+    centroids = [list(r["v"]) for r in init]
+    for _ in range(iterations):
+        assigned = base.select(
+            "v",
+            _nearest_clusters(F.col("v"), centroids, 1)[0].alias("cluster"),
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))
+                    ),
+                    lambda st: st["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        by_cluster = {r["cluster"]: list(r["centroid"]) for r in sums}
+        centroids = [
+            by_cluster.get(i, centroids[i]) for i in range(k)
+        ]  # empty clusters keep their previous centroid
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: corpus vectors live in their nearest-centroid
+    bucket; each query probes its ``nprobe`` nearest buckets and ranks
+    only those vectors. Scan fraction ≈ nprobe/k with far better
+    recall than hyperplane LSH at the same reduction, because buckets
+    follow the data distribution (k-means) instead of random planes."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        unit(as_double(F.col(vec_col))).alias("cv"),
+    ).withColumn("cluster", _nearest_clusters(F.col("cv"), centroids, 1)[0])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            unit(as_double(F.col(vec_col))).alias("qv"),
+        )
+        .withColumn("cluster", F.explode(_nearest_clusters(F.col("qv"), centroids, nprobe)))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")), 4).alias("sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
