@@ -758,28 +758,24 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operators: nations having BUILDING-segment customers EXCEPT
-    nations having any supplier, UNION nations with no customers at
-    all — exercises distinct/except/union."""
-    nation = demo.load(spark, sf_dir, "nation")
+    """Set operators over customer keys: BUILDING-segment customers
+    split by whether they placed an urgent order — intersect / except /
+    union with a provenance tag."""
     cust = demo.load(spark, sf_dir, "customer")
-    supp = demo.load(spark, sf_dir, "supplier")
+    orders = demo.load(spark, sf_dir, "orders")
     building = (
         cust.filter(F.col("c_mktsegment") == "BUILDING")
-        .select(F.col("c_nationkey").alias("nk"))
+        .select(F.col("c_custkey").alias("ck"))
         .distinct()
     )
-    supplier_nations = supp.select(F.col("s_nationkey").alias("nk")).distinct()
-    no_customers = (
-        nation.select(F.col("n_nationkey").alias("nk"))
-        .exceptAll(cust.select(F.col("c_nationkey").alias("nk")).distinct())
-    )
-    return (
-        building.exceptAll(supplier_nations)
-        .unionByName(no_customers)
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("ck"))
         .distinct()
-        .select(F.col("nk").alias("nationkey"))
     )
+    both = building.intersect(urgent).withColumn("tag", F.lit("building_urgent"))
+    only = building.exceptAll(urgent).withColumn("tag", F.lit("building_quiet"))
+    return both.unionByName(only).select(F.col("ck").alias("custkey"), "tag")
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,20 +1220,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "set_ops": """
             WITH building AS (
-                SELECT DISTINCT c_nationkey AS nk FROM customer
+                SELECT DISTINCT c_custkey AS ck FROM customer
                 WHERE c_mktsegment = 'BUILDING'
             ),
-            supplier_nations AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
-            no_customers AS (
-                SELECT n_nationkey AS nk FROM nation
-                EXCEPT ALL
-                SELECT DISTINCT c_nationkey AS nk FROM customer
+            urgent AS (
+                SELECT DISTINCT o_custkey AS ck FROM orders
+                WHERE o_orderpriority = '1-URGENT'
             )
-            SELECT DISTINCT nk AS nationkey FROM (
-                (SELECT nk FROM building EXCEPT ALL SELECT nk FROM supplier_nations)
-                UNION ALL
-                SELECT nk FROM no_customers
-            )
+            SELECT ck AS custkey, 'building_urgent' AS tag
+            FROM (SELECT ck FROM building INTERSECT SELECT ck FROM urgent)
+            UNION ALL
+            SELECT ck AS custkey, 'building_quiet' AS tag
+            FROM (SELECT ck FROM building EXCEPT ALL SELECT ck FROM urgent)
         """,
         "events_sessionize": """
             WITH flagged AS (

@@ -68,7 +68,15 @@ def compare(name, spark_df, sql, con, verbose=True):
         problems.append(f"columns spark={sorted(s_cols)} oracle={sorted(o_cols)}")
     # type alignment: integral columns must be 64-bit on BOTH sides so a
     # typed (Arrow) value hash can't diverge on width
-    type_map = {"BIGINT": "bigint", "DOUBLE": "double", "VARCHAR": "string"}
+    type_map = {
+        "BIGINT": "bigint",
+        "INTEGER": "int",
+        "SMALLINT": "smallint",
+        "DOUBLE": "double",
+        "FLOAT": "float",
+        "VARCHAR": "string",
+        "BOOLEAN": "boolean",
+    }
     s_types = dict(spark_df.dtypes)
     o_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
     for c in s_types:
