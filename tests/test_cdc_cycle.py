@@ -11,7 +11,7 @@ from pyspark.sql import Row, functions as F
 from updater_spark.plans.cdc import CdcEngine
 from updater_spark.schema import MEMBER, PLAYER, TRIBE
 
-N_PLAYERS = 500
+N_PLAYERS = 10_000  # FIXTURES.md: e2e scenario at >=10k players
 STAT_COLS = [
     "cheese_gathered",
     "first",
@@ -69,23 +69,23 @@ def test_bootstrap_then_incremental(spark, tmp_store, rng):
 
     # S1: mutate ~5% update, 2% insert, 1% delete
     by_id = {r.id: r for r in s0}
-    updated_ids = rng.sample(sorted(by_id), k=25)
+    updated_ids = rng.sample(sorted(by_id), k=500)  # ~5%
     for i in updated_ids:
         d = by_id[i].asDict()
         d["cheese_gathered"] += 1
         by_id[i] = Row(**d)
-    deleted_ids = rng.sample([i for i in by_id if i not in updated_ids], k=5)
+    deleted_ids = rng.sample([i for i in by_id if i not in updated_ids], k=100)  # ~1%
     for i in deleted_ids:
         del by_id[i]
-    inserts = make_players(rng, 10, start_id=N_PLAYERS + 1)
+    inserts = make_players(rng, 200, start_id=N_PLAYERS + 1)  # ~2%
     s1 = list(by_id.values()) + inserts
 
     stats1 = engine.update(PLAYER, snapshot(spark, s1))
     assert not stats1.bootstrap
-    assert stats1.upserts == 25 + 10
-    assert stats1.updates == 25
-    assert stats1.deletes == 5 and stats1.deletes_applied
-    assert stats1.total_rows == N_PLAYERS - 5 + 10
+    assert stats1.upserts == 500 + 200
+    assert stats1.updates == 500
+    assert stats1.deletes == 100 and stats1.deletes_applied
+    assert stats1.total_rows == N_PLAYERS - 100 + 200
 
     # replica data columns ≡ S1 (modulo the name normalization the
     # engine applies on write, download.py:546-555)
@@ -99,7 +99,7 @@ def test_bootstrap_then_incremental(spark, tmp_store, rng):
 
     # changelog = S0 pre-images of updated rows only
     changelog = tmp_store.read_appendable("player__changelog")
-    assert changelog.count() == 25
+    assert changelog.count() == 500
     assert {r["id"] for r in changelog.select("id").collect()} == set(updated_ids)
     # pre-image values are the OLD ones
     old_cheese = {r.id: r.cheese_gathered for r in s0}
