@@ -452,6 +452,13 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(demo.load(spark, sf_dir, "documents"))
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (condensed C4/Gopher-style filters)."""
+    from updater_spark.operators.text import quality_score
+
+    return quality_score(demo.load(spark, sf_dir, "documents"))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from updater_spark.operators.text import token_counts
 
@@ -834,6 +841,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "sim_topk_cosine": q_sim_topk_cosine,
@@ -1085,6 +1093,30 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'en'
                    END AS pred_lang
             FROM hits
+        """,
+        "text_quality": """
+            WITH toked AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            stats AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       round(len(list_distinct(toks)) / len(toks), 6) AS ttr,
+                       round(list_sum(list_transform(toks, t -> length(t)))
+                             / len(toks), 6) AS mwl
+                FROM toked
+            )
+            SELECT doc_id,
+                   round(
+                       (CASE WHEN n_words BETWEEN 10 AND 100000
+                             THEN 1.0 ELSE 0.3 END) * 0.4
+                       + least(ttr * 2, 1.0) * 0.4
+                       + (CASE WHEN mwl BETWEEN 2 AND 12
+                               THEN 1.0 ELSE 0.2 END) * 0.2,
+                   6) AS quality
+            FROM stats
         """,
         "token_counts": """
             SELECT doc_id,
