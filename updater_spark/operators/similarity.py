@@ -222,23 +222,33 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
-def _centroid_arr(c: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in c])
-
-
-def _nearest_clusters(vec: Column, centroids: list[list[float]], n: int) -> Column:
-    """Array of the ``n`` nearest centroid indices (by cosine on unit
-    vectors — maximize dot ⇒ minimize -dot; struct sort breaks ties by
-    index)."""
-    scored = F.array(
-        *[
-            F.struct(
-                (-dot(vec, _centroid_arr(c))).alias("d"), F.lit(i).alias("i")
-            )
-            for i, c in enumerate(centroids)
-        ]
+def _centroids_df(spark, centroids: list[list[float]]):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster long, centroid array<double>",
     )
-    return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["i"])
+
+
+def _assign_clusters(
+    df: DataFrame, centroids_df: DataFrame, vec_col: str, id_cols: list[str], n: int
+) -> DataFrame:
+    """Attach the ``n`` nearest centroid ids to every row via a
+    broadcast join + window argmin. A join against a tiny centroid
+    table keeps the plan small and codegen-friendly — embedding k×dim
+    centroid *literals* into the expression tree makes Catalyst/
+    whole-stage-codegen choke on plan size (measured ~10s of pure
+    planning at k=16, dim=64)."""
+    scored = df.join(F.broadcast(centroids_df)).withColumn(
+        "_d", dot(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(*id_cols).orderBy(
+        F.col("_d").desc(), F.col("cluster").asc()
+    )
+    return (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= n)
+        .drop("centroid", "_d", "_cr")
+    )
 
 
 def ivf_train(
@@ -259,14 +269,14 @@ def ivf_train(
     cluster order."""
     base = corpus.select(
         F.col(id_col).alias("id"), unit(as_double(F.col(vec_col))).alias("v")
-    )
+    ).persist()  # scanned once per Lloyd iteration — cache the unit vectors
     init = base.orderBy("id").limit(k).collect()
     centroids = [list(r["v"]) for r in init]
+    spark = corpus.sparkSession
     for _ in range(iterations):
-        assigned = base.select(
-            "v",
-            _nearest_clusters(F.col("v"), centroids, 1)[0].alias("cluster"),
-        )
+        assigned = _assign_clusters(
+            base, _centroids_df(spark, centroids), "v", ["id"], 1
+        ).select("v", "cluster")
         sums = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -286,6 +296,7 @@ def ivf_train(
         centroids = [
             by_cluster.get(i, centroids[i]) for i in range(k)
         ]  # empty clusters keep their previous centroid
+    base.unpersist()
     return centroids
 
 
@@ -303,16 +314,27 @@ def ivf_topk(
     only those vectors. Scan fraction ≈ nprobe/k with far better
     recall than hyperplane LSH at the same reduction, because buckets
     follow the data distribution (k-means) instead of random planes."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        unit(as_double(F.col(vec_col))).alias("cv"),
-    ).withColumn("cluster", _nearest_clusters(F.col("cv"), centroids, 1)[0])
-    q = (
+    spark = corpus.sparkSession
+    cdf = _centroids_df(spark, centroids)
+    c = _assign_clusters(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            unit(as_double(F.col(vec_col))).alias("cv"),
+        ),
+        cdf,
+        "cv",
+        ["neighbor_id"],
+        1,
+    )
+    q = _assign_clusters(
         queries.select(
             F.col(id_col).alias("query_id"),
             unit(as_double(F.col(vec_col))).alias("qv"),
-        )
-        .withColumn("cluster", F.explode(_nearest_clusters(F.col("qv"), centroids, nprobe)))
+        ),
+        cdf,
+        "qv",
+        ["query_id"],
+        nprobe,
     )
     scored = (
         c.join(F.broadcast(q), "cluster")
