@@ -59,6 +59,47 @@ def test_windowed_event_counts_batch_parity(spark):
     assert len(out) == 4
 
 
+def test_sessionize_stream(spark, tmp_path):
+    """session_window streaming sessions match the batch gaps-and-
+    islands sessionizer on the same data."""
+    import datetime as dt
+
+    from updater_spark.operators.sessionize import sessionize, sessionize_stream
+
+    rows = [
+        Row(ts=dt.datetime(2026, 1, 1, 0, m), user_id=u, value=1.0, event_id=i)
+        for i, (u, m) in enumerate(
+            [(1, 0), (1, 10), (1, 55), (2, 5)]  # user 1: gap 45min → 2 sessions
+        )
+    ]
+    src = str(tmp_path / "sess_ev")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, value double, event_id long"
+    ).parquet(src)
+    agg = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got == {
+        (1, "2026-01-01 00:00:00"): 2,
+        (1, "2026-01-01 00:55:00"): 1,
+        (2, "2026-01-01 00:05:00"): 1,
+    }
+    # batch twin sees the same session boundaries
+    batch = sessionize(spark.createDataFrame(rows), gap_minutes=30)
+    assert batch.count() == 3
+
+
 def test_windowed_event_counts_streaming(spark, tmp_path):
     """Same rollup as a real stream with watermark, via file source."""
     import datetime as dt
