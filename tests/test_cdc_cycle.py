@@ -125,6 +125,36 @@ def test_delete_guard(spark, tmp_store, rng):
     assert tmp_store.read("player").count() == 200  # nothing deleted
 
 
+def test_run_cycle_matches_reference_main(spark, tmp_store, rng):
+    """run_cycle = the reference's start.py main: three extracts +
+    post_update, bootstrap then incremental."""
+    engine = CdcEngine(tmp_store)
+    players = make_players(rng, 60)
+    tribes = [Row(id=t, name=f"tribe{t}") for t in range(1, 4)]
+    members = [Row(id_member=p.id, id_tribe=(p.id % 3) + 1) for p in players]
+
+    stats = engine.run_cycle(
+        snapshot(spark, players), snapshot(spark, tribes), snapshot(spark, members)
+    )
+    assert all(s.bootstrap for s in stats.values())
+    assert tmp_store.read("tribe_stats").count() == 3
+
+    # incremental: bump one player in tribe 2 (ids with id%3==1)
+    by_id = {p.id: p for p in players}
+    d = by_id[1].asDict()
+    d["cheese_gathered"] += 9
+    by_id[1] = Row(**d)
+    stats2 = engine.run_cycle(
+        snapshot(spark, list(by_id.values())),
+        snapshot(spark, tribes),
+        snapshot(spark, members),
+    )
+    assert not stats2["player"].bootstrap and stats2["player"].upserts == 1
+    active = tmp_store.read("tribe_active")
+    rows = {r["id"]: r for r in active.collect()}
+    assert set(rows) == {(1 % 3) + 1}  # only the updated player's tribe
+
+
 def test_post_update_aggregates(spark, tmp_store, rng):
     engine = CdcEngine(tmp_store)
     players = make_players(rng, 100)

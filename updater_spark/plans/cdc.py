@@ -292,6 +292,30 @@ class CdcEngine:
             }
             return {name: f.result() for name, f in futures.items()}
 
+    # -- full cycle: the reference's main (start.py:50-60) -------------
+    def run_cycle(
+        self,
+        player_src: DataFrame,
+        tribe_src: DataFrame,
+        member_src: DataFrame,
+        stat_cols: list[str] | None = None,
+    ) -> dict[str, UpdateStats]:
+        """One complete update run, exactly the reference's entry
+        point: three concurrent per-table extracts (start.py:55-59)
+        followed by the derived-aggregate rebuild (start.py:60). The
+        post_update branch mirrors the reference's ``tribe.is_empty``
+        check — bootstrap vs incremental aggregate paths
+        (post_update.py:19, 44)."""
+        from updater_spark.schema import MEMBER, PLAYER, TRIBE
+
+        stats = self.update_many(
+            [(PLAYER, player_src), (TRIBE, tribe_src), (MEMBER, member_src)]
+        )
+        self.post_update(
+            TRIBE, was_bootstrap=stats["tribe"].bootstrap, stat_cols=stat_cols
+        )
+        return stats
+
     # -- streaming delta-apply (micro-batch mode) ----------------------
     def apply_delta(self, spec: TableSpec, batch: DataFrame) -> UpdateStats:
         """Apply a micro-batch containing only *arriving* rows (a delta
