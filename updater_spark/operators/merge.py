@@ -23,18 +23,35 @@ from pyspark.sql import functions as F
 DELETE_GUARD_DEFAULT = 100_000
 
 
-def semi_join_fetch(source: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+def _maybe_broadcast(keys: DataFrame, hint: bool) -> DataFrame:
+    """CDC key sets are normally tiny → broadcast hint ON by default
+    (the source side then never shuffles). Callers that KNOW the key
+    set is huge (the engine has exact diff counts) pass ``hint=False``
+    and let AQE pick a shuffle join — a hard broadcast of 10^8 keys
+    would eat driver/executor memory for no win."""
+    return F.broadcast(keys) if hint else keys
+
+
+def semi_join_fetch(
+    source: DataFrame, keys: DataFrame, key: str, hint_broadcast: bool = True
+) -> DataFrame:
     """Fetch full rows for a key set (download.py:435-476 S4/J2).
 
     The reference issues batched ``WHERE pk IN (100 ids)`` point
     lookups; distributed, this is a left-semi join. The changed-id
     side of a CDC delta is normally tiny relative to the source, so
-    Catalyst/AQE broadcasts it — the source scan then never shuffles.
+    it broadcasts — the source scan then never shuffles.
     """
-    return source.join(F.broadcast(keys.select(key).distinct()), on=key, how="semi")
+    return source.join(
+        _maybe_broadcast(keys.select(key).distinct(), hint_broadcast),
+        on=key,
+        how="semi",
+    )
 
 
-def merge_upsert(target: DataFrame, delta: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    target: DataFrame, delta: DataFrame, key: str, hint_broadcast: bool = True
+) -> DataFrame:
     """``REPLACE INTO`` semantics (download.py:489-506, 599-604):
     delete+insert by primary key, delta wins.
 
@@ -43,8 +60,8 @@ def merge_upsert(target: DataFrame, delta: DataFrame, key: str) -> DataFrame:
     ``MERGE INTO t USING d ON t.pk = d.pk WHEN MATCHED THEN UPDATE *
     WHEN NOT MATCHED THEN INSERT *``.
     """
-    keys = delta.select(key).distinct()
-    kept = target.join(F.broadcast(keys), on=key, how="anti")
+    keys = _maybe_broadcast(delta.select(key).distinct(), hint_broadcast)
+    kept = target.join(keys, on=key, how="anti")
     return kept.unionByName(delta)
 
 
@@ -73,7 +90,8 @@ def apply_deletes(
 
 
 def changelog_preimages(
-    old_table: DataFrame, updated_keys: DataFrame, key: str
+    old_table: DataFrame, updated_keys: DataFrame, key: str,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Pre-images of updated rows (download.py:585-595 J5): the OLD
     version of every row that changed this run, appended to
@@ -81,5 +99,7 @@ def changelog_preimages(
     INNER JOIN against the old table drops them; the semi join here
     does the same."""
     return old_table.join(
-        F.broadcast(updated_keys.select(key).distinct()), on=key, how="semi"
+        _maybe_broadcast(updated_keys.select(key).distinct(), hint_broadcast),
+        on=key,
+        how="semi",
     )

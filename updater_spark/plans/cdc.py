@@ -171,6 +171,9 @@ class CdcEngine:
                 .collect()
             }
             n_deletes = counts.get("delete", 0)
+            n_upserts = counts.get("insert", 0) + counts.get("update", 0)
+            # key sets beyond ~10M rows should not be hard-broadcast
+            hint = n_upserts < 10_000_000
 
             # J2/S4: fetch full rows for changed/new keys, compute
             # scores + normalization on the delta only. Persisted: the
@@ -182,6 +185,7 @@ class CdcEngine:
                     source.select(*data_cols),
                     parts.upserts.withColumnRenamed("id", spec.primary_key),
                     spec.primary_key,
+                    hint_broadcast=hint,
                 ),
             ).persist()
 
@@ -189,8 +193,10 @@ class CdcEngine:
 
             # J5: changelog pre-images (old versions of updated rows).
             preimages = changelog_preimages(
-                old, parts.updates.withColumnRenamed("id", spec.primary_key),
+                old,
+                parts.updates.withColumnRenamed("id", spec.primary_key),
                 spec.primary_key,
+                hint_broadcast=hint,
             )
             self.store.append(f"{spec.name}__changelog", preimages)
 
@@ -206,7 +212,9 @@ class CdcEngine:
                 # S5/S10: REPLACE-semantics upsert + guarded deletes S7,
                 # full-table rewrite (fine for small sinks; partitioned
                 # mode above prunes the rewrite at scale).
-                merged = merge_upsert(old, delta, spec.primary_key)
+                merged = merge_upsert(
+                    old, delta, spec.primary_key, hint_broadcast=hint
+                )
                 if apply_del:
                     merged = merged.join(
                         F.broadcast(delete_keys.distinct()),
@@ -226,7 +234,7 @@ class CdcEngine:
             return UpdateStats(
                 table=spec.name,
                 bootstrap=False,
-                upserts=counts.get("insert", 0) + counts.get("update", 0),
+                upserts=n_upserts,
                 updates=counts.get("update", 0),
                 deletes=dres.delete_count,
                 deletes_applied=dres.applied,
