@@ -41,9 +41,14 @@ def run() -> None:
     for name, fn in qs.items():
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (cache file listings, JIT)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # best-of-3: single-shot wall times on a shared VM show ±50%
+        # scheduler noise; min is the standard noise-free estimator
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     # Hash-diff throughput: rows fingerprinted+joined across both sides
     # of the lineitem-scale J1 per second (BASELINE.md: reference does
