@@ -1,0 +1,63 @@
+"""Multimodal binary-column plumbing: schemas, Arrow batch shapes,
+one-to-many frame explosion, and the stubbed codec boundary."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from updater_spark.operators.multimodal import (
+    decode_features,
+    make_blob_table,
+    real_decode_stub,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="word " * (10 + i)) for i in range(1, 7)]
+    )
+    return make_blob_table(docs)
+
+
+def test_blob_schema(blobs):
+    assert dict(blobs.dtypes) == {
+        "doc_id": "bigint",
+        "payload": "binary",
+        "media_type": "string",
+        "n_bytes": "bigint",
+    }
+    r = blobs.filter(F.col("doc_id") == 3).collect()[0]
+    assert r["media_type"] == "image/png"
+    assert len(r["payload"]) == r["n_bytes"]
+
+
+def test_decode_features_deterministic(blobs):
+    a = {r["doc_id"]: r["byte_mean"] for r in decode_features(blobs).collect()}
+    b = {r["doc_id"]: r["byte_mean"] for r in decode_features(blobs).collect()}
+    assert a == b and len(a) == 6
+
+
+def test_resize_contract(blobs):
+    out = resize_images(blobs, width=8, height=4).collect()
+    assert len(out) == 6
+    for r in out:
+        assert len(r["payload"]) <= 8 * 4
+        assert (r["width"], r["height"]) == (8, 4)
+
+
+def test_frame_sampling_explodes(blobs):
+    frames = sample_frames(blobs, n_frames=3)
+    assert frames.count() == 6 * 3
+    per_doc = (
+        frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert all(r["n"] == 3 for r in per_doc)
+    idx = {r["frame_idx"] for r in frames.select("frame_idx").distinct().collect()}
+    assert idx == {0, 1, 2}
+
+
+def test_real_codec_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        real_decode_stub(b"\x89PNG", "image/png")

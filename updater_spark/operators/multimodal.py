@@ -78,6 +78,76 @@ def real_decode_stub(payload: bytes, media_type: str):
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_images(blobs: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize as Arrow-batched ``mapInPandas``.
+
+    STUB: where Pillow's ``Image.resize`` would run
+    (``real_decode_stub``), the deterministic fake strides the payload
+    bytes down to width×height — the Spark-side contract (binary in,
+    binary out, typed dims, bounded batches) is the real part."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: bytes(b[:: max(1, len(b) // target)][:target])
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return blobs.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling as a one-to-many ``mapInPandas``.
+
+    STUB: where pyav/ffmpeg would decode and pick every k-th frame,
+    the deterministic fake splits the payload into ``n_frames`` equal
+    byte slices. Output is exploded (one row per frame) — the shape a
+    real frame sampler produces."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    frame = bytes(payload[i * step : (i + 1) * step])
+                    rows.append((int(doc_id), i, frame, len(frame)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame", "n_bytes"]
+            )
+
+    return blobs.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
 def decode_features(blobs: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
