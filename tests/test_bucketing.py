@@ -28,6 +28,64 @@ def test_bucketed_diff_join_has_no_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS fp_rep")
 
 
+def test_engine_bucketed_fingerprints_cycle(spark, tmp_path):
+    """CdcEngine(fingerprint_buckets=N): the fingerprint cache lives in
+    double-buffered bucketed catalog tables; results must match the
+    plain engine and the diff's replica side must scan shuffle-free."""
+    from pyspark.sql import Row
+
+    from updater_spark.plans.cdc import CdcEngine
+    from updater_spark.schema import TableSpec
+
+    spec = TableSpec(name="acct", primary_key="id")
+    rows = [Row(id=i, v=i * 3) for i in range(1, 1001)]
+    src = spark.createDataFrame(rows)
+    mutated = spark.createDataFrame(
+        [Row(id=i, v=i * 3 + (1 if i % 100 == 0 else 0)) for i in range(1, 1001)]
+        + [Row(id=2000, v=0)]
+    ).filter(F.col("id") != 17)
+
+    stores = {
+        "plain": TableStore(spark, str(tmp_path / "plain")),
+        "bucketed": TableStore(spark, str(tmp_path / "bucketed")),
+    }
+    engines = {
+        "plain": CdcEngine(stores["plain"]),
+        "bucketed": CdcEngine(stores["bucketed"], fingerprint_buckets=8),
+    }
+    stats = {}
+    for kind, eng in engines.items():
+        eng.bootstrap(spec, src)
+        stats[kind] = eng.update(spec, mutated)
+
+    for field in ("upserts", "updates", "deletes", "total_rows"):
+        assert getattr(stats["plain"], field) == getattr(
+            stats["bucketed"], field
+        ), field
+    a = stores["plain"].read("acct").orderBy("id").collect()
+    b = stores["bucketed"].read("acct").orderBy("id").collect()
+    assert a == b
+
+    # rotation: two runs promoted opposite buffers each time
+    eng_b = engines["bucketed"]
+    buf_after_run2 = stores["bucketed"].current_bucketed("acct__fingerprints")
+    eng_b.update(spec, mutated)
+    buf_after_run3 = stores["bucketed"].current_bucketed("acct__fingerprints")
+    assert buf_after_run2 != buf_after_run3
+
+    # plan: replica (bucketed) side contributes no Exchange — only the
+    # fresh source fingerprints shuffle into the bucket partitioning.
+    rep = eng_b._read_fp("acct")
+    fresh = spark.createDataFrame(rows).select(
+        "id", (F.col("v") * 7).alias("hashed")
+    )
+    plan = snapshot_diff(fresh, rep)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+    for buf in (0, 1):
+        spark.sql(f"DROP TABLE IF EXISTS acct__fingerprints__buf{buf}")
+
+
 def test_unbucketed_diff_join_shuffles(spark):
     a = spark.createDataFrame([Row(id=i, hashed=i) for i in range(100)])
     b = spark.createDataFrame([Row(id=i, hashed=i) for i in range(100)])

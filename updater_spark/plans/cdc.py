@@ -77,6 +77,7 @@ class CdcEngine:
         fingerprint_algo: str = "crc32",
         delete_guard: int = DELETE_GUARD_DEFAULT,
         partition_buckets: int | None = None,
+        fingerprint_buckets: int | None = None,
     ):
         """``partition_buckets=N`` switches the main table to hash-
         partitioned storage (``pmod(xxhash64(pk), N)``): incremental
@@ -84,11 +85,42 @@ class CdcEngine:
         partition overwrite) instead of the whole replica — the write-
         amplification fix that matters at 100 TB, where a 0.1% delta
         must not cost a 100% rewrite. Size N so one bucket ≈ a few GB
-        (e.g. N=8192 for 20 TB)."""
+        (e.g. N=8192 for 20 TB).
+
+        ``fingerprint_buckets=N`` stores the fingerprint cache as a
+        bucketed+sorted catalog table with double-buffer rotation
+        (table.py:108-117): the replica side of the next run's diff
+        join is then pre-partitioned and pre-sorted on ``id``, so the
+        full-outer SMJ needs NO Exchange and NO Sort on the stable
+        ~100M-row side — only the fresh source fingerprints shuffle.
+        Verified plan-level in tests/test_bucketing.py."""
         self.store = store
         self.algo = fingerprint_algo
         self.delete_guard = delete_guard
         self.partition_buckets = partition_buckets
+        self.fingerprint_buckets = fingerprint_buckets
+
+    # -- fingerprint-cache IO (double-buffered when bucketed) ----------
+    def _fp_name(self, name: str) -> str:
+        return f"{name}__fingerprints"
+
+    def _write_fp(self, name: str, fp: DataFrame) -> None:
+        if self.fingerprint_buckets:
+            self.store.write_bucketed_versioned(
+                self._fp_name(name), fp, "id", self.fingerprint_buckets
+            )
+        else:
+            self.store.write(self._fp_name(name), fp)
+
+    def _read_fp(self, name: str) -> DataFrame:
+        if self.fingerprint_buckets:
+            return self.store.read_bucketed_versioned(self._fp_name(name))
+        return self.store.read(self._fp_name(name))
+
+    def _fp_exists(self, name: str) -> bool:
+        if self.fingerprint_buckets:
+            return self.store.exists_bucketed(self._fp_name(name))
+        return self.store.exists(self._fp_name(name))
 
     def _bucket_expr(self, pk: str):
         return F.pmod(F.xxhash64(F.col(pk)), F.lit(self.partition_buckets))
@@ -129,8 +161,8 @@ class CdcEngine:
             )
         else:
             self.store.write(spec.name, full.drop("_fp"))
-        self.store.write(
-            f"{spec.name}__fingerprints",
+        self._write_fp(
+            spec.name,
             full.select(
                 F.col(spec.primary_key).alias("id"), F.col("_fp").alias("hashed")
             ),
@@ -145,7 +177,7 @@ class CdcEngine:
 
     # -- entry point A: incremental update (download.py:50-63) ---------
     def update(self, spec: TableSpec, source: DataFrame) -> UpdateStats:
-        if not self.store.exists(f"{spec.name}__fingerprints"):
+        if not self._fp_exists(spec.name):
             return self.bootstrap(spec, source)
 
         cols = classify_df(spec, source) if spec.has_scores else None
@@ -153,7 +185,7 @@ class CdcEngine:
 
         # S2: external scan → (id, hash); S1: cached replica hashes.
         src_fp = fingerprint_table(source, spec.primary_key, data_cols, self.algo)
-        rep_fp = self.store.read(f"{spec.name}__fingerprints")
+        rep_fp = self._read_fp(spec.name)
 
         # J1: the diff join. Materialized once (small output: changed
         # keys only) so the three consumers don't re-run the join.
@@ -228,7 +260,7 @@ class CdcEngine:
 
             # S9/S8: fingerprint rotation — overwrite with this run's
             # source fingerprints (write-then-promote is atomic).
-            self.store.write(f"{spec.name}__fingerprints", src_fp)
+            self._write_fp(spec.name, src_fp)
 
             delta.unpersist()
             return UpdateStats(
@@ -336,14 +368,14 @@ class CdcEngine:
         never delete. Deletes in a delta feed must be explicit (tomb-
         stone rows), which the reference has no notion of.
         """
-        if not self.store.exists(f"{spec.name}__fingerprints"):
+        if not self._fp_exists(spec.name):
             return self.bootstrap(spec, batch)
 
         cols = classify_df(spec, batch) if spec.has_scores else None
         data_cols = cols.data_columns if cols else list(batch.columns)
 
         batch_fp = fingerprint_table(batch, spec.primary_key, data_cols, self.algo)
-        rep_fp = self.store.read(f"{spec.name}__fingerprints")
+        rep_fp = self._read_fp(spec.name)
         diff = snapshot_diff(batch_fp, rep_fp)
         # replica-only keys are NOT deletes here — they simply didn't
         # arrive in this batch.
@@ -379,7 +411,7 @@ class CdcEngine:
         new_fp = merge_upsert(
             rep_fp, changed.withColumnRenamed("new_hash", "hashed"), "id"
         )
-        self.store.write(f"{spec.name}__fingerprints", new_fp)
+        self._write_fp(spec.name, new_fp)
         return UpdateStats(
             table=spec.name,
             bootstrap=False,

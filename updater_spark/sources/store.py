@@ -150,6 +150,62 @@ class TableStore:
     def read_partitioned(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._ppath(name))
 
+    # -- double-buffered bucketed tables (hash-cache rotation) ----------
+    def _bucketed_pointer(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_CURRENT_BUCKETED")
+
+    def _catalog_name(self, name: str, buf: int) -> str:
+        safe = "".join(c if c.isalnum() else "_" for c in name)
+        return f"{safe}__buf{buf}"
+
+    def current_bucketed(self, name: str) -> str | None:
+        ptr = self._bucketed_pointer(name)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return f.read().strip()
+
+    def write_bucketed_versioned(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_col: str,
+        num_buckets: int = 16,
+    ) -> DataFrame:
+        """The reference's double-buffer rotation, bucketed: read buffer
+        ``__buf0``, write ``__buf1``, promote on success (table.py:
+        108-117, download.py:572-581). The promoted catalog table is
+        bucketed+sorted by ``bucket_col``, so the NEXT run's diff join
+        merge-joins it with no Exchange and no Sort on this side — the
+        stable 100M-row replica side never reshuffles. A crashed writer
+        leaves the read buffer untouched.
+        """
+        os.makedirs(self._dir(name), exist_ok=True)
+        current = self.current_bucketed(name)
+        target_buf = 1 if current == self._catalog_name(name, 0) else 0
+        target = self._catalog_name(name, target_buf)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .saveAsTable(target)
+        )
+        tmp = self._bucketed_pointer(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(target)
+        os.replace(tmp, self._bucketed_pointer(name))
+        return self.spark.table(target)
+
+    def read_bucketed_versioned(self, name: str) -> DataFrame:
+        current = self.current_bucketed(name)
+        if current is None:
+            raise FileNotFoundError(f"table {name!r} has no bucketed version")
+        return self.spark.table(current)
+
+    def exists_bucketed(self, name: str) -> bool:
+        return self.current_bucketed(name) is not None
+
     def write_bucketed(
         self,
         table_name: str,
