@@ -194,3 +194,58 @@ def test_post_update_aggregates(spark, tmp_store, rng):
     rows = {r["id"]: r for r in active.collect()}
     assert set(rows) == {2}
     assert rows[2]["members"] == 2 and rows[2]["active"] == 2
+
+
+def test_changelog_epochs_and_compaction(spark, tmp_store, rng):
+    """Each update run stamps its pre-images with a monotonic _epoch;
+    compaction collapses the per-run small files and per-epoch
+    retention drops old history (SURVEY.md §9.3)."""
+    import os
+
+    from updater_spark.schema import TableSpec
+
+    spec = TableSpec(name="t", primary_key="id")
+    engine = CdcEngine(tmp_store)
+
+    def snap(bump):
+        return spark.createDataFrame(
+            [Row(id=i, v=i + (bump if i % 10 == 0 else 0)) for i in range(100)]
+        )
+
+    engine.update(spec, snap(0))  # bootstrap: no changelog entries
+    for run in (1, 2, 3):
+        engine.update(spec, snap(run))
+
+    chg = engine.changelog("t")
+    assert engine.current_epoch("t") == 3
+    epochs = {r["_epoch"] for r in chg.select("_epoch").distinct().collect()}
+    assert epochs == {1, 2, 3}
+    # every epoch archived the 10 updated keys' pre-images
+    per_epoch = {
+        r["_epoch"]: r["n"]
+        for r in chg.groupBy("_epoch").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_epoch == {1: 10, 2: 10, 3: 10}
+
+    data_dir = tmp_store._appendable_dir("t__changelog")
+    files_before = len([f for f in os.listdir(data_dir) if f.endswith(".parquet")])
+    assert files_before >= 3  # one+ per run: the small-file problem
+
+    engine.compact_changelog("t", num_files=1)
+    compacted_dir = tmp_store._appendable_dir("t__changelog")
+    assert compacted_dir != data_dir
+    files_after = len(
+        [f for f in os.listdir(compacted_dir) if f.endswith(".parquet")]
+    )
+    assert files_after == 1
+    assert engine.changelog("t").count() == 30  # lossless
+
+    # retention: keep the last 2 epochs only
+    engine.compact_changelog("t", keep_epochs=2)
+    kept = {r["_epoch"] for r in engine.changelog("t").select("_epoch").collect()}
+    assert kept == {2, 3}
+
+    # appends continue against the compacted directory
+    engine.update(spec, snap(9))
+    assert engine.current_epoch("t") == 4
+    assert engine.changelog("t").filter(F.col("_epoch") == 4).count() == 10

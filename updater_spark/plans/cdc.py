@@ -23,6 +23,7 @@ with atomic promotion (the double-buffer rotation, download.py:572-581).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -121,6 +122,63 @@ class CdcEngine:
         if self.fingerprint_buckets:
             return self.store.exists_bucketed(self._fp_name(name))
         return self.store.exists(self._fp_name(name))
+
+    # -- changelog epochs + compaction ---------------------------------
+    EPOCH_COL = "_epoch"
+
+    def _epoch_file(self, name: str) -> str:
+        d = os.path.join(self.store.root, f"{name}__changelog")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, "_EPOCH")
+
+    def current_epoch(self, name: str) -> int:
+        path = self._epoch_file(name)
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            return int(f.read().strip())
+
+    def _next_epoch(self, name: str) -> int:
+        epoch = self.current_epoch(name) + 1
+        tmp = self._epoch_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch))
+        os.replace(tmp, self._epoch_file(name))
+        return epoch
+
+    def _append_changelog(self, name: str, preimages: DataFrame) -> int:
+        """Stamp pre-images with a monotonic run epoch (the changelog
+        equivalent of the reference's per-run log date,
+        download.py:585-595) so history is attributable to runs and
+        retention can be expressed per-epoch."""
+        epoch = self._next_epoch(name)
+        self.store.append(
+            f"{name}__changelog",
+            preimages.withColumn(self.EPOCH_COL, F.lit(epoch)),
+        )
+        return epoch
+
+    def changelog(self, name: str) -> DataFrame:
+        return self.store.read_appendable(f"{name}__changelog")
+
+    def compact_changelog(
+        self,
+        name: str,
+        keep_epochs: int | None = None,
+        num_files: int = 1,
+    ) -> None:
+        """Compact the per-run small files (one parquet file per update
+        at minimum) into ``num_files``, optionally dropping epochs
+        older than the last ``keep_epochs`` — the retention policy the
+        append-only reference never needed (its MySQL changelog table
+        was one table, not one file per run)."""
+        predicate = None
+        if keep_epochs is not None:
+            cutoff = self.current_epoch(name) - keep_epochs + 1
+            predicate = F.col(self.EPOCH_COL) >= cutoff
+        self.store.compact_appendable(
+            f"{name}__changelog", predicate=predicate, num_files=num_files
+        )
 
     def _bucket_expr(self, pk: str):
         return F.pmod(F.xxhash64(F.col(pk)), F.lit(self.partition_buckets))
@@ -230,7 +288,7 @@ class CdcEngine:
                 spec.primary_key,
                 hint_broadcast=hint,
             )
-            self.store.append(f"{spec.name}__changelog", preimages)
+            self._append_changelog(spec.name, preimages)
 
             self.store.write(f"{spec.name}__delta", delta)
 
@@ -399,7 +457,7 @@ class CdcEngine:
             ),
             spec.primary_key,
         )
-        self.store.append(f"{spec.name}__changelog", preimages)
+        self._append_changelog(spec.name, preimages)
         if self.partition_buckets:
             empty_deletes = delta.select(spec.primary_key).limit(0)
             self._write_incremental_partitioned(spec, old, delta, empty_deletes)

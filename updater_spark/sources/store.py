@@ -104,16 +104,62 @@ class TableStore:
         self._gc(name, keep=2)
         return path
 
+    def _appendable_pointer(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_DATA")
+
+    def _appendable_dir(self, name: str) -> str:
+        ptr = self._appendable_pointer(name)
+        sub = "data"
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                sub = f.read().strip()
+        return os.path.join(self._dir(name), sub)
+
     def append(self, name: str, df: DataFrame) -> str:
         """Append-only history table (the ``{t}_changelog`` sink,
-        download.py:585-595). No pointer dance needed — parquet append
-        into a single live directory."""
-        path = os.path.join(self._dir(name), "data")
+        download.py:585-595). Parquet append into the live directory
+        (resolved through the ``_DATA`` pointer so compaction can swap
+        directories without disturbing appenders between runs)."""
+        path = self._appendable_dir(name)
         df.write.mode("append").parquet(path)
         return path
 
     def read_appendable(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self._dir(name), "data"))
+        return self.spark.read.parquet(self._appendable_dir(name))
+
+    def compact_appendable(
+        self,
+        name: str,
+        predicate=None,
+        num_files: int = 1,
+    ) -> str:
+        """Rewrite the append-only table into ``num_files`` files,
+        optionally keeping only rows matching ``predicate`` (a Column —
+        retention expressed as a filter, e.g. ``F.col('_epoch') >= N``).
+
+        Append-only history accumulates one small file per run; at
+        100 TB / thousands of runs that is a classic small-file
+        problem (every reader lists and opens every file). Compaction
+        writes a fresh directory and atomically swaps the ``_DATA``
+        pointer, so a crashed compaction leaves the old directory
+        intact — same promote-on-success contract as versioned writes.
+        """
+        current = self._appendable_dir(name)
+        df = self.spark.read.parquet(current)
+        if predicate is not None:
+            df = df.filter(predicate)
+        cur_sub = os.path.basename(current)
+        next_sub = (
+            f"data_c{int(cur_sub[6:]) + 1}" if cur_sub.startswith("data_c") else "data_c0"
+        )
+        next_dir = os.path.join(self._dir(name), next_sub)
+        df.coalesce(num_files).write.mode("overwrite").parquet(next_dir)
+        tmp = self._appendable_pointer(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(next_sub)
+        os.replace(tmp, self._appendable_pointer(name))
+        shutil.rmtree(current, ignore_errors=True)
+        return next_dir
 
     # -- hash-partitioned tables (partition-pruned incremental writes) --
     def _ppath(self, name: str) -> str:
