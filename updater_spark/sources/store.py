@@ -230,6 +230,17 @@ class TableStore:
         current = self.current_bucketed(name)
         target_buf = 1 if current == self._catalog_name(name, 0) else 0
         target = self._catalog_name(name, target_buf)
+        # a previous PROCESS may have left the managed-table directory
+        # behind while this session's metastore has no such table —
+        # saveAsTable then fails with LOCATION_ALREADY_EXISTS. Drop any
+        # registered table first, then clear an orphaned location.
+        self.spark.sql(f"DROP TABLE IF EXISTS {target}")
+        warehouse = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        orphan = os.path.join(warehouse, target.lower())
+        if os.path.exists(orphan):
+            shutil.rmtree(orphan, ignore_errors=True)
         (
             df.write.mode("overwrite")
             .format("parquet")
