@@ -785,6 +785,62 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only).select(F.col("ck").alias("custkey"), "tag")
 
 
+def q_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming CDC end-to-end: three disjoint snapshot
+    drops (key residue mod 3, acctbal shifted per drop) land in a
+    watched directory; ``run_cdc_stream`` drains them with
+    Trigger.AvailableNow, each micro-batch running the engine's
+    delta-apply transaction via foreachBatch (the reference's cron
+    cycle, start.py:73-83, as a stream). Returns the final replica —
+    exactly reproducible in SQL because the drops partition the key
+    space."""
+    import shutil
+    import tempfile
+
+    from updater_spark.plans.cdc import CdcEngine
+    from updater_spark.schema import TableSpec
+    from updater_spark.sources.store import TableStore
+    from updater_spark.streaming.cdc_stream import run_cdc_stream
+
+    cust = demo.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="cdcstream_")
+    try:
+        drops = os.path.join(root, "drops")
+        for i in range(3):
+            (
+                cust.filter(F.col("c_custkey") % 3 == i)
+                .withColumn(
+                    "c_acctbal", F.round(F.col("c_acctbal") + i * 100, 2)
+                )
+                .write.mode("append")
+                .parquet(drops)
+            )
+        store = TableStore(spark, os.path.join(root, "store"))
+        engine = CdcEngine(store, fingerprint_algo="md5")
+        spec = TableSpec(name="cust_stream", primary_key="c_custkey")
+        query = run_cdc_stream(
+            spark,
+            engine,
+            spec,
+            drops,
+            cust.schema,
+            os.path.join(root, "ckpt"),
+            available_now=True,
+        )
+        query.awaitTermination()
+        # the temp store stays on disk (no collect-and-copy: the
+        # result must remain a distributed scan at scale); /tmp
+        # lifecycle owns the cleanup.
+        return store.read("cust_stream").select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+        )
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization over the events stream (30-min
     inactivity gap): lag → flag → running sum → per-session rollup.
@@ -859,6 +915,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "rollup_revenue": q_rollup_revenue,
         "set_ops": q_set_ops,
+        "streaming_cdc": q_streaming_cdc,
     }
 
 
@@ -1249,6 +1306,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "streaming_cdc": """
+            SELECT c_custkey, c_name,
+                   round(c_acctbal + (c_custkey % 3) * 100, 2) AS c_acctbal
+            FROM customer
         """,
         "set_ops": """
             WITH building AS (
