@@ -500,6 +500,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale dedup pipeline: MinHash+LSH candidates refined by
+    exact n-gram Jaccard on the candidate set only (rows-only driver
+    check; containment + value-parity vs the exact operator in
+    tests/test_dedup.py::test_lsh_verified_pipeline)."""
+    from updater_spark.operators.dedup import lsh_verified_pairs
+
+    pairs = lsh_verified_pairs(
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, Hamming ≤ 12 (rows-only driver check;
     bit-level parity vs pure Python in tests/test_dedup.py)."""
@@ -894,6 +907,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_simhash": q_dedup_simhash,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
@@ -1095,6 +1109,25 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus GROUP BY text
         """,
         "dedup_ngram_jaccard": _SHINGLE_CTES
+        + """
+            , common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+            FROM common c
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+        """,
+        # the LSH->exact pipeline provably filters to the same set the
+        # exact operator emits whenever LSH recall is 1; at 16 bands x
+        # 4 rows and the corpus's J≈0.9 planted pairs the per-pair miss
+        # probability is ~1e-8, so the exact-Jaccard SQL is its oracle.
+        "dedup_lsh_verified": _SHINGLE_CTES
         + """
             , common AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common

@@ -90,7 +90,10 @@ def test_minhash_signature_matches_python(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["h"])
     coeffs = _hash_coeffs(16, seed=7)
     expected = {
-        d: [min(((a * h + b) % MERSENNE_P) for h in hs) for a, b in coeffs]
+        d: [
+            min(((a * (h ^ r) + b) % MERSENNE_P) for h in hs)
+            for a, b, r in coeffs
+        ]
         for d, hs in by_doc.items()
     }
     sigs = {
@@ -154,3 +157,32 @@ def test_simhash_python_bit_oracle(spark):
         fp -= 1 << 64
     got = simhash(df, "doc_id", "text").collect()[0]["simhash"]
     assert got == fp
+
+
+def test_lsh_verified_pipeline(spark):
+    """lsh_verified_pairs = exact-jaccard refinement of LSH candidates:
+    output ⊆ the exact operator's pairs with identical jaccard values,
+    and full recall on this clearly-separated corpus (perturbed copies
+    at J≈0.9 vs unrelated docs at J≈0)."""
+    from updater_spark.operators.dedup import lsh_verified_pairs, ngram_jaccard_pairs
+
+    base = [(i, " ".join(f"w{i}t{j}" for j in range(30))) for i in range(40)]
+    copies = [(i + 1000, t + " zz yy xx") for i, t in base if i % 2 == 0]
+    df = spark.createDataFrame(base + copies, "doc_id long, text string")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_verified_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert set(verified) <= set(exact)
+    for pair, j in verified.items():
+        assert abs(j - exact[pair]) < 1e-12
+    # the 20 planted near-dup pairs are far above threshold — LSH at
+    # 16 bands x 4 rows catches them all here
+    planted = {(i, i + 1000) for i in range(0, 40, 2)}
+    assert planted <= set(verified)
+    assert len(exact) == len(planted)  # nothing else crosses 0.5

@@ -76,3 +76,42 @@ def test_partitioned_matches_full_rewrite(spark, tmp_path):
         rows = {(r["id"], r["v"]) for r in eng._read_main("t").collect()}
         results.append(rows)
     assert results[0] == results[1]
+
+
+def test_partitioned_and_bucketed_fingerprints_compose(spark, tmp_path):
+    """The two 100 TB levers stack: partition-pruned main-table writes
+    (partition_buckets) + shuffle-free diff via bucketed fingerprint
+    rotation (fingerprint_buckets). Results must equal the plain
+    engine's."""
+    from pyspark.sql import functions as F
+
+    from updater_spark.sources.store import TableStore
+
+    spec = TableSpec("items", "id")
+    s0 = spark.createDataFrame([Row(id=i, v=i) for i in range(1, 501)])
+    s1 = spark.createDataFrame(
+        [Row(id=i, v=(i + 100 if i % 50 == 0 else i)) for i in range(1, 501) if i != 13]
+        + [Row(id=999, v=0)]
+    )
+
+    results = {}
+    for kind, kwargs in {
+        "plain": {},
+        "combined": {"partition_buckets": 8, "fingerprint_buckets": 8},
+    }.items():
+        store = TableStore(spark, str(tmp_path / kind))
+        engine = CdcEngine(store, **kwargs)
+        engine.update(spec, s0)
+        stats = engine.update(spec, s1)
+        replica = (
+            engine._read_main("items") if kwargs else store.read("items")
+        )
+        results[kind] = (
+            stats.upserts,
+            stats.updates,
+            stats.deletes,
+            sorted((r["id"], r["v"]) for r in replica.collect()),
+        )
+    assert results["plain"] == results["combined"]
+    for buf in (0, 1):
+        spark.sql(f"DROP TABLE IF EXISTS items__fingerprints__buf{buf}")
