@@ -89,6 +89,20 @@ def run() -> None:
         t0 = time.perf_counter()
         engine.update(spec, mutated)
         t_incr = time.perf_counter() - t0
+
+        # same incremental cycle with the bucketed fingerprint cache
+        # (shuffle-free replica side of the diff join): the structural
+        # 100 TB lever, measured honestly at this sf.
+        engine_b = CdcEngine(
+            TableStore(spark, os.path.join(cdc_root, "bucketed")),
+            fingerprint_buckets=32,
+        )
+        engine_b.update(spec, players)
+        t0 = time.perf_counter()
+        engine_b.update(spec, mutated)
+        t_incr_bucketed = time.perf_counter() - t0
+        for buf in (0, 1):
+            spark.sql(f"DROP TABLE IF EXISTS player__fingerprints__buf{buf}")
     finally:
         shutil.rmtree(cdc_root, ignore_errors=True)
     print(
@@ -102,6 +116,7 @@ def run() -> None:
                 "hash_diff_rows_per_sec": round(diff_rows / t_diff) if t_diff else None,
                 "cdc_bootstrap_sec": round(t_boot, 4),
                 "cdc_incremental_sec": round(t_incr, 4),
+                "cdc_incremental_bucketed_sec": round(t_incr_bucketed, 4),
                 "cdc_incremental_rows_per_sec": round(n_players / t_incr),
                 "n_queries": len(timings),
             }

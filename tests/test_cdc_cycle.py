@@ -249,3 +249,27 @@ def test_changelog_epochs_and_compaction(spark, tmp_store, rng):
     engine.update(spec, snap(9))
     assert engine.current_epoch("t") == 4
     assert engine.changelog("t").filter(F.col("_epoch") == 4).count() == 10
+
+
+def test_changelog_auto_compaction_policy(spark, tmp_store):
+    """compact_every=2 keeps the changelog at one file per 2 runs."""
+    import os
+
+    from updater_spark.schema import TableSpec
+
+    spec = TableSpec(name="t2", primary_key="id")
+    engine = CdcEngine(tmp_store, compact_every=2)
+
+    def snap(bump):
+        return spark.createDataFrame(
+            [Row(id=i, v=i + (bump if i % 10 == 0 else 0)) for i in range(100)]
+        )
+
+    engine.update(spec, snap(0))  # bootstrap
+    for run in (1, 2, 3, 4):
+        engine.update(spec, snap(run))
+
+    d = tmp_store._appendable_dir("t2__changelog")
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == 1  # epoch-4 compaction just collapsed everything
+    assert engine.changelog("t2").count() == 40  # lossless (no retention set)

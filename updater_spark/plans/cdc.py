@@ -79,6 +79,8 @@ class CdcEngine:
         delete_guard: int = DELETE_GUARD_DEFAULT,
         partition_buckets: int | None = None,
         fingerprint_buckets: int | None = None,
+        compact_every: int | None = None,
+        changelog_keep_epochs: int | None = None,
     ):
         """``partition_buckets=N`` switches the main table to hash-
         partitioned storage (``pmod(xxhash64(pk), N)``): incremental
@@ -94,12 +96,19 @@ class CdcEngine:
         join is then pre-partitioned and pre-sorted on ``id``, so the
         full-outer SMJ needs NO Exchange and NO Sort on the stable
         ~100M-row side — only the fresh source fingerprints shuffle.
-        Verified plan-level in tests/test_bucketing.py."""
+        Verified plan-level in tests/test_bucketing.py.
+
+        ``compact_every=K`` compacts each table's changelog after every
+        K-th update run (optionally retaining only the last
+        ``changelog_keep_epochs`` epochs) — bounds the small-file count
+        at one file per K runs instead of one per run."""
         self.store = store
         self.algo = fingerprint_algo
         self.delete_guard = delete_guard
         self.partition_buckets = partition_buckets
         self.fingerprint_buckets = fingerprint_buckets
+        self.compact_every = compact_every
+        self.changelog_keep_epochs = changelog_keep_epochs
 
     # -- fingerprint-cache IO (double-buffered when bucketed) ----------
     def _fp_name(self, name: str) -> str:
@@ -156,6 +165,10 @@ class CdcEngine:
             f"{name}__changelog",
             preimages.withColumn(self.EPOCH_COL, F.lit(epoch)),
         )
+        if self.compact_every and epoch % self.compact_every == 0:
+            self.compact_changelog(
+                name, keep_epochs=self.changelog_keep_epochs
+            )
         return epoch
 
     def changelog(self, name: str) -> DataFrame:
