@@ -551,7 +551,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from updater_spark.operators.similarity import ivf_topk, ivf_train
 
     emb = demo.load(spark, sf_dir, "embeddings")
-    centroids = ivf_train(emb, k=16, iterations=3)
+    centroids = ivf_train(emb, k=16, iterations=3, init="kmeans_parallel")
     queries_df = emb.filter(F.col("vec_id") % 25 == 0)
     return ivf_topk(emb, queries_df, centroids, k=5, nprobe=4)
 

