@@ -126,3 +126,56 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ev_counts").collect()
     }
     assert got == {"2026-01-01 00:00:00": 2, "2026-01-01 01:00:00": 2}
+
+
+def test_cdc_stream_continuous_rate_limited(spark, tmp_path):
+    """Continuous (processing-time) trigger with max_files_per_trigger=1:
+    pre-dropped snapshots are admitted ONE file per trigger (the
+    PIPE_SIZE/BATCH_SIZE backpressure twin, start.py:45-46), each
+    micro-batch running its own delta-apply; the replica converges to
+    the union of drops."""
+    import time
+
+    spec = TableSpec("citems", "id")
+    store = TableStore(spark, str(tmp_path / "store"))
+    engine = CdcEngine(store)
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+
+    schema = None
+    for lo, hi in ((1, 101), (101, 151), (151, 181)):
+        snap = spark.createDataFrame(
+            [Row(id=i, v=i * 10) for i in range(lo, hi)]
+        )
+        schema = snap.schema
+        snap.coalesce(1).write.mode("append").parquet(src_dir)
+
+    q = run_cdc_stream(
+        spark,
+        engine,
+        spec,
+        src_dir,
+        schema,
+        ckpt,
+        available_now=False,
+        processing_time="500 milliseconds",
+        max_files_per_trigger=1,
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if store.exists("citems") and store.read("citems").count() == 180:
+                break
+            time.sleep(1)
+        assert store.read("citems").count() == 180
+        # rate limit respected: exactly 3 non-empty micro-batches (one
+        # per file — maxFilesPerTrigger=1 split admission into three
+        # triggers; one batch would have taken all files at once).
+        # NB numInputRows over-counts re-scans, so only batch COUNT is
+        # asserted.
+        batches = [
+            p for p in (q.recentProgress or []) if p["numInputRows"] > 0
+        ]
+        assert len(batches) == 3, [p["numInputRows"] for p in batches]
+    finally:
+        q.stop()

