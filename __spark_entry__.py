@@ -863,6 +863,51 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(demo.load_events(spark, sf_dir), gap_minutes=30)
 
 
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return demo.load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_tokens")
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: md5(id||salt) hex-prefix
+    bucketing — a pure per-row projection (no shuffle), stable under
+    corpus growth so eval sets never leak across dataset versions."""
+    from updater_spark.operators.packing import dataset_split
+
+    return dataset_split(_doc_tokens(spark, sf_dir), "doc_id", salt="split-v1")
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: deterministic md5 sharding
+    then an exclusive running token sum per shard; pack_id is the
+    4096-token context window the document starts in. Window arithmetic
+    only — parallelism = shards, no Python."""
+    from updater_spark.operators.packing import pack_chunks, shard_by_hash
+
+    return pack_chunks(
+        shard_by_hash(_doc_tokens(spark, sf_dir), "doc_id", num_shards=4),
+        "doc_id",
+        "n_tokens",
+        budget=4096,
+    )
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit greedy packing (close pack on overflow) — inherently a
+    sequential per-shard scan, run as applyInPandas, one group per
+    shard. Python-oracled in tests/test_packing.py; rows-only here
+    (not expressible as a single SQL pass)."""
+    from updater_spark.operators.packing import pack_greedy, shard_by_hash
+
+    return pack_greedy(
+        shard_by_hash(_doc_tokens(spark, sf_dir), "doc_id", num_shards=4),
+        "doc_id",
+        "n_tokens",
+        budget=4096,
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -930,6 +975,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "set_ops": q_set_ops,
         "streaming_cdc": q_streaming_cdc,
+        "dataset_split": q_dataset_split,
+        "pack_chunks": q_pack_chunks,
+        "pack_greedy": q_pack_greedy,
     }
 
 
@@ -1359,6 +1407,33 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT ck AS custkey, 'building_quiet' AS tag
             FROM (SELECT ck FROM building EXCEPT ALL SELECT ck FROM urgent)
+        """,
+        "dataset_split": """
+            SELECT doc_id, length(text)::BIGINT AS n_tokens,
+                   CASE WHEN substr(md5(doc_id::VARCHAR || 'split-v1'), 1, 4) < 'cccc'
+                            THEN 'train'
+                        WHEN substr(md5(doc_id::VARCHAR || 'split-v1'), 1, 4) < 'e666'
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "pack_chunks": """
+            WITH toks AS (
+                SELECT doc_id, length(text)::BIGINT AS n_tokens,
+                       CAST(('0x' || substr(md5(doc_id::VARCHAR || 'shard-v1'), 1, 8))::UBIGINT % 4 AS BIGINT) AS shard
+                FROM documents
+            ),
+            cum AS (
+                SELECT shard, doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::BIGINT AS pack_offset
+                FROM toks
+            )
+            SELECT shard, doc_id, n_tokens, pack_offset,
+                   (pack_offset // 4096)::BIGINT AS pack_id
+            FROM cum
         """,
         "events_sessionize": """
             WITH flagged AS (
