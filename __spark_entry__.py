@@ -908,6 +908,39 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep fractions
+    via md5-threshold membership — stateless per-row projection, no
+    shuffle, reproducible across reruns/engines (df.sample is not)."""
+    from updater_spark.operators.sampling import stratified_sample
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs,
+        {"en": 0.5, "fr": 1.0, "zh": 0.25},
+        "lang",
+        salt="strata-v1",
+        default_fraction=0.0,
+    )
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture re-weighting by expected copy count: floor(w)
+    guaranteed copies + one more iff the row's own hash < frac(w) —
+    the up/down-sampling step that turns a raw corpus into a training
+    mixture. Generate-only plan (array explode), no shuffle."""
+    from updater_spark.operators.sampling import mixture_resample
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_resample(
+        docs,
+        {"en": 0.25, "fr": 2.5, "de": 1.0},
+        "lang",
+        salt="mix-v1",
+        default_weight=0.0,
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -978,6 +1011,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "pack_chunks": q_pack_chunks,
         "pack_greedy": q_pack_greedy,
+        "sample_stratified": q_sample_stratified,
+        "mixture_resample": q_mixture_resample,
     }
 
 
@@ -1434,6 +1469,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, doc_id, n_tokens, pack_offset,
                    (pack_offset // 4096)::BIGINT AS pack_id
             FROM cum
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'strata-v1'), 1, 8))::UBIGINT
+                  / 4294967296.0
+                < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 1.0
+                            WHEN 'zh' THEN 0.25 ELSE 0.0 END
+        """,
+        "mixture_resample": """
+            WITH weighted AS (
+                SELECT doc_id, lang,
+                       CASE lang WHEN 'en' THEN 0.25 WHEN 'fr' THEN 2.5
+                                 WHEN 'de' THEN 1.0 ELSE 0.0 END AS w,
+                       ('0x' || substr(md5(doc_id::VARCHAR || 'mix-v1'), 1, 8))::UBIGINT
+                           / 4294967296.0 AS u
+                FROM documents
+            ),
+            copies AS (
+                SELECT doc_id, lang,
+                       (floor(w)::BIGINT
+                        + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END) AS n_copies
+                FROM weighted
+            )
+            SELECT doc_id, lang, unnest(range(n_copies))::BIGINT AS copy_idx
+            FROM copies WHERE n_copies > 0
         """,
         "events_sessionize": """
             WITH flagged AS (

@@ -1,0 +1,125 @@
+"""Deterministic sampling operators vs Python/DuckDB oracles."""
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from updater_spark.operators.sampling import (
+    hash_sample,
+    mixture_resample,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .cache()
+    )
+
+
+def _unit(doc_id: int, salt: str) -> float:
+    hx = hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()[:8]
+    return int(hx, 16) / 2**32
+
+
+def test_hash_sample_python_oracle(spark, docs):
+    got = {r["doc_id"] for r in hash_sample(docs, 0.25, salt="s1").collect()}
+    want = {
+        r["doc_id"] for r in docs.collect() if _unit(r["doc_id"], "s1") < 0.25
+    }
+    assert got == want
+    n = docs.count()
+    assert abs(len(got) / n - 0.25) < 0.08
+
+
+def test_hash_sample_stable_under_growth(spark, docs):
+    full = {r["doc_id"] for r in hash_sample(docs, 0.5).collect()}
+    half = {
+        r["doc_id"]
+        for r in hash_sample(docs.filter(F.col("doc_id") % 2 == 0), 0.5).collect()
+    }
+    assert half == {k for k in full if k % 2 == 0}
+
+
+def test_hash_sample_nested_fractions(spark, docs):
+    # same salt => a 10% sample is a subset of the 30% sample
+    small = {r["doc_id"] for r in hash_sample(docs, 0.1).collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+    assert small <= big
+
+
+def test_stratified_sample_duckdb_oracle(spark, sf_dir, docs):
+    fractions = {"en": 0.5, "fr": 1.0, "zh": 0.25}
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, fractions, "lang", salt="st1", default_fraction=0.0
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {
+        row[0]
+        for row in con.sql(
+            """
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'st1'), 1, 8))::UBIGINT
+                  / 4294967296.0
+                < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 1.0
+                            WHEN 'zh' THEN 0.25 ELSE 0.0 END
+            """
+        ).fetchall()
+    }
+    assert got == want
+    langs = {
+        r["lang"]
+        for r in stratified_sample(docs, fractions, "lang", salt="st1").collect()
+    }
+    assert langs <= {"en", "fr", "zh"}
+
+
+def test_mixture_resample_python_oracle(spark, docs):
+    weights = {"en": 0.25, "fr": 2.5, "de": 1.0}
+    out = mixture_resample(
+        docs, weights, "lang", salt="m1", default_weight=0.0
+    ).collect()
+    base = docs.collect()
+    want: dict[int, int] = {}
+    for r in base:
+        w = weights.get(r["lang"], 0.0)
+        n = int(w) + (1 if _unit(r["doc_id"], "m1") < w - int(w) else 0)
+        if n:
+            want[r["doc_id"]] = n
+    got: dict[int, list[int]] = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    assert {k: len(v) for k, v in got.items()} == want
+    for doc_id, idxs in got.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_mixture_resample_expected_multiplicity(spark, docs):
+    # weight 3.0 is exact: every row appears exactly 3 times
+    out = mixture_resample(
+        docs, {"en": 3.0}, "lang", default_weight=0.0
+    )
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.count() == 3 * n_en
+    counts = out.groupBy("doc_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in counts] == [3]
+
+
+def test_sampling_rejects_bad_args(spark, docs):
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"en": -0.1}, "lang")
+    with pytest.raises(ValueError):
+        mixture_resample(docs, {"en": -1.0}, "lang")
