@@ -162,9 +162,22 @@ def test_cdc_stream_continuous_rate_limited(spark, tmp_path):
         max_files_per_trigger=1,
     )
     try:
+        # Poll for BOTH convergence and progress visibility: the
+        # foreachBatch sink commits (making count()==180 observable)
+        # before the ProgressReporter appends that batch's entry, so
+        # reading recentProgress immediately after convergence can
+        # miss the final batch.
         deadline = time.time() + 120
+        batches = []
         while time.time() < deadline:
-            if store.exists("citems") and store.read("citems").count() == 180:
+            batches = [
+                p for p in (q.recentProgress or []) if p["numInputRows"] > 0
+            ]
+            if (
+                store.exists("citems")
+                and store.read("citems").count() == 180
+                and len(batches) >= 3
+            ):
                 break
             time.sleep(1)
         assert store.read("citems").count() == 180
@@ -173,9 +186,6 @@ def test_cdc_stream_continuous_rate_limited(spark, tmp_path):
         # triggers; one batch would have taken all files at once).
         # NB numInputRows over-counts re-scans, so only batch COUNT is
         # asserted.
-        batches = [
-            p for p in (q.recentProgress or []) if p["numInputRows"] > 0
-        ]
         assert len(batches) == 3, [p["numInputRows"] for p in batches]
     finally:
         q.stop()
