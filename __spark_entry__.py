@@ -941,6 +941,121 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the same
+    user's latest click at or before the purchase time (ties broken by
+    max click id). Union+window implementation — one shuffle on the
+    key, linear per-partition scan; no range-join row explosion
+    (operators/asof.py docstring has the 100 TB cost shape)."""
+    from updater_spark.operators.asof import asof_join
+
+    ev = demo.load_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        left, right, ["user_id"], "ts", "click_ts", tiebreak="click_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    )
+
+
+def _cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster scenario: base docs (doc_id%5==0), a near-copy of
+    every other base doc (+100000, 3 tokens appended), and a second-
+    generation copy of every fourth (+200000, 6 tokens appended) —
+    multi-member clusters plus genuine singletons."""
+    docs = (
+        demo.load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    copy_a = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz yy xx")))
+    )
+    copy_b = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 200_000)
+        .withColumn(
+            "text", F.concat(F.col("text"), F.lit(" zz yy xx ww vv uu"))
+        )
+    )
+    return docs.unionByName(copy_a).unionByName(copy_b)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-pipeline dedup resolution: exact n-gram Jaccard pairs →
+    connected components (iterative hash-min) → per-doc cluster id and
+    keeper flag. The step that turns pairwise similarity into an
+    actual deduplicated corpus; oracled by a DuckDB recursive-CTE
+    transitive closure."""
+    from updater_spark.operators.clusters import resolve_clusters
+    from updater_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = _cluster_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    return resolve_clusters(corpus, pairs, "doc_id")
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition fractions (dup word / 2-gram / 3-gram
+    occurrence ratios) — shuffle-free scan-fused projection."""
+    from updater_spark.operators.text import repetition_stats
+
+    return repetition_stats(demo.load(spark, sf_dir, "documents"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically PII-injected corpus (emails /
+    IPv4 / phone fragments appended by doc_id residue): per-pattern
+    counts on the original text + placeholder-redacted text."""
+    from updater_spark.operators.text import pii_redact
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-0"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_redact(injected)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1013,6 +1128,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "sample_stratified": q_sample_stratified,
         "mixture_resample": q_mixture_resample,
+        "asof_join_events": q_asof_join_events,
+        "dedup_clusters": q_dedup_clusters,
+        "text_repetition": q_text_repetition,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -1521,5 +1640,168 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
                        AS sum_value_e6
             FROM idx GROUP BY user_id, session_idx
+        """,
+        "asof_join_events": """
+            WITH left_ev AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            right_ev AS (
+                SELECT event_id AS click_id, user_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'
+            ),
+            ranked AS (
+                SELECT l.event_id, r.click_id, r.click_ts,
+                       row_number() OVER (
+                           PARTITION BY l.event_id
+                           ORDER BY r.click_ts DESC, r.click_id DESC
+                       ) AS rn
+                FROM left_ev l
+                JOIN right_ev r
+                  ON r.user_id = l.user_id AND r.click_ts <= l.ts
+            )
+            SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                   m.click_id, epoch_us(m.click_ts) AS click_ts_us
+            FROM left_ev l
+            LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) m
+              ON l.event_id = m.event_id
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz yy xx'
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz yy xx ww vv uu'
+                FROM documents WHERE doc_id % 20 = 0
+            ),
+            toked AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM corpus
+            ),
+            idx AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+                FROM toked
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+                FROM idx
+            ),
+            sizes AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+            ),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT c.id_a, c.id_b FROM common c
+                JOIN sizes sa ON sa.doc_id = c.id_a
+                JOIN sizes sb ON sb.doc_id = c.id_b
+                WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+            ),
+            comps AS (
+                SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+            )
+            SELECT c.doc_id,
+                   COALESCE(k.component, c.doc_id) AS cluster_id,
+                   COALESCE(k.component, c.doc_id) = c.doc_id AS is_keeper
+            FROM (SELECT doc_id FROM corpus) c
+            LEFT JOIN comps k ON c.doc_id = k.id
+        """,
+        "text_repetition": """
+            WITH toked AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            words AS (
+                SELECT doc_id, len(toks) AS n_words,
+                       len(list_distinct(toks)) AS n_uniq
+                FROM toked
+            ),
+            idx2 AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i
+                FROM toked
+            ),
+            g2 AS (
+                SELECT doc_id, COUNT(*) AS total2,
+                       COUNT(DISTINCT concat_ws(' ', toks[i], toks[i+1]))
+                           AS uniq2
+                FROM idx2 GROUP BY doc_id
+            ),
+            idx3 AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+                FROM toked
+            ),
+            g3 AS (
+                SELECT doc_id, COUNT(*) AS total3,
+                       COUNT(DISTINCT concat_ws(' ', toks[i], toks[i+1],
+                                                toks[i+2])) AS uniq3
+                FROM idx3 GROUP BY doc_id
+            )
+            SELECT w.doc_id, w.n_words,
+                   round(1 - w.n_uniq / w.n_words, 6) AS dup_word_frac,
+                   round(1 - g2.uniq2 / g2.total2, 6) AS dup_2gram_frac,
+                   round(1 - g3.uniq3 / g3.total3, 6) AS dup_3gram_frac
+            FROM words w
+            JOIN g2 ON g2.doc_id = w.doc_id
+            JOIN g3 ON g3.doc_id = w.doc_id
+        """,
+        "pii_redact": """
+            WITH injected AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                    || '@example.com'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' from 10.0.'
+                                    || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' call 555-0'
+                                    || lpad(CAST(doc_id % 1000 AS VARCHAR),
+                                            3, '0')
+                               ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b'))
+                       AS BIGINT) AS n_phone,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g'),
+                       '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS redacted
+            FROM injected
         """,
     }

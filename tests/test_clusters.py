@@ -1,0 +1,101 @@
+"""Connected components + cluster resolution vs a Python union-find
+oracle."""
+
+import random
+
+import pytest
+from pyspark.sql import Row
+
+from updater_spark.operators.clusters import (
+    connected_components,
+    resolve_clusters,
+)
+
+
+def _uf_oracle(edges, vertices=None):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    for v in vertices or ():
+        find(v)
+    # min-id canonical label per component
+    comp_min = {}
+    for v in parent:
+        comp_min.setdefault(find(v), set()).add(v)
+    out = {}
+    for root, members in comp_min.items():
+        label = min(members)
+        for v in members:
+            out[v] = label
+    return out
+
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in edges]
+    )
+
+
+def test_chain_requires_transitivity(spark):
+    # 1-2-3-4 chain + isolated pair: labels must propagate across hops
+    edges = [(2, 1), (2, 3), (4, 3), (10, 11)]
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(_pairs_df(spark, edges)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_random_graph_vs_union_find(spark):
+    rng = random.Random(13)
+    verts = list(range(100))
+    edges = [
+        (rng.choice(verts), rng.choice(verts)) for _ in range(120)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(_pairs_df(spark, edges)).collect()
+    }
+    want = _uf_oracle(edges)
+    assert got == want
+
+
+def test_max_iter_raises(spark):
+    # a 6-vertex path needs ~5 hash-min rounds worst case; 1 round
+    # cannot close it
+    edges = [(i + 1, i) for i in range(1, 6)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs_df(spark, edges), max_iter=1)
+
+
+def test_resolve_clusters_keepers_and_singletons(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 7, 9]])
+    pairs = _pairs_df(spark, [(1, 2), (2, 3)])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in resolve_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        7: (7, True),  # singleton: own cluster, kept
+        9: (9, True),
+    }
+    # the keeper set IS the deduplicated corpus: one doc per cluster
+    keepers = [d for d, (_, k) in got.items() if k]
+    assert sorted(keepers) == [1, 7, 9]

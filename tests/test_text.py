@@ -67,3 +67,56 @@ def test_quality_score_range(spark):
     scores = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
     assert all(0 <= v <= 1 for v in scores.values())
     assert scores[1] > scores[3]  # tiny doc penalized
+
+
+def test_repetition_stats_oracle(spark):
+    from updater_spark.operators.text import repetition_stats
+
+    docs = [
+        Row(doc_id=1, text="a b a b a b"),  # heavy 1/2-gram repetition
+        Row(doc_id=2, text="one two three four five"),  # no repeats
+        Row(doc_id=3, text="x"),  # shorter than gram width
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in repetition_stats(spark.createDataFrame(docs)).collect()
+    }
+
+    def frac(items):
+        return round(1 - len(set(items)) / len(items), 6)
+
+    for d in docs:
+        toks = d.text.split()
+        grams2 = [" ".join(toks[i : i + 2]) for i in range(max(len(toks) - 1, 1))]
+        grams3 = [" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))]
+        r = got[d.doc_id]
+        assert r["n_words"] == len(toks)
+        assert abs(r["dup_word_frac"] - frac(toks)) < 1e-9
+        assert abs(r["dup_2gram_frac"] - frac(grams2)) < 1e-9
+        assert abs(r["dup_3gram_frac"] - frac(grams3)) < 1e-9
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[3]["dup_word_frac"] == 0.0  # single partial gram, no dup
+
+
+def test_pii_redact(spark):
+    from updater_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text="mail bob.smith+x@corp.example.org or alice@ex.io, "
+                "host 192.168.0.1 ext 555-0199",
+            ),
+            Row(doc_id=2, text="no pii here at all"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    r1 = got[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (2, 1, 1)
+    assert r1["redacted"] == (
+        "mail <EMAIL> or <EMAIL>, host <IP> ext <PHONE>"
+    )
+    r2 = got[2]
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
+    assert r2["redacted"] == "no pii here at all"

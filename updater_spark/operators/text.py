@@ -110,6 +110,81 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of word / 2-gram /
+    3-gram occurrences that are repeats of an earlier occurrence
+    (``1 - distinct/total``). High values flag boilerplate and
+    degenerate (looping) text — a standard pre-training filter.
+
+    Pure per-row array arithmetic — no explode, no shuffle: the whole
+    thing is a projection fused into the scan, so at 100 TB it runs at
+    read speed with zero exchanges.
+    """
+
+    def gram_frac(n: int) -> Column:
+        if n == 1:
+            grams: Column = tokens(text_col)
+        else:
+            toks = tokens(text_col)
+            idx = F.sequence(
+                F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
+            )
+            # same slice+concat_ws gram construction as
+            # dedup.word_shingles, but WITHOUT array_distinct — here
+            # the multiplicity is the signal.
+            grams = F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+            )
+        return F.round(
+            F.lit(1) - F.size(F.array_distinct(grams)) / F.size(grams), 6
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("n_words"),
+        gram_frac(1).alias("dup_word_frac"),
+        gram_frac(2).alias("dup_2gram_frac"),
+        gram_frac(3).alias("dup_3gram_frac"),
+    )
+
+
+# (name, pattern, replacement) — patterns restricted to syntax valid in
+# BOTH Java regex (Spark) and RE2 (DuckDB oracle): character classes,
+# bounded repetition, \b word boundaries. No lookarounds/backrefs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub PII-shaped spans (emails, IPv4 addresses, US-style phone
+    fragments) from ``text_col``: per-pattern match counts (measured on
+    the ORIGINAL text) plus the redacted text with each span replaced
+    by a typed placeholder. Patterns are applied in PII_PATTERNS order
+    (email first, so an address is consumed before its digit runs can
+    match narrower patterns).
+
+    Counts + replace are Catalyst ``regexp_count``/``regexp_replace``
+    — a scan-fused projection, no shuffle (same scale shape as
+    repetition_stats)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(
+            f"n_{name}"
+        )
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
