@@ -1056,6 +1056,28 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(injected)
 
 
+def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination probe: every corpus doc scored by
+    8-gram collision against a benchmark slice (doc_id % 17 == 0).
+    The benchmark gram-hash set is broadcast — the corpus side never
+    shuffles its text (operators/decontam.py has the 100 TB shape)."""
+    from updater_spark.operators.decontam import contamination
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination(docs, bench, "doc_id", "text", n=8)
+
+
+def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus length profile: count/min/max + exact p50/p90/
+    p99 (linear interpolation, bit-identical to DuckDB quantile_cont).
+    approx_percentile is the unbounded-group scale path (docstring)."""
+    from updater_spark.operators.aggregates import group_quantiles
+
+    docs = demo.load(spark, sf_dir, "documents")
+    return group_quantiles(docs, ["source"], "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1132,6 +1154,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "text_repetition": q_text_repetition,
         "pii_redact": q_pii_redact,
+        "decontam_ngram": q_decontam_ngram,
+        "corpus_quantiles": q_corpus_quantiles,
     }
 
 
@@ -1803,5 +1827,49 @@ def oracle_sql() -> dict[str, str]:
                            '<IP>', 'g'),
                        '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS redacted
             FROM injected
+        """,
+        "decontam_ngram": """
+            WITH toked AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS i
+                FROM toked
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                 toks[i+3], toks[i+4], toks[i+5],
+                                 toks[i+6], toks[i+7]) AS gram
+                FROM idx
+            ),
+            sizes AS (
+                SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+            ),
+            bench AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0
+            ),
+            hits AS (
+                SELECT g.doc_id, COUNT(*) AS n_hit_grams
+                FROM grams g JOIN bench b ON g.gram = b.gram
+                GROUP BY g.doc_id
+            )
+            SELECT s.doc_id, s.n_grams,
+                   COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+                   COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+            FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        "corpus_quantiles": """
+            SELECT source,
+                   COUNT(*) AS n,
+                   CAST(MIN(n_chars) AS BIGINT) AS vmin,
+                   CAST(MAX(n_chars) AS BIGINT) AS vmax,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99
+            FROM documents GROUP BY source
         """,
     }

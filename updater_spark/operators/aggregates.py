@@ -95,3 +95,32 @@ def tribe_stats(
         F.first("active").alias("active"),
     ] + [(F.sum(c) / F.first("members_sqrt")).alias(c) for c in stat_columns]
     return joined.groupBy("id").agg(*aggs)
+
+
+def group_quantiles(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+):
+    """Per-group EXACT quantiles (linear interpolation — numerically
+    identical to DuckDB's ``quantile_cont``, verified bit-exact in the
+    driver oracle) plus count/min/max: the corpus-profile aggregate a
+    data-quality dashboard wants per source/language.
+
+    ``percentile`` is exact and buffers each group's values — the
+    right call for bounded groups (sources, languages). For unbounded
+    or skewed group sizes at 100 TB use
+    ``approx_percentile(col, probs, accuracy)`` instead: mergeable
+    KLL-style sketch, map-side combinable, no per-group buffering."""
+    arr = ", ".join(repr(p) for p in probs)
+    q = F.expr(f"percentile({value_col}, array({arr}))")
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).cast("long").alias("vmin"),
+        F.max(value_col).cast("long").alias("vmax"),
+        *[
+            F.round(q[i], 6).alias(f"p{int(p * 100):02d}")
+            for i, p in enumerate(probs)
+        ],
+    )
