@@ -32,20 +32,42 @@ def tokens(text_col: str | Column) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
-def word_shingles(text_col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string> (the classic
+def tokenize(df: DataFrame, text_col: str, out: str = "_toks") -> DataFrame:
+    """Materialize the whitespace token array as a real column.
+
+    ALWAYS pre-tokenize before building shingles: a higher-order
+    function whose lambda references the raw ``split(...)`` expression
+    (as the gram builder's ``slice(toks, i+1, n)`` does) gets the
+    split INLINED INTO THE LAMBDA by Catalyst and re-splits the text
+    once per array element — O(len²) regex work per doc (measured 7×
+    slower on the sf0.1 corpus). A multiply-referenced non-cheap
+    alias survives CollapseProject, so the split runs once per row."""
+    return df.withColumn(out, tokens(text_col))
+
+
+def word_shingles_of(toks_col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a PRE-MATERIALIZED token
+    array column (see ``tokenize``) as an array<string> (the classic
     shingling step; MMDS ch.3).
 
     ``slice``-based gram construction measured ~2× faster than
     per-position ``element_at`` lookups (element_at pays ordinal/null
     handling per call; slice+concat_ws stays in one specialized loop).
     Short docs (< n tokens) yield their single partial gram."""
-    toks = tokens(text_col)
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
     return F.array_distinct(grams)
+
+
+def word_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Shingles straight from a text column. Convenience for small
+    inputs/tests — hot paths must use ``tokenize`` +
+    ``word_shingles_of`` (see tokenize docstring for the O(len²)
+    trap this form carries)."""
+    return word_shingles_of(tokens(text_col), n)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -110,9 +132,12 @@ def minhash_signatures(
     coefficient array, no Python in the loop.
     """
     coeffs = _hash_coeffs(num_hashes, seed)
-    base = df.select(
+    # explode_outer: plain explode's inferred size>0 filter re-inlines
+    # the gram build below the token projection (see tokenize
+    # docstring); shingle arrays are never empty so outer ≡ inner.
+    base = tokenize(df, text_col).select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        F.explode_outer(word_shingles_of("_toks", shingle_n)).alias("shingle"),
     ).select(
         "id",
         # non-negative 32-bit base hash (keeps a*h+b < 2^63, see
@@ -220,8 +245,8 @@ def lsh_verified_pairs(
     (asserted in tests/test_dedup.py)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
     cand = lsh_candidate_pairs(sigs, bands)
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    sh = tokenize(df, text_col).select(
+        F.col(id_col).alias("id"), word_shingles_of("_toks", n).alias("sh")
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -276,16 +301,18 @@ def ngram_jaccard_pairs(
     sharing ≥1 shingle. Shuffles on the shingle (inverted index), then
     on the pair. Quadratic in per-shingle frequency — at scale run it
     only on LSH candidates."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    sh = tokenize(df, text_col).select(
+        F.col(id_col).alias("id"), word_shingles_of("_toks", n).alias("sh")
     )
     # One pass: explode carrying the set size, group by shingle into a
     # posting list, pair-expand each posting. No self-join → the
     # shingle computation and its shuffle happen once (a self-join
     # would recompute and reshuffle both branches).
+    # explode_outer: dodge the inferred size>0 filter that re-inlines
+    # the gram build (see tokenize docstring); sh is never empty.
     inv = sh.select(
         F.struct(F.col("id"), F.size("sh").alias("n_sh")).alias("doc"),
-        F.explode("sh").alias("shingle_str"),
+        F.explode_outer("sh").alias("shingle_str"),
     ).select(
         "doc",
         # shuffle 8-byte hashes, not shingle strings (64-bit collision

@@ -120,20 +120,24 @@ def repetition_stats(
 
     Pure per-row array arithmetic — no explode, no shuffle: the whole
     thing is a projection fused into the scan, so at 100 TB it runs at
-    read speed with zero exchanges.
+    read speed with zero exchanges. Tokens are pre-materialized (see
+    dedup.tokenize) so the gram lambdas slice a bound column instead
+    of re-splitting the text per element.
     """
+    from updater_spark.operators.dedup import tokenize
+
+    toks = F.col("_toks")
 
     def gram_frac(n: int) -> Column:
         if n == 1:
-            grams: Column = tokens(text_col)
+            grams: Column = toks
         else:
-            toks = tokens(text_col)
             idx = F.sequence(
                 F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
             )
             # same slice+concat_ws gram construction as
-            # dedup.word_shingles, but WITHOUT array_distinct — here
-            # the multiplicity is the signal.
+            # dedup.word_shingles_of, but WITHOUT array_distinct —
+            # here the multiplicity is the signal.
             grams = F.transform(
                 idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
             )
@@ -141,9 +145,9 @@ def repetition_stats(
             F.lit(1) - F.size(F.array_distinct(grams)) / F.size(grams), 6
         )
 
-    return df.select(
+    return tokenize(df, text_col).select(
         F.col(id_col),
-        F.size(tokens(text_col)).cast("long").alias("n_words"),
+        F.size(toks).cast("long").alias("n_words"),
         gram_frac(1).alias("dup_word_frac"),
         gram_frac(2).alias("dup_2gram_frac"),
         gram_frac(3).alias("dup_3gram_frac"),
