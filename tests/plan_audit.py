@@ -32,7 +32,23 @@ CHECKS = {
     ),
     "dedup_minhash_lsh": (
         "single explode+groupBy for signatures, one more shuffle for bands — "
-        "no self-joins of raw text."
+        "no self-joins of raw text. No Filter node below the shingle "
+        "Generate (explode_outer dodges InferFiltersFromGenerate's "
+        "re-inlined gram build)."
+    ),
+    "asof_join_events": (
+        "exactly ONE Exchange (the key shuffle for the window) — the "
+        "union+window as-of form never expands to |matches| rows the way a "
+        "range join would."
+    ),
+    "decontam_ngram": (
+        "benchmark gram set is BroadcastExchange'd; the corpus side's only "
+        "Exchange is the per-doc hit-count aggregate — corpus text never "
+        "shuffles."
+    ),
+    "text_repetition": (
+        "zero Exchanges — dup-fraction stats are a pure scan-fused "
+        "projection; ReadSchema prunes to (doc_id, text)."
     ),
 }
 
