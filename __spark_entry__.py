@@ -1056,6 +1056,43 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(injected)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup via the persistent MinHash/LSH index:
+    bootstrap on the originals, then a CDC-style update ingests the
+    near-copies — only the delta is signed; its band hashes probe the
+    stored band table (broadcast delta side). Union of both calls'
+    candidates, refined by exact Jaccard, equals the one-shot
+    pipeline's verified pairs (per-call parity in
+    tests/test_dedup_index.py), so the exact-SQL oracle applies."""
+    import tempfile
+
+    from updater_spark.operators.dedup import verify_pairs_exact
+    from updater_spark.operators.dedup_index import DedupIndex
+    from updater_spark.sources.store import TableStore
+
+    docs = (
+        demo.load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 100_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz yy xx"))
+    )
+    # temp store stays on disk: the result must remain a distributed
+    # scan (same lifecycle stance as q_streaming_cdc)
+    store = TableStore(spark, tempfile.mkdtemp(prefix="dedupidx_"))
+    idx = DedupIndex(store, "docs")
+    p0 = idx.bootstrap(docs, "doc_id", "text")
+    p1 = idx.update(copies, "doc_id", "text")
+    cand = p0.unionByName(p1).distinct()
+    verified = verify_pairs_exact(
+        docs.unionByName(copies), cand, "doc_id", "text", n=3, threshold=0.5
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination probe: every corpus doc scored by
     8-gram collision against a benchmark slice (doc_id % 17 == 0).
@@ -1154,6 +1191,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "text_repetition": q_text_repetition,
         "pii_redact": q_pii_redact,
+        "dedup_incremental": q_dedup_incremental,
         "decontam_ngram": q_decontam_ngram,
         "corpus_quantiles": q_corpus_quantiles,
     }
@@ -1335,6 +1373,25 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus GROUP BY text
         """,
         "dedup_ngram_jaccard": _SHINGLE_CTES
+        + """
+            , common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+            FROM common c
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+        """,
+        # dedup_incremental: union of bootstrap+update candidates refined
+        # by exact Jaccard == the one-shot verified pipeline (pair-set
+        # parity asserted in tests/test_dedup_index.py), so the same
+        # exact-SQL oracle applies.
+        "dedup_incremental": _SHINGLE_CTES
         + """
             , common AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common

@@ -173,19 +173,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    bands: int = 16,
-    max_bucket: int = 200,
-) -> DataFrame:
-    """Band the signatures and emit candidate pairs (id_a < id_b) that
-    collide in ≥1 band. ``max_bucket`` drops degenerate buckets (all-
-    identical boilerplate) that would explode quadratically — the
-    standard skew guard; dropped buckets should be handled by exact
-    dedup first."""
+def band_hashes(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """``(id, band, band_hash)`` — the LSH banding step: hash each of
+    ``bands`` contiguous signature slices. Shared by the one-shot
+    candidate-pair scan and the incremental index (dedup_index.py),
+    which persists exactly this table as probe state."""
     n = signatures.select(F.size("signature")).first()[0]
     rows_per_band = n // bands
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.posexplode(
             F.array(
@@ -204,6 +199,19 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (id_a < id_b) that
+    collide in ≥1 band. ``max_bucket`` drops degenerate buckets (all-
+    identical boilerplate) that would explode quadratically — the
+    standard skew guard; dropped buckets should be handled by exact
+    dedup first."""
+    banded = band_hashes(signatures, bands)
     grouped = banded.groupBy("band", "band_hash").agg(
         F.collect_list("id").alias("ids")
     )
@@ -245,6 +253,22 @@ def lsh_verified_pairs(
     (asserted in tests/test_dedup.py)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
     cand = lsh_candidate_pairs(sigs, bands)
+    return verify_pairs_exact(df, cand, id_col, text_col, n, threshold)
+
+
+def verify_pairs_exact(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given candidate
+    ``pairs`` (columns id_a, id_b) — the refine step after any
+    sub-quadratic candidate generator (one-shot LSH, the incremental
+    index, SimHash banding). Each side's shingle set is built once and
+    joined in by id; cost is O(|pairs|), never O(n²)."""
     sh = tokenize(df, text_col).select(
         F.col(id_col).alias("id"), word_shingles_of("_toks", n).alias("sh")
     )
@@ -254,7 +278,7 @@ def lsh_verified_pairs(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.join(a, "id_a")
+        pairs.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,162 @@
+"""Incremental corpus dedup: a persistent MinHash/LSH index updated
+per CDC cycle.
+
+The one-shot pipeline (dedup.py) re-signs the WHOLE corpus every run —
+fine for a batch job, wrong for the reference's incremental model
+(SURVEY.md §2.6: diff → fetch only changed rows → derive). At 100 TB
+a full re-sign is days of compute to process a 0.1% delta. This index
+is the dedup twin of the CDC fingerprint cache (plans/cdc.py): state
+that persists between runs so each update touches O(|delta|) docs:
+
+- ``{name}_sigs``  (id, signature array<long>) — MinHash signatures.
+- ``{name}_bands`` (id, band, band_hash)       — LSH probe table.
+
+``update(delta)`` signs ONLY the delta, probes its band hashes against
+the stored band table (new×old), runs banding among the delta itself
+(new×new), replaces any stale state for re-ingested ids, and appends
+the delta's state. Every LSH-collision pair {a, b} is emitted exactly
+once — by whichever call ingests the later of the two docs — so the
+union of all calls' outputs equals the one-shot scan's pairs on the
+final corpus (asserted in tests/test_dedup_index.py).
+
+Scale shape: the delta band table is small → broadcast side of the
+new×old probe join; the stored band table only ever streams through
+that join (no groupBy over the full corpus, ever). State writes go
+through TableStore's versioned write + atomic pointer swap (same
+crash-safety as the CDC hash cache, reference table.py:108-117). For
+corpus-scale state, back the band table with
+``write_bucketed_versioned`` on (band, band_hash) to make the probe
+join exchange-free on the stored side — same trade as
+CdcEngine(fingerprint_buckets=N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from updater_spark.operators.dedup import (
+    band_hashes,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from updater_spark.sources.store import TableStore
+
+
+class DedupIndex:
+    def __init__(
+        self,
+        store: TableStore,
+        name: str,
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_n: int = 3,
+        seed: int = 7,
+        max_bucket: int = 200,
+    ):
+        self.store = store
+        self.name = name
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.seed = seed
+        self.max_bucket = max_bucket
+
+    @property
+    def _sigs_name(self) -> str:
+        return f"{self.name}_sigs"
+
+    @property
+    def _bands_name(self) -> str:
+        return f"{self.name}_bands"
+
+    def exists(self) -> bool:
+        return self.store.exists(self._sigs_name)
+
+    def signatures(self) -> DataFrame:
+        return self.store.read(self._sigs_name)
+
+    def _sign(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        return minhash_signatures(
+            docs, id_col, text_col, self.num_hashes, self.shingle_n, self.seed
+        )
+
+    def bootstrap(
+        self, docs: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Build the index from the initial corpus; returns the
+        candidate pairs within it (the one-shot scan's output)."""
+        sigs = self._sign(docs, id_col, text_col)
+        self.store.write(self._sigs_name, sigs)
+        self.store.write(
+            self._bands_name, band_hashes(self.signatures(), self.bands)
+        )
+        return lsh_candidate_pairs(
+            self.signatures(), self.bands, self.max_bucket
+        )
+
+    def update(
+        self, delta: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Ingest new/changed docs; returns candidate pairs involving
+        the delta (new×old ∪ new×new). A re-ingested id's previous
+        signature and bands are replaced first, so pairs always
+        reflect current text and a changed doc never pairs through its
+        own stale buckets."""
+        if not self.exists():
+            return self.bootstrap(delta, id_col, text_col)
+        delta_sigs = self._sign(delta, id_col, text_col)
+        delta_ids = delta.select(F.col(id_col).alias("id")).distinct()
+
+        old_sigs = self.signatures().join(delta_ids, "id", "anti")
+        old_bands = (
+            self.store.read(self._bands_name).join(delta_ids, "id", "anti")
+        )
+
+        # persist FIRST (versioned write + pointer swap is atomic), so
+        # the returned pairs — computed lazily by the caller — read
+        # consistent state.
+        new_sigs = old_sigs.unionByName(delta_sigs)
+        self.store.write(self._sigs_name, new_sigs)
+        delta_bands = band_hashes(
+            self.signatures().join(delta_ids, "id", "semi"), self.bands
+        )
+        self.store.write(
+            self._bands_name, old_bands.unionByName(delta_bands)
+        )
+
+        # read back the POST-write state (version dirs are immutable
+        # but old versions are GC-eligible; never hold pre-write refs)
+        stored = self.store.read(self._bands_name)
+        probe = stored.join(delta_ids, "id", "semi")
+        rest = stored.join(delta_ids, "id", "anti")
+        # delta side is small by construction → broadcast it; the full
+        # band table streams through the join without shuffling
+        new_old = (
+            F.broadcast(
+                probe.select(F.col("id").alias("id_n"), "band", "band_hash")
+            )
+            .join(rest, ["band", "band_hash"])
+            .select(
+                F.least("id_n", "id").alias("id_a"),
+                F.greatest("id_n", "id").alias("id_b"),
+            )
+            .distinct()
+        )
+        new_new = lsh_candidate_pairs(
+            self.store.read(self._sigs_name).join(delta_ids, "id", "semi"),
+            self.bands,
+            self.max_bucket,
+        )
+        return new_old.unionByName(new_new).distinct()
+
+    def remove(self, ids: DataFrame) -> None:
+        """Drop documents (e.g. CDC deletes) from the index state."""
+        ids = ids.toDF("id")
+        self.store.write(
+            self._sigs_name, self.signatures().join(ids, "id", "anti")
+        )
+        self.store.write(
+            self._bands_name,
+            self.store.read(self._bands_name).join(ids, "id", "anti"),
+        )
