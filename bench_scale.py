@@ -83,5 +83,82 @@ def main(n: int) -> None:
     )
 
 
+def bucketed_probe(n: int) -> None:
+    """Quantify the bucketing crossover for the diff join: at sf0.1 the
+    catalog/bucketed path loses to plain parquet (fixed metastore +
+    per-bucket task overhead dominates 150k rows); this probe shows
+    where it wins. Three variants of the same full-outer diff over
+    (pk, hashed) fingerprints:
+
+    - plain ⨝ plain:     Exchange + Sort on BOTH sides every run
+    - bucketed ⨝ fresh:  replica side pre-bucketed (the engine's
+                         steady-state: the 100M-row stable side never
+                         reshuffles; only the fresh scan sorts)
+    - bucketed ⨝ bucketed: both sides from the double-buffered caches
+                         — no Exchange, no Sort anywhere
+
+    Usage: ``python bench_scale.py [n_rows] bucketed``.
+    """
+    import shutil
+    import tempfile
+
+    spark = get_spark("bench_scale_bucketed")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = (
+        spark.range(1, n + 1, numPartitions=64)
+        .withColumnRenamed("id", "pk")
+        .withColumn("name", F.concat(F.lit("player"), F.col("pk")))
+        .withColumn("cheese", F.pmod(F.xxhash64("pk"), F.lit(100000)))
+    )
+    cols = ["pk", "name", "cheese"]
+    changed = base.withColumn(
+        "cheese",
+        F.when(F.col("pk") % 100 == 0, F.col("cheese") + 1).otherwise(
+            F.col("cheese")
+        ),
+    )
+    src_fp = fingerprint_table(changed, "pk", cols, algo="xxhash64")
+    rep_fp = fingerprint_table(base, "pk", cols, algo="xxhash64")
+
+    root = tempfile.mkdtemp(prefix="bucket_probe_")
+    from updater_spark.sources.store import TableStore
+
+    store = TableStore(spark, root)
+    timings: dict[str, float] = {}
+    try:
+        rep_fp.write.mode("overwrite").parquet(f"{root}/rep_plain")
+        src_fp.write.mode("overwrite").parquet(f"{root}/src_plain")
+        rep_b = store.write_bucketed("probe_rep_b", rep_fp, "id", 32)
+        src_b = store.write_bucketed("probe_src_b", src_fp, "id", 32)
+        rep_p = spark.read.parquet(f"{root}/rep_plain")
+        src_p = spark.read.parquet(f"{root}/src_plain")
+
+        def run(name, l, r):
+            d = snapshot_diff(l, r).groupBy("change_type").count()
+            d.write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                d.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            plan = d._jdf.queryExecution().executedPlan().toString()
+            timings[name] = round(best, 3)
+            timings[name + "_exchanges"] = plan.count("Exchange")
+
+        run("plain_plain", src_p, rep_p)
+        run("bucketed_fresh", src_fp, rep_b)
+        run("bucketed_bucketed", src_b, rep_b)
+        print(json.dumps({"n_rows": n, "bucketed_probe": timings}))
+    finally:
+        for t in ("probe_rep_b", "probe_src_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000)
+    _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
+        bucketed_probe(_n)
+    else:
+        main(_n)
