@@ -1115,6 +1115,133 @@ def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_quantiles(docs, ["source"], "n_chars")
 
 
+def q_changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time replay from the pre-image changelog
+    (operators/merge.py::changelog_replay): reconstruct customer as of
+    the end of epoch 1 from (current replica + 3 epochs of changelog).
+    Closes the loop on download.py:585-595 — the reference writes its
+    changelog but never reads it; here any historical state is
+    derivable without storing snapshots."""
+    from updater_spark.operators.merge import changelog_replay
+
+    cust = demo.load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+    k = F.col("c_custkey")
+    replica = cust.filter(k % 19 != 0)
+
+    def entry(pred, name_c, nat_c, bal_c, epoch, ct):
+        return cust.filter(pred).select(
+            "c_custkey",
+            name_c.alias("c_name"),
+            nat_c.cast("long").alias("c_nationkey"),
+            bal_c.cast("double").alias("c_acctbal"),
+            F.lit(epoch).cast("long").alias("_epoch"),
+            F.lit(ct).alias("_change_type"),
+        )
+
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    changelog = (
+        # epoch 1 updates: BEFORE the replay point — must be ignored
+        entry(k % 11 == 0, F.col("c_name"), F.col("c_nationkey") + 2,
+              F.col("c_acctbal"), 1, "update")
+        .unionByName(entry(k % 13 == 0, F.col("c_name"),
+                           F.col("c_nationkey") + 1, F.col("c_acctbal"), 2,
+                           "update"))
+        .unionByName(entry(k % 19 == 0, F.col("c_name"), F.col("c_nationkey"),
+                           F.col("c_acctbal"), 3, "delete"))
+        # %17∧%19 keys would collide with the same-epoch delete — a
+        # state no real changelog produces; keep the demo well-formed
+        .unionByName(
+            entry((k % 17 == 0) & (k % 19 != 0), null_s, null_l, null_d, 3,
+                  "insert")
+        )
+    )
+    return changelog_replay(replica, changelog, "c_custkey", as_of_epoch=1)
+
+
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (operators/sampling.py::deterministic_shuffle): contiguous 0-based
+    positions in md5(id||salt) order via range-partitioned sort + a
+    narrow per-partition offset stamp (distributed zipWithIndex — no
+    single-reducer window)."""
+    from updater_spark.operators.sampling import deterministic_shuffle
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_shuffle(docs, id_col="doc_id").select(
+        "doc_id", "lang", "pos"
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event-type value totals in one
+    pass. Values list is pinned so no value-discovery pre-pass runs
+    and the schema is static at any scale; sums are integerized
+    (floor(value·1e6)) so the aggregate is order-insensitive."""
+    ev = demo.load_events(spark, sf_dir).withColumn(
+        "v_e6", F.floor(F.col("value") * 1_000_000).cast("long")
+    )
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).sum("v_e6")
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"{t}_e6")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window ops over the event stream: per-user sequence
+    number, running integerized value total, and inter-event gap in
+    microseconds (lag). Explicit ROWS frame; (ts, event_id) ordering
+    is unique so results are engine-exact."""
+    from pyspark.sql import Window
+
+    ev = demo.load_events(spark, sf_dir).filter(F.col("user_id") % 5 == 0)
+    v = F.floor(F.col("value") * 1_000_000).cast("long")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.sum(v)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_value_e6"),
+        (us - F.lag(us, 1).over(w)).alias("gap_us"),
+    )
+
+
+def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 term frequencies
+    (operators/text.py::top_terms): two-level partial agg so the
+    shuffle carries the vocabulary, not the token stream."""
+    from updater_spark.operators.text import top_terms
+
+    docs = demo.load(spark, sf_dir, "documents")
+    return top_terms(docs, k=50)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinctive terms by TF-IDF
+    (operators/text.py::tfidf_top_terms). Integer-only ranking
+    (tf desc, df asc, term asc); the float tfidf is output-only."""
+    from updater_spark.operators.text import tfidf_top_terms
+
+    docs = demo.load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3, min_tf=2)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1194,6 +1321,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "decontam_ngram": q_decontam_ngram,
         "corpus_quantiles": q_corpus_quantiles,
+        "changelog_replay": q_changelog_replay,
+        "shuffle_order": q_shuffle_order,
+        "pivot_events": q_pivot_events,
+        "events_running": q_events_running,
+        "corpus_top_terms": q_corpus_top_terms,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1928,5 +2061,135 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.9), 6) AS p90,
                    round(quantile_cont(n_chars, 0.99), 6) AS p99
             FROM documents GROUP BY source
+        """,
+        "changelog_replay": """
+            WITH cust AS (
+                SELECT c_custkey, c_name,
+                       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                       round(c_acctbal, 2) AS c_acctbal
+                FROM customer
+            ),
+            replica AS (SELECT * FROM cust WHERE c_custkey % 19 <> 0),
+            log AS (
+                SELECT c_custkey, c_name, c_nationkey + 2 AS c_nationkey,
+                       c_acctbal, 1 AS _epoch, 'update' AS ct
+                FROM cust WHERE c_custkey % 11 = 0
+                UNION ALL
+                SELECT c_custkey, c_name, c_nationkey + 1, c_acctbal, 2,
+                       'update'
+                FROM cust WHERE c_custkey % 13 = 0
+                UNION ALL
+                SELECT c_custkey, c_name, c_nationkey, c_acctbal, 3, 'delete'
+                FROM cust WHERE c_custkey % 19 = 0
+                UNION ALL
+                SELECT c_custkey, CAST(NULL AS VARCHAR),
+                       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), 3, 'insert'
+                FROM cust WHERE c_custkey % 17 = 0 AND c_custkey % 19 <> 0
+            ),
+            first_entry AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY c_custkey ORDER BY _epoch ASC, ct ASC
+                    ) AS rn
+                    FROM log WHERE _epoch > 1
+                ) WHERE rn = 1
+            )
+            SELECT COALESCE(f.c_custkey, r.c_custkey) AS c_custkey,
+                   CASE WHEN f.c_custkey IS NOT NULL THEN f.c_name
+                        ELSE r.c_name END AS c_name,
+                   CASE WHEN f.c_custkey IS NOT NULL THEN f.c_nationkey
+                        ELSE r.c_nationkey END AS c_nationkey,
+                   CASE WHEN f.c_custkey IS NOT NULL THEN f.c_acctbal
+                        ELSE r.c_acctbal END AS c_acctbal
+            FROM replica r FULL OUTER JOIN first_entry f
+              ON r.c_custkey = f.c_custkey
+            WHERE f.c_custkey IS NULL OR f.ct <> 'insert'
+        """,
+        "shuffle_order": """
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || 'shuffle-v1'),
+                                doc_id
+                   ) - 1 AS pos
+            FROM documents
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(floor(value * 1000000) AS BIGINT) END), 0)
+                       AS BIGINT) AS click_e6,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                       THEN CAST(floor(value * 1000000) AS BIGINT) END), 0)
+                       AS BIGINT) AS error_e6,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 1000000) AS BIGINT) END), 0)
+                       AS BIGINT) AS purchase_e6,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'
+                       THEN CAST(floor(value * 1000000) AS BIGINT) END), 0)
+                       AS BIGINT) AS signup_e6,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(floor(value * 1000000) AS BIGINT) END), 0)
+                       AS BIGINT) AS view_e6
+            FROM events GROUP BY user_id
+        """,
+        "events_running": """
+            SELECT user_id, event_id,
+                   row_number() OVER w AS seq,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS run_value_e6,
+                   epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+            FROM events
+            WHERE user_id % 5 = 0
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "corpus_top_terms": """
+            WITH tok AS (
+                SELECT doc_id, lower(t) AS term
+                FROM documents,
+                     unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS u(t)
+                WHERE t <> ''
+            ),
+            per_doc AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ),
+            vocab AS (
+                SELECT term, COUNT(*) AS n_docs,
+                       CAST(SUM(tf) AS BIGINT) AS n_occurrences
+                FROM per_doc GROUP BY 1
+            )
+            SELECT * FROM (
+                SELECT row_number() OVER (
+                           ORDER BY n_occurrences DESC, term ASC
+                       ) AS rank,
+                       term, n_docs, n_occurrences
+                FROM vocab
+            ) WHERE rank <= 50
+        """,
+        "tfidf_top_terms": """
+            WITH tok AS (
+                SELECT doc_id, lower(t) AS term
+                FROM documents,
+                     unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS u(t)
+                WHERE t <> ''
+            ),
+            per_doc AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tok
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            df_t AS (SELECT term, COUNT(*) AS df FROM per_doc GROUP BY 1),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+            SELECT doc_id, rank, term, tf, df,
+                   round(tf * ln((n_docs + 1.0) / (df + 1)), 4) AS tfidf
+            FROM (
+                SELECT p.doc_id, p.term, p.tf, d.df,
+                       row_number() OVER (
+                           PARTITION BY p.doc_id
+                           ORDER BY p.tf DESC, d.df ASC, p.term ASC
+                       ) AS rank
+                FROM per_doc p JOIN df_t d USING (term)
+            ), n
+            WHERE rank <= 3
         """,
     }

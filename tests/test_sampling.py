@@ -123,3 +123,34 @@ def test_sampling_rejects_bad_args(spark, docs):
         stratified_sample(docs, {"en": -0.1}, "lang")
     with pytest.raises(ValueError):
         mixture_resample(docs, {"en": -1.0}, "lang")
+
+
+def test_deterministic_shuffle_positions(spark, docs):
+    """Positions are the contiguous 0..n-1 ranks of md5(id||salt),
+    verified against a driver-side Python oracle, and stable under
+    repartitioning."""
+    import hashlib
+
+    from updater_spark.operators.sampling import deterministic_shuffle
+
+    rows = docs.collect()
+    expected = {
+        r["doc_id"]: i
+        for i, r in enumerate(
+            sorted(
+                rows,
+                key=lambda r: (
+                    hashlib.md5(f"{r['doc_id']}shuffle-v1".encode()).hexdigest(),
+                    r["doc_id"],
+                ),
+            )
+        )
+    }
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in deterministic_shuffle(docs, id_col="doc_id").collect()
+    }
+    assert got == expected
+
+    skewed = deterministic_shuffle(docs.repartition(7), id_col="doc_id")
+    assert {r["doc_id"]: r["pos"] for r in skewed.collect()} == expected

@@ -120,3 +120,33 @@ def test_pii_redact(spark):
     r2 = got[2]
     assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
     assert r2["redacted"] == "no pii here at all"
+
+
+def test_top_terms_and_tfidf(spark):
+    from updater_spark.operators.text import tfidf_top_terms, top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat"),
+            (2, "the dog sat on the log"),
+            (3, "cats & dogs; CATS!"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {r["term"]: (r["n_docs"], r["n_occurrences"], r["rank"])
+           for r in top_terms(docs, k=3).collect()}
+    # 'the': 5 occurrences across 2 docs; 'cat' 2; 'cats' 2 (lowercased,
+    # punctuation split); ties broken term-asc
+    assert top == {"the": (2, 5, 1), "cat": (1, 2, 2), "cats": (1, 2, 3)}
+
+    tfidf = tfidf_top_terms(docs, k=2, min_tf=2).collect()
+    by_doc = {}
+    for r in tfidf:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"], r["df"]))
+    # doc 1: tf>=2 terms are the(3), cat(2); doc 2: the(2); doc 3: cats(2)
+    assert sorted(by_doc[1]) == [(1, "the", 3, 2), (2, "cat", 2, 1)]
+    assert sorted(by_doc[2]) == [(1, "the", 2, 2)]
+    assert sorted(by_doc[3]) == [(1, "cats", 2, 1)]
+    # tfidf value sanity: rarer term scores higher at equal tf
+    vals = {(r["doc_id"], r["term"]): r["tfidf"] for r in tfidf}
+    assert vals[(1, "cat")] > vals[(2, "the")]

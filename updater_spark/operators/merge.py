@@ -89,6 +89,68 @@ def apply_deletes(
     return DeleteResult(result=kept, applied=True, delete_count=n)
 
 
+def changelog_replay(
+    replica: DataFrame,
+    changelog: DataFrame,
+    key: str,
+    as_of_epoch: int,
+    epoch_col: str = "_epoch",
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """Point-in-time reconstruction from the pre-image changelog: the
+    table's state as of the END of ``as_of_epoch``.
+
+    The reference only ever reads its changelog manually
+    (download.py:585-595 writes it, nothing consumes it) — this
+    operator closes that loop: with pre-images stamped by run epoch
+    (plans/cdc.py), any historical state is derivable from (current
+    replica + changelog) without storing full snapshots.
+
+    Semantics, per key, over entries with ``epoch > as_of_epoch``:
+    - no entry        → the current replica row was already current.
+    - earliest entry is an ``update``/``delete`` pre-image → that
+      pre-image IS the row's value at ``as_of_epoch`` (a delete's
+      pre-image proves the row still existed back then).
+    - earliest entry is an ``insert`` marker → the key did not exist
+      yet; drop it.
+
+    Scale shape: the changelog side reduces via ``min_by`` groupBy
+    (partial-aggregated map-side, one shuffle of changelog rows — tiny
+    vs the replica), then a single keyed full-outer join against the
+    replica; with a bucketed replica the join side needs no Exchange.
+    """
+    data_cols = [c for c in changelog.columns if c not in (epoch_col, change_type_col)]
+    first = (
+        changelog.filter(F.col(epoch_col) > as_of_epoch)
+        .groupBy(key)
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col(change_type_col).alias("ct"),
+                    *[F.col(c) for c in data_cols if c != key],
+                ),
+                # a well-formed changelog has one entry per (key, epoch);
+                # the change-type tiebreak keeps even malformed input
+                # deterministic (delete < insert < update lexically)
+                F.struct(F.col(epoch_col), F.col(change_type_col)),
+            ).alias("_pre")
+        )
+    )
+    joined = replica.join(first, key, "full_outer")
+    out_cols = [F.col(key)]
+    for c in data_cols:
+        if c == key:
+            continue
+        out_cols.append(
+            F.when(F.col("_pre").isNotNull(), F.col(f"_pre.{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+        )
+    return joined.filter(
+        F.col("_pre").isNull() | (F.col("_pre.ct") != F.lit("insert"))
+    ).select(*out_cols)
+
+
 def changelog_preimages(
     old_table: DataFrame, updated_keys: DataFrame, key: str,
     hint_broadcast: bool = True,

@@ -30,7 +30,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "stratified_sample", "mixture_resample", "hash_unit"]
+__all__ = [
+    "hash_sample",
+    "stratified_sample",
+    "mixture_resample",
+    "hash_unit",
+    "deterministic_shuffle",
+]
 
 _SCALE = float(1 << 32)
 
@@ -89,6 +95,67 @@ def stratified_sample(
             thr
         )
     return df.filter(hash_unit(id_col, salt) < thr)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Global deterministic shuffle: assign every row a contiguous
+    0-based position in md5(id || salt) order — the reproducible
+    training-order shuffle of an LLM data pipeline (same corpus + salt
+    ⇒ same order on any engine, any partitioning, any rerun).
+
+    Scale shape: the naive ``row_number() OVER (ORDER BY h)`` collapses
+    the whole table into ONE window partition — a non-starter at
+    100 TB. Instead the classic distributed zipWithIndex: (1) range-
+    partitioned sort on the hash (split points sampled, every
+    partition sorts in parallel), (2) count rows per sorted partition
+    (tiny agg — one long per partition reaches the driver), (3) a
+    NARROW Arrow pass stamps position = partition offset + running
+    local index. One shuffle total (the sort's), no single-reducer
+    stage, order preserved because mapInPandas maps partitions
+    in-place.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    sorted_df = (
+        df.withColumn("__h", h)
+        .sort(F.col("__h"), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # Re-running the range partitioner on fresh samples could move the
+    # split points between the count job and the stamping job — pin
+    # the sorted result so the counted partitions ARE the stamped ones.
+    sorted_df = sorted_df.persist()
+    counts = dict(
+        sorted_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sorted_df.schema
+    )
+
+    def stamp(batches):
+        seen = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base = offsets[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf[pos_col] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return (
+        sorted_df.mapInPandas(stamp, schema=f"{fields}, {pos_col} long")
+        .drop("__h", "__pid")
+    )
 
 
 def mixture_resample(

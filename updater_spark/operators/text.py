@@ -189,6 +189,106 @@ def pii_redact(
     return df.select(F.col(id_col), *counts, red.alias("redacted"))
 
 
+def _ascii_terms(text_col: str) -> Column:
+    """ASCII-letter term array: split on non-letter runs, lowercase.
+
+    Restricting terms to [A-Za-z] runs keeps lowercase semantics
+    byte-identical across engines (Unicode case-folding differs
+    between ICU/JVM/C library implementations; ASCII never does)."""
+    return F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[^A-Za-z]+"), lambda t: F.lower(t)
+        ),
+        lambda t: t != "",
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-level top-k term frequencies: ``(rank, term, n_docs,
+    n_occurrences)`` ordered by occurrence count (ties → term asc).
+
+    Scale shape: explode → two-level agg. The per-(doc, term) count
+    happens first so the second agg's ``n_docs`` is a plain COUNT —
+    both aggs partial-combine map-side, so the shuffle carries the
+    vocabulary, not the token stream. The final top-k ranks only the
+    aggregated vocab (orders of magnitude smaller than the corpus);
+    its single-partition window is over ≤|vocab| rows and is the
+    correct place to pay that cost.
+    """
+    from pyspark.sql import Window
+
+    per_doc = (
+        df.select(F.col(id_col), F.explode(_ascii_terms(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tf").alias("n_occurrences")
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+    return (
+        vocab.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "term", "n_docs", "n_occurrences")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_tf: int = 2,
+) -> DataFrame:
+    """Per-document top-k distinctive terms by TF-IDF:
+    ``(doc_id, rank, term, tf, df, tfidf)``.
+
+    Ranking is INTEGER-only — (tf desc, df asc, term asc) — so result
+    order is engine-exact; the float ``tfidf = tf · ln((N+1)/(df+1))``
+    is carried as a rounded output column, never compared.
+
+    Scale shape: the doc-frequency table is a vocab-sized aggregate
+    joined back on ``term`` (broadcast when the vocab is small, AQE
+    decides); the corpus-wide doc count N is the one scalar collected.
+    The per-doc top-k window partitions by doc — fully parallel.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.select(id_col).distinct().count()
+    per_doc = (
+        df.select(F.col(id_col), F.explode(_ascii_terms(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    doc_freq = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        per_doc.join(doc_freq, "term")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
