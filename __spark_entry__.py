@@ -1232,6 +1232,27 @@ def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms(docs, k=50)
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-filter pipeline: per-doc heuristic quality
+    score → per-language exact p25 threshold → keep docs at or above
+    their language's threshold. The per-lang threshold table is tiny
+    (one row per language) and broadcasts; the filter itself is a
+    scan-fused projection — the standard shape of a pretraining
+    quality gate."""
+    from updater_spark.operators.text import quality_score
+
+    docs = demo.load(spark, sf_dir, "documents")
+    q = quality_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    thr = q.groupBy("lang").agg(
+        F.round(F.expr("percentile(quality, 0.25)"), 6).alias("q25")
+    )
+    return (
+        q.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality") >= F.col("q25"))
+        .select("doc_id", "lang", "quality", "q25")
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 distinctive terms by TF-IDF
     (operators/text.py::tfidf_top_terms). Integer-only ranking
@@ -1327,6 +1348,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running": q_events_running,
         "corpus_top_terms": q_corpus_top_terms,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -2191,5 +2213,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM per_doc p JOIN df_t d USING (term)
             ), n
             WHERE rank <= 3
+        """,
+        "quality_filter": """
+            WITH toked AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            stats AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       round(len(list_distinct(toks)) / len(toks), 6) AS ttr,
+                       round(list_sum(list_transform(toks, t -> length(t)))
+                             / len(toks), 6) AS mwl
+                FROM toked
+            ),
+            q AS (
+                SELECT s.doc_id, d.lang,
+                       round(
+                           (CASE WHEN n_words BETWEEN 10 AND 100000
+                                 THEN 1.0 ELSE 0.3 END) * 0.4
+                           + least(ttr * 2, 1.0) * 0.4
+                           + (CASE WHEN mwl BETWEEN 2 AND 12
+                                   THEN 1.0 ELSE 0.2 END) * 0.2,
+                       6) AS quality
+                FROM stats s JOIN documents d USING (doc_id)
+            ),
+            thr AS (
+                SELECT lang, round(quantile_cont(quality, 0.25), 6) AS q25
+                FROM q GROUP BY lang
+            )
+            SELECT doc_id, lang, quality, q25
+            FROM q JOIN thr USING (lang)
+            WHERE quality >= q25
         """,
     }

@@ -491,6 +491,10 @@ def ivf_topk(
         ["query_id"],
         nprobe,
     )
+    # no distinct needed: every corpus vector lives in EXACTLY one
+    # bucket (assign n=1) and each query probes a bucket at most once,
+    # so (query, neighbor) pairs are already unique — a distinct here
+    # would be a full extra shuffle of the scored pairs for nothing
     scored = (
         c.join(F.broadcast(q), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -499,7 +503,6 @@ def ivf_topk(
             "neighbor_id",
             F.round(dot(F.col("qv"), F.col("cv")), 4).alias("sim"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
