@@ -50,6 +50,26 @@ CHECKS = {
         "zero Exchanges — dup-fraction stats are a pure scan-fused "
         "projection; ReadSchema prunes to (doc_id, text)."
     ),
+    "changelog_replay": (
+        "no Window operator — the first-post-epoch entry is a min_by "
+        "HashAggregate (partial-combined map-side), then ONE keyed "
+        "full-outer join against the replica."
+    ),
+    "shuffle_order": (
+        "no global Window — global positions come from a range-partitioned "
+        "Sort plus a narrow ArrowEvalPython/MapInPandas stamp (distributed "
+        "zipWithIndex); the only wide op is the sort's RangePartitioning "
+        "Exchange."
+    ),
+    "quality_filter": (
+        "per-language p25 threshold table is BroadcastExchange'd — the "
+        "corpus-side gate never shuffles document rows."
+    ),
+    "corpus_top_terms": (
+        "both aggregation levels show partial HashAggregates before their "
+        "Exchange — the shuffle carries (doc,term)/vocab rows, never the "
+        "token stream; the final top-k window runs on the vocab only."
+    ),
 }
 
 JOIN_RE = re.compile(r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)\b")
