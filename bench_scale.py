@@ -156,9 +156,65 @@ def bucketed_probe(n: int) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def pipeline_probe(n: int) -> None:
+    """Scale probe for the training-data-pipeline operators:
+    deterministic_shuffle (global order assignment) over n rows and
+    changelog_replay over an n-row replica + n/10-row changelog.
+
+    Usage: ``python bench_scale.py [n_rows] pipeline``.
+    """
+    import time as _t
+
+    from updater_spark.operators.merge import changelog_replay
+    from updater_spark.operators.sampling import deterministic_shuffle
+
+    spark = get_spark("bench_scale_pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    base = (
+        spark.range(1, n + 1, numPartitions=64)
+        .withColumnRenamed("id", "pk")
+        .withColumn("payload", F.concat(F.lit("doc"), F.col("pk")))
+    )
+
+    t0 = _t.perf_counter()
+    shuffled = deterministic_shuffle(base, id_col="pk")
+    shuffled.write.format("noop").mode("overwrite").save()
+    timings["deterministic_shuffle"] = round(_t.perf_counter() - t0, 3)
+
+    replica = base.withColumn("v", F.pmod(F.xxhash64("pk"), F.lit(1000)))
+    changelog = (
+        replica.filter(F.col("pk") % 10 == 0)
+        .withColumn("v", F.col("v") + 1)
+        .withColumn("_epoch", (F.pmod(F.col("pk"), F.lit(5)) + 1).cast("long"))
+        .withColumn("_change_type", F.lit("update"))
+    )
+    replay = changelog_replay(replica, changelog, "pk", as_of_epoch=2)
+    replay.write.format("noop").mode("overwrite").save()  # warm
+    t0 = _t.perf_counter()
+    replay.write.format("noop").mode("overwrite").save()
+    timings["changelog_replay"] = round(_t.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "n_rows": n,
+                "pipeline_probe": timings,
+                "shuffle_rows_per_sec": round(
+                    n / timings["deterministic_shuffle"]
+                ),
+                "replay_rows_per_sec": round(n / timings["changelog_replay"]),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
         bucketed_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "pipeline":
+        pipeline_probe(_n)
     else:
         main(_n)

@@ -56,10 +56,10 @@ CHECKS = {
         "full-outer join against the replica."
     ),
     "shuffle_order": (
-        "no global Window — global positions come from a range-partitioned "
-        "Sort plus a narrow ArrowEvalPython/MapInPandas stamp (distributed "
-        "zipWithIndex); the only wide op is the sort's RangePartitioning "
-        "Exchange."
+        "no SINGLE-PARTITION Window — global positions come from "
+        "per-hash-bucket windows (parallel) + broadcast-joined cumulative "
+        "bucket offsets; the data's only wide op is one hashpartitioning "
+        "Exchange on the bucket id, and nothing is persisted."
     ),
     "quality_filter": (
         "per-language p25 threshold table is BroadcastExchange'd — the "
