@@ -1232,6 +1232,31 @@ def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms(docs, k=50)
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py): customers re-keyed so
+    ~75% share one hot nation key, joined against nation through
+    (key, salt) — semantically identical to the plain join, which IS
+    the oracle. Per-nation rollup keeps the output compact."""
+    from updater_spark.operators.skew import salted_join
+
+    cust = demo.load(spark, sf_dir, "customer").withColumn(
+        "nk",
+        F.when(F.col("c_custkey") % 4 < 3, F.lit(0)).otherwise(
+            F.col("c_nationkey")
+        ).cast("long"),
+    )
+    nat = demo.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    joined = salted_join(cust, nat, "nk", salt_factor=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).alias(
+            "acctbal_e2"
+        ),
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-filter pipeline: per-doc heuristic quality
     score → per-language exact p25 threshold → keep docs at or above
@@ -1349,6 +1374,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_terms": q_corpus_top_terms,
         "tfidf_top_terms": q_tfidf_top_terms,
         "quality_filter": q_quality_filter,
+        "skew_salted_join": q_skew_salted_join,
     }
 
 
@@ -2246,5 +2272,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, quality, q25
             FROM q JOIN thr USING (lang)
             WHERE quality >= q25
+        """,
+        "skew_salted_join": """
+            WITH cust AS (
+                SELECT c_custkey, c_acctbal,
+                       CAST(CASE WHEN c_custkey % 4 < 3 THEN 0
+                                 ELSE c_nationkey END AS BIGINT) AS nk
+                FROM customer
+            )
+            SELECT n_name,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS acctbal_e2
+            FROM cust JOIN nation ON nk = CAST(n_nationkey AS BIGINT)
+            GROUP BY n_name
         """,
     }

@@ -40,6 +40,7 @@ from updater_spark.operators.merge import (
     DELETE_GUARD_DEFAULT,
     DeleteResult,
     changelog_preimages,
+    changelog_replay,
     merge_upsert,
     semi_join_fetch,
 )
@@ -81,6 +82,7 @@ class CdcEngine:
         fingerprint_buckets: int | None = None,
         compact_every: int | None = None,
         changelog_keep_epochs: int | None = None,
+        changelog_mode: str = "updates",
     ):
         """``partition_buckets=N`` switches the main table to hash-
         partitioned storage (``pmod(xxhash64(pk), N)``): incremental
@@ -101,7 +103,22 @@ class CdcEngine:
         ``compact_every=K`` compacts each table's changelog after every
         K-th update run (optionally retaining only the last
         ``changelog_keep_epochs`` epochs) — bounds the small-file count
-        at one file per K runs instead of one per run."""
+        at one file per K runs instead of one per run.
+
+        ``changelog_mode``: ``"updates"`` (default) archives only the
+        pre-images of updated rows — exact reference parity
+        (download.py:585-595 J5). ``"full"`` additionally archives
+        delete pre-images and insert markers, each entry tagged with a
+        ``_change_type`` column — the extra fidelity that makes any
+        historical state reconstructible via ``replay()``. Pick the
+        mode when the table is created and keep it (the changelog is
+        append-only; mixing schemas mid-history is not supported)."""
+        if changelog_mode not in ("updates", "full"):
+            raise ValueError(
+                f"changelog_mode must be 'updates' or 'full', got "
+                f"{changelog_mode!r}"
+            )
+        self.changelog_mode = changelog_mode
         self.store = store
         self.algo = fingerprint_algo
         self.delete_guard = delete_guard
@@ -134,6 +151,7 @@ class CdcEngine:
 
     # -- changelog epochs + compaction ---------------------------------
     EPOCH_COL = "_epoch"
+    CT_COL = "_change_type"
 
     def _epoch_file(self, name: str) -> str:
         d = os.path.join(self.store.root, f"{name}__changelog")
@@ -173,6 +191,32 @@ class CdcEngine:
 
     def changelog(self, name: str) -> DataFrame:
         return self.store.read_appendable(f"{name}__changelog")
+
+    def replay(self, spec: TableSpec, as_of_epoch: int) -> DataFrame:
+        """The table's state as of the END of ``as_of_epoch`` (epoch 0
+        = the bootstrap state), reconstructed from the current replica
+        plus the pre-image changelog — no historical snapshots stored.
+
+        Exact for every change class when ``changelog_mode="full"``;
+        in ``"updates"`` mode (reference-parity changelog) rows
+        inserted or deleted after ``as_of_epoch`` cannot be rewound —
+        entries are treated as update pre-images. Retention bounds the
+        horizon: with ``changelog_keep_epochs=K`` only the last K
+        epochs are replayable."""
+        replica = self._read_main(spec.name)
+        if self.current_epoch(spec.name) == 0:
+            return replica  # no update has run; nothing to rewind
+        log = self.changelog(spec.name)
+        if self.CT_COL not in log.columns:
+            log = log.withColumn(self.CT_COL, F.lit("update"))
+        return changelog_replay(
+            replica,
+            log,
+            spec.primary_key,
+            as_of_epoch,
+            epoch_col=self.EPOCH_COL,
+            change_type_col=self.CT_COL,
+        )
 
     def compact_changelog(
         self,
@@ -293,20 +337,44 @@ class CdcEngine:
             ).persist()
 
             old = self._read_main(spec.name)
+            delete_keys = parts.deletes.withColumnRenamed("id", spec.primary_key)
+            apply_del = n_deletes < self.delete_guard
 
-            # J5: changelog pre-images (old versions of updated rows).
+            # J5: changelog pre-images (old versions of updated rows);
+            # "full" mode adds delete pre-images + insert markers so
+            # replay() can reconstruct any epoch.
             preimages = changelog_preimages(
                 old,
                 parts.updates.withColumnRenamed("id", spec.primary_key),
                 spec.primary_key,
                 hint_broadcast=hint,
             )
+            if self.changelog_mode == "full":
+                preimages = preimages.withColumn(self.CT_COL, F.lit("update"))
+                if apply_del:
+                    del_pre = old.join(
+                        F.broadcast(delete_keys.distinct()),
+                        spec.primary_key,
+                        "semi",
+                    ).withColumn(self.CT_COL, F.lit("delete"))
+                    preimages = preimages.unionByName(del_pre)
+                ins_marker = (
+                    diff.filter(F.col("change_type") == "insert")
+                    .select(F.col("id").alias(spec.primary_key))
+                    .select(
+                        spec.primary_key,
+                        *[
+                            F.lit(None).cast(f.dataType).alias(f.name)
+                            for f in old.schema.fields
+                            if f.name != spec.primary_key
+                        ],
+                    )
+                    .withColumn(self.CT_COL, F.lit("insert"))
+                )
+                preimages = preimages.unionByName(ins_marker)
             self._append_changelog(spec.name, preimages)
 
             self.store.write(f"{spec.name}__delta", delta)
-
-            delete_keys = parts.deletes.withColumnRenamed("id", spec.primary_key)
-            apply_del = n_deletes < self.delete_guard
             if self.partition_buckets:
                 self._write_incremental_partitioned(
                     spec, old, delta, delete_keys, apply_del
