@@ -1232,6 +1232,33 @@ def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms(docs, k=50)
 
 
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join (operators/rangejoin.py): each sampled
+    user's events against their first-week activity window — the
+    binned equi-join form (day-sized bins ≈ interval length, so each
+    interval explodes into ~8 candidate rows); a naive inequality
+    join would go nested-loop. Exact SQL oracle IS the naive form."""
+    from updater_spark.operators.rangejoin import interval_join
+
+    ev = demo.load_events(spark, sf_dir)
+    pts = ev.filter(F.col("user_id") % 10 == 0).select(
+        "user_id", "event_id", "ts"
+    )
+    iv = (
+        pts.groupBy("user_id")
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 7 DAYS"))
+    )
+    j = interval_join(
+        pts, iv, "ts", "w_start", "w_end", on=["user_id"], bin_width=86400
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("w_start").alias("w_start_us"),
+    )
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join (operators/skew.py): customers re-keyed so
     ~75% share one hot nation key, joined against nation through
@@ -1375,6 +1402,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "quality_filter": q_quality_filter,
         "skew_salted_join": q_skew_salted_join,
+        "interval_join_events": q_interval_join_events,
     }
 
 
@@ -2286,5 +2314,21 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS acctbal_e2
             FROM cust JOIN nation ON nk = CAST(n_nationkey AS BIGINT)
             GROUP BY n_name
+        """,
+        "interval_join_events": """
+            WITH pts AS (
+                SELECT user_id, event_id, ts FROM events
+                WHERE user_id % 10 = 0
+            ),
+            iv AS (
+                SELECT user_id, MIN(ts) AS w_start,
+                       MIN(ts) + INTERVAL 7 DAY AS w_end
+                FROM pts GROUP BY user_id
+            )
+            SELECT p.user_id, p.event_id,
+                   epoch_us(i.w_start) AS w_start_us
+            FROM pts p JOIN iv i
+              ON p.user_id = i.user_id
+             AND p.ts >= i.w_start AND p.ts < i.w_end
         """,
     }
