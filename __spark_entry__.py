@@ -1232,6 +1232,22 @@ def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms(docs, k=50)
 
 
+def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup
+    (operators/rollup.py): daily per-event-type stats derived FROM the
+    hourly continuous-aggregate state (never re-reading raw events);
+    the oracle aggregates raw events daily directly — coarsening must
+    lose nothing. Incremental merge exactness is pytest-verified
+    (tests/test_rollup.py)."""
+    from updater_spark.operators.rollup import bucket_rollup, rollup_coarsen
+
+    ev = demo.load_events(spark, sf_dir)
+    hourly = bucket_rollup(ev, "ts", "value", ["event_type"], "hour")
+    return rollup_coarsen(hourly, ["event_type"], "day").withColumn(
+        "bucket_ts", F.unix_micros("bucket_ts")
+    )
+
+
 def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join (operators/rangejoin.py): each sampled
     user's events against their first-week activity window — the
@@ -1403,6 +1419,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "skew_salted_join": q_skew_salted_join,
         "interval_join_events": q_interval_join_events,
+        "rollup_multires": q_rollup_multires,
     }
 
 
@@ -2330,5 +2347,18 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p JOIN iv i
               ON p.user_id = i.user_id
              AND p.ts >= i.w_start AND p.ts < i.w_end
+        """,
+        "rollup_multires": """
+            SELECT epoch_us(date_trunc('day', ts)) AS bucket_ts,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_e6,
+                   CAST(MIN(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS vmin_e6,
+                   CAST(MAX(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS vmax_e6
+            FROM events
+            GROUP BY 1, 2
         """,
     }
