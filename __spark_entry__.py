@@ -1248,6 +1248,56 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate end-to-end
+    (streaming/rollup_stream.py): three event drops (event_id residue
+    mod 3) drain through a real file-source stream; each micro-batch
+    folds its own rollup into the stored state with a partition-pruned
+    day-partition overwrite (the reference's TRUNCATE+rebuild derived
+    tables, post_update.py:19-91, kept incrementally instead). The
+    oracle aggregates all raw events in one pass — the incremental
+    path must land on the identical state."""
+    import shutil
+    import tempfile
+
+    from updater_spark.sources.store import TableStore
+    from updater_spark.streaming.rollup_stream import run_rollup_stream
+
+    ev = demo.load_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="rollupstream_")
+    try:
+        drops = os.path.join(root, "drops")
+        for i in range(3):
+            ev.filter(F.col("event_id") % 3 == i).write.mode("append").parquet(
+                drops
+            )
+        store = TableStore(spark, os.path.join(root, "store"))
+        q = run_rollup_stream(
+            spark,
+            store,
+            "ev_rollup",
+            drops,
+            ev.schema,
+            os.path.join(root, "ckpt"),
+            keys=["event_type"],
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        # result stays a distributed scan of the stored state; /tmp
+        # lifecycle owns cleanup (matches q_streaming_cdc).
+        return store.read_partitioned("ev_rollup").select(
+            F.unix_micros("bucket_ts").alias("bucket_ts"),
+            "event_type",
+            "n",
+            "sum_e6",
+            "vmin_e6",
+            "vmax_e6",
+        )
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
 def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join (operators/rangejoin.py): each sampled
     user's events against their first-week activity window — the
@@ -1420,6 +1470,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "interval_join_events": q_interval_join_events,
         "rollup_multires": q_rollup_multires,
+        "streaming_rollup": q_streaming_rollup,
     }
 
 
@@ -2350,6 +2401,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_multires": """
             SELECT epoch_us(date_trunc('day', ts)) AS bucket_ts,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_e6,
+                   CAST(MIN(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS vmin_e6,
+                   CAST(MAX(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS vmax_e6
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "streaming_rollup": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS bucket_ts,
                    event_type,
                    COUNT(*) AS n,
                    CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))

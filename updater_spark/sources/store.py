@@ -196,6 +196,9 @@ class TableStore:
     def read_partitioned(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._ppath(name))
 
+    def exists_partitioned(self, name: str) -> bool:
+        return os.path.exists(self._ppath(name))
+
     # -- double-buffered bucketed tables (hash-cache rotation) ----------
     def _bucketed_pointer(self, name: str) -> str:
         return os.path.join(self._dir(name), "_CURRENT_BUCKETED")
