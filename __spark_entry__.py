@@ -1298,6 +1298,55 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+def q_rollup_cdc_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate under UPDATES and DELETES
+    (streaming/rollup_stream.py::rollup_repair_days): bootstrap the
+    hourly rollup from the raw events, then mutate history (delete
+    event_id%97==0, bump value for user_id%11==0) and repair only the
+    invalidated day-partitions from the post-mutation replica — min/max
+    can't retract, so bounded re-aggregation is the repair. The oracle
+    aggregates the mutated table from scratch; day-level write pruning
+    is mtime-verified in tests/test_rollup_stream.py."""
+    import shutil
+    import tempfile
+
+    from updater_spark.sources.store import TableStore
+    from updater_spark.streaming.rollup_stream import (
+        affected_days,
+        apply_rollup_delta,
+        rollup_repair_days,
+    )
+
+    ev = demo.load_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="rolluprepair_")
+    try:
+        store = TableStore(spark, os.path.join(root, "store"))
+        apply_rollup_delta(store, "ev_rollup", ev, "ts", "value", ["event_type"])
+
+        deleted = ev.filter(F.col("event_id") % 97 == 0)
+        updated = ev.filter(
+            (F.col("user_id") % 11 == 0) & (F.col("event_id") % 97 != 0)
+        ).withColumn("value", F.col("value") + 1)
+        replica = ev.filter(
+            (F.col("event_id") % 97 != 0) & (F.col("user_id") % 11 != 0)
+        ).unionByName(updated)
+        days = affected_days(updated, deleted.unionByName(updated), "ts")
+        rollup_repair_days(
+            store, "ev_rollup", replica, days, "ts", "value", ["event_type"]
+        )
+        return store.read_partitioned("ev_rollup").select(
+            F.unix_micros("bucket_ts").alias("bucket_ts"),
+            "event_type",
+            "n",
+            "sum_e6",
+            "vmin_e6",
+            "vmax_e6",
+        )
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
 def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join (operators/rangejoin.py): each sampled
     user's events against their first-week activity window — the
@@ -1471,6 +1520,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": q_interval_join_events,
         "rollup_multires": q_rollup_multires,
         "streaming_rollup": q_streaming_rollup,
+        "rollup_cdc_repair": q_rollup_cdc_repair,
     }
 
 
@@ -2423,6 +2473,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(CAST(floor(value * 1000000) AS BIGINT))
                         AS BIGINT) AS vmax_e6
             FROM events
+            GROUP BY 1, 2
+        """,
+        "rollup_cdc_repair": """
+            WITH replica AS (
+                SELECT ts, event_type,
+                       CASE WHEN user_id % 11 = 0 THEN value + 1
+                            ELSE value END AS value
+                FROM events
+                WHERE event_id % 97 <> 0
+            )
+            SELECT epoch_us(date_trunc('hour', ts)) AS bucket_ts,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_e6,
+                   CAST(MIN(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS vmin_e6,
+                   CAST(MAX(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS vmax_e6
+            FROM replica
             GROUP BY 1, 2
         """,
     }

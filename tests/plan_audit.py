@@ -70,6 +70,13 @@ CHECKS = {
         "Exchange — the shuffle carries (doc,term)/vocab rows, never the "
         "token stream; the final top-k window runs on the vocab only."
     ),
+    "rollup_multires": (
+        "both aggregation levels partial-agg before their Exchange: the "
+        "first shuffle carries one row per (hour, type) per input "
+        "partition, the second carries only |hourly-state| rows — the "
+        "pyramid's coarsen step never re-reads raw events. ReadSchema is "
+        "pruned to the 3 referenced columns."
+    ),
 }
 
 JOIN_RE = re.compile(r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)\b")

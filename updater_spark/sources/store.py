@@ -199,6 +199,17 @@ class TableStore:
     def exists_partitioned(self, name: str) -> bool:
         return os.path.exists(self._ppath(name))
 
+    def drop_partitions(self, name: str, partition_col: str, values) -> None:
+        """Remove whole partitions (``col=value`` directories). Needed
+        when an incremental rewrite empties a partition: dynamic
+        overwrite only replaces partitions PRESENT in the new data, so
+        an emptied one must be dropped explicitly."""
+        for v in values:
+            shutil.rmtree(
+                os.path.join(self._ppath(name), f"{partition_col}={v}"),
+                ignore_errors=True,
+            )
+
     # -- double-buffered bucketed tables (hash-cache rotation) ----------
     def _bucketed_pointer(self, name: str) -> str:
         return os.path.join(self._dir(name), "_CURRENT_BUCKETED")

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 from updater_spark.operators.rollup import bucket_rollup, rollup_merge
 from updater_spark.sources.store import TableStore
 
-__all__ = ["apply_rollup_delta", "run_rollup_stream"]
+__all__ = [
+    "apply_rollup_delta",
+    "affected_days",
+    "rollup_repair_days",
+    "run_rollup_stream",
+]
 
 PART_COL = "_pday"
 
@@ -66,6 +71,71 @@ def apply_rollup_delta(
             current.drop(PART_COL), delta.drop(PART_COL), keys
         ).withColumn(PART_COL, F.to_date("bucket_ts"))
         store.overwrite_partitions(table, merged, PART_COL)
+    finally:
+        delta.unpersist()
+
+
+def affected_days(
+    upserts: DataFrame | None,
+    preimages: DataFrame | None,
+    ts_col: str,
+) -> list:
+    """The day-partitions a mutation batch can touch: days holding the
+    NEW version of changed rows (``upserts``) plus days holding the OLD
+    version of updated/deleted rows (``preimages`` — the changelog's
+    pre-images, plans/cdc.py). Collecting is fine: a mutation batch
+    spans few distinct days."""
+    parts = [
+        df.select(F.to_date(ts_col).alias("d"))
+        for df in (upserts, preimages)
+        if df is not None
+    ]
+    if not parts:
+        return []
+    days = parts[0]
+    for p in parts[1:]:
+        days = days.unionByName(p)
+    return [r[0] for r in days.distinct().collect()]
+
+
+def rollup_repair_days(
+    store: TableStore,
+    table: str,
+    replica: DataFrame,
+    days: list,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    bucket: str = "hour",
+) -> None:
+    """Repair the stored rollup after updates/deletes of historical
+    rows: recompute ONLY ``days`` (from ``affected_days``) by
+    re-aggregating the post-update replica restricted to those days,
+    then dynamic-partition-overwrite them. Everything outside ``days``
+    is untouched on disk — cost is O(replica rows in touched days),
+    and the day filter pushes down to the replica's parquet scan.
+
+    min/max cannot retract, so a true delta-merge is impossible under
+    deletes; bounded re-aggregation of invalidated partitions is the
+    standard repair (the reference's TRUNCATE+rebuild,
+    post_update.py:19-91, shrunk to the touched range). A day whose
+    rows were ALL deleted produces no replacement rows — dynamic
+    overwrite would leave its stale partition behind, so empty days are
+    dropped explicitly."""
+    if not days:
+        return
+    src = replica.filter(F.to_date(ts_col).isin(days))
+    delta = bucket_rollup(src, ts_col, value_col, keys, bucket).withColumn(
+        PART_COL, F.to_date("bucket_ts")
+    )
+    delta = delta.persist()
+    try:
+        still = {r[0] for r in delta.select(PART_COL).distinct().collect()}
+        emptied = [d for d in days if d not in still]
+        if emptied:
+            store.drop_partitions(table, PART_COL, emptied)
+        if still:
+            store.overwrite_partitions(table, delta, PART_COL)
     finally:
         delta.unpersist()
 
