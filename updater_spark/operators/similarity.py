@@ -184,6 +184,84 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return code
 
 
+def _collect_unit_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (ids, unit-row matrix) for the fused bucket search —
+    the same small-query-side assumption a broadcast join would make."""
+    import numpy as np
+
+    rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return qids, qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+
+def _fused_bucket_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    assign,
+    by_bucket: dict,
+) -> DataFrame:
+    """Shared engine for bucketed ANN (LSH and IVF): ONE narrow
+    mapInPandas stage over the corpus — each Arrow batch assigns its
+    vectors to buckets (``assign``: unit matrix → int64 bucket per
+    row) and GEMM-scores them against the queries probing those
+    buckets (``by_bucket``: bucket → (qids, unit query matrix)),
+    emitting at most k+1 rows per probing query per batch. The corpus
+    is never joined or shuffled; only the final top-k window shuffles
+    the small candidate set. Per-pair Catalyst lambda dots (the
+    broadcast-join formulation) run interpreted and lose to BLAS ~7x
+    on the same flops."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            ids = pdf[id_col].to_numpy()
+            assigned = assign(vm)
+            frames = []
+            for b in np.unique(assigned):
+                sub = by_bucket.get(int(b))
+                if sub is None:
+                    continue
+                sqids, sqm = sub
+                rows = assigned == b
+                sims = vm[rows] @ sqm.T  # (bucket rows in batch, nq probing)
+                rids = ids[rows]
+                n_local = min(k + 1, len(rids))  # +1 survives self-match drop
+                for j in range(len(sqids)):
+                    col = sims[:, j]
+                    top = np.argpartition(-col, n_local - 1)[:n_local]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": sqids[j],
+                                "neighbor_id": rids[top],
+                                "sim": np.round(col[top], 4),
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -197,31 +275,24 @@ def lsh_topk(
     """Approximate top-k: bucket corpus and queries by hyperplane
     signature, rank within the shared bucket only. Trades recall for a
     ~2^bits scan reduction; measure recall against ``cosine_topk``
-    (tests/test_similarity.py)."""
-    planes = _hyperplanes(dim, bits, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        unit(as_double(F.col(vec_col))).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        unit(as_double(F.col(vec_col))).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")), 4).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
-    )
+    (tests/test_similarity.py). Runs on the fused narrow-stage engine
+    (``_fused_bucket_topk``) — signature + scoring per Arrow batch,
+    no join, no corpus shuffle."""
+    import numpy as np
+
+    P = np.array(_hyperplanes(dim, bits, seed), dtype=np.float64)
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    def signature(vm):
+        return ((vm @ P.T) > 0) @ weights
+
+    qids, qm = _collect_unit_queries(queries, id_col, vec_col)
+    qsig = signature(qm)
+    by_bucket = {}
+    for b in np.unique(qsig):
+        mask = qsig == b
+        by_bucket[int(b)] = (qids[mask], qm[mask])
+    return _fused_bucket_topk(corpus, id_col, vec_col, k, signature, by_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -414,76 +485,28 @@ def ivf_topk(
     recall than hyperplane LSH at the same reduction, because buckets
     follow the data distribution (k-means) instead of random planes.
 
-    One fused NARROW stage over the corpus: each Arrow batch assigns
-    its vectors to buckets (numpy argmax GEMM, ties to lowest cluster)
-    and immediately scores them against the queries probing those
-    buckets — the corpus is never joined, never shuffled, and each
-    batch emits at most (k+1) rows per probing query. The earlier form
-    (broadcast-join pairs + per-pair Catalyst lambda dot) spent its
-    time in interpreted zip_with/aggregate; BLAS does the same flops
-    ~7x faster. Queries are collected to the driver — same small-side
-    assumption the broadcast join made."""
+    Runs on the fused narrow-stage engine (``_fused_bucket_topk``):
+    assignment (numpy argmax GEMM, ties to lowest cluster) + scoring
+    per Arrow batch, no join, no corpus shuffle. Queries are collected
+    to the driver — the small-side assumption a broadcast join would
+    make."""
     import numpy as np
-    import pandas as pd
 
     cm = np.array(centroids, dtype=np.float64)
-    q_rows = queries.select(id_col, vec_col).collect()
-    qids_all = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qm_all = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    qm_all = qm_all / np.linalg.norm(qm_all, axis=1, keepdims=True)
+
+    def nearest(vm):
+        return np.argmax(vm @ cm.T, axis=1)
+
+    qids, qm = _collect_unit_queries(queries, id_col, vec_col)
     # probe sets: stable argsort of -sim keeps ascending cluster order
-    # among ties — identical to the window's (_d DESC, cluster ASC)
-    probes = np.argsort(-(qm_all @ cm.T), axis=1, kind="stable")[:, :nprobe]
+    # among ties — the (sim DESC, cluster ASC) probe order
+    probes = np.argsort(-(qm @ cm.T), axis=1, kind="stable")[:, :nprobe]
     by_cluster = {}
     for c in range(len(centroids)):
         mask = (probes == c).any(axis=1)
         if mask.any():
-            by_cluster[c] = (qids_all[mask], qm_all[mask])
-
-    out_schema = "query_id long, neighbor_id long, sim double"
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
-            ids = pdf[id_col].to_numpy()
-            assigned = np.argmax(vm @ cm.T, axis=1)
-            frames = []
-            for c in np.unique(assigned):
-                sub = by_cluster.get(int(c))
-                if sub is None:
-                    continue
-                sqids, sqm = sub
-                rows = assigned == c
-                sims = vm[rows] @ sqm.T  # (bucket rows in batch, nq_probing)
-                rids = ids[rows]
-                n_local = min(k + 1, len(rids))  # +1 survives self-match drop
-                for j in range(len(sqids)):
-                    col = sims[:, j]
-                    top = np.argpartition(-col, n_local - 1)[:n_local]
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": sqids[j],
-                                "neighbor_id": rids[top],
-                                "sim": np.round(col[top], 4),
-                            }
-                        )
-                    )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
-
-    local = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        local.filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+            by_cluster[c] = (qids[mask], qm[mask])
+    return _fused_bucket_topk(corpus, id_col, vec_col, k, nearest, by_cluster)
 
 
 def embedding_near_dup_pairs(
