@@ -1298,6 +1298,53 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+def q_tribe_stats_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-driven derived-table maintenance
+    (operators/derived.py): the reference rebuilds tribe_stats for ALL
+    tribes each cycle (post_update.py:19-91); here a localized player
+    mutation (nations 0-4, custkey%7) triggers recompute of ONLY the
+    affected tribes, rewriting only their hash buckets. The oracle is
+    the full from-scratch rebuild over the mutated state — repair must
+    be indistinguishable. Bucket-level write pruning and the
+    emptied-tribe drop are mtime-verified in tests/test_derived.py."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.derived import stats_bootstrap, stats_repair
+    from updater_spark.sources.store import TableStore
+
+    tribe, member, player, _ = _tribe_frames(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="tribestats_")
+    try:
+        store = TableStore(spark, os.path.join(root, "store"))
+        stats_bootstrap(
+            store, "tstats", tribe, member, player, ["stat_nat", "stat_len"]
+        )
+        changed = player.filter(
+            (F.col("stat_nat") < 5) & (F.col("id") % 7 == 0)
+        ).select("id")
+        player2 = player.withColumn(
+            "stat_len",
+            F.when(
+                (F.col("stat_nat") < 5) & (F.col("id") % 7 == 0),
+                F.col("stat_len") + 10,
+            ).otherwise(F.col("stat_len")),
+        )
+        stats_repair(
+            store, "tstats", tribe, member, player2,
+            ["stat_nat", "stat_len"], changed,
+        )
+        return store.read_partitioned("tstats").select(
+            "id",
+            "members",
+            F.round("stat_nat", 6).alias("stat_nat"),
+            F.round("stat_len", 6).alias("stat_len"),
+        )
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
 def q_rollup_cdc_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate under UPDATES and DELETES
     (streaming/rollup_stream.py::rollup_repair_days): bootstrap the
@@ -1521,6 +1568,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_multires": q_rollup_multires,
         "streaming_rollup": q_streaming_rollup,
         "rollup_cdc_repair": q_rollup_cdc_repair,
+        "tribe_stats_repair": q_tribe_stats_repair,
     }
 
 
@@ -2494,5 +2542,30 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS vmax_e6
             FROM replica
             GROUP BY 1, 2
+        """,
+        "tribe_stats_repair": """
+            WITH member AS (
+                SELECT c_custkey AS id_member, c_nationkey AS id_tribe
+                FROM customer
+            ),
+            player AS (
+                SELECT c_custkey AS id,
+                       CAST(c_nationkey AS BIGINT) AS stat_nat,
+                       CASE WHEN c_nationkey < 5 AND c_custkey % 7 = 0
+                            THEN length(c_name) + 10
+                            ELSE length(c_name) END AS stat_len
+                FROM customer
+            ),
+            tribe AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation)
+            SELECT t.id,
+                   COUNT(m.id_member) AS members,
+                   ROUND(SUM(p.stat_nat) / sqrt(COUNT(m.id_member)), 6)
+                       AS stat_nat,
+                   ROUND(SUM(p.stat_len) / sqrt(COUNT(m.id_member)), 6)
+                       AS stat_len
+            FROM tribe t
+            JOIN member m ON t.id = m.id_tribe
+            JOIN player p ON m.id_member = p.id
+            GROUP BY t.id
         """,
     }
