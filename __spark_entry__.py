@@ -1298,6 +1298,43 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+def q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout end-to-end
+    (sources/store.py::write_clustered): events written
+    range-partitioned + sorted on event_id, then a ~1%-selectivity id
+    range aggregated off the clustered copy. Parquet footer stats are
+    disjoint per file, so the filter reads ~1 of 8 files
+    (concentration + disjointness pyarrow-verified in
+    tests/test_layout.py); the oracle runs the same filter+agg on the
+    raw table — clustering must be invisible to results."""
+    import shutil
+    import tempfile
+
+    from updater_spark.sources.store import TableStore
+
+    ev = demo.load_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="clustered_")
+    try:
+        store = TableStore(spark, os.path.join(root, "store"))
+        store.write_clustered("ev_sorted", ev, ["event_id"], num_files=8)
+        n = ev.count()
+        lo, hi = n // 2, n // 2 + n // 100
+        return (
+            store.read("ev_sorted")
+            .filter(F.col("event_id").between(lo, hi))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
+                    "sum_e6"
+                ),
+            )
+        )
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
 def q_tribe_stats_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-driven derived-table maintenance
     (operators/derived.py): the reference rebuilds tribe_stats for ALL
@@ -1569,6 +1606,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup": q_streaming_rollup,
         "rollup_cdc_repair": q_rollup_cdc_repair,
         "tribe_stats_repair": q_tribe_stats_repair,
+        "clustered_scan": q_clustered_scan,
     }
 
 
@@ -2567,5 +2605,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN member m ON t.id = m.id_tribe
             JOIN player p ON m.id_member = p.id
             GROUP BY t.id
+        """,
+        "clustered_scan": """
+            WITH bounds AS (
+                SELECT COUNT(*) // 2 AS lo,
+                       COUNT(*) // 2 + COUNT(*) // 100 AS hi
+                FROM events
+            )
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_e6
+            FROM events, bounds
+            WHERE event_id BETWEEN bounds.lo AND bounds.hi
+            GROUP BY event_type
         """,
     }

@@ -104,6 +104,32 @@ class TableStore:
         self._gc(name, keep=2)
         return path
 
+    def write_clustered(
+        self,
+        name: str,
+        df: DataFrame,
+        cluster_cols: list[str],
+        num_files: int | None = None,
+    ) -> str:
+        """Versioned write with range clustering: rows are
+        range-partitioned on ``cluster_cols`` then sorted within each
+        file, so every parquet file (and row group) covers a narrow,
+        nearly-disjoint min/max range of the cluster key. Parquet
+        readers prune row groups whose stats exclude a pushed
+        predicate, so a selective range/point filter on the cluster
+        key reads a handful of files instead of all of them — the
+        data-skipping lever (Delta/Iceberg OPTIMIZE ZORDER's 1-D
+        case) that turns a 100 TB scan into gigabytes when queries
+        filter on time or tenant. Costs one range-exchange at write
+        time; evidence in tests/test_layout.py (footer stats +
+        matched-file concentration)."""
+        out = (
+            df.repartitionByRange(num_files, *cluster_cols)
+            if num_files
+            else df.repartitionByRange(*cluster_cols)
+        ).sortWithinPartitions(*cluster_cols)
+        return self.write(name, out)
+
     def _appendable_pointer(self, name: str) -> str:
         return os.path.join(self._dir(name), "_DATA")
 
