@@ -1298,6 +1298,20 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: unique users + events per type. Spark
+    plans COUNT(DISTINCT) via Expand + two-level aggregate (exact,
+    shuffle carries (type, user) pairs once); the approximate HLL twin
+    (approx_count_distinct, error-bounded) is pytest-verified in
+    tests/test_sketches.py for the 100 TB path where the exact
+    distinct's shuffle is the bottleneck."""
+    ev = demo.load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-clustered layout end-to-end
     (sources/store.py::write_clustered): events written
@@ -1607,6 +1621,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cdc_repair": q_rollup_cdc_repair,
         "tribe_stats_repair": q_tribe_stats_repair,
         "clustered_scan": q_clustered_scan,
+        "events_distinct_users": q_events_distinct_users,
     }
 
 
@@ -2618,6 +2633,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_e6
             FROM events, bounds
             WHERE event_id BETWEEN bounds.lo AND bounds.hi
+            GROUP BY event_type
+        """,
+        "events_distinct_users": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events
             GROUP BY event_type
         """,
     }
