@@ -1312,6 +1312,41 @@ def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded training export
+    (operators/shards.py::write_shards): documents shuffled into
+    md5(id||salt) order, split into 4 contiguous equal slabs, one file
+    per shard + consumer-verifiable manifest. Returns per-shard
+    (count, pos range) read back from the written directory; the
+    oracle re-derives the same slabs from row_number arithmetic —
+    shard membership is a pure function of the data. Manifest hashing
+    + tamper detection is pytest-verified (tests/test_shards.py)."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.shards import write_shards
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = tempfile.mkdtemp(prefix="shards_")
+    try:
+        write_shards(docs, out, n_shards=4)
+        return (
+            spark.read.parquet(out)
+            # partition-dir column is inferred int; the manifest/oracle
+            # contract is long
+            .withColumn("shard", F.col("shard").cast("long"))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("pos").alias("pos_min"),
+                F.max("pos").alias("pos_max"),
+            )
+        )
+    except BaseException:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+
+
 def q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-clustered layout end-to-end
     (sources/store.py::write_clustered): events written
@@ -1622,6 +1657,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tribe_stats_repair": q_tribe_stats_repair,
         "clustered_scan": q_clustered_scan,
         "events_distinct_users": q_events_distinct_users,
+        "shard_export": q_shard_export,
     }
 
 
@@ -2641,5 +2677,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events
             GROUP BY event_type
+        """,
+        "shard_export": """
+            WITH ordered AS (
+                SELECT row_number() OVER (
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)
+                                        || 'shuffle-v1'),
+                                    doc_id
+                       ) - 1 AS pos,
+                       COUNT(*) OVER () AS total
+                FROM documents
+            )
+            SELECT pos * 4 // total AS shard,
+                   COUNT(*) AS n_rows,
+                   MIN(pos) AS pos_min,
+                   MAX(pos) AS pos_max
+            FROM ordered
+            GROUP BY 1
         """,
     }
