@@ -202,6 +202,7 @@ def _fused_bucket_topk(
     k: int,
     assign,
     by_bucket: dict,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Shared engine for bucketed ANN (LSH and IVF): ONE narrow
     mapInPandas stage over the corpus — each Arrow batch assigns its
@@ -212,11 +213,17 @@ def _fused_bucket_topk(
     is never joined or shuffled; only the final top-k window shuffles
     the small candidate set. Per-pair Catalyst lambda dots (the
     broadcast-join formulation) run interpreted and lose to BLAS ~7x
-    on the same flops."""
+    on the same flops.
+
+    ``bucket_col``: if the corpus already carries a materialized
+    bucket assignment (a persistent IVF index — ann_index.py), pass
+    its column name and the stage skips the assignment GEMM entirely,
+    reading buckets from the column instead of calling ``assign``."""
     import numpy as np
     import pandas as pd
 
     out_schema = "query_id long, neighbor_id long, sim double"
+    in_cols = [id_col, vec_col] + ([bucket_col] if bucket_col else [])
 
     def score(batches):
         for pdf in batches:
@@ -225,7 +232,9 @@ def _fused_bucket_topk(
             vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
             ids = pdf[id_col].to_numpy()
-            assigned = assign(vm)
+            assigned = (
+                pdf[bucket_col].to_numpy() if bucket_col else assign(vm)
+            )
             frames = []
             for b in np.unique(assigned):
                 sub = by_bucket.get(int(b))
@@ -251,7 +260,7 @@ def _fused_bucket_topk(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    local = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    local = corpus.select(*in_cols).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
