@@ -47,18 +47,35 @@ from updater_spark.operators.merge import (
 
 _REQUIRED_CONFS = {
     "spark.sql.ansi.enabled": "false",
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
 }
 
+# confs that could not be applied to the live session, recorded (not
+# swallowed — the r1 silent-pass hid a real bug); inspected by tests
+# and printed once to stderr so failures are visible in driver logs.
+CONF_FAILURES: dict[str, str] = {}
+_conf_warned = False
+
 
 def _ensure_confs(spark: SparkSession) -> None:
+    global _conf_warned
     for k, v in _REQUIRED_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # non-settable in this runtime — proceed with defaults
+            if spark.conf.get(k) != v:
+                raise RuntimeError(f"set ignored, still {spark.conf.get(k)!r}")
+        except Exception as e:  # static conf on a live session, etc.
+            CONF_FAILURES[k] = str(e)
+    if CONF_FAILURES and not _conf_warned:
+        _conf_warned = True
+        print(f"[updater_spark] conf not applied: {CONF_FAILURES}", file=sys.stderr)
+    # load-bearing semantics: every code path that depends on a conf
+    # must either see it applied or have an input-level fallback.
+    # Timestamp handling no longer needs nanosAsLong — demo.load_events
+    # adapts to whatever dtype the session actually produces
+    # (bigint / timestamp_ntz / timestamp), so nothing asserts here.
 
 
 def _with_confs(fn):

@@ -38,24 +38,30 @@ def run() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (cache file listings, JIT)
-        # best-of-3: single-shot wall times on a shared VM show ±50%
-        # scheduler noise; min is the standard noise-free estimator
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        # per-query isolation: one broken query must never zero out the
+        # whole round's numbers (r1 lesson — BENCH_r01 was null)
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm (cache file listings, JIT)
+            # best-of-3: single-shot wall times on a shared VM show ±50%
+            # scheduler noise; min is the standard noise-free estimator
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
 
     # Hash-diff throughput: rows fingerprinted+joined across both sides
     # of the lineitem-scale J1 per second (BASELINE.md: reference does
     # 150k rows/s on one core).
     n_src = entrymod.demo.load(spark, sf_dir, "lineitem").count()
     diff_rows = 2 * n_src
-    t_diff = timings.get("j1_diff_large", float("nan"))
+    t_diff = timings.get("j1_diff_large")
     total = round(sum(timings.values()), 4)
 
     # End-to-end CDC cycle on a player-shaped table (the reference's
@@ -69,6 +75,8 @@ def run() -> None:
     from updater_spark.schema import TableSpec
     from updater_spark.sources.store import TableStore
 
+    t_boot = t_incr = t_incr_bucketed = None
+    n_players = 0
     cdc_root = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
         players = entrymod.demo.player_shaped(
@@ -103,25 +111,34 @@ def run() -> None:
         t_incr_bucketed = time.perf_counter() - t0
         for buf in (0, 1):
             spark.sql(f"DROP TABLE IF EXISTS player__fingerprints__buf{buf}")
+    except Exception as e:  # isolated: the query timings still print
+        errors["cdc_cycle"] = f"{type(e).__name__}: {e}"[:500]
     finally:
         shutil.rmtree(cdc_root, ignore_errors=True)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "hash_diff_rows_per_sec": round(diff_rows / t_diff) if t_diff else None,
-                "cdc_bootstrap_sec": round(t_boot, 4),
-                "cdc_incremental_sec": round(t_incr, 4),
-                "cdc_incremental_bucketed_sec": round(t_incr_bucketed, 4),
-                "cdc_incremental_rows_per_sec": round(n_players / t_incr),
-                "n_queries": len(timings),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "hash_diff_rows_per_sec": (
+            round(diff_rows / t_diff) if t_diff else None
+        ),
+        "cdc_bootstrap_sec": round(t_boot, 4) if t_boot else None,
+        "cdc_incremental_sec": round(t_incr, 4) if t_incr else None,
+        "cdc_incremental_bucketed_sec": (
+            round(t_incr_bucketed, 4) if t_incr_bucketed else None
+        ),
+        "cdc_incremental_rows_per_sec": (
+            round(n_players / t_incr) if t_incr else None
+        ),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+    }
+    if errors:
+        out["errors"] = errors
+    # allow_nan=False: a NaN would make the line unparseable downstream
+    print(json.dumps(out, allow_nan=False))
 
 
 if __name__ == "__main__":

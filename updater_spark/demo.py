@@ -34,15 +34,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos
-    long — convert to a proper timestamp (micros, Spark's native
-    resolution)."""
+    """events.parquet stores ``ts`` as parquet TIMESTAMP with no
+    timezone, which Spark 4 reads as TIMESTAMP_NTZ — a type
+    ``unix_micros`` and friends reject. Normalize ONCE here: pin the
+    session timezone to UTC (runtime-settable) and cast NTZ →
+    TIMESTAMP (LTZ). With UTC the cast is wall-clock-preserving and
+    ``unix_micros`` equals DuckDB's ``epoch_us`` on the same naive
+    values, so oracles line up exactly.
+
+    The bigint branch covers sessions where
+    ``spark.sql.legacy.parquet.nanosAsLong`` was set at build time
+    (nanos arrive as epoch-nanos long)."""
     ev = load(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] == "bigint":
+    dt = dict(ev.dtypes)["ts"]
+    if dt == "bigint":
         # integer division — float division of epoch-nanos (~1.7e18)
         # exceeds double's 53-bit mantissa and corrupts microseconds
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        # session.timeZone is runtime-settable on a live session; UTC
+        # makes the NTZ→LTZ cast deterministic and oracle-identical
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

@@ -60,8 +60,12 @@ def interval_join(
 
     def to_num(c):
         col = F.col(c)
-        # timestamp-typed columns bin on epoch micros (bin_width: sec)
-        return F.unix_micros(col) if _is_ts(points, intervals, c) else col
+        # timestamp-typed columns bin on epoch micros (bin_width: sec);
+        # cast("timestamp") lets TIMESTAMP_NTZ through unix_micros
+        # (no-op on LTZ, wall-clock-preserving under a pinned UTC tz)
+        if _is_ts(points, intervals, c):
+            return F.unix_micros(col.cast("timestamp"))
+        return col
 
     width = F.lit(bin_width * 1_000_000) if _is_ts(
         points, intervals, point_ts

@@ -36,7 +36,10 @@ def sessionize(
     Returns (user_id, session_idx, session_start_us, session_end_us,
     n_events, sum_value_e6)."""
     gap_us = gap_minutes * 60 * 1_000_000
-    us = F.unix_micros(F.col(ts_col))
+    # cast("timestamp") is a no-op on LTZ and makes TIMESTAMP_NTZ
+    # inputs (Spark 4's reading of tz-less parquet) acceptable to
+    # unix_micros; deterministic when session tz is pinned (demo.py)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(us.asc(), F.col(id_col).asc())
     flagged = events.select(
         F.col(user_col),

@@ -50,10 +50,11 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # The driver's events table stores TIMESTAMP(NANOS) which Spark
-        # cannot map natively; read as long and convert explicitly
-        # (updater_spark.demo.load_events).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The driver's events table stores tz-less parquet timestamps
+        # (Spark 4 reads TIMESTAMP_NTZ); a pinned UTC session tz makes
+        # the NTZ→LTZ normalization in demo.load_events deterministic
+        # and oracle-identical (DuckDB treats naive values as UTC).
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
