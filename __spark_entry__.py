@@ -498,19 +498,29 @@ def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5
-    (rows-only driver check; exact parity vs a pure-Python MinHash in
-    tests/test_dedup.py)."""
+    """MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5.
+
+    Runs the full pipeline (signatures → banding → bucket join →
+    slot-match estimate) on the md5-portable base hash so the DuckDB
+    oracle reproduces every signature slot, band key, and estimate
+    bit-for-bit (_generated_oracles). The xxhash64 production hash is
+    exercised against a pure-Python MinHash in tests/test_dedup.py —
+    same split as the crc32/md5 fingerprint precedent (demo.py)."""
     from updater_spark.operators.dedup import (
         lsh_candidate_pairs,
+        md5_hash32,
         minhash_jaccard_estimate,
         minhash_signatures,
     )
 
     sigs = minhash_signatures(
-        _near_dup_corpus(spark, sf_dir), "doc_id", "text", num_hashes=64
+        _near_dup_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=64,
+        base_hash=md5_hash32,
     )
-    pairs = lsh_candidate_pairs(sigs, bands=16)
+    pairs = lsh_candidate_pairs(sigs, bands=16, band_hash=md5_hash32)
     est = minhash_jaccard_estimate(sigs, pairs)
     return est.filter(F.col("est_jaccard") >= 0.5).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
@@ -531,11 +541,20 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, Hamming ≤ 12 (rows-only driver check;
-    bit-level parity vs pure Python in tests/test_dedup.py)."""
-    from updater_spark.operators.dedup import simhash, simhash_near_pairs
+    """SimHash near-dup pairs, Hamming ≤ 12, on the md5-portable
+    64-bit token hash — the DuckDB oracle rebuilds the fingerprints
+    bit-for-bit and applies the identical block-collision + Hamming
+    filter (_generated_oracles). xxhash64 production-path bit parity
+    vs pure Python lives in tests/test_dedup.py."""
+    from updater_spark.operators.dedup import (
+        md5_hash64,
+        simhash,
+        simhash_near_pairs,
+    )
 
-    fps = simhash(_near_dup_corpus(spark, sf_dir), "doc_id", "text")
+    fps = simhash(
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text", base_hash=md5_hash64
+    )
     return simhash_near_pairs(fps, max_hamming=12)
 
 
@@ -561,14 +580,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer + nprobe cluster-probed top-5
-    (rows-only driver check — iterative training is genuinely
-    non-SQL-expressible; recall vs the exact baseline asserted in
-    tests/test_similarity.py)."""
-    from updater_spark.operators.similarity import ivf_topk, ivf_train
+    """IVF ANN search with an offline codebook: nearest-centroid
+    assignment + nprobe cluster-probed top-5, value-oracled in SQL
+    (_generated_oracles reproduces assignment, probe sets, and
+    ranking). The codebook here is a deterministic data subset
+    (vec_id % 31 == 5) standing in for a trained one — the production
+    k-means|| trainer (ivf_train) is iterative and non-SQL-expressible;
+    its recall/convergence is asserted in tests/test_similarity.py."""
+    from updater_spark.operators.similarity import ivf_topk
 
     emb = demo.load(spark, sf_dir, "embeddings")
-    centroids = ivf_train(emb, k=16, iterations=3, init="kmeans_parallel")
+    cent_rows = (
+        emb.filter(F.col("vec_id") % 31 == 5)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [list(r[0]) for r in cent_rows]
     queries_df = emb.filter(F.col("vec_id") % 25 == 0)
     return ivf_topk(emb, queries_df, centroids, k=5, nprobe=4)
 
@@ -1678,6 +1706,207 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _generated_oracles() -> dict[str, str]:
+    """DuckDB oracles generated from the SAME deterministic constants
+    the Spark operators use (hash coefficients, hyperplanes) — full
+    value parity for the sketch/ANN paths, not rows-only checks.
+
+    Every query here runs its Spark side on the md5-portable base
+    hash or on literal-embedded planes/codebooks, so both engines
+    compute identical integers/doubles by construction."""
+    from updater_spark.operators.dedup import MERSENNE_P, _hash_coeffs
+    from updater_spark.operators.similarity import _hyperplanes
+
+    # ---- minhash + LSH (64 hashes, 16 bands × 4 rows, bucket cap 200)
+    coeffs = _hash_coeffs(64, 7)
+    mins = ",\n       ".join(
+        f"MIN(({a} * xor(h, {r}) + {b}) % {MERSENNE_P}) AS m{i}"
+        for i, (a, b, r) in enumerate(coeffs)
+    )
+    band_rows = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band, "
+        "CAST(('0x' || substr(md5({cat}), 1, 8)) AS BIGINT) AS band_hash "
+        "FROM sig".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"m{4 * b + r}::VARCHAR" for r in range(4)
+            ),
+        )
+        for b in range(16)
+    )
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(64)
+    )
+    minhash_sql = (
+        _SHINGLE_CTES
+        + f""",
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+        FROM shingles
+    ),
+    sig AS (
+        SELECT doc_id,
+       {mins}
+        FROM hashed GROUP BY doc_id
+    ),
+    bandrows AS (
+    {band_rows}
+    ),
+    buckets AS (
+        SELECT band, band_hash, COUNT(*) AS cnt
+        FROM bandrows GROUP BY band, band_hash
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandrows a
+        JOIN bandrows b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        JOIN buckets c
+          ON c.band = a.band AND c.band_hash = a.band_hash
+        WHERE c.cnt <= 200
+    )
+    SELECT id_a, id_b, round(({eq_terms}) / 64.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    WHERE ({eq_terms}) / 64.0 >= 0.5
+    """
+    )
+
+    # ---- simhash (64-bit fingerprint, 4 blocks × 16 bits, hamming ≤ 12)
+    def bit_lit(j: int) -> str:
+        return str(1 << j) if j < 63 else "(-9223372036854775807 - 1)"
+
+    bit_sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h & {bit_lit(j)}) <> 0 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {bit_lit(j)} ELSE 0 END" for j in range(64)
+    )
+    block_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, fp, {c} AS chunk, (fp >> {c * 16}) & 65535 AS block FROM fps"
+        for c in range(4)
+    )
+    simhash_sql = f"""
+    WITH corpus AS ({_NEAR_DUP_SQL}),
+    toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM corpus
+    ),
+    hashed AS (
+        SELECT doc_id,
+               (CASE WHEN CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) >= 2147483648
+                     THEN CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) - 4294967296
+                     ELSE CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) END) * 4294967296
+               + CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h
+        FROM toks
+    ),
+    sums AS (
+        SELECT doc_id,
+       {bit_sums}
+        FROM hashed GROUP BY doc_id
+    ),
+    fps AS (SELECT doc_id, {fp_terms} AS fp FROM sums),
+    blocks AS (
+    {block_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.fp AS fp_a, b.fp AS fp_b
+        FROM blocks a
+        JOIN blocks b ON a.chunk = b.chunk AND a.block = b.block
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fp_a, fp_b)) <= 12
+    """
+
+    # ---- ANN via random-hyperplane LSH (8 bits over 64 dims, seed 11)
+    planes = _hyperplanes(64, 8, 11)
+    plane_lit = [
+        "[" + ", ".join(repr(x) for x in row) + "]" for row in planes
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lit[i]}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    ann_lsh_sql = f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM vecs),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket
+          FROM bucketed WHERE vec_id % 25 = 0),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.qv, c.v), 4) AS sim
+        FROM q JOIN bucketed c ON c.bucket = q.bucket
+        WHERE q.query_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """
+
+    # ---- IVF ANN with the deterministic offline codebook
+    ann_ivf_sql = """
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               v AS cv
+        FROM vecs WHERE vec_id % 31 = 5
+    ),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT c.vec_id, c.v, k.cid,
+                   row_number() OVER (PARTITION BY c.vec_id
+                                      ORDER BY list_dot_product(c.v, k.cv) DESC, k.cid) AS rn
+            FROM vecs c CROSS JOIN cents k
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid FROM (
+            SELECT q.vec_id, q.v, k.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY list_dot_product(q.v, k.cv) DESC, k.cid) AS rn
+            FROM vecs q CROSS JOIN cents k
+            WHERE q.vec_id % 25 = 0
+        ) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+        FROM probes p JOIN assign a ON a.cid = p.cid
+        WHERE p.query_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """
+
+    return {
+        "dedup_minhash_lsh": minhash_sql,
+        "dedup_simhash": simhash_sql,
+        "ann_lsh_topk": ann_lsh_sql,
+        "ann_ivf_topk": ann_ivf_sql,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     # NB: POWER(x, 0.25) is written sqrt(sqrt(x)) — IEEE sqrt is
     # correctly rounded everywhere, pow is libm-dependent (see
@@ -1705,7 +1934,7 @@ def oracle_sql() -> dict[str, str]:
                 AS score_overall
         FROM players
     """
-    return {
+    sqls = {
         "s2_fingerprint": f"""
             WITH new_snap AS ({demo.NEW_SNAPSHOT_SQL})
             SELECT c_custkey AS id, {demo.FP_SQL} AS hashed FROM new_snap
@@ -2150,6 +2379,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, doc_id, n_tokens, pack_offset,
                    (pack_offset // 4096)::BIGINT AS pack_id
             FROM cum
+        """,
+        # next-fit greedy packing is a sequential per-shard scan — the
+        # oracle walks the identical recurrence one document per
+        # recursion step (per shard, in parallel across shards)
+        "pack_greedy": """
+            WITH RECURSIVE base AS (
+                SELECT shard, doc_id, n_tokens,
+                       row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+                FROM (
+                    SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR || 'shard-v1'), 1, 8))::UBIGINT % 4 AS BIGINT) AS shard,
+                           doc_id, length(text)::BIGINT AS n_tokens
+                    FROM documents
+                )
+            ),
+            walk AS (
+                SELECT shard, doc_id, n_tokens, rn,
+                       CAST(0 AS BIGINT) AS pack_seq, n_tokens AS pack_fill
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.shard, b.doc_id, b.n_tokens, b.rn,
+                       CASE WHEN w.pack_fill > 0 AND w.pack_fill + b.n_tokens > 4096
+                            THEN w.pack_seq + 1 ELSE w.pack_seq END,
+                       CASE WHEN w.pack_fill > 0 AND w.pack_fill + b.n_tokens > 4096
+                            THEN b.n_tokens ELSE w.pack_fill + b.n_tokens END
+                FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1
+            )
+            SELECT shard, doc_id, n_tokens, pack_seq, pack_fill FROM walk
+        """,
+        # byte features over the deterministic UTF-8 payload: bytes
+        # recovered engine-portably via hex(blob) digit pairs
+        "multimodal_decode_stub": """
+            WITH blobs AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                            ELSE 'video/mp4' END AS media_type,
+                       hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n
+                FROM documents
+            ),
+            bytes AS (
+                SELECT doc_id, media_type, n,
+                       list_transform(range(n), i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bs
+                FROM blobs
+            )
+            SELECT doc_id, media_type, n AS n_bytes,
+                   round(list_sum(bs) / CAST(n AS DOUBLE), 4) AS byte_mean,
+                   round(len(list_distinct(bs)) / 256.0, 4) AS byte_entropy_proxy
+            FROM bytes
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents
@@ -2713,3 +2991,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
     }
+    # the Arrow GEMM brute force is exact with the same output
+    # contract as the Catalyst twin — one oracle serves both
+    sqls["sim_topk_arrow"] = sqls["sim_topk_cosine"]
+    sqls.update(_generated_oracles())
+    return sqls

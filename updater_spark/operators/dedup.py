@@ -70,6 +70,33 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
     return word_shingles_of(tokens(text_col), n)
 
 
+def md5_hash32(c: Column) -> Column:
+    """Portable 32-bit base hash: first 8 hex chars of md5 as a long.
+
+    Engine-portable twin of ``pmod(xxhash64, 2^32)`` — every SQL
+    engine renders md5 identically, so a DuckDB/Trino oracle can
+    reproduce MinHash signatures bit-for-bit (same precedent as the
+    md5-vs-crc32 fingerprint split, updater_spark.demo). The xxhash64
+    default stays the production path (pure JVM, no hex round-trip)."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def md5_hash64(c: Column) -> Column:
+    """Portable 64-bit base hash from two md5 hex windows.
+
+    Built as signed arithmetic ``(hi - 2^32 if hi >= 2^31 else hi) *
+    2^32 + lo`` rather than shifts: bit-identical to ``(hi<<32)|lo``
+    in two's complement, but expressible in engines whose shift
+    operators overflow-check (DuckDB)."""
+    hexstr = F.md5(c.cast("binary"))
+    hi = F.conv(F.substring(hexstr, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hexstr, 9, 8), 16, 10).cast("long")
+    hi_signed = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    return hi_signed * F.lit(1 << 32) + lo
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup via hash-groupBy: one representative (min id) per
     distinct key tuple, plus multiplicity."""
@@ -123,14 +150,22 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 7,
+    base_hash=None,
 ) -> DataFrame:
     """``(id, signature array<long>)`` — element i is min over
-    shingles of ((a_i * (xxhash64(shingle) ^ r_i) + b_i) mod p).
+    shingles of ((a_i * (base_hash(shingle) ^ r_i) + b_i) mod p).
 
     One explode + one groupBy (single shuffle keyed by doc id); the
     per-shingle k-way hashing is a JVM ``transform`` over a literal
     coefficient array, no Python in the loop.
+
+    ``base_hash``: Column→Column producing a non-negative 32-bit base
+    hash. Default is ``pmod(xxhash64, 2^32)`` (fast JVM path); pass
+    ``md5_hash32`` for an output any SQL engine can reproduce exactly
+    (driver oracle queries do).
     """
+    if base_hash is None:
+        base_hash = lambda c: F.pmod(F.xxhash64(c), F.lit(1 << 32))  # noqa: E731
     coeffs = _hash_coeffs(num_hashes, seed)
     # explode_outer: plain explode's inferred size>0 filter re-inlines
     # the gram build below the token projection (see tokenize
@@ -142,7 +177,7 @@ def minhash_signatures(
         "id",
         # non-negative 32-bit base hash (keeps a*h+b < 2^63, see
         # _hash_coeffs)
-        F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)).alias("h"),
+        base_hash(F.col("shingle")).alias("h"),
     )
     # direct per-occurrence hashing. A dictionary variant (hash each
     # DISTINCT shingle once, join back) was measured SLOWER here —
@@ -173,11 +208,19 @@ def minhash_signatures(
     )
 
 
-def band_hashes(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def band_hashes(
+    signatures: DataFrame, bands: int = 16, band_hash=None
+) -> DataFrame:
     """``(id, band, band_hash)`` — the LSH banding step: hash each of
     ``bands`` contiguous signature slices. Shared by the one-shot
     candidate-pair scan and the incremental index (dedup_index.py),
-    which persists exactly this table as probe state."""
+    which persists exactly this table as probe state.
+
+    ``band_hash``: Column→Column over the comma-joined slot string;
+    default xxhash64 (JVM fast path), pass ``md5_hash32`` for SQL-
+    engine-reproducible band keys."""
+    if band_hash is None:
+        band_hash = F.xxhash64
     n = signatures.select(F.size("signature")).first()[0]
     rows_per_band = n // bands
     return signatures.select(
@@ -185,7 +228,7 @@ def band_hashes(signatures: DataFrame, bands: int = 16) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
+                    band_hash(
                         F.concat_ws(
                             ",",
                             *[
@@ -205,13 +248,14 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
     max_bucket: int = 200,
+    band_hash=None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (id_a < id_b) that
     collide in ≥1 band. ``max_bucket`` drops degenerate buckets (all-
     identical boilerplate) that would explode quadratically — the
     standard skew guard; dropped buckets should be handled by exact
     dedup first."""
-    banded = band_hashes(signatures, bands)
+    banded = band_hashes(signatures, bands, band_hash)
     grouped = banded.groupBy("band", "band_hash").agg(
         F.collect_list("id").alias("ids")
     )
@@ -380,14 +424,19 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, base_hash=None
 ) -> DataFrame:
     """64-bit SimHash over word tokens (Charikar 2002): bit j of the
     fingerprint is the sign of the sum over tokens of ±1 according to
-    bit j of the token hash. One explode + one groupBy."""
+    bit j of the token hash. One explode + one groupBy.
+
+    ``base_hash``: Column→Column 64-bit token hash; default xxhash64,
+    pass ``md5_hash64`` for SQL-engine-reproducible fingerprints."""
+    if base_hash is None:
+        base_hash = F.xxhash64
     toked = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", base_hash(F.col("tok")).alias("h"))
 
     def bit_lit(j: int):
         # bit 63 of a signed 64-bit long is the sign bit
@@ -440,7 +489,9 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # long, not int: stable schema across engines (bit_count is int32
+    # in Spark, BIGINT in most SQL engines)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return cand.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
