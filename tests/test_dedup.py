@@ -186,3 +186,33 @@ def test_lsh_verified_pipeline(spark):
     planted = {(i, i + 1000) for i in range(0, 40, 2)}
     assert planted <= set(verified)
     assert len(exact) == len(planted)  # nothing else crosses 0.5
+
+
+def test_ngram_jaccard_posting_cap(spark):
+    """A single hot shingle shared by every doc must not explode the
+    pair expansion: with max_posting the stop-shingle is cut from the
+    inverted index, with None it pairs everything quadratically."""
+    hot = [
+        Row(doc_id=i, text=f"hot1 hot2 hot3 u{i}a u{i}b") for i in range(120)
+    ]
+    near = [
+        Row(doc_id=1000, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=1001, text="alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(hot + near)
+
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, max_posting=100
+    ).collect()
+    # hot-only overlaps are gone; the genuine near-dup pair survives
+    # with its exact jaccard (its shingles are all below the cap)
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(1000, 1001)}
+    [pair] = capped
+    # sets: 4 shingles each, 3 common -> 3/5
+    assert abs(pair["jaccard"] - 3 / 5) < 1e-12
+
+    uncapped = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, max_posting=None
+    )
+    # every hot pair (120 choose 2) plus the near-dup pair
+    assert uncapped.count() == 120 * 119 // 2 + 1

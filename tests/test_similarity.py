@@ -129,3 +129,70 @@ def test_ivf_kmeans_parallel_init(spark, emb_df):
         len(set(exact[q][:3]) & approx.get(q, set())) / 3 for q in qids
     ]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_ivf_assign_bucket_col_parity(spark, emb_df, tmp_path):
+    """Searching a materialized (parquet round-tripped) IVF index must
+    return exactly what per-batch assignment returns."""
+    from updater_spark.operators.similarity import ivf_assign, ivf_topk
+
+    df, vecs = emb_df
+    cents = [[float(x) for x in vecs[i]] for i in range(0, 32, 4)]  # 8 cells
+    queries = df.filter("vec_id % 10 = 0")
+
+    direct = ivf_topk(df, queries, cents, k=3, nprobe=3)
+    idx = ivf_assign(df, cents)
+    path = str(tmp_path / "ivf_index")
+    idx.write.parquet(path)
+    stored = spark.read.parquet(path)
+    via_index = ivf_topk(
+        stored, queries, cents, k=3, nprobe=3, bucket_col="bucket"
+    )
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    a = sorted(direct.collect(), key=key)
+    b = sorted(via_index.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0
+
+
+def test_ivf_stale_index_rejected(spark, emb_df, tmp_path):
+    """Bucket column built from one codebook + search with another =
+    hard error, not silent recall loss (metadata survives parquet)."""
+    from updater_spark.operators.similarity import ivf_assign, ivf_topk
+
+    df, vecs = emb_df
+    cents_a = [[float(x) for x in vecs[i]] for i in range(0, 16, 2)]
+    cents_b = [[float(x) for x in vecs[i]] for i in range(1, 17, 2)]
+    path = str(tmp_path / "stale_index")
+    ivf_assign(df, cents_a).write.parquet(path)
+    stored = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="stale IVF index"):
+        ivf_topk(stored, df.limit(3), cents_b, k=3, bucket_col="bucket")
+
+
+def test_null_buckets_skipped(spark, emb_df):
+    """Rows with NULL bucket (never indexed) are excluded from the
+    search instead of crashing the Arrow stage with NaN casts."""
+    from pyspark.sql import functions as F
+
+    from updater_spark.operators.similarity import ivf_assign, ivf_topk
+
+    df, vecs = emb_df
+    cents = [[float(x) for x in vecs[i]] for i in range(0, 16, 2)]
+    idx = ivf_assign(df, cents).withColumn(
+        "bucket",
+        F.when(F.col("vec_id") >= 40, F.col("bucket")),  # nulls below 40
+    )
+    out = ivf_topk(idx, df.filter("vec_id % 10 = 0"), cents, k=3,
+                   bucket_col="bucket")
+    neighbors = {r["neighbor_id"] for r in out.collect()}
+    assert neighbors and all(n >= 40 for n in neighbors)
+
+
+def test_query_side_bound_fails_fast(spark, emb_df):
+    from updater_spark.operators.similarity import _collect_unit_queries
+
+    df, _ = emb_df
+    with pytest.raises(ValueError, match="max_rows"):
+        _collect_unit_queries(df, "vec_id", "embedding", max_rows=10)

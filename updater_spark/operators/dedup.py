@@ -364,11 +364,25 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_posting: int | None = 200,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets for all pairs
     sharing ≥1 shingle. Shuffles on the shingle (inverted index), then
-    on the pair. Quadratic in per-shingle frequency — at scale run it
-    only on LSH candidates."""
+    on the pair.
+
+    ``max_posting`` is the skew guard that makes the pair expansion
+    bounded (the quadratic blow-up lives in per-shingle document
+    frequency): shingles appearing in more than ``max_posting``
+    documents are dropped from the inverted index — the classic
+    stop-shingle cut, mirroring ``lsh_candidate_pairs``'
+    ``max_bucket``. Consequence: a pair whose only overlap was
+    stop-shingles is not emitted, and surviving pairs' Jaccard is a
+    conservative underestimate by the dropped shingles' contribution
+    to the intersection (denominators still use full set sizes).
+    Boilerplate frequent enough to hit the cap should be removed by
+    exact dedup / boilerplate stripping first. Pass ``None`` to
+    disable (exact, but unbounded — small corpora or post-LSH
+    candidate sets only)."""
     sh = tokenize(df, text_col).select(
         F.col(id_col).alias("id"), word_shingles_of("_toks", n).alias("sh")
     )
@@ -388,6 +402,10 @@ def ngram_jaccard_pairs(
         F.xxhash64("shingle_str").alias("shingle"),
     )
     postings = inv.groupBy("shingle").agg(F.collect_list("doc").alias("docs"))
+    if max_posting is not None:
+        # the bound that keeps one hot shingle from materializing an
+        # O(df²) pair expansion inside a single task
+        postings = postings.filter(F.size("docs") <= max_posting)
     # chained explodes (streamed, codegen'd Generate) instead of a
     # nested transform+flatten+filter that would build each posting
     # list's |docs|^2 pair array in interpreted HOF code — measured

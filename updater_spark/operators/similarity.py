@@ -118,10 +118,7 @@ def cosine_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qids, qm = _collect_unit_queries(queries, id_col, vec_col)
 
     out_schema = "query_id long, neighbor_id long, sim double"
 
@@ -184,12 +181,31 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return code
 
 
-def _collect_unit_queries(queries: DataFrame, id_col: str, vec_col: str):
+# ceiling on how many query rows the fused searches will pull to the
+# driver — the same small-side bound a broadcast join enforces with
+# spark.sql.autoBroadcastJoinThreshold. 200k × 64 dims × 8B ≈ 100 MB.
+MAX_QUERY_ROWS = 200_000
+
+
+def _collect_unit_queries(
+    queries: DataFrame, id_col: str, vec_col: str, max_rows: int = MAX_QUERY_ROWS
+):
     """Driver-side (ids, unit-row matrix) for the fused bucket search —
-    the same small-query-side assumption a broadcast join would make."""
+    the same small-query-side assumption a broadcast join would make.
+
+    Fails fast past ``max_rows`` instead of silently OOMing the
+    driver: a query set that big should be run as a partitioned
+    corpus-corpus join (``embedding_near_dup_pairs``) or chunked by
+    the caller."""
     import numpy as np
 
-    rows = queries.select(id_col, vec_col).collect()
+    rows = queries.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"query side exceeds max_rows={max_rows}: the fused top-k "
+            "broadcasts the query matrix to every executor; chunk the "
+            "query set or use a partitioned corpus-corpus join instead"
+        )
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in rows], dtype=np.float64)
     return qids, qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -216,14 +232,19 @@ def _fused_bucket_topk(
     on the same flops.
 
     ``bucket_col``: if the corpus already carries a materialized
-    bucket assignment (a persistent IVF index — ann_index.py), pass
+    bucket assignment (a persistent IVF index — ``ivf_assign``), pass
     its column name and the stage skips the assignment GEMM entirely,
-    reading buckets from the column instead of calling ``assign``."""
+    reading buckets from the column instead of calling ``assign``.
+    NULL buckets (rows the index never covered) are filtered out
+    before the stage — they would otherwise poison the whole batch's
+    int bucket array with NaN."""
     import numpy as np
     import pandas as pd
 
     out_schema = "query_id long, neighbor_id long, sim double"
     in_cols = [id_col, vec_col] + ([bucket_col] if bucket_col else [])
+    if bucket_col:
+        corpus = corpus.filter(F.col(bucket_col).isNotNull())
 
     def score(batches):
         for pdf in batches:
@@ -233,7 +254,9 @@ def _fused_bucket_topk(
             vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
             ids = pdf[id_col].to_numpy()
             assigned = (
-                pdf[bucket_col].to_numpy() if bucket_col else assign(vm)
+                pdf[bucket_col].to_numpy(dtype=np.int64)
+                if bucket_col
+                else assign(vm)
             )
             frames = []
             for b in np.unique(assigned):
@@ -479,6 +502,52 @@ def ivf_train(
     return centroids
 
 
+def codebook_id(centroids: list[list[float]]) -> str:
+    """Stable identity of a quantizer codebook — md5 over the exact
+    float64 bytes of the centroid matrix. Persisted into the bucket
+    column's metadata by ``ivf_assign`` and verified by ``ivf_topk``
+    so a stale index (buckets from different centroids than the query
+    probes) errors instead of silently degrading recall."""
+    import hashlib
+
+    import numpy as np
+
+    return hashlib.md5(
+        np.ascontiguousarray(centroids, dtype=np.float64).tobytes()
+    ).hexdigest()
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Materialize the IVF cell assignment as a column — the
+    index-build step of a persistent IVF index. Write the result as
+    a table partitioned/bucketed by ``out_col``; ``ivf_topk(...,
+    bucket_col=out_col)`` then searches it without re-running the
+    assignment GEMM (and partition pruning skips unprobed cells
+    entirely on a parquet-backed index).
+
+    Assignment = argmax over centroids of ``dot(v, c)`` (ties to the
+    lowest cell, matching numpy argmax). Raw dots: scaling a vector by
+    a positive norm never changes its argmax cell, so unit
+    normalization is skipped here. The codebook's identity
+    (``codebook_id``) rides in the column metadata and survives
+    parquet round-trips."""
+    dots = [
+        dot(as_double(F.col(vec_col)), F.array(*[F.lit(x) for x in c]))
+        for c in centroids
+    ]
+    arr = F.array(*dots)
+    best = (F.array_position(arr, F.array_max(arr)) - 1).cast("long")
+    return corpus.withColumn(out_col, best).withMetadata(
+        out_col, {"codebook": codebook_id(centroids)}
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -487,6 +556,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """IVF search: corpus vectors live in their nearest-centroid
     bucket; each query probes its ``nprobe`` nearest buckets and ranks
@@ -498,8 +568,26 @@ def ivf_topk(
     assignment (numpy argmax GEMM, ties to lowest cluster) + scoring
     per Arrow batch, no join, no corpus shuffle. Queries are collected
     to the driver — the small-side assumption a broadcast join would
-    make."""
+    make (bounded by MAX_QUERY_ROWS).
+
+    ``bucket_col``: search a pre-assigned corpus (``ivf_assign``)
+    instead of assigning per batch. The column's ``codebook``
+    metadata, when present, must match these ``centroids`` — a
+    mismatch raises instead of silently probing the wrong cells."""
     import numpy as np
+
+    if bucket_col is not None:
+        meta = {}
+        for f in corpus.schema.fields:
+            if f.name == bucket_col:
+                meta = f.metadata or {}
+        stored = meta.get("codebook")
+        if stored is not None and stored != codebook_id(centroids):
+            raise ValueError(
+                f"stale IVF index: column {bucket_col!r} was assigned "
+                f"with codebook {stored}, search uses "
+                f"{codebook_id(centroids)}; re-run ivf_assign"
+            )
 
     cm = np.array(centroids, dtype=np.float64)
 
@@ -515,7 +603,9 @@ def ivf_topk(
         mask = (probes == c).any(axis=1)
         if mask.any():
             by_cluster[c] = (qids[mask], qm[mask])
-    return _fused_bucket_topk(corpus, id_col, vec_col, k, nearest, by_cluster)
+    return _fused_bucket_topk(
+        corpus, id_col, vec_col, k, nearest, by_cluster, bucket_col=bucket_col
+    )
 
 
 def embedding_near_dup_pairs(
