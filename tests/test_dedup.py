@@ -216,3 +216,30 @@ def test_ngram_jaccard_posting_cap(spark):
     )
     # every hot pair (120 choose 2) plus the near-dup pair
     assert uncapped.count() == 120 * 119 // 2 + 1
+
+
+def test_md5_portable_hashes_match_hashlib(spark):
+    """md5_hash32/64 must equal the reference construction (first
+    4/8 md5 bytes big-endian, 64-bit signed) — the property the DuckDB
+    oracle transcription relies on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from updater_spark.operators.dedup import md5_hash32, md5_hash64
+
+    words = ["alpha", "beta gamma", "héllo wörld", "", "123", "zz yy xx"]
+    df = spark.createDataFrame([Row(s=w) for w in words])
+    got = {
+        r["s"]: (r["h32"], r["h64"])
+        for r in df.select(
+            "s",
+            md5_hash32(F.col("s")).alias("h32"),
+            md5_hash64(F.col("s")).alias("h64"),
+        ).collect()
+    }
+    for w in words:
+        d = hashlib.md5(w.encode("utf-8")).digest()
+        exp32 = int.from_bytes(d[:4], "big")
+        exp64 = int.from_bytes(d[:8], "big", signed=True)
+        assert got[w] == (exp32, exp64), w
