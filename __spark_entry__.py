@@ -601,6 +601,44 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, centroids, k=5, nprobe=4)
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent-IVF-index search path: ivf_assign materializes
+    cell assignments (codebook identity in column metadata), the index
+    is written partitionBy(bucket), and ivf_topk(bucket_col=) searches
+    the stored index — the probe filter prunes to nprobe cells at the
+    parquet level, so only probed partitions are ever read (the 100 TB
+    shape: the corpus scan cost is nprobe/k of the index, not the
+    index). Same results as ann_ivf_topk by construction — shares its
+    exact SQL oracle."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") % 31 == 5)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [list(r[0]) for r in cent_rows]
+    root = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        path = f"{root}/index"
+        ivf_assign(emb, centroids).write.partitionBy("bucket").parquet(path)
+        stored = spark.read.parquet(path)
+        queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+        out = ivf_topk(
+            stored, queries_df, centroids, k=5, nprobe=4, bucket_col="bucket"
+        )
+        # materialize before the temp index dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload bytes + typed metadata."""
     from updater_spark.operators.multimodal import make_blob_table
@@ -1663,6 +1701,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_arrow": q_sim_topk_arrow,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "multimodal_decode_stub": q_multimodal_decode_stub,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
@@ -1904,6 +1943,8 @@ def _generated_oracles() -> dict[str, str]:
         "dedup_simhash": simhash_sql,
         "ann_lsh_topk": ann_lsh_sql,
         "ann_ivf_topk": ann_ivf_sql,
+        # the stored-index search must land on the identical result
+        "ann_ivf_indexed": ann_ivf_sql,
     }
 
 

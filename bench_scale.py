@@ -216,11 +216,74 @@ def pipeline_probe(n: int) -> None:
     )
 
 
+def dedup_probe(n: int) -> None:
+    """Scale probe for the near-dup pipeline: MinHash signatures →
+    banded LSH candidates → exact-Jaccard verify over n synthetic
+    ~20-token docs (every 100th doc is a near-copy of its neighbor
+    with two tokens swapped, so true pairs ≈ n/100).
+
+    Usage: ``python bench_scale.py [n_docs] dedup`` (default probe
+    size: pass 1_000_000).
+    """
+    from updater_spark.operators.dedup import lsh_verified_pairs
+
+    spark = get_spark("bench_scale_dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ~20 tokens from hash arithmetic; near-copies perturb 2 positions
+    tok = lambda i: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)), F.lit(50_000)),
+    )
+    base = spark.range(0, n, numPartitions=64).withColumnRenamed(
+        "id", "doc_id"
+    )
+    near = F.col("doc_id") % 100 == 99  # copies of doc_id-1
+    src = F.when(near, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    toks = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(src, F.lit(i)), F.lit(50_000)),
+        )
+        if i >= 2
+        else tok(i)  # first two tokens stay the doc's own → J = 18/22
+        for i in range(20)
+    ]
+    docs = base.select("doc_id", F.concat_ws(" ", *toks).alias("text"))
+
+    pairs = lsh_verified_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    agg = pairs.groupBy().agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("jaccard").alias("min_j"),
+    )
+    agg.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    agg.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    row = agg.first()
+    print(
+        json.dumps(
+            {
+                "n_docs": n,
+                "dedup_probe": {
+                    "wall_sec": round(wall, 3),
+                    "docs_per_sec": round(n / wall),
+                    "pairs_found": row["n_pairs"],
+                    "pairs_expected": n // 100,
+                    "min_jaccard": round(row["min_j"], 4),
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
         bucketed_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "pipeline":
         pipeline_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "dedup":
+        dedup_probe(_n)
     else:
         main(_n)

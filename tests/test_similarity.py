@@ -196,3 +196,29 @@ def test_query_side_bound_fails_fast(spark, emb_df):
     df, _ = emb_df
     with pytest.raises(ValueError, match="max_rows"):
         _collect_unit_queries(df, "vec_id", "embedding", max_rows=10)
+
+
+def test_indexed_search_prunes_partitions(spark, emb_df, tmp_path):
+    """A bucket-partitioned index must be read with partition pruning:
+    the probe filter reaches the parquet scan as a PartitionFilter, so
+    only probed cells' files are opened."""
+    from updater_spark.operators.similarity import ivf_assign, ivf_topk
+
+    df, vecs = emb_df
+    cents = [[float(x) for x in vecs[i]] for i in range(0, 32, 4)]
+    path = str(tmp_path / "pruned_index")
+    ivf_assign(df, cents).write.partitionBy("bucket").parquet(path)
+    stored = spark.read.parquet(path)
+    out = ivf_topk(
+        stored, df.filter("vec_id % 10 = 0"), cents, k=3, nprobe=2,
+        bucket_col="bucket",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pushed filter is on the bucket partition column, and it is
+    # NOT the empty list a full scan would show
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "bucket" in m.group(1)
+    assert out.count() > 0

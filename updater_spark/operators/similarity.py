@@ -244,7 +244,15 @@ def _fused_bucket_topk(
     out_schema = "query_id long, neighbor_id long, sim double"
     in_cols = [id_col, vec_col] + ([bucket_col] if bucket_col else [])
     if bucket_col:
-        corpus = corpus.filter(F.col(bucket_col).isNotNull())
+        # restrict the scan to PROBED cells (non-probed buckets can't
+        # contribute) — on an index written partitionBy(bucket_col)
+        # this becomes parquet partition pruning: only nprobe/k of the
+        # corpus files are ever opened. Also drops NULL buckets (rows
+        # the index never covered), which would otherwise poison the
+        # batch's int bucket array with NaN.
+        corpus = corpus.filter(
+            F.col(bucket_col).isin([int(b) for b in by_bucket])
+        )
 
     def score(batches):
         for pdf in batches:
