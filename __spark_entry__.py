@@ -1188,6 +1188,20 @@ def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(docs, bench, "doc_id", "text", n=8)
 
 
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — identical output to
+    q_decontam_ngram (shares its oracle) through a different scale
+    shape: the benchmark grams fold into a 128k-bit Bloom literal
+    (codegen'd integer probes, no UDF), only Bloom survivors meet the
+    exact gram set in a shuffle join — the variant for benchmark sets
+    too large to broadcast (operators/decontam.py docstring)."""
+    from updater_spark.operators.decontam import contamination_bloom
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination_bloom(docs, bench, "doc_id", "text", n=8)
+
+
 def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus length profile: count/min/max + exact p50/p90/
     p99 (linear interpolation, bit-identical to DuckDB quantile_cont).
@@ -1725,6 +1739,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "dedup_incremental": q_dedup_incremental,
         "decontam_ngram": q_decontam_ngram,
+        "decontam_bloom": q_decontam_bloom,
         "corpus_quantiles": q_corpus_quantiles,
         "changelog_replay": q_changelog_replay,
         "shuffle_order": q_shuffle_order,
@@ -3035,5 +3050,7 @@ def oracle_sql() -> dict[str, str]:
     # the Arrow GEMM brute force is exact with the same output
     # contract as the Catalyst twin — one oracle serves both
     sqls["sim_topk_arrow"] = sqls["sim_topk_cosine"]
+    # Bloom prefilter + exact verify ≡ the exact broadcast probe
+    sqls["decontam_bloom"] = sqls["decontam_ngram"]
     sqls.update(_generated_oracles())
     return sqls

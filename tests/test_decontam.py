@@ -78,3 +78,47 @@ def test_group_quantiles_oracle(spark):
     assert got["a"]["p50"] == interp(a_vals, 0.5)
     assert got["a"]["p90"] == interp(a_vals, 0.9)
     assert got["b"]["p50"] == 6.0
+
+
+def test_bloom_variant_matches_exact(spark, sf_dir):
+    """contamination_bloom must produce EXACTLY contamination's output
+    (no false negatives by Bloom construction; false positives removed
+    by the verify join) — on the real documents table."""
+    from pyspark.sql import functions as F
+
+    from updater_spark.operators.decontam import (
+        contamination,
+        contamination_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    exact = contamination(docs, bench, "doc_id", "text", n=8)
+    bloom = contamination_bloom(docs, bench, "doc_id", "text", n=8)
+    key = lambda r: r["doc_id"]  # noqa: E731
+    a = sorted(exact.collect(), key=key)
+    b = sorted(bloom.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # sanity: scenario actually contains contaminated docs
+    assert any(r["contaminated"] for r in a)
+
+
+def test_bloom_tiny_filter_forces_fp_then_verify_kills_them(spark):
+    """With a deliberately tiny Bloom (high fpp) the prefilter passes
+    false candidates — the exact verify must still zero them out."""
+    from pyspark.sql import Row
+
+    from updater_spark.operators.decontam import contamination_bloom
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"unique text body number {i} with words") for i in range(50)]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=0, text="completely disjoint benchmark content here")]
+    )
+    out = contamination_bloom(
+        corpus, bench, "doc_id", "text", n=3, m_bits=64, num_probes=1
+    )
+    assert out.filter("contaminated").count() == 0

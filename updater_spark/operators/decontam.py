@@ -100,3 +100,125 @@ def decontaminate(
     return corpus.join(
         dirty.select(F.col(id_col)), id_col, "anti"
     )
+
+
+def _bloom_array(
+    gram_hashes: DataFrame,
+    hash_col: str,
+    m_bits: int,
+    num_probes: int,
+    seed: int,
+) -> list[int]:
+    """Build the Bloom bit array (as ``m_bits/64`` longs) over a
+    DataFrame of 64-bit gram hashes. The OR-fold runs distributed
+    (``bit_or`` per word index); only the folded words reach the
+    driver — at most ``m_bits/64`` rows regardless of gram count."""
+    probes = gram_hashes
+    words = None
+    for s in range(num_probes):
+        p = F.pmod(F.xxhash64(F.col(hash_col), F.lit(seed + s)), F.lit(m_bits))
+        one = probes.select(
+            (p / 64).cast("long").alias("_idx"),
+            F.expr(f"shiftleft(1L, cast(pmod(xxhash64({hash_col}, {seed + s}), {m_bits}) % 64 as int))").alias("_mask"),
+        )
+        words = one if words is None else words.unionByName(one)
+    folded = words.groupBy("_idx").agg(F.bit_or("_mask").alias("_word")).collect()
+    arr = [0] * (m_bits // 64)
+    for r in folded:
+        arr[int(r["_idx"])] = int(r["_word"])
+    return arr
+
+
+def contamination_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 13,
+    m_bits: int = 1 << 17,
+    num_probes: int = 4,
+    seed: int = 9000,
+) -> DataFrame:
+    """``contamination`` with a Bloom prefilter — same exact output
+    (Bloom filters have no false negatives; false positives die in the
+    exact verify join), different scale shape.
+
+    ``contamination`` broadcasts the benchmark's full distinct
+    gram-hash set — right when the eval suite is small. When the
+    "benchmark" is itself huge (e.g. decontaminating against an entire
+    held-out split, billions of grams), broadcast dies; this variant:
+
+    1. folds the benchmark grams into an ``m_bits``-bit Bloom array
+       distributedly (``bit_or`` per 64-bit word; only m/64 longs hit
+       the driver) and embeds it as a literal — the probe stays
+       whole-stage-codegen'd integer arithmetic, no UDF;
+    2. probes every corpus gram against the Bloom in the scan stage —
+       survivors are ~(true hits + fpp·grams), a vanishing fraction;
+    3. shuffle-joins ONLY the survivors against the exact gram set for
+       verification (the join the broadcast version couldn't afford is
+       now on a tiny left side), then folds counts per doc.
+
+    The corpus text still never shuffles: the doc-keyed groupBy
+    carries (id, n_grams, survivor hashes) — a few longs per doc.
+
+    fpp ≈ (1 - e^(-k·n/m))^k; defaults (m=131072 bits, k=4) hold
+    ~10k grams at ~2% — size ``m_bits`` to the benchmark (~10 bits
+    per gram for 1%)."""
+    bench_text_col = bench_text_col or text_col
+    bench_grams = (
+        tokenize(benchmark, bench_text_col)
+        .select(F.explode_outer(word_shingles_of("_toks", n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    arr = _bloom_array(bench_grams, "gh", m_bits, num_probes, seed)
+    bloom = F.array(*[F.lit(x).cast("long") for x in arr])
+
+    exploded = (
+        tokenize(corpus, text_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            word_shingles_of("_toks", n).alias("_grams"),
+        )
+        .select(
+            "_id",
+            F.size("_grams").cast("long").alias("n_grams"),
+            F.explode_outer("_grams").alias("g"),
+        )
+        .select("_id", "n_grams", F.xxhash64("g").alias("gh"))
+        .withColumn("_bloom", bloom)
+    )
+    might = None
+    for s in range(num_probes):
+        hit = F.expr(
+            f"((element_at(_bloom, cast(pmod(xxhash64(gh, {seed + s}), {m_bits}) div 64 as int) + 1)"
+            f" >> cast(pmod(xxhash64(gh, {seed + s}), {m_bits}) % 64 as int)) & 1) != 0"
+        )
+        might = hit if might is None else (might & hit)
+
+    # one doc-keyed shuffle carrying only survivor hashes; exact verify
+    # joins the (tiny) exploded survivor set without any broadcast
+    per_doc = (
+        exploded.withColumn("_cand", F.when(might, F.col("gh")))
+        .groupBy("_id", "n_grams")
+        .agg(F.collect_set("_cand").alias("_cands"))
+    )
+    verified = (
+        per_doc.select(
+            "_id", "n_grams", F.explode_outer("_cands").alias("gh")
+        )
+        .join(bench_grams.withColumn("_hit", F.lit(1)), "gh", "left")
+        .groupBy("_id", "n_grams")
+        .agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias(
+                "n_hit_grams"
+            )
+        )
+    )
+    return verified.select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "n_hit_grams",
+        (F.col("n_hit_grams") > 0).alias("contaminated"),
+    )
