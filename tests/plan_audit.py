@@ -77,7 +77,28 @@ CHECKS = {
         "pyramid's coarsen step never re-reads raw events. ReadSchema is "
         "pruned to the 3 referenced columns."
     ),
+    "decontam_bloom": (
+        "the Bloom probe is scan-stage integer arithmetic (literal array "
+        "+ shifts — no UDF, no BroadcastExchange feeding it); only Bloom "
+        "survivors reach the exact-verify join, and the doc-keyed "
+        "aggregate carries a few longs per doc, never corpus text."
+    ),
+    "events_sessionize": (
+        "ONE Exchange on user_id serves both window functions AND the "
+        "session aggregate — lag, gap-flag running sum, and the final "
+        "groupBy all reuse the same hashpartitioning."
+    ),
+    "interval_join_events": (
+        "the range predicate rides a HASH equi-join on the bin — no "
+        "BroadcastNestedLoopJoin, no cartesian product anywhere in the "
+        "plan (the naive inequality-join formulation degenerates to one)."
+    ),
 }
+# ann_ivf_indexed's partition pruning (PartitionFilters on the bucket
+# column of the stored index) is asserted in
+# tests/test_similarity.py::test_indexed_search_prunes_partitions —
+# the query fn materializes through a temp dir, so its returned plan
+# is a LocalTableScan and is not audited here.
 
 JOIN_RE = re.compile(r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)\b")
 TYPE_RE = re.compile(r"\b(FullOuter|LeftSemi|LeftAnti|LeftOuter|RightOuter|Inner|Cross)\b")
