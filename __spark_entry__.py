@@ -1188,6 +1188,33 @@ def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(docs, bench, "doc_id", "text", n=8)
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the dedup
+    CLUSTER id, not the document id — every member of a near-dup
+    cluster lands in the same split, so eval examples can never have
+    training-set near-copies (the contamination mode a per-doc split
+    silently allows). Composition: pairs → connected components →
+    dataset_split keyed on cluster_id."""
+    from updater_spark.operators.clusters import resolve_clusters
+    from updater_spark.operators.dedup import ngram_jaccard_pairs
+    from updater_spark.operators.packing import dataset_split
+
+    corpus = _cluster_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    members = resolve_clusters(corpus, pairs, "doc_id")
+    return dataset_split(members, id_col="cluster_id", salt="split-v1")
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG/context-window shape):
+    64-token windows at stride 48 over every document — pure Catalyst
+    slice windows, no per-token explode (operators/text.py::chunk_text)."""
+    from updater_spark.operators.text import chunk_text
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text(docs, chunk_tokens=64, stride=48)
+
+
 def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination — identical output to
     q_decontam_ngram (shares its oracle) through a different scale
@@ -1740,6 +1767,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "decontam_ngram": q_decontam_ngram,
         "decontam_bloom": q_decontam_bloom,
+        "text_chunks": q_text_chunks,
+        "leakage_safe_split": q_leakage_safe_split,
         "corpus_quantiles": q_corpus_quantiles,
         "changelog_replay": q_changelog_replay,
         "shuffle_order": q_shuffle_order,
@@ -1759,6 +1788,69 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_export": q_shard_export,
     }
 
+
+_CLUSTERS_CTES = """
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz yy xx'
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz yy xx ww vv uu'
+                FROM documents WHERE doc_id % 20 = 0
+            ),
+            toked AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM corpus
+            ),
+            idx AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+                FROM toked
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+                FROM idx
+            ),
+            sizes AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+            ),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT c.id_a, c.id_b FROM common c
+                JOIN sizes sa ON sa.doc_id = c.id_a
+                JOIN sizes sb ON sb.doc_id = c.id_b
+                WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+            ),
+            comps AS (
+                SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+            )
+"""
+
+_CLUSTERS_SELECT = """
+            SELECT c.doc_id,
+                   COALESCE(k.component, c.doc_id) AS cluster_id,
+                   COALESCE(k.component, c.doc_id) = c.doc_id AS is_keeper
+            FROM (SELECT doc_id FROM corpus) c
+            LEFT JOIN comps k ON c.doc_id = k.id
+        """
 
 def _generated_oracles() -> dict[str, str]:
     """DuckDB oracles generated from the SAME deterministic constants
@@ -2562,65 +2654,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) m
               ON l.event_id = m.event_id
         """,
-        "dedup_clusters": """
-            WITH RECURSIVE corpus AS (
-                SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
-                UNION ALL
-                SELECT doc_id + 100000, text || ' zz yy xx'
-                FROM documents WHERE doc_id % 10 = 0
-                UNION ALL
-                SELECT doc_id + 200000, text || ' zz yy xx ww vv uu'
-                FROM documents WHERE doc_id % 20 = 0
-            ),
-            toked AS (
-                SELECT doc_id,
-                       regexp_split_to_array(trim(text), '\\s+') AS toks
-                FROM corpus
-            ),
-            idx AS (
-                SELECT doc_id, toks,
-                       unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
-                FROM toked
-            ),
-            shingles AS (
-                SELECT DISTINCT doc_id,
-                       concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
-                FROM idx
-            ),
-            sizes AS (
-                SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
-            ),
-            common AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-                FROM shingles a JOIN shingles b ON a.shingle = b.shingle
-                WHERE a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id
-            ),
-            pairs AS (
-                SELECT c.id_a, c.id_b FROM common c
-                JOIN sizes sa ON sa.doc_id = c.id_a
-                JOIN sizes sb ON sb.doc_id = c.id_b
-                WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
-            ),
-            edges AS (
-                SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION
-                SELECT id_b, id_a FROM pairs
-            ),
-            reach(id, comp) AS (
-                SELECT src, src FROM edges
-                UNION
-                SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
-            ),
-            comps AS (
-                SELECT id, MIN(comp) AS component FROM reach GROUP BY id
-            )
-            SELECT c.doc_id,
-                   COALESCE(k.component, c.doc_id) AS cluster_id,
-                   COALESCE(k.component, c.doc_id) = c.doc_id AS is_keeper
-            FROM (SELECT doc_id FROM corpus) c
-            LEFT JOIN comps k ON c.doc_id = k.id
-        """,
+        "dedup_clusters": _CLUSTERS_CTES + _CLUSTERS_SELECT,
         "text_repetition": """
             WITH toked AS (
                 SELECT doc_id,
@@ -3052,5 +3086,41 @@ def oracle_sql() -> dict[str, str]:
     sqls["sim_topk_arrow"] = sqls["sim_topk_cosine"]
     # Bloom prefilter + exact verify ≡ the exact broadcast probe
     sqls["decontam_bloom"] = sqls["decontam_ngram"]
+    # cluster-keyed split: the clusters CTE + dataset_split's md5
+    # threshold CASE applied to cluster_id instead of doc_id
+    sqls["leakage_safe_split"] = _CLUSTERS_CTES + """
+            , membership AS (
+                SELECT c.doc_id,
+                       COALESCE(k.component, c.doc_id) AS cluster_id
+                FROM (SELECT doc_id FROM corpus) c
+                LEFT JOIN comps k ON c.doc_id = k.id
+            )
+            SELECT doc_id, cluster_id,
+                   cluster_id = doc_id AS is_keeper,
+                   CASE WHEN substr(md5(cluster_id::VARCHAR || 'split-v1'), 1, 4) < 'cccc'
+                            THEN 'train'
+                        WHEN substr(md5(cluster_id::VARCHAR || 'split-v1'), 1, 4) < 'e666'
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM membership
+    """
+    sqls["text_chunks"] = """
+        WITH toked AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 1, 0) + 1, 48)) AS s,
+                   generate_subscripts(range(0, greatest(len(toks) - 1, 0) + 1, 48), 1) - 1 AS chunk_idx
+            FROM toked
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(toks, s + 1, s + 64)) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk
+        FROM starts
+    """
     sqls.update(_generated_oracles())
     return sqls

@@ -99,3 +99,42 @@ def test_resolve_clusters_keepers_and_singletons(spark):
     # the keeper set IS the deduplicated corpus: one doc per cluster
     keepers = [d for d, (_, k) in got.items() if k]
     assert sorted(keepers) == [1, 7, 9]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """Near-dup pairs must land in the SAME split — the property a
+    per-doc split violates (train/test contamination via near-copies)."""
+    from pyspark.sql import functions as F
+
+    from updater_spark.operators.clusters import resolve_clusters
+    from updater_spark.operators.dedup import ngram_jaccard_pairs
+    from updater_spark.operators.packing import dataset_split
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 100_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz yy"))
+    )
+    corpus = docs.unionByName(copies)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    split = dataset_split(
+        resolve_clusters(corpus, pairs, "doc_id"),
+        id_col="cluster_id",
+        salt="split-v1",
+    )
+    # every pair's two sides share a split
+    s = split.select("doc_id", "split")
+    straddling = (
+        pairs.join(s.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("split", "split_a")
+        .join(s.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .filter(F.col("split_a") != F.col("split"))
+        .count()
+    )
+    assert straddling == 0
+    assert pairs.count() > 0  # scenario non-trivial
+    # and the split is non-degenerate (more than one label used)
+    assert split.select("split").distinct().count() >= 2

@@ -150,3 +150,38 @@ def test_top_terms_and_tfidf(spark):
     # tfidf value sanity: rarer term scores higher at equal tf
     vals = {(r["doc_id"], r["term"]): r["tfidf"] for r in tfidf}
     assert vals[(1, "cat")] > vals[(2, "the")]
+
+
+def test_chunk_text_windows(spark):
+    from pyspark.sql import Row
+
+    from updater_spark.operators.text import chunk_text
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(toks)), Row(doc_id=2, text="solo")]
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk"])
+        for r in chunk_text(df, chunk_tokens=4, stride=3).collect()
+    }
+    # doc 1: starts 0,3,6,9 → windows of 4,4,4,1 tokens; full coverage
+    # with 1-token overlap between consecutive chunks
+    assert out[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert out[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert out[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert out[(1, 3)] == (1, "t9")
+    # short doc → exactly one short chunk
+    assert out[(2, 0)] == (1, "solo")
+    assert len(out) == 5
+
+
+def test_chunk_text_rejects_bad_params(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from updater_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    with pytest.raises(ValueError):
+        chunk_text(df, stride=0)

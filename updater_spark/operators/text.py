@@ -315,3 +315,48 @@ def doc_fingerprint(
             rolling.alias("rolling_fp"),
         )
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping token windows (the RAG /
+    context-window chunking shape): chunk i covers tokens
+    ``[i*stride, i*stride + chunk_tokens)``; with ``stride <
+    chunk_tokens`` consecutive chunks overlap by ``chunk_tokens -
+    stride`` tokens. Every token lands in ≥1 chunk; a doc shorter
+    than one window yields exactly one (short) chunk.
+
+    Pure Catalyst (split once, slice per window — no per-token
+    explode, no Python): the expansion factor is ~len/stride rows per
+    doc, each carrying only its window's text. Output
+    ``(id, chunk_idx, n_chunk_tokens, chunk)`` — deterministic,
+    engine-portable (tests + DuckDB oracle in __spark_entry__)."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    from updater_spark.operators.dedup import tokenize
+
+    toked = tokenize(df, text_col)
+    n = F.size("_toks")
+    # window starts: 0, stride, … covering the last token; posexplode
+    # gives the chunk index for free
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = toked.select(
+        F.col(id_col),
+        F.posexplode_outer(starts).alias("chunk_idx", "_start"),
+        F.col("_toks"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.slice("_toks", F.col("_start") + 1, chunk_tokens).alias("_w"),
+    )
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        F.size("_w").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "_w").alias("chunk"),
+    )
