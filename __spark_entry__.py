@@ -662,6 +662,42 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing over binary payloads (mapInPandas, Arrow
+    batches): the decode/resample body is the documented deterministic
+    stub (byte striding — real Pillow work would slot in its place),
+    but schema, batching, and byte-exact output are real: the oracle
+    reproduces the strided bytes via hex-pair arithmetic."""
+    from updater_spark.operators.multimodal import make_blob_table, resize_images
+
+    blobs = make_blob_table(demo.load(spark, sf_dir, "documents"))
+    out = resize_images(blobs, width=8, height=4)
+    return out.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        F.length("payload").cast("long").alias("n_bytes_out"),
+        F.hex("payload").alias("payload_hex"),
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one-to-many mapInPandas (one row
+    per sampled frame; equal byte slabs as the deterministic decode
+    stub). Byte-exact oracle via hex substring slabs."""
+    from updater_spark.operators.multimodal import make_blob_table, sample_frames
+
+    blobs = make_blob_table(demo.load(spark, sf_dir, "documents"))
+    out = sample_frames(blobs, n_frames=3)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "n_bytes",
+        F.hex("frame").alias("frame_hex"),
+    )
+
+
 def q_j1_diff_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 at bench scale: fingerprint-diff over lineitem (~600k rows
     at sf0.1), summarized by change class."""
@@ -1743,6 +1779,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "multimodal_decode_stub": q_multimodal_decode_stub,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
@@ -3103,6 +3141,52 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'val'
                         ELSE 'test' END AS split
             FROM membership
+    """
+    # resize/frame stubs are deterministic byte striding/slabbing —
+    # reproduced byte-exactly via hex-pair arithmetic on the payload
+    sqls["multimodal_resize"] = """
+        WITH blobs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        stepped AS (
+            SELECT doc_id, media_type, h, n,
+                   greatest(n // 32, 1) AS step
+            FROM blobs
+        ),
+        sel AS (
+            SELECT doc_id, media_type,
+                   list_slice(
+                       list_transform(range(0, n, step),
+                                      i -> substr(h, 2*i + 1, 2)),
+                       1, 32) AS pairs
+            FROM stepped
+        )
+        SELECT doc_id, media_type,
+               CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+               CAST(len(pairs) AS BIGINT) AS n_bytes_out,
+               array_to_string(pairs, '') AS payload_hex
+        FROM sel
+    """
+    sqls["multimodal_frames"] = """
+        WITH blobs AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        stepped AS (
+            SELECT doc_id, h, n, greatest(n // 3, 1) AS step FROM blobs
+        )
+        SELECT s.doc_id,
+               CAST(f.i AS BIGINT) AS frame_idx,
+               CAST(length(substr(s.h, 2*f.i*s.step + 1, 2*s.step)) // 2 AS BIGINT) AS n_bytes,
+               substr(s.h, 2*f.i*s.step + 1, 2*s.step) AS frame_hex
+        FROM stepped s, (SELECT unnest(range(3)) AS i) f
     """
     sqls["text_chunks"] = """
         WITH toked AS (
