@@ -277,6 +277,87 @@ def dedup_probe(n: int) -> None:
     )
 
 
+def ann_probe(n: int) -> None:
+    """Scale probe for similarity search: exact Arrow GEMM vs
+    hyperplane-LSH vs IVF over n synthetic 64-dim vectors, with
+    recall@10 of each ANN variant against the exact baseline.
+
+    Usage: ``python bench_scale.py [n_vectors] ann`` (try 1_000_000).
+    """
+    from updater_spark.operators.similarity import (
+        cosine_topk_arrow,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    spark = get_spark("bench_scale_ann")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dim, k, n_clusters = 64, 10, 256
+
+    # clustered vectors (the shape real embeddings have — ANN recall on
+    # UNIFORM noise is meaningless since top-k of noise is itself noise):
+    # v = 0.8·center(id % 256) + 0.2·noise(id), both hash-derived
+    def comp(i: int):
+        cl = F.col("vec_id") % n_clusters
+        center = (
+            F.pmod(F.xxhash64(cl, F.lit(i)), F.lit(2_000_001)) / 1_000_000.0
+            - 1.0
+        )
+        noise = (
+            F.pmod(F.xxhash64("vec_id", F.lit(i + 777)), F.lit(2_000_001))
+            / 1_000_000.0
+            - 1.0
+        )
+        return (center * 0.8 + noise * 0.2).cast("double")
+
+    emb = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "vec_id")
+        .select(
+            "vec_id",
+            F.array(*[comp(i) for i in range(dim)]).alias("embedding"),
+        )
+        .persist()
+    )
+    emb.count()  # materialize once so probes time search, not generation
+    # 1% of the corpus as queries: the bucketed-ANN win is query-count
+    # proportional (exact scans corpus × queries; ANN scans only each
+    # bucket's probers) — a handful of queries can't show it
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cent_rows = emb.filter(F.col("vec_id") % (n // 64) == 1).orderBy(
+        "vec_id"
+    ).limit(64).collect()
+    centroids = [list(r["embedding"]) for r in cent_rows]
+
+    def timed(build):
+        # fresh plan each save: persist() would turn the second save
+        # into a cache scan and time nothing
+        build().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    results = {
+        "exact_arrow_sec": timed(lambda: cosine_topk_arrow(emb, queries, k=k))
+    }
+    exact = cosine_topk_arrow(emb, queries, k=k).persist()
+    n_exact = exact.count()
+    for name, build in (
+        ("lsh", lambda: lsh_topk(emb, queries, k=k, bits=8, dim=dim)),
+        ("ivf", lambda: ivf_topk(emb, queries, centroids, k=k, nprobe=8)),
+    ):
+        results[f"{name}_sec"] = timed(build)
+        hits = build().join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        ).count()
+        results[f"{name}_recall_at_{k}"] = round(hits / n_exact, 4)
+    exact.unpersist()
+    emb.unpersist()
+    print(json.dumps({"n_vectors": n, "ann_probe": results}))
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
@@ -285,5 +366,7 @@ if __name__ == "__main__":
         pipeline_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "dedup":
         dedup_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "ann":
+        ann_probe(_n)
     else:
         main(_n)

@@ -131,20 +131,23 @@ def cosine_topk_arrow(
             ids = pdf[id_col].to_numpy()
             sims = cm @ qm.T  # (batch, n_queries)
             n_local = min(k + 1, len(ids))  # +1 to survive self-match drop
-            frames = []
-            for j in range(len(qids)):
-                col = sims[:, j]
-                top = np.argpartition(-col, n_local - 1)[:n_local]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qids[j],
-                            "neighbor_id": ids[top],
-                            "sim": np.round(col[top], 4),
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
+            # ONE argpartition over the query axis — a per-query Python
+            # loop costs |queries| interpreter round-trips per batch and
+            # dominates wall time past ~1k queries. Partition from the
+            # TAIL (largest) instead of negating: -sims would copy the
+            # full (batch × queries) matrix every batch
+            top = np.argpartition(sims, len(ids) - n_local, axis=0)[
+                len(ids) - n_local :, :
+            ]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n_local),
+                    "neighbor_id": ids[top].ravel(order="F"),
+                    "sim": np.round(
+                        np.take_along_axis(sims, top, axis=0), 4
+                    ).ravel(order="F"),
+                }
+            )
 
     local = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -276,18 +279,23 @@ def _fused_bucket_topk(
                 sims = vm[rows] @ sqm.T  # (bucket rows in batch, nq probing)
                 rids = ids[rows]
                 n_local = min(k + 1, len(rids))  # +1 survives self-match drop
-                for j in range(len(sqids)):
-                    col = sims[:, j]
-                    top = np.argpartition(-col, n_local - 1)[:n_local]
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": sqids[j],
-                                "neighbor_id": rids[top],
-                                "sim": np.round(col[top], 4),
-                            }
-                        )
+                # vectorized local top-k over ALL probing queries, tail
+                # partition to avoid the full -sims copy (see
+                # cosine_topk_arrow)
+                top = np.argpartition(sims, len(rids) - n_local, axis=0)[
+                    len(rids) - n_local :, :
+                ]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(sqids, n_local),
+                            "neighbor_id": rids[top].ravel(order="F"),
+                            "sim": np.round(
+                                np.take_along_axis(sims, top, axis=0), 4
+                            ).ravel(order="F"),
+                        }
                     )
+                )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
