@@ -1265,6 +1265,46 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_bloom(docs, bench, "doc_id", "text", n=8)
 
 
+def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload handling: extract a field from the JSON
+    ``props`` column (get_json_object — JVM JSON path, no UDF) and
+    aggregate by (event_type, k-bucket). The pattern every event
+    pipeline needs for opaque property bags."""
+    ev = demo.load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all subtotal combinations in one pass —
+    Spark's Expand operator): lineitem revenue by returnflag ×
+    linestatus with both margins and the grand total. NULL dims are
+    coalesced to 'ALL' for engine-portable subtotal rows."""
+    li = demo.load(spark, sf_dir, "lineitem")
+    cents = F.sum(
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+    ).alias("revenue_cents")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), cents)
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n_lines",
+            "revenue_cents",
+        )
+    )
+
+
 def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus length profile: count/min/max + exact p50/p90/
     p99 (linear interpolation, bit-identical to DuckDB quantile_cont).
@@ -1807,6 +1847,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_bloom": q_decontam_bloom,
         "text_chunks": q_text_chunks,
         "leakage_safe_split": q_leakage_safe_split,
+        "events_json_agg": q_events_json_agg,
+        "revenue_cube": q_revenue_cube,
         "corpus_quantiles": q_corpus_quantiles,
         "changelog_replay": q_changelog_replay,
         "shuffle_order": q_shuffle_order,
@@ -3141,6 +3183,24 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'val'
                         ELSE 'test' END AS split
             FROM membership
+    """
+    sqls["events_json_agg"] = """
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type, CAST(json_extract(props, '$.k') AS BIGINT) % 10
+    """
+    sqls["revenue_cube"] = """
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
     """
     # resize/frame stubs are deterministic byte striding/slabbing —
     # reproduced byte-exactly via hex-pair arithmetic on the payload
