@@ -1265,6 +1265,17 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_bloom(docs, bench, "doc_id", "text", n=8)
 
 
+def q_scores_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of per-mode stat columns — the inverse
+    of pivot, the shape feature stores and metric tables ingest. One
+    Expand pass (no join, no shuffle beyond the source scan)."""
+    players = demo.player_shaped(demo.load(spark, sf_dir, "orders"))
+    stats = ["cheese_gathered", "first", "round_played", "shaman_cheese"]
+    return players.filter(F.col("id") % 50 == 0).unpivot(
+        ["id"], stats, "stat", "value"
+    )
+
+
 def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload handling: extract a field from the JSON
     ``props`` column (get_json_object — JVM JSON path, no UDF) and
@@ -1849,6 +1860,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "events_json_agg": q_events_json_agg,
         "revenue_cube": q_revenue_cube,
+        "scores_unpivot": q_scores_unpivot,
         "corpus_quantiles": q_corpus_quantiles,
         "changelog_replay": q_changelog_replay,
         "shuffle_order": q_shuffle_order,
@@ -3183,6 +3195,14 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'val'
                         ELSE 'test' END AS split
             FROM membership
+    """
+    sqls["scores_unpivot"] = f"""
+        WITH players AS ({demo.PLAYER_SHAPED_SQL}),
+        sub AS (SELECT * FROM players WHERE id % 50 = 0)
+        SELECT id, 'cheese_gathered' AS stat, cheese_gathered AS value FROM sub
+        UNION ALL SELECT id, 'first', "first" FROM sub
+        UNION ALL SELECT id, 'round_played', round_played FROM sub
+        UNION ALL SELECT id, 'shaman_cheese', shaman_cheese FROM sub
     """
     sqls["events_json_agg"] = """
         SELECT event_type,

@@ -189,3 +189,66 @@ def test_cdc_stream_continuous_rate_limited(spark, tmp_path):
         assert len(batches) == 3, [p["numInputRows"] for p in batches]
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode watermark semantics across a checkpointed restart:
+    run 1 advances the watermark past the 00:00 window and emits it;
+    run 2 (same checkpoint) sees a late event for that closed window
+    and must DROP it — nothing about the closed window is ever
+    re-emitted. This is the state-bounding behavior that lets the
+    rollup run forever at 100 TB."""
+    import datetime as dt
+
+    from updater_spark.streaming.cdc_stream import windowed_event_counts
+
+    src = str(tmp_path / "late_ev")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "ts timestamp, event_type string, value double"
+
+    def run(table):
+        # foreachBatch, not the memory sink: memory can't recover from
+        # a checkpoint, and checkpoint recovery is the point here
+        emitted = []
+
+        def sink(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["window_start"], r["n_events"], r["sum_value"]) for r in emitted
+        }
+
+    # run 1: events at 00:10 and 10:30 -> watermark lands at 08:30,
+    # the 00:00 window closes and is emitted with n=1
+    spark.createDataFrame(
+        [
+            Row(ts=dt.datetime(2026, 1, 1, 0, 10), event_type="click", value=1.0),
+            Row(ts=dt.datetime(2026, 1, 1, 10, 30), event_type="click", value=1.0),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    first = run("late_counts_r1")
+    assert ("2026-01-01 00:00:00", 1, 1.0) in first
+
+    # run 2, same checkpoint: a LATE event for the closed 00:00 window
+    # plus a fresh one. The late row must vanish -- no re-emission, no
+    # correction row, and the fresh window (11:00) stays unemitted
+    # because the watermark (09:40) hasn't passed it yet
+    spark.createDataFrame(
+        [
+            Row(ts=dt.datetime(2026, 1, 1, 0, 20), event_type="click", value=100.0),
+            Row(ts=dt.datetime(2026, 1, 1, 11, 40), event_type="click", value=1.0),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    second = run("late_counts_r2")
+    assert not [r for r in second if r[0] == "2026-01-01 00:00:00"], second
+    assert not [r for r in second if r[2] >= 100], second
