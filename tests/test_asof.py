@@ -108,3 +108,54 @@ def test_against_python_oracle_events(spark, sf_dir):
         misses += want is None
     assert len(got) == left.count()
     assert 0 < misses < len(got)  # scenario exercises both branches
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-100, 100)),
+        min_size=1,
+        max_size=25,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-100, 100)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_asof_fuzz_vs_python(spark, lefts, rights):
+    """Random keys/timestamps with heavy ties (small ts domain forces
+    equal-ts collisions) vs a brute-force python oracle: backward
+    inclusive, max-tiebreak-wins among right ties."""
+    from updater_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lefts)],
+        "lid long, k long, ts long",
+    )
+    r = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(rights)],
+        "rid long, k long, rts long",
+    )
+    got = {
+        row["lid"]: row["rid"]
+        for row in asof_join(
+            l, r, ["k"], "ts", "rts", tiebreak="rid"
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(lefts):
+        cands = [
+            (rts, j)
+            for j, (rk, rts) in enumerate(rights)
+            if rk == k and rts <= ts
+        ]
+        exp = max(cands)[1] if cands else None
+        assert got[i] == exp, (i, k, ts, cands)

@@ -78,3 +78,56 @@ def test_interval_join_timestamps(spark):
     assert [(r["eid"], r["iid"]) for r in got.select("eid", "iid").collect()] == [
         (1, 10)
     ]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-5000, 5000)),
+        min_size=1,
+        max_size=30,
+    ),
+    ivs=st.lists(
+        st.tuples(
+            st.integers(0, 2), st.integers(-5000, 5000), st.integers(0, 4000)
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    w=st.sampled_from([7, 100, 3600]),
+)
+def test_interval_join_fuzz_vs_naive(spark, pts, ivs, w):
+    """Random keys/timestamps INCLUDING negatives (floor-division bin
+    arithmetic must stay correct below zero) vs the naive
+    inequality-join oracle."""
+    points = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(pts)],
+        "pid long, k long, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [(i, k, s, s + ln) for i, (k, s, ln) in enumerate(ivs)],
+        "iid long, k long, s long, e long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, "ts", "s", "e", on=["k"], bin_width=w
+        )
+        .select("pid", "iid")
+        .collect()
+    )
+    exp = sorted(
+        (i, j)
+        for i, (pk, ts) in enumerate(pts)
+        for j, (ik, s, ln) in enumerate(ivs)
+        if pk == ik and s <= ts < s + ln
+    )
+    assert got == exp
