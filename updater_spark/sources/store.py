@@ -235,6 +235,11 @@ class TableStore:
                 os.path.join(self._ppath(name), f"{partition_col}={v}"),
                 ignore_errors=True,
             )
+        # rmtree bypasses Spark's write path, so the session's
+        # FileStatusCache still lists the deleted files — the next read
+        # of this path would die with FILE_NOT_EXIST (found by
+        # tests/test_ann_index.py: a migrating vector emptying a cell)
+        self.spark.catalog.refreshByPath(self._ppath(name))
 
     # -- double-buffered bucketed tables (hash-cache rotation) ----------
     def _bucketed_pointer(self, name: str) -> str:
