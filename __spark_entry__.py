@@ -662,6 +662,50 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance end-to-end
+    (operators/ann_index.py::IvfIndex): bootstrap on the embeddings
+    table, UPSERT a perturbed-copy delta (only affected cell
+    partitions rewrite), then search the maintained index. The oracle
+    runs exact IVF SQL over the final corpus (base ∪ delta) — the
+    incremental path must land on the identical state + results."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.ann_index import IvfIndex
+    from updater_spark.sources.store import TableStore
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") % 31 == 5)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    delta = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 1.01 + 0.005
+        ).alias("embedding"),
+    )
+    root = tempfile.mkdtemp(prefix="ivf_maint_")
+    try:
+        idx = IvfIndex(TableStore(spark, root), "emb")
+        # uniform array<double> storage: the delta is double, and a
+        # float/double partition mix would fork the parquet schema
+        base = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        idx.bootstrap(base, centroids)
+        idx.upsert(delta)
+        out = idx.search(emb.filter(F.col("vec_id") % 25 == 0), k=5, nprobe=4)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing over binary payloads (mapInPandas, Arrow
     batches): the decode/resample body is the documented deterministic
@@ -1832,6 +1876,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "ann_index_maintained": q_ann_index_maintained,
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "multimodal_decode_stub": q_multimodal_decode_stub,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
@@ -2137,6 +2182,54 @@ def _generated_oracles() -> dict[str, str]:
     SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
     """
 
+    # incremental maintenance oracle: exact IVF SQL over the FINAL
+    # corpus (base ∪ perturbed delta) — bootstrap+upsert must land on
+    # the identical search state
+    ann_maint_sql = """
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding::DOUBLE[], x -> x * 1.01 + 0.005)
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id % 31 = 5
+    ),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT c.vec_id, c.v, k.cid,
+                   row_number() OVER (PARTITION BY c.vec_id
+                                      ORDER BY list_dot_product(c.v, k.cv) DESC, k.cid) AS rn
+            FROM vecs c CROSS JOIN cents k
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid FROM (
+            SELECT q.vec_id, q.v, k.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY list_dot_product(q.v, k.cv) DESC, k.cid) AS rn
+            FROM vecs q CROSS JOIN cents k
+            WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000
+        ) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+        FROM probes p JOIN assign a ON a.cid = p.cid
+        WHERE p.query_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """
+
     return {
         "dedup_minhash_lsh": minhash_sql,
         "dedup_simhash": simhash_sql,
@@ -2144,6 +2237,7 @@ def _generated_oracles() -> dict[str, str]:
         "ann_ivf_topk": ann_ivf_sql,
         # the stored-index search must land on the identical result
         "ann_ivf_indexed": ann_ivf_sql,
+        "ann_index_maintained": ann_maint_sql,
     }
 
 
