@@ -277,6 +277,69 @@ def dedup_probe(n: int) -> None:
     )
 
 
+def cdc_probe(n: int) -> None:
+    """Full CdcEngine cycle at synthetic scale: bootstrap n rows, then
+    an incremental update mutating 1% / deleting ~0.5% — the
+    reference's headline workload (BASELINE.md: bootstrap 5-6h,
+    incremental ~1h at 100M rows on one core).
+
+    Usage: ``python bench_scale.py [n_rows] cdc``.
+    """
+    import shutil
+    import tempfile
+
+    from updater_spark.plans.cdc import CdcEngine
+    from updater_spark.schema import TableSpec
+    from updater_spark.sources.store import TableStore
+
+    spark = get_spark("bench_scale_cdc")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = (
+        spark.range(1, n + 1, numPartitions=64)
+        .withColumnRenamed("id", "pk")
+        .withColumn("name", F.concat(F.lit("player"), F.col("pk")))
+        .withColumn("cheese", F.pmod(F.xxhash64("pk"), F.lit(100000)))
+        .withColumn("rounds", F.pmod(F.xxhash64("name"), F.lit(5000)))
+    )
+    mutated = base.withColumn(
+        "cheese",
+        F.when(F.col("pk") % 100 == 0, F.col("cheese") + 1).otherwise(
+            F.col("cheese")
+        ),
+    ).filter(F.col("pk") % 200 != 0)
+
+    root = tempfile.mkdtemp(prefix="cdc_probe_")
+    try:
+        engine = CdcEngine(TableStore(spark, root))
+        spec = TableSpec("player", "pk", has_scores=False)
+        t0 = time.perf_counter()
+        engine.update(spec, base)
+        t_boot = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        stats = engine.update(spec, mutated)
+        t_incr = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "n_rows": n,
+                    "cdc_probe": {
+                        "bootstrap_sec": round(t_boot, 3),
+                        "incremental_sec": round(t_incr, 3),
+                        "bootstrap_rows_per_sec": round(n / t_boot),
+                        "incremental_rows_per_sec": round(n / t_incr),
+                        "upserts": stats.upserts,
+                        "deletes": stats.deletes,
+                        "reference_100M_bootstrap_sec": 5.5 * 3600,
+                        "reference_100M_incremental_sec": 3600,
+                    },
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def ann_probe(n: int) -> None:
     """Scale probe for similarity search: exact Arrow GEMM vs
     hyperplane-LSH vs IVF over n synthetic 64-dim vectors, with
@@ -368,5 +431,7 @@ if __name__ == "__main__":
         dedup_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "ann":
         ann_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "cdc":
+        cdc_probe(_n)
     else:
         main(_n)
