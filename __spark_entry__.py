@@ -662,6 +662,53 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end
+    (streaming/dedup_stream.py::streaming_first_seen,
+    applyInPandasWithState): three document drops (doc_id % 3) drain
+    through a real file-source stream with a shared checkpoint; state
+    (seen-fingerprint → keeper) persists across runs, so a duplicate
+    arriving in ANY later drop is suppressed. Exactly SQL-oracle-able:
+    the admitted keeper per fingerprint is the argmin by (drop index,
+    doc_id) — the driver compares against that closed form."""
+    import shutil
+    import tempfile
+
+    from updater_spark.streaming.dedup_stream import streaming_first_seen
+
+    docs = _docs_with_dupes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fs_dedup_")
+    src, ckpt, out_dir = f"{root}/src", f"{root}/ckpt", f"{root}/out"
+    try:
+        for drop in (0, 1, 2):
+            docs.filter(F.col("doc_id") % 3 == drop).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).parquet(src)
+
+            def sink(batch_df, _eid):
+                if not batch_df.isEmpty():
+                    batch_df.write.mode("append").parquet(out_dir)
+
+            q = (
+                streaming_first_seen(stream)
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        rows = spark.read.parquet(out_dir).collect()
+        return spark.createDataFrame(
+            rows, "fp string, doc_id long, n_dupes_so_far long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_ann_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance end-to-end
     (operators/ann_index.py::IvfIndex): bootstrap on the embeddings
@@ -1877,6 +1924,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "ann_index_maintained": q_ann_index_maintained,
+        "streaming_first_seen": q_streaming_first_seen,
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "multimodal_decode_stub": q_multimodal_decode_stub,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
@@ -2415,6 +2463,20 @@ def oracle_sql() -> dict[str, str]:
             WITH corpus AS ({_DUPES_SQL})
             SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
             FROM corpus GROUP BY text
+        """,
+        # first-seen = argmin by (drop index, doc_id): drop i is the
+        # i-th stream micro-batch, within a batch the operator admits
+        # in doc_id order — the streaming state's closed form
+        "streaming_first_seen": f"""
+            WITH corpus AS ({_DUPES_SQL}),
+            ranked AS (
+                SELECT md5(text) AS fp, doc_id,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id % 3, doc_id) AS rn
+                FROM corpus
+            )
+            SELECT fp, doc_id, CAST(0 AS BIGINT) AS n_dupes_so_far
+            FROM ranked WHERE rn = 1
         """,
         "dedup_ngram_jaccard": _SHINGLE_CTES
         + """
