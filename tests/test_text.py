@@ -185,3 +185,48 @@ def test_chunk_text_rejects_bad_params(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a b")])
     with pytest.raises(ValueError):
         chunk_text(df, stride=0)
+
+
+def test_chunk_text_fuzz_coverage(spark):
+    """Property: every token lands in >=1 chunk, chunk i starts at
+    i*stride, consecutive chunks overlap by chunk_tokens - stride, and
+    concatenating each chunk's first `stride` tokens (plus the final
+    chunk's tail) reconstructs the document."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    from updater_spark.operators.text import chunk_text
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_toks=st.integers(1, 40),
+        chunk=st.integers(1, 12),
+        data=st.data(),
+    )
+    def prop(n_toks, chunk, data):
+        stride = data.draw(st.integers(1, chunk))
+        toks = [f"t{i}" for i in range(n_toks)]
+        df = spark.createDataFrame([Row(doc_id=1, text=" ".join(toks))])
+        out = sorted(
+            (r["chunk_idx"], r["chunk"].split(" "))
+            for r in chunk_text(
+                df, chunk_tokens=chunk, stride=stride
+            ).collect()
+        )
+        # windows are exactly toks[i*stride : i*stride+chunk]
+        for i, w in out:
+            assert w == toks[i * stride : i * stride + chunk]
+        # full coverage: reconstruct from stride-prefixes + last tail
+        recon = []
+        for i, w in out:
+            recon.extend(w[:stride])
+        last_i, last_w = out[-1]
+        recon.extend(last_w[stride:])
+        assert recon == toks
+
+    prop()

@@ -338,6 +338,13 @@ def chunk_text(
     engine-portable (tests + DuckDB oracle in __spark_entry__)."""
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # windows would leave inter-chunk gaps — tokens silently
+        # dropped from every downstream consumer; always a config bug
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) drops "
+            "tokens between windows"
+        )
     from updater_spark.operators.dedup import tokenize
 
     toked = tokenize(df, text_col)
