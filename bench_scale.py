@@ -408,6 +408,12 @@ def ann_probe(n: int) -> None:
     n_exact = exact.count()
     for name, build in (
         ("lsh", lambda: lsh_topk(emb, queries, k=k, bits=8, dim=dim)),
+        (
+            "lsh_multiprobe1",
+            lambda: lsh_topk(
+                emb, queries, k=k, bits=8, dim=dim, multiprobe=1
+            ),
+        ),
         ("ivf", lambda: ivf_topk(emb, queries, centroids, k=k, nprobe=8)),
     ):
         results[f"{name}_sec"] = timed(build)

@@ -222,3 +222,36 @@ def test_indexed_search_prunes_partitions(spark, emb_df, tmp_path):
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "bucket" in m.group(1)
     assert out.count() > 0
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark, emb_df):
+    """Multi-probe must be a superset-quality search: recall vs the
+    exact baseline never decreases, and every planted near-identical
+    pair is found at multiprobe=1."""
+    from updater_spark.operators.similarity import cosine_topk, lsh_topk
+
+    df, vecs = emb_df
+    q = df.filter("vec_id % 7 = 0")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, q, k=3).collect()
+    }
+
+    def recall(mp):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(
+                df, q, k=3, bits=6, dim=16, multiprobe=mp
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0
+    # planted near-dup (vec 0 ↔ 1): one borderline hyperplane bit must
+    # not hide it once we probe Hamming-1 buckets
+    got1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(df, q, k=3, bits=6, dim=16, multiprobe=1).collect()
+    }
+    assert (0, 1) in got1

