@@ -579,6 +579,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries_df, k=5, bits=8, dim=64)
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: queries additionally probe every bucket
+    within Hamming distance 1 of their signature (the recall lever —
+    borderline-hyperplane neighbors sit one bit away). Value-oracled:
+    the SQL twin relaxes bucket equality to bit_count(xor) <= 1."""
+    from updater_spark.operators.similarity import lsh_topk
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    return lsh_topk(emb, queries_df, k=5, bits=8, dim=64, multiprobe=1)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search with an offline codebook: nearest-centroid
     assignment + nprobe cluster-probed top-5, value-oracled in SQL
@@ -1919,6 +1931,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_topk_arrow": q_sim_topk_arrow,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "multimodal_resize": q_multimodal_resize,
@@ -2166,7 +2179,8 @@ def _generated_oracles() -> dict[str, str]:
         f"(CASE WHEN list_dot_product(v, {plane_lit[i]}) > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(8)
     )
-    ann_lsh_sql = f"""
+    def lsh_sql(probe_cond: str) -> str:
+        return f"""
     WITH vecs AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
@@ -2176,7 +2190,7 @@ def _generated_oracles() -> dict[str, str]:
     scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
                round(list_cosine_similarity(q.qv, c.v), 4) AS sim
-        FROM q JOIN bucketed c ON c.bucket = q.bucket
+        FROM q JOIN bucketed c ON {probe_cond}
         WHERE q.query_id <> c.vec_id
     ),
     ranked AS (
@@ -2187,6 +2201,10 @@ def _generated_oracles() -> dict[str, str]:
     )
     SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
     """
+
+    ann_lsh_sql = lsh_sql("c.bucket = q.bucket")
+    # multiprobe=1 ≡ candidates within Hamming distance 1 in bucket space
+    ann_lsh_mp_sql = lsh_sql("bit_count(xor(c.bucket, q.bucket)) <= 1")
 
     # ---- IVF ANN with the deterministic offline codebook
     ann_ivf_sql = """
@@ -2282,6 +2300,7 @@ def _generated_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": minhash_sql,
         "dedup_simhash": simhash_sql,
         "ann_lsh_topk": ann_lsh_sql,
+        "ann_lsh_multiprobe": ann_lsh_mp_sql,
         "ann_ivf_topk": ann_ivf_sql,
         # the stored-index search must land on the identical result
         "ann_ivf_indexed": ann_ivf_sql,
