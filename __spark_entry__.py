@@ -1902,7 +1902,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration ORDER matters: the driver's correctness gate samples
+    # the FIRST 50 registered queries.  Rounds 1-2 covered the original
+    # first 50 (all green in CORRECTNESS_r02.json); this round the 31
+    # queries that have never had a hard driver row are promoted to the
+    # front, followed by queries new this round, then the already-green
+    # parity core.  The union of r2+r3 driver rows then covers every
+    # registered query.
     return {
+        # --- 31 queries never driver-sampled before round 3 ---
+        "sample_stratified": q_sample_stratified,
+        "mixture_resample": q_mixture_resample,
+        "asof_join_events": q_asof_join_events,
+        "dedup_clusters": q_dedup_clusters,
+        "text_repetition": q_text_repetition,
+        "pii_redact": q_pii_redact,
+        "dedup_incremental": q_dedup_incremental,
+        "decontam_ngram": q_decontam_ngram,
+        "decontam_bloom": q_decontam_bloom,
+        "text_chunks": q_text_chunks,
+        "leakage_safe_split": q_leakage_safe_split,
+        "events_json_agg": q_events_json_agg,
+        "revenue_cube": q_revenue_cube,
+        "scores_unpivot": q_scores_unpivot,
+        "corpus_quantiles": q_corpus_quantiles,
+        "changelog_replay": q_changelog_replay,
+        "shuffle_order": q_shuffle_order,
+        "pivot_events": q_pivot_events,
+        "events_running": q_events_running,
+        "corpus_top_terms": q_corpus_top_terms,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "quality_filter": q_quality_filter,
+        "skew_salted_join": q_skew_salted_join,
+        "interval_join_events": q_interval_join_events,
+        "rollup_multires": q_rollup_multires,
+        "streaming_rollup": q_streaming_rollup,
+        "rollup_cdc_repair": q_rollup_cdc_repair,
+        "tribe_stats_repair": q_tribe_stats_repair,
+        "clustered_scan": q_clustered_scan,
+        "events_distinct_users": q_events_distinct_users,
+        "shard_export": q_shard_export,
+        # --- new in round 3 (keep inside the first 50) ---
+        # --- parity core + extensions, all green in r2 ---
         "s2_fingerprint": q_s2_fingerprint,
         "j1_diff_classify": q_j1_diff_classify,
         "j2_semi_join_fetch": q_j2_semi_join_fetch,
@@ -1953,37 +1994,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "pack_chunks": q_pack_chunks,
         "pack_greedy": q_pack_greedy,
-        "sample_stratified": q_sample_stratified,
-        "mixture_resample": q_mixture_resample,
-        "asof_join_events": q_asof_join_events,
-        "dedup_clusters": q_dedup_clusters,
-        "text_repetition": q_text_repetition,
-        "pii_redact": q_pii_redact,
-        "dedup_incremental": q_dedup_incremental,
-        "decontam_ngram": q_decontam_ngram,
-        "decontam_bloom": q_decontam_bloom,
-        "text_chunks": q_text_chunks,
-        "leakage_safe_split": q_leakage_safe_split,
-        "events_json_agg": q_events_json_agg,
-        "revenue_cube": q_revenue_cube,
-        "scores_unpivot": q_scores_unpivot,
-        "corpus_quantiles": q_corpus_quantiles,
-        "changelog_replay": q_changelog_replay,
-        "shuffle_order": q_shuffle_order,
-        "pivot_events": q_pivot_events,
-        "events_running": q_events_running,
-        "corpus_top_terms": q_corpus_top_terms,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "quality_filter": q_quality_filter,
-        "skew_salted_join": q_skew_salted_join,
-        "interval_join_events": q_interval_join_events,
-        "rollup_multires": q_rollup_multires,
-        "streaming_rollup": q_streaming_rollup,
-        "rollup_cdc_repair": q_rollup_cdc_repair,
-        "tribe_stats_repair": q_tribe_stats_repair,
-        "clustered_scan": q_clustered_scan,
-        "events_distinct_users": q_events_distinct_users,
-        "shard_export": q_shard_export,
     }
 
 
