@@ -615,8 +615,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persistent-IVF-index search path: ivf_assign materializes
-    cell assignments (codebook identity in column metadata), the index
-    is written partitionBy(bucket), and ivf_topk(bucket_col=) searches
+    cell assignments, write_ivf_index persists them partitioned by
+    bucket WITH the codebook identity in a sidecar (partitionBy drops
+    column metadata, so the sidecar is what keeps the staleness guard
+    armed across the round trip), and ivf_topk(bucket_col=) searches
     the stored index — the probe filter prunes to nprobe cells at the
     parquet level, so only probed partitions are ever read (the 100 TB
     shape: the corpus scan cost is nprobe/k of the index, not the
@@ -625,7 +627,12 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from updater_spark.operators.similarity import ivf_assign, ivf_topk
+    from updater_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
 
     emb = demo.load(spark, sf_dir, "embeddings")
     cent_rows = (
@@ -638,8 +645,8 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="ivf_index_")
     try:
         path = f"{root}/index"
-        ivf_assign(emb, centroids).write.partitionBy("bucket").parquet(path)
-        stored = spark.read.parquet(path)
+        write_ivf_index(ivf_assign(emb, centroids), path)
+        stored = read_ivf_index(spark, path)
         queries_df = emb.filter(F.col("vec_id") % 25 == 0)
         out = ivf_topk(
             stored, queries_df, centroids, k=5, nprobe=4, bucket_col="bucket"

@@ -2,7 +2,8 @@
 ``queries()`` entry and its ``oracle_sql()`` twin side-by-side, compare
 row count + column names + order-insensitive values.
 
-Usage: ``python -m tests.oracle_check [sf_dir]`` (default sf0.01).
+Usage: ``python -m tests.oracle_check [sf_dir] [query ...]``
+(default sf0.01, all queries; trailing names restrict the run).
 """
 
 from __future__ import annotations
@@ -108,7 +109,7 @@ def compare(name, spark_df, sql, con, verbose=True):
     return not problems
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
     from updater_spark import get_spark
@@ -124,6 +125,12 @@ def main(sf_dir: str) -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 1
+        qs = {n: qs[n] for n in only}
     failures = []
     for name, fn in qs.items():
         if name not in oracles:
@@ -138,7 +145,7 @@ def main(sf_dir: str) -> int:
             ok = False
         if not ok:
             failures.append(name)
-    extra = set(oracles) - set(qs)
+    extra = (set(oracles) - set(qs)) if not only else set()
     if extra:
         print(f"oracle_sql keys with no query: {sorted(extra)}")
         failures.append("__extra_oracles__")
@@ -147,5 +154,6 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf))
+    args = sys.argv[1:]
+    sf = args.pop(0) if args and "/" in args[0] else "/root/testdata/sf0.01"
+    raise SystemExit(main(sf, only=args or None))

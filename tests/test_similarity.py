@@ -158,7 +158,8 @@ def test_ivf_assign_bucket_col_parity(spark, emb_df, tmp_path):
 
 def test_ivf_stale_index_rejected(spark, emb_df, tmp_path):
     """Bucket column built from one codebook + search with another =
-    hard error, not silent recall loss (metadata survives parquet)."""
+    hard error, not silent recall loss (metadata survives a FLAT
+    parquet write)."""
     from updater_spark.operators.similarity import ivf_assign, ivf_topk
 
     df, vecs = emb_df
@@ -171,6 +172,60 @@ def test_ivf_stale_index_rejected(spark, emb_df, tmp_path):
         ivf_topk(stored, df.limit(3), cents_b, k=3, bucket_col="bucket")
 
 
+def test_ivf_stale_partitioned_index_rejected(spark, emb_df, tmp_path):
+    """The PARTITIONED layout drops column metadata on read, which
+    used to silently disarm the staleness guard. With the sidecar
+    (write_ivf_index/read_ivf_index) the stale search still raises;
+    and a metadata-free partitioned read refuses to run at all rather
+    than degrade recall silently."""
+    from updater_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    df, vecs = emb_df
+    cents_a = [[float(x) for x in vecs[i]] for i in range(0, 16, 2)]
+    cents_b = [[float(x) for x in vecs[i]] for i in range(1, 17, 2)]
+    path = str(tmp_path / "stale_part_index")
+    write_ivf_index(ivf_assign(df, cents_a), path)
+
+    stored = read_ivf_index(spark, path)
+    with pytest.raises(ValueError, match="stale IVF index"):
+        ivf_topk(stored, df.limit(3), cents_b, k=3, bucket_col="bucket")
+
+    # the raw partitioned read has no identity: unverifiable, not quiet
+    bare = spark.read.parquet(path)
+    assert ({} == (bare.schema["bucket"].metadata or {}))
+    with pytest.raises(ValueError, match="unverifiable IVF index"):
+        ivf_topk(bare, df.limit(3), cents_a, k=3, bucket_col="bucket")
+
+    # explicit opt-out still works (caller owns the risk)
+    out = ivf_topk(
+        bare, df.limit(3), cents_a, k=3, bucket_col="bucket",
+        allow_unverified=True,
+    )
+    assert out.count() > 0
+
+    # matching search through the sidecar path returns results
+    ok = ivf_topk(stored, df.limit(3), cents_a, k=3, bucket_col="bucket")
+    assert ok.count() > 0
+
+
+def test_write_ivf_index_requires_identity(spark, emb_df, tmp_path):
+    """write_ivf_index refuses a bucket column that did not come from
+    ivf_assign (no identity to persist)."""
+    from pyspark.sql import functions as F
+
+    from updater_spark.operators.similarity import write_ivf_index
+
+    df, _ = emb_df
+    fake = df.withColumn("bucket", F.col("vec_id") % 4)
+    with pytest.raises(ValueError, match="no codebook identity"):
+        write_ivf_index(fake, str(tmp_path / "noid"))
+
+
 def test_null_buckets_skipped(spark, emb_df):
     """Rows with NULL bucket (never indexed) are excluded from the
     search instead of crashing the Arrow stage with NaN casts."""
@@ -180,10 +235,12 @@ def test_null_buckets_skipped(spark, emb_df):
 
     df, vecs = emb_df
     cents = [[float(x) for x in vecs[i]] for i in range(0, 16, 2)]
+    from updater_spark.operators.similarity import codebook_id
+
     idx = ivf_assign(df, cents).withColumn(
         "bucket",
         F.when(F.col("vec_id") >= 40, F.col("bucket")),  # nulls below 40
-    )
+    ).withMetadata("bucket", {"codebook": codebook_id(cents)})
     out = ivf_topk(idx, df.filter("vec_id % 10 = 0"), cents, k=3,
                    bucket_col="bucket")
     neighbors = {r["neighbor_id"] for r in out.collect()}
@@ -201,14 +258,20 @@ def test_query_side_bound_fails_fast(spark, emb_df):
 def test_indexed_search_prunes_partitions(spark, emb_df, tmp_path):
     """A bucket-partitioned index must be read with partition pruning:
     the probe filter reaches the parquet scan as a PartitionFilter, so
-    only probed cells' files are opened."""
-    from updater_spark.operators.similarity import ivf_assign, ivf_topk
+    only probed cells' files are opened. Uses the sidecar-carrying
+    write/read pair, which is the supported partitioned layout."""
+    from updater_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
 
     df, vecs = emb_df
     cents = [[float(x) for x in vecs[i]] for i in range(0, 32, 4)]
     path = str(tmp_path / "pruned_index")
-    ivf_assign(df, cents).write.partitionBy("bucket").parquet(path)
-    stored = spark.read.parquet(path)
+    write_ivf_index(ivf_assign(df, cents), path)
+    stored = read_ivf_index(spark, path)
     out = ivf_topk(
         stored, df.filter("vec_id % 10 = 0"), cents, k=3, nprobe=2,
         bucket_col="bucket",

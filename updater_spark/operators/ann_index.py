@@ -149,7 +149,11 @@ class IvfIndex:
     # -- search --------------------------------------------------------
     def search(self, queries: DataFrame, k: int = 5, nprobe: int = 4) -> DataFrame:
         """Top-k over the stored index. Centroids come FROM the index
-        (self-describing) — caller cannot desynchronize them."""
+        (self-describing) — caller cannot desynchronize them. The
+        partitioned cell read carries no column metadata, so the
+        codebook table's stored identity is passed explicitly; it must
+        hash-match the centroids read from the same table, catching a
+        codebook/cells restore mismatch."""
         stored = self.store.read_partitioned(self._cells)
         return ivf_topk(
             stored,
@@ -160,4 +164,5 @@ class IvfIndex:
             k=k,
             nprobe=nprobe,
             bucket_col="bucket",
+            codebook=self.codebook(),
         )

@@ -578,8 +578,11 @@ def ivf_assign(
     lowest cell, matching numpy argmax). Raw dots: scaling a vector by
     a positive norm never changes its argmax cell, so unit
     normalization is skipped here. The codebook's identity
-    (``codebook_id``) rides in the column metadata and survives
-    parquet round-trips."""
+    (``codebook_id``) rides in the column metadata; a FLAT parquet
+    write preserves it, but ``partitionBy(out_col)`` does NOT (Spark
+    drops partition-column metadata on read) — persist partitioned
+    indexes through ``write_ivf_index``/``read_ivf_index``, which
+    carry the identity in a sidecar file."""
     dots = [
         dot(as_double(F.col(vec_col)), F.array(*[F.lit(x) for x in c]))
         for c in centroids
@@ -588,6 +591,76 @@ def ivf_assign(
     best = (F.array_position(arr, F.array_max(arr)) - 1).cast("long")
     return corpus.withColumn(out_col, best).withMetadata(
         out_col, {"codebook": codebook_id(centroids)}
+    )
+
+
+IVF_CODEBOOK_SIDECAR = "_IVF_CODEBOOK"
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def write_ivf_index(
+    assigned: DataFrame, path: str, bucket_col: str = "bucket"
+) -> None:
+    """Persist an ``ivf_assign``-ed corpus as a bucket-partitioned
+    parquet index. ``partitionBy`` turns the bucket column into
+    directory names, and Spark drops partition-column METADATA on
+    read — so the codebook identity ``ivf_assign`` put there would
+    silently vanish and ``ivf_topk``'s staleness guard would never
+    fire. This writer copies the identity into a ``_IVF_CODEBOOK``
+    sidecar (underscore-prefixed: invisible to the parquet reader);
+    ``read_ivf_index`` re-attaches it. Uses the Hadoop FileSystem API
+    so any scheme (file/hdfs/s3a) the index lives on works."""
+    meta: dict = {}
+    for f in assigned.schema.fields:
+        if f.name == bucket_col:
+            meta = f.metadata or {}
+    cb = meta.get("codebook")
+    if not cb:
+        raise ValueError(
+            f"column {bucket_col!r} carries no codebook identity — "
+            "build the index with ivf_assign(), which attaches it"
+        )
+    assigned.write.partitionBy(bucket_col).parquet(path)
+    spark = assigned.sparkSession
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    sidecar = jvm.org.apache.hadoop.fs.Path(path, IVF_CODEBOOK_SIDECAR)
+    out = fs.create(sidecar, True)
+    try:
+        out.write(bytearray(cb.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_ivf_index(
+    spark, path: str, bucket_col: str = "bucket"
+) -> DataFrame:
+    """Read a ``write_ivf_index`` layout, restoring the codebook
+    identity from the sidecar into the bucket column's metadata so
+    ``ivf_topk(bucket_col=...)`` verifies it exactly as it does for a
+    flat (non-partitioned) index."""
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    sidecar = jvm.org.apache.hadoop.fs.Path(path, IVF_CODEBOOK_SIDECAR)
+    if not fs.exists(sidecar):
+        raise FileNotFoundError(
+            f"{path} has no {IVF_CODEBOOK_SIDECAR} sidecar — was this "
+            "index written with write_ivf_index()?"
+        )
+    stream = fs.open(sidecar)
+    try:
+        cb = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+    return spark.read.parquet(path).withMetadata(
+        bucket_col, {"codebook": cb}
     )
 
 
@@ -600,6 +673,8 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = 4,
     bucket_col: str | None = None,
+    codebook: str | None = None,
+    allow_unverified: bool = False,
 ) -> DataFrame:
     """IVF search: corpus vectors live in their nearest-centroid
     bucket; each query probes its ``nprobe`` nearest buckets and ranks
@@ -614,9 +689,16 @@ def ivf_topk(
     make (bounded by MAX_QUERY_ROWS).
 
     ``bucket_col``: search a pre-assigned corpus (``ivf_assign``)
-    instead of assigning per batch. The column's ``codebook``
-    metadata, when present, must match these ``centroids`` — a
-    mismatch raises instead of silently probing the wrong cells."""
+    instead of assigning per batch. The index's codebook identity —
+    from the column's ``codebook`` metadata, or the ``codebook``
+    argument (e.g. read from ``write_ivf_index``'s sidecar or an
+    ``IvfIndex`` codebook table) — must match these ``centroids``; a
+    mismatch raises instead of silently probing the wrong cells.
+    When NO identity is available the search refuses to run (a
+    partitioned parquet read drops the metadata, which would
+    otherwise disable this guard silently): pass
+    ``allow_unverified=True`` to explicitly accept an unverifiable
+    index."""
     import numpy as np
 
     if bucket_col is not None:
@@ -624,12 +706,21 @@ def ivf_topk(
         for f in corpus.schema.fields:
             if f.name == bucket_col:
                 meta = f.metadata or {}
-        stored = meta.get("codebook")
-        if stored is not None and stored != codebook_id(centroids):
+        stored = meta.get("codebook") or codebook
+        expected = codebook_id(centroids)
+        if stored is not None and stored != expected:
             raise ValueError(
                 f"stale IVF index: column {bucket_col!r} was assigned "
                 f"with codebook {stored}, search uses "
-                f"{codebook_id(centroids)}; re-run ivf_assign"
+                f"{expected}; re-run ivf_assign"
+            )
+        if stored is None and not allow_unverified:
+            raise ValueError(
+                f"unverifiable IVF index: column {bucket_col!r} "
+                "carries no codebook identity (partitioned parquet "
+                "writes drop column metadata) — read the index via "
+                "read_ivf_index(), pass codebook=, or opt out with "
+                "allow_unverified=True"
             )
 
     cm = np.array(centroids, dtype=np.float64)
