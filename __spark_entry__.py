@@ -446,11 +446,17 @@ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (threshold 0.5)."""
+    """n-gram Jaccard near-dup pairs (threshold 0.5) with the
+    production stop-shingle cap (max_posting=200, explicit — the
+    operator's default is exact). The oracle models the SAME capped
+    semantics: shingles in >200 docs are cut from the inverted index
+    on both sides, so parity holds even on corpora with hot
+    shingles."""
     from updater_spark.operators.dedup import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(
-        _near_dup_corpus(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
+        max_posting=200,
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -2514,11 +2520,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT fp, doc_id, CAST(0 AS BIGINT) AS n_dupes_so_far
             FROM ranked WHERE rn = 1
         """,
+        # models the operator's max_posting=200 stop-shingle cut:
+        # shingles in >200 docs leave the inverted index on BOTH
+        # sides (denominators keep full set sizes, like the operator)
         "dedup_ngram_jaccard": _SHINGLE_CTES
         + """
-            , common AS (
+            , live AS (
+                SELECT shingle FROM shingles
+                GROUP BY shingle HAVING COUNT(*) <= 200
+            ),
+            common AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-                FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+                FROM shingles a
+                JOIN live l ON a.shingle = l.shingle
+                JOIN shingles b ON a.shingle = b.shingle
                 WHERE a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id
             )

@@ -64,6 +64,9 @@ def run() -> None:
             timings[name] = round(best, 4)
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:500]
+            # a query that failed its noop write must not leave a
+            # build-time entry implying it ran
+            build_secs.pop(name, None)
 
     # Hash-diff throughput: rows fingerprinted+joined across both sides
     # of the lineitem-scale J1 per second (BASELINE.md: reference does

@@ -388,7 +388,10 @@ def ann_probe(n: int) -> None:
     # proportional (exact scans corpus × queries; ANN scans only each
     # bucket's probers) — a handful of queries can't show it
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    cent_rows = emb.filter(F.col("vec_id") % (n // 64) == 1).orderBy(
+    # max(..., 1) keeps the sampling stride positive for n < 64 (tiny
+    # smoke runs would otherwise divide by zero); limit(64) caps the
+    # codebook regardless of corpus size
+    cent_rows = emb.filter(F.col("vec_id") % max(n // 64, 1) == 1).orderBy(
         "vec_id"
     ).limit(64).collect()
     centroids = [list(r["embedding"]) for r in cent_rows]

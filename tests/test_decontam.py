@@ -122,3 +122,22 @@ def test_bloom_tiny_filter_forces_fp_then_verify_kills_them(spark):
         corpus, bench, "doc_id", "text", n=3, m_bits=64, num_probes=1
     )
     assert out.filter("contaminated").count() == 0
+
+
+def test_bloom_parameter_validation(spark):
+    """Invalid Bloom shapes fail fast with clear errors instead of an
+    IndexError (ragged word array) or a crash on an empty plan."""
+    import pytest
+
+    from updater_spark.operators.decontam import contamination_bloom
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([("a b c",)], "text string")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        contamination_bloom(corpus, bench, "doc_id", "text", n=2, m_bits=100)
+    with pytest.raises(ValueError, match="num_probes"):
+        contamination_bloom(
+            corpus, bench, "doc_id", "text", n=2, num_probes=0
+        )

@@ -130,3 +130,46 @@ def test_conf_failures_recorded_not_swallowed(spark):
         em._REQUIRED_CONFS.clear()
         em._REQUIRED_CONFS.update(saved)
         em.CONF_FAILURES.clear()
+
+
+def test_load_events_is_session_tz_independent(spark, ntz_events_dir):
+    """load_events must not mutate session state, and its NTZ
+    normalization must yield the same instants under any session
+    timezone (the instant = the naive value read as UTC wall-clock)."""
+    from updater_spark import demo
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        from pyspark.sql import functions as F
+
+        ev = demo.load_events(spark, ntz_events_dir)
+        # no side effect on the session
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+        tokyo = sorted(
+            r[0] for r in ev.select(F.unix_micros("ts")).collect()
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = sorted(
+            r[0]
+            for r in demo.load_events(spark, ntz_events_dir)
+            .select(F.unix_micros("ts"))
+            .collect()
+        )
+        assert tokyo == utc and len(tokyo) > 0
+        # and the instants equal the naive wall clock read as UTC
+        import datetime
+
+        raw = spark.read.parquet(f"{ntz_events_dir}/events.parquet")
+        naive = sorted(
+            int(
+                r[0]
+                .replace(tzinfo=datetime.timezone.utc)
+                .timestamp()
+                * 1_000_000
+            )
+            for r in raw.select("ts").collect()
+        )
+        assert naive == utc
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)

@@ -36,11 +36,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as parquet TIMESTAMP with no
     timezone, which Spark 4 reads as TIMESTAMP_NTZ — a type
-    ``unix_micros`` and friends reject. Normalize ONCE here: pin the
-    session timezone to UTC (runtime-settable) and cast NTZ →
-    TIMESTAMP (LTZ). With UTC the cast is wall-clock-preserving and
-    ``unix_micros`` equals DuckDB's ``epoch_us`` on the same naive
-    values, so oracles line up exactly.
+    ``unix_micros`` and friends reject. Normalize ONCE here, scoped to
+    the returned DataFrame (no session-state side effects): rebuild
+    the instant from the NTZ wall-clock fields with an explicit 'UTC'
+    zone argument, so the result is identical under ANY session
+    timezone and ``unix_micros`` equals DuckDB's ``epoch_us`` on the
+    same naive values. (A plain NTZ→TIMESTAMP cast routes through the
+    session timezone — correct only if the session happens to be UTC;
+    driver queries pin UTC via _ensure_confs, but library callers
+    shouldn't have their session mutated by a table load.)
 
     The bigint branch covers sessions where
     ``spark.sql.legacy.parquet.nanosAsLong`` was set at build time
@@ -52,10 +56,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exceeds double's 53-bit mantissa and corrupts microseconds
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif dt == "timestamp_ntz":
-        # session.timeZone is runtime-settable on a live session; UTC
-        # makes the NTZ→LTZ cast deterministic and oracle-identical
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        # date_part('SECOND') keeps the microsecond fraction (DECIMAL)
+        ev = ev.withColumn(
+            "ts",
+            F.expr(
+                "make_timestamp(year(ts), month(ts), dayofmonth(ts), "
+                "hour(ts), minute(ts), date_part('SECOND', ts), 'UTC')"
+            ),
+        )
     return ev
 
 

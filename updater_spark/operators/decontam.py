@@ -112,7 +112,17 @@ def _bloom_array(
     """Build the Bloom bit array (as ``m_bits/64`` longs) over a
     DataFrame of 64-bit gram hashes. The OR-fold runs distributed
     (``bit_or`` per word index); only the folded words reach the
-    driver — at most ``m_bits/64`` rows regardless of gram count."""
+    driver — at most ``m_bits/64`` rows regardless of gram count.
+
+    ``m_bits`` must be a positive multiple of 64 (the array is stored
+    as whole 64-bit words; a ragged tail would make bit positions in
+    the last word unaddressable) and ``num_probes`` >= 1."""
+    if m_bits <= 0 or m_bits % 64 != 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64, got {m_bits}"
+        )
+    if num_probes < 1:
+        raise ValueError(f"num_probes must be >= 1, got {num_probes}")
     probes = gram_hashes
     words = None
     for s in range(num_probes):

@@ -364,25 +364,29 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_posting: int | None = 200,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets for all pairs
     sharing ≥1 shingle. Shuffles on the shingle (inverted index), then
     on the pair.
 
-    ``max_posting`` is the skew guard that makes the pair expansion
-    bounded (the quadratic blow-up lives in per-shingle document
-    frequency): shingles appearing in more than ``max_posting``
-    documents are dropped from the inverted index — the classic
-    stop-shingle cut, mirroring ``lsh_candidate_pairs``'
+    ``max_posting`` is the opt-in skew guard that makes the pair
+    expansion bounded (the quadratic blow-up lives in per-shingle
+    document frequency): shingles appearing in more than
+    ``max_posting`` documents are dropped from the inverted index —
+    the classic stop-shingle cut, mirroring ``lsh_candidate_pairs``'
     ``max_bucket``. Consequence: a pair whose only overlap was
     stop-shingles is not emitted, and surviving pairs' Jaccard is a
     conservative underestimate by the dropped shingles' contribution
     to the intersection (denominators still use full set sizes).
     Boilerplate frequent enough to hit the cap should be removed by
-    exact dedup / boilerplate stripping first. Pass ``None`` to
-    disable (exact, but unbounded — small corpora or post-LSH
-    candidate sets only)."""
+    exact dedup / boilerplate stripping first.
+
+    The default is ``None`` — EXACT semantics; a cap silently changes
+    the function's contract, so callers (and any oracle modeling
+    them) must choose it consciously. At corpus scale pass a cap
+    (e.g. 200): without one a single hot shingle materializes an
+    O(df²) pair expansion inside one task."""
     sh = tokenize(df, text_col).select(
         F.col(id_col).alias("id"), word_shingles_of("_toks", n).alias("sh")
     )
