@@ -611,6 +611,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         emb.filter(F.col("vec_id") % 31 == 5)
         .orderBy("vec_id")
+        .limit(32)  # fixed-k codebook: the fixture's driver collect
+        # must not scale with the corpus (VERDICT r2 item 5)
         .select("embedding")
         .collect()
     )
@@ -644,6 +646,8 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         emb.filter(F.col("vec_id") % 31 == 5)
         .orderBy("vec_id")
+        .limit(32)  # fixed-k codebook: the fixture's driver collect
+        # must not scale with the corpus (VERDICT r2 item 5)
         .select("embedding")
         .collect()
     )
@@ -751,6 +755,8 @@ def q_ann_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         emb.filter(F.col("vec_id") % 31 == 5)
         .orderBy("vec_id")
+        .limit(32)  # fixed-k codebook: the fixture's driver collect
+        # must not scale with the corpus (VERDICT r2 item 5)
         .select("embedding")
         .collect()
     )
@@ -2237,7 +2243,8 @@ def _generated_oracles() -> dict[str, str]:
     cents AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                v AS cv
-        FROM vecs WHERE vec_id % 31 = 5
+        FROM (SELECT vec_id, v FROM vecs WHERE vec_id % 31 = 5
+              ORDER BY vec_id LIMIT 32)
     ),
     assign AS (
         SELECT vec_id, v, cid FROM (
@@ -2285,7 +2292,8 @@ def _generated_oracles() -> dict[str, str]:
     cents AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                embedding::DOUBLE[] AS cv
-        FROM embeddings WHERE vec_id % 31 = 5
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % 31 = 5 ORDER BY vec_id LIMIT 32)
     ),
     assign AS (
         SELECT vec_id, v, cid FROM (

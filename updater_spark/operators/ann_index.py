@@ -55,6 +55,10 @@ class IvfIndex:
         self.name = name
         self.id_col = id_col
         self.vec_col = vec_col
+        # the codebook is immutable between bootstraps (upsert/remove
+        # never retrain), so one read serves the object's lifetime —
+        # maintenance and search ops skip a per-call codebook job
+        self._cb_cache: tuple[list[list[float]], str] | None = None
 
     @property
     def _cells(self) -> str:
@@ -68,12 +72,20 @@ class IvfIndex:
         return self.store.exists_partitioned(self._cells)
 
     # -- codebook ------------------------------------------------------
+    def _codebook_state(self) -> tuple[list[list[float]], str]:
+        if self._cb_cache is None:
+            rows = self.store.read(self._codebook).orderBy("cid").collect()
+            self._cb_cache = (
+                [list(r["centroid"]) for r in rows],
+                rows[0]["codebook_id"],
+            )
+        return self._cb_cache
+
     def centroids(self) -> list[list[float]]:
-        rows = self.store.read(self._codebook).orderBy("cid").collect()
-        return [list(r["centroid"]) for r in rows]
+        return self._codebook_state()[0]
 
     def codebook(self) -> str:
-        return self.store.read(self._codebook).head()["codebook_id"]
+        return self._codebook_state()[1]
 
     # -- lifecycle -----------------------------------------------------
     def bootstrap(self, corpus: DataFrame, centroids: list[list[float]]) -> None:
@@ -86,14 +98,72 @@ class IvfIndex:
                 "cid long, centroid array<double>, codebook_id string",
             ),
         )
+        self._cb_cache = ([list(c) for c in centroids], cb)
         assigned = ivf_assign(
             corpus, centroids, self.id_col, self.vec_col
         )
-        self.store.write_partitioned(self._cells, assigned, "bucket")
+        # align tasks with cells before the partitioned write: without
+        # it every input task emits a file into every bucket directory
+        # (tasks × cells tiny files); with it each cell gets its
+        # task's worth of files and reads stay listing-cheap
+        self.store.write_partitioned(
+            self._cells, assigned.repartition("bucket"), "bucket"
+        )
+
+    def _cell_stats(
+        self, idx: DataFrame, touched_ids: DataFrame, inserts: DataFrame | None
+    ) -> tuple[list, list]:
+        """ONE aggregation job computing everything the maintenance
+        bookkeeping needs: per cell, how many stored rows it has, how
+        many of those are stale copies of touched ids, and how many
+        new rows land in it. From those k rows (k = codebook size, a
+        driver-safe bound independent of corpus size) derive
+
+        - ``affected``: cells that must be rewritten (hold a stale
+          copy, or receive an insert), and
+        - ``to_drop``: affected cells left EMPTY by the rebuild —
+          dynamic partition overwrite only replaces partitions present
+          in the new data, so emptied ones need an explicit drop.
+
+        Replaces the former four distinct().collect() jobs per
+        maintenance op (old-cell scan, new-cell scan, affected union,
+        surviving-cell scan of the full rebuilt plan) with a single
+        pass over the index's (id, bucket) columns."""
+        hits = touched_ids.withColumn("_hit", F.lit(1))
+        per_old = (
+            idx.select(self.id_col, "bucket")
+            .join(hits, self.id_col, "left")
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("_hit").alias("n_stale"),
+            )
+        )
+        if inserts is not None:
+            per_new = inserts.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n_ins")
+            )
+            stats = per_old.join(per_new, "bucket", "full").fillna(
+                0, ["n_rows", "n_stale", "n_ins"]
+            )
+        else:
+            stats = per_old.withColumn("n_ins", F.lit(0))
+        affected, to_drop = [], []
+        for r in stats.collect():
+            if r["n_stale"] == 0 and r["n_ins"] == 0:
+                continue  # untouched cell
+            affected.append(r["bucket"])
+            if r["n_rows"] - r["n_stale"] + r["n_ins"] == 0:
+                to_drop.append(r["bucket"])
+        return affected, to_drop
 
     def upsert(self, delta: DataFrame) -> None:
         """Insert or replace the delta's vectors; only affected cell
-        partitions are rewritten.
+        partitions are rewritten (the new vectors' cells plus any cell
+        holding a stale copy — an updated vector can migrate buckets).
+
+        Two Spark jobs total: the ``_cell_stats`` bookkeeping pass and
+        the dynamic-partition-overwrite of the affected cells.
 
         ``delta`` (and ``remove``'s ``ids``) must not be a LAZY plan
         over this index's own storage: the rewrite deletes files such
@@ -103,48 +173,38 @@ class IvfIndex:
         assigned = ivf_assign(delta, cents, self.id_col, self.vec_col)
         idx = self.store.read_partitioned(self._cells)
         delta_ids = delta.select(self.id_col).distinct()
-        old_cells = (
-            idx.join(delta_ids, self.id_col)
-            .select("bucket")
-            .distinct()
-        )
-        new_cells = assigned.select("bucket").distinct()
-        affected = [
-            r["bucket"] for r in old_cells.unionByName(new_cells).distinct().collect()
-        ]
+        affected, to_drop = self._cell_stats(idx, delta_ids, assigned)
+        if not affected:
+            return
         rebuilt = (
             idx.filter(F.col("bucket").isin(affected))
             .join(delta_ids, self.id_col, "anti")
             .unionByName(assigned.select(*idx.columns))
         )
-        # compute the surviving-cell set BEFORE the overwrite: rebuilt
-        # is lazy, and re-evaluating it after the write would re-scan
-        # source files the overwrite just deleted
-        present = {r["bucket"] for r in rebuilt.select("bucket").distinct().collect()}
-        self.store.overwrite_partitions(self._cells, rebuilt, "bucket")
-        self.store.drop_partitions(
-            self._cells, "bucket", [b for b in affected if b not in present]
+        self.store.overwrite_partitions(
+            self._cells, rebuilt.repartition("bucket"), "bucket"
         )
+        self.store.drop_partitions(self._cells, "bucket", to_drop)
 
     def remove(self, ids: DataFrame) -> None:
-        """Drop vectors by id; rewrites (or drops) only their cells."""
+        """Drop vectors by id; rewrites (or drops) only their cells.
+        Same two-job shape as ``upsert``."""
         idx = self.store.read_partitioned(self._cells)
         key = ids.select(self.id_col).distinct()
-        affected = [
-            r["bucket"]
-            for r in idx.join(key, self.id_col).select("bucket").distinct().collect()
-        ]
+        affected, to_drop = self._cell_stats(idx, key, None)
         if not affected:
             return
         rebuilt = idx.filter(F.col("bucket").isin(affected)).join(
             key, self.id_col, "anti"
         )
-        # pre-write for the same lazy-re-evaluation reason as upsert
-        present = {r["bucket"] for r in rebuilt.select("bucket").distinct().collect()}
-        self.store.overwrite_partitions(self._cells, rebuilt, "bucket")
-        self.store.drop_partitions(
-            self._cells, "bucket", [b for b in affected if b not in present]
-        )
+        # an affected cell can be fully emptied; overwrite replaces
+        # the survivors' partitions, drop removes the emptied ones
+        survivors = [b for b in affected if b not in set(to_drop)]
+        if survivors:
+            self.store.overwrite_partitions(
+                self._cells, rebuilt.repartition("bucket"), "bucket"
+            )
+        self.store.drop_partitions(self._cells, "bucket", to_drop)
 
     # -- search --------------------------------------------------------
     def search(self, queries: DataFrame, k: int = 5, nprobe: int = 4) -> DataFrame:
