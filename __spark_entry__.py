@@ -427,8 +427,11 @@ _NEAR_DUP_SQL = """
     FROM documents WHERE doc_id % 5 = 0
 """
 
-_SHINGLE_CTES = f"""
-WITH corpus AS ({_NEAR_DUP_SQL}),
+def _shingle_ctes(corpus_sql: str) -> str:
+    """DuckDB CTE chain: corpus → 3-token shingle sets + set sizes,
+    parameterized by the corpus derivation."""
+    return f"""
+WITH corpus AS ({corpus_sql}),
 toked AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus
 ),
@@ -442,6 +445,22 @@ shingles AS (
     FROM idx
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)
+"""
+
+
+_SHINGLE_CTES = _shingle_ctes(_NEAR_DUP_SQL)
+
+# final replica state of the cdc_dedup_incremental scenario: originals
+# minus every 20th (epoch-2 deletes), ' qq' appended to every 15th
+# (epoch-1 text updates), plus near-copies of every 10th built from
+# the UNMODIFIED base text (epoch-1 inserts)
+_CDC_DEDUP_FINAL_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 15 = 0 THEN text || ' qq' ELSE text END AS text
+    FROM documents WHERE doc_id % 5 = 0 AND doc_id % 20 <> 0
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || ' zz yy xx' AS text
+    FROM documents WHERE doc_id % 10 = 0
 """
 
 
@@ -1334,6 +1353,77 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup index as CDC ENGINE STATE (SURVEY §9): three epochs drive
+    CdcEngine — bootstrap originals; insert near-copies + modify some
+    originals' text; delete every 20th original — and after each epoch
+    apply_cdc_epoch mirrors the engine's persisted change feed
+    (__delta + __deleted) into the persistent MinHash/LSH index. Only
+    each epoch's delta is ever signed (O(|delta|), never a corpus
+    re-sign). The union of per-epoch candidate pairs, filtered to ids
+    alive in the final replica and exact-verified against its text,
+    must equal one-shot dedup of the final corpus — which is what the
+    exact-SQL oracle computes from the same modulo-derived history."""
+    import tempfile
+
+    from updater_spark.operators.dedup import verify_pairs_exact
+    from updater_spark.operators.dedup_index import DedupIndex, apply_cdc_epoch
+    from updater_spark.plans.cdc import CdcEngine
+    from updater_spark.schema import TableSpec
+    from updater_spark.sources.store import TableStore
+
+    docs = (
+        demo.load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    k = F.col("doc_id")
+    copies = docs.filter(k % 10 == 0).withColumn(
+        "doc_id", k + 100_000
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" zz yy xx")))
+    src1 = docs.withColumn(
+        "text",
+        F.when(k % 15 == 0, F.concat("text", F.lit(" qq"))).otherwise(
+            F.col("text")
+        ),
+    ).unionByName(copies)
+    src2 = src1.filter(~((k % 20 == 0) & (k < 100_000)))
+
+    # temp store stays on disk: the result must remain a distributed
+    # scan (same lifecycle stance as q_dedup_incremental)
+    store = TableStore(spark, tempfile.mkdtemp(prefix="cdcdedup_"))
+    spec = TableSpec(name="docs_cdc", primary_key="doc_id")
+    eng = CdcEngine(store)
+    idx = DedupIndex(store, "docsidx")
+
+    union: set = set()
+    for i, src in enumerate((docs, src1, src2)):
+        if i == 0:
+            eng.bootstrap(spec, src)
+        else:
+            eng.update(spec, src)
+        # eager collect: pairs are lazy over store versions the next
+        # epoch's writes GC (apply_cdc_epoch's documented contract)
+        union |= {
+            (r["id_a"], r["id_b"])
+            for r in apply_cdc_epoch(
+                idx, store, "docs_cdc", "doc_id", "text"
+            ).collect()
+        }
+    final = store.read("docs_cdc").select("doc_id", "text")
+    alive = {r[0] for r in final.select("doc_id").collect()}
+    cand = spark.createDataFrame(
+        [(a, b) for a, b in union if a in alive and b in alive],
+        "id_a long, id_b long",
+    )
+    verified = verify_pairs_exact(
+        final, cand, "doc_id", "text", n=3, threshold=0.5
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination probe: every corpus doc scored by
     8-gram collision against a benchmark slice (doc_id % 17 == 0).
@@ -1962,6 +2052,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_users": q_events_distinct_users,
         "shard_export": q_shard_export,
         # --- new in round 3 (keep inside the first 50) ---
+        "cdc_dedup_incremental": q_cdc_dedup_incremental,
         # --- parity core + extensions, all green in r2 ---
         "s2_fingerprint": q_s2_fingerprint,
         "j1_diff_classify": q_j1_diff_classify,
@@ -2542,6 +2633,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM shingles a
                 JOIN live l ON a.shingle = l.shingle
                 JOIN shingles b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+            FROM common c
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+        """,
+        # cdc_dedup_incremental: cross-epoch pairs filtered to the final
+        # replica + exact-verified == one-shot dedup of the final corpus
+        # (epoch parity asserted in tests/test_dedup_index.py), so the
+        # oracle is exact Jaccard SQL over the replayed final state.
+        "cdc_dedup_incremental": _shingle_ctes(_CDC_DEDUP_FINAL_SQL)
+        + """
+            , common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b ON a.shingle = b.shingle
                 WHERE a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id
             )

@@ -85,3 +85,83 @@ def test_update_on_empty_index_bootstraps(spark, tmp_store):
     assert not idx.exists()
     idx.update(docs, "doc_id", "text")
     assert idx.exists() and idx.signatures().count() == 1
+
+
+def test_cdc_epochs_match_one_shot(spark, sf_dir, tmp_store):
+    """The SURVEY §9 composition — dedup index as CDC engine state:
+    three epochs (bootstrap; inserts + text updates; deletes) driven
+    through CdcEngine, with apply_cdc_epoch mirroring each epoch's
+    persisted change feed (__delta + __deleted) into the index. The
+    union of per-epoch candidate pairs, filtered to ids alive in the
+    final replica and exact-verified against its text, must equal the
+    one-shot LSH-verified dedup of the final corpus."""
+    from updater_spark.operators.dedup import (
+        lsh_verified_pairs,
+        verify_pairs_exact,
+    )
+    from updater_spark.operators.dedup_index import apply_cdc_epoch
+    from updater_spark.plans.cdc import CdcEngine
+    from updater_spark.schema import TableSpec
+
+    docs, copies = _corpus(spark, sf_dir)
+    spec = TableSpec(name="docs_cdc", primary_key="doc_id")
+    eng = CdcEngine(tmp_store, fingerprint_algo="md5")
+    idx = DedupIndex(tmp_store, "docsidx")
+
+    def epoch_pairs():
+        # collect eagerly: the pairs are lazy over store versions the
+        # NEXT epoch's writes garbage-collect (documented contract)
+        return _pairs_set(
+            apply_cdc_epoch(idx, tmp_store, "docs_cdc", "doc_id", "text")
+        )
+
+    # epoch 0: originals only
+    eng.bootstrap(spec, docs)
+    acc = [epoch_pairs()]
+
+    # epoch 1: insert the near-copies, and CHANGE some originals' text
+    # (the CDC diff must pick the modification up via fingerprints and
+    # the index must re-sign exactly those docs)
+    k = F.col("doc_id")
+    src1 = docs.withColumn(
+        "text",
+        F.when(k % 15 == 0, F.concat("text", F.lit(" qq"))).otherwise(
+            F.col("text")
+        ),
+    ).unionByName(copies)
+    st1 = eng.update(spec, src1)
+    assert st1.updates > 0 and st1.deletes == 0
+    acc.append(epoch_pairs())
+
+    # epoch 2: delete every 20th original (their pairs with surviving
+    # copies must drop out of the final answer)
+    src2 = src1.filter(~((k % 20 == 0) & (k < 100_000)))
+    st2 = eng.update(spec, src2)
+    assert st2.deletes > 0 and st2.deletes_applied
+    acc.append(epoch_pairs())
+
+    final = tmp_store.read("docs_cdc").select("doc_id", "text")
+    alive = {r[0] for r in final.select("doc_id").collect()}
+    union = set().union(*acc)
+    cand_rows = [
+        (a, b) for a, b in union if a in alive and b in alive
+    ]
+    cand = spark.createDataFrame(cand_rows, "id_a long, id_b long")
+    got = _pairs_set(
+        verify_pairs_exact(final, cand, "doc_id", "text", n=3, threshold=0.5)
+    )
+    want = _pairs_set(
+        lsh_verified_pairs(final, "doc_id", "text", n=3, threshold=0.5)
+    )
+    assert got == want and len(want) > 0
+    # deletes really dropped pairs: some accumulated pair must involve
+    # a now-dead doc (the epoch-2 deletions had copies)
+    assert any(a not in alive or b not in alive for a, b in union)
+    # index state mirrors the final replica exactly
+    assert idx.signatures().count() == final.count()
+    assert (
+        idx.signatures()
+        .join(final.select(F.col("doc_id").alias("id")), "id", "anti")
+        .count()
+        == 0
+    )

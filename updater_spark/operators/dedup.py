@@ -221,7 +221,11 @@ def band_hashes(
     engine-reproducible band keys."""
     if band_hash is None:
         band_hash = F.xxhash64
-    n = signatures.select(F.size("signature")).first()[0]
+    first = signatures.select(F.size("signature")).first()
+    # empty input (e.g. a deletes-only CDC epoch's delta): keep the
+    # same expression tree so the zero-row output is schema-identical
+    # to the populated path (unionByName-safe in dedup_index state)
+    n = bands if first is None else first[0]
     rows_per_band = n // bands
     return signatures.select(
         "id",

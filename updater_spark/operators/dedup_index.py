@@ -160,3 +160,44 @@ class DedupIndex:
             self._bands_name,
             self.store.read(self._bands_name).join(ids, "id", "anti"),
         )
+
+
+def apply_cdc_epoch(
+    index: DedupIndex,
+    store: TableStore,
+    table: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Maintain a dedup index from one ``CdcEngine`` epoch — the
+    "dedup as engine state" composition (SURVEY.md §9): after
+    ``engine.update(spec, source)``, the store holds the epoch's full
+    change feed (``{table}__delta`` changed+new rows,
+    ``{table}__deleted`` applied delete keys); this feeds both into
+    the index so its state always mirrors the replica:
+
+    1. deleted docs leave the signature/band state (their stale
+       buckets can never pair again), then
+    2. the delta is ingested (``DedupIndex.update``: sign ONLY the
+       delta, probe stored bands; re-ingested ids replace their old
+       state first).
+
+    Returns the epoch's new candidate pairs (new x old ∪ new x new).
+    Cross-epoch contract: the union of every epoch's pairs, filtered
+    to ids alive in the final replica and exact-verified against its
+    text, equals one-shot verified dedup of that final corpus
+    (tests/test_dedup_index.py::test_cdc_epochs_match_one_shot).
+
+    Cost per epoch is O(|delta| + |deletes|) signing/probing plus the
+    index-state rewrite — never a corpus re-sign.
+
+    Materialize the returned pairs (collect, or persist + action)
+    BEFORE driving the next epoch: they are a lazy plan over the
+    store's current state versions, which later epochs' writes make
+    GC-eligible (same contract as DedupIndex.update)."""
+    if store.exists(f"{table}__deleted"):
+        deleted = store.read(f"{table}__deleted")
+        if index.exists() and not deleted.isEmpty():
+            index.remove(deleted.select(id_col))
+    delta = store.read(f"{table}__delta").select(id_col, text_col)
+    return index.update(delta, id_col, text_col)

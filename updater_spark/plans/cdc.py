@@ -68,7 +68,12 @@ class CdcEngine:
     hash cache (the ``_hashes_0/1`` pair collapses into versioned
     writes), ``{name}__changelog`` pre-image history,
     ``{name}__delta`` this run's changed rows (the ``{name}_new``
-    staging table, download.py:486-506).
+    staging table, download.py:486-506), ``{name}__deleted`` this
+    run's APPLIED delete keys (empty when the guard tripped or on
+    bootstrap) — together ``__delta`` + ``__deleted`` are the full
+    per-epoch change feed a downstream consumer (e.g. the incremental
+    dedup index, operators/dedup_index.py::apply_cdc_epoch) needs to
+    mirror the table.
     """
 
     BUCKET_COL = "_bucket"
@@ -286,6 +291,9 @@ class CdcEngine:
         # Bootstrap writes straight to the main table; the delta equals
         # the full table (download.py:494 "" if table.is_empty).
         self.store.write(f"{spec.name}__delta", self._read_main(spec.name))
+        self.store.write(
+            f"{spec.name}__deleted", source.select(spec.primary_key).limit(0)
+        )
         return UpdateStats(
             table=spec.name, bootstrap=True, upserts=total, total_rows=total
         )
@@ -375,6 +383,12 @@ class CdcEngine:
             self._append_changelog(spec.name, preimages)
 
             self.store.write(f"{spec.name}__delta", delta)
+            # the epoch's applied delete keys — empty when the guard
+            # tripped, so consumers never act on skipped deletes
+            self.store.write(
+                f"{spec.name}__deleted",
+                delete_keys if apply_del else delete_keys.limit(0),
+            )
             if self.partition_buckets:
                 self._write_incremental_partitioned(
                     spec, old, delta, delete_keys, apply_del
