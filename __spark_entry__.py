@@ -710,6 +710,26 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_confs(spark: SparkSession, n: str = "4"):
+    """Scoped shuffle-partition cut for streaming fixture drains: a
+    micro-batch over a one-file drop gains nothing from the session's
+    32 shuffle partitions, but state-store init/commit and every
+    foreachBatch write scale their task count with the setting — it
+    dominates AvailableNow restart cost. Restored on exit; the value
+    is pinned into each stream's checkpoint at creation, so reruns of
+    the same fixture are self-consistent."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator end-to-end
     (streaming/dedup_stream.py::streaming_first_seen,
@@ -728,27 +748,28 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="fs_dedup_")
     src, ckpt, out_dir = f"{root}/src", f"{root}/ckpt", f"{root}/out"
     try:
-        for drop in (0, 1, 2):
-            docs.filter(F.col("doc_id") % 3 == drop).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
-            stream = spark.readStream.schema(
-                "doc_id long, text string"
-            ).parquet(src)
+        with _stream_confs(spark):
+            for drop in (0, 1, 2):
+                docs.filter(F.col("doc_id") % 3 == drop).coalesce(
+                    1
+                ).write.mode("append").parquet(src)
+                stream = spark.readStream.schema(
+                    "doc_id long, text string"
+                ).parquet(src)
 
-            def sink(batch_df, _eid):
-                if not batch_df.isEmpty():
-                    batch_df.write.mode("append").parquet(out_dir)
+                def sink(batch_df, _eid):
+                    if not batch_df.isEmpty():
+                        batch_df.write.mode("append").parquet(out_dir)
 
-            q = (
-                streaming_first_seen(stream)
-                .writeStream.foreachBatch(sink)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
+                q = (
+                    streaming_first_seen(stream)
+                    .writeStream.foreachBatch(sink)
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(300)
         rows = spark.read.parquet(out_dir).collect()
         return spark.createDataFrame(
             rows, "fp string, doc_id long, n_dupes_so_far long"
@@ -1093,16 +1114,17 @@ def q_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = TableStore(spark, os.path.join(root, "store"))
         engine = CdcEngine(store, fingerprint_algo="md5")
         spec = TableSpec(name="cust_stream", primary_key="c_custkey")
-        query = run_cdc_stream(
-            spark,
-            engine,
-            spec,
-            drops,
-            cust.schema,
-            os.path.join(root, "ckpt"),
-            available_now=True,
-        )
-        query.awaitTermination()
+        with _stream_confs(spark):
+            query = run_cdc_stream(
+                spark,
+                engine,
+                spec,
+                drops,
+                cust.schema,
+                os.path.join(root, "ckpt"),
+                available_now=True,
+            )
+            query.awaitTermination()
         # the temp store stays on disk (no collect-and-copy: the
         # result must remain a distributed scan at scale); /tmp
         # lifecycle owns the cleanup.
@@ -1695,17 +1717,18 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 drops
             )
         store = TableStore(spark, os.path.join(root, "store"))
-        q = run_rollup_stream(
-            spark,
-            store,
-            "ev_rollup",
-            drops,
-            ev.schema,
-            os.path.join(root, "ckpt"),
-            keys=["event_type"],
-            max_files_per_trigger=1,
-        )
-        q.awaitTermination()
+        with _stream_confs(spark):
+            q = run_rollup_stream(
+                spark,
+                store,
+                "ev_rollup",
+                drops,
+                ev.schema,
+                os.path.join(root, "ckpt"),
+                keys=["event_type"],
+                max_files_per_trigger=1,
+            )
+            q.awaitTermination()
         # result stays a distributed scan of the stored state; /tmp
         # lifecycle owns cleanup (matches q_streaming_cdc).
         return store.read_partitioned("ev_rollup").select(

@@ -61,3 +61,66 @@ def test_frame_sampling_explodes(blobs):
 def test_real_codec_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         real_decode_stub(b"\x89PNG", "image/png")
+
+
+def test_resize_images_pil_codec(spark):
+    """The REAL Pillow resize path — skips (naming the dependency)
+    in environments without Pillow, runs automatically wherever the
+    env gains it. The stub codec and its byte-exact oracle are
+    untouched by this branch."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    from updater_spark.operators.multimodal import resize_images
+
+    def png(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    blobs = spark.createDataFrame(
+        [
+            (1, png(64, 48, (255, 0, 0)), "image/png", 0),
+            (2, png(16, 16, (0, 128, 255)), "image/png", 0),
+        ],
+        "doc_id long, payload binary, media_type string, n_bytes long",
+    )
+    out = resize_images(blobs, width=8, height=4, codec="pil").collect()
+    assert len(out) == 2
+    for r in out:
+        img = Image.open(io.BytesIO(bytes(r["payload"])))
+        assert img.size == (8, 4)
+        assert (r["width"], r["height"]) == (8, 4)
+
+
+def test_resize_images_pil_codec_missing_fails_fast(spark):
+    """Without Pillow, codec='pil' must fail at PLAN BUILD on the
+    driver with a clear ImportError naming the dependency — not an
+    executor-side stack at action time."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed; missing-dependency path untestable")
+    except ImportError:
+        pass
+    from updater_spark.operators.multimodal import make_blob_table, resize_images
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ImportError, match="Pillow"):
+        resize_images(make_blob_table(docs), codec="pil")
+
+
+def test_resize_images_rejects_unknown_codec(spark):
+    import pytest
+
+    from updater_spark.operators.multimodal import make_blob_table, resize_images
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="codec"):
+        resize_images(make_blob_table(docs), codec="ffmpeg")

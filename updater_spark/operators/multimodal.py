@@ -98,29 +98,77 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def resize_images(blobs: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+def resize_images(
+    blobs: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    codec: str = "stub",
+) -> DataFrame:
     """Image resize as Arrow-batched ``mapInPandas``.
 
-    STUB: where Pillow's ``Image.resize`` would run
-    (``real_decode_stub``), the deterministic fake strides the payload
-    bytes down to width×height — the Spark-side contract (binary in,
-    binary out, typed dims, bounded batches) is the real part."""
+    ``codec="stub"`` (default): the deterministic fake strides the
+    payload bytes down to width×height — no image library needed; the
+    Spark-side contract (binary in, binary out, typed dims, bounded
+    batches) is the real part, and the byte-exact driver oracle is
+    pinned to this codec.
 
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target = width * height
-        for pdf in batches:
-            resized = pdf["payload"].map(
-                lambda b: bytes(b[:: max(1, len(b) // target)][:target])
-            )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "payload": resized,
-                    "width": width,
-                    "height": height,
-                }
-            )
+    ``codec="pil"``: the REAL path — decode with Pillow, bilinear
+    resize, re-encode PNG. Availability is checked on the driver at
+    plan-build time (clear ImportError instead of an executor-side
+    stack), and workers import Pillow inside the closure. The sandbox
+    ships without Pillow, so tests exercise this branch behind
+    ``pytest.importorskip("PIL")`` and it upgrades automatically
+    wherever the environment gains the dependency."""
+    if codec not in ("stub", "pil"):
+        raise ValueError(f"codec must be 'stub' or 'pil', got {codec!r}")
+    if codec == "pil":
+        try:
+            import PIL  # noqa: F401  (driver-side availability check)
+        except ImportError as e:
+            raise ImportError(
+                "codec='pil' requires Pillow, which is not installed; "
+                "use the default codec='stub' or install Pillow"
+            ) from e
+
+        def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            for pdf in batches:
+                out = []
+                for b in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(b)))
+                    buf = io.BytesIO()
+                    img.resize((width, height)).save(buf, format="PNG")
+                    out.append(buf.getvalue())
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "media_type": pdf["media_type"],
+                        "payload": out,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+
+    else:
+
+        def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            target = width * height
+            for pdf in batches:
+                resized = pdf["payload"].map(
+                    lambda b: bytes(b[:: max(1, len(b) // target)][:target])
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "media_type": pdf["media_type"],
+                        "payload": resized,
+                        "width": width,
+                        "height": height,
+                    }
+                )
 
     return blobs.mapInPandas(resize, schema=RESIZED_SCHEMA)
 
