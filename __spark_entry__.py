@@ -744,32 +744,62 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from updater_spark.streaming.dedup_stream import streaming_first_seen
 
+    import glob
+
     docs = _docs_with_dupes(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="fs_dedup_")
     src, ckpt, out_dir = f"{root}/src", f"{root}/ckpt", f"{root}/out"
+
+    def write_drop(drop: int) -> None:
+        before = set(glob.glob(f"{src}/part-*.parquet"))
+        docs.filter(F.col("doc_id") % 3 == drop).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        # pin the NEW drop's data-file mtimes to a distinct, increasing
+        # stamp: FileStreamSource orders files by modification time,
+        # so with maxFilesPerTrigger=1 the micro-batch order (hence
+        # which duplicate is "first seen") is deterministic even when
+        # consecutive writes land in the same clock tick
+        stamp = 1_000_000_000 + drop * 100
+        for f in set(glob.glob(f"{src}/part-*.parquet")) - before:
+            os.utime(f, (stamp, stamp))
+
+    def drain(max_files: int | None) -> None:
+        reader = spark.readStream.schema("doc_id long, text string")
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        stream = reader.parquet(src)
+
+        def sink(batch_df, _eid):
+            # no isEmpty() guard: foreachBatch DataFrames re-execute
+            # the full stateful plan per action, so a pre-check would
+            # double every micro-batch's cost; appending an empty
+            # frame is harmless
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            streaming_first_seen(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
     try:
         with _stream_confs(spark):
-            for drop in (0, 1, 2):
-                docs.filter(F.col("doc_id") % 3 == drop).coalesce(
-                    1
-                ).write.mode("append").parquet(src)
-                stream = spark.readStream.schema(
-                    "doc_id long, text string"
-                ).parquet(src)
-
-                def sink(batch_df, _eid):
-                    if not batch_df.isEmpty():
-                        batch_df.write.mode("append").parquet(out_dir)
-
-                q = (
-                    streaming_first_seen(stream)
-                    .writeStream.foreachBatch(sink)
-                    .outputMode("append")
-                    .option("checkpointLocation", ckpt)
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination(300)
+            # restart 1: drop 0 alone — seeds the keeper state
+            write_drop(0)
+            drain(None)
+            # restart 2: drops 1 and 2 drain as TWO ordered
+            # micro-batches of one run (maxFilesPerTrigger=1) —
+            # proves both cross-restart state recovery AND
+            # cross-batch suppression within a run, at one stream
+            # startup less than three single-drop restarts
+            write_drop(1)
+            write_drop(2)
+            drain(1)
         rows = spark.read.parquet(out_dir).collect()
         return spark.createDataFrame(
             rows, "fp string, doc_id long, n_dupes_so_far long"

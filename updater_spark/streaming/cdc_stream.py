@@ -57,14 +57,16 @@ def run_cdc_stream(
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # pin the micro-batch: apply_delta runs several actions
+        # pin the micro-batch FIRST: apply_delta runs several actions
         # (fingerprint join, changelog, merge, counts) and each would
         # otherwise re-list and re-scan the trigger's source files —
         # measured 3-10 redundant scans per batch without the persist.
+        # The emptiness probe then doubles as the cache warm-up
+        # instead of being its own scan.
         batch_df.persist()
         try:
+            if batch_df.isEmpty():
+                return
             # micro-batches carry only arriving rows → delta-apply
             # (upsert, never delete); full-snapshot diffs belong to
             # batch update()

@@ -168,11 +168,17 @@ def run_rollup_stream(
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        apply_rollup_delta(
-            store, table, batch_df, ts_col, value_col, keys, bucket
-        )
+        # persist-then-probe: the delta merge runs multiple actions
+        # over the batch; the emptiness check doubles as cache warm-up
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            apply_rollup_delta(
+                store, table, batch_df, ts_col, value_col, keys, bucket
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
