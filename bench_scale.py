@@ -256,11 +256,16 @@ def dedup_probe(n: int) -> None:
         F.count(F.lit(1)).alias("n_pairs"),
         F.min("jaccard").alias("min_j"),
     )
-    agg.write.format("noop").mode("overwrite").save()  # warm
+    # JIT/codegen warm-up on a 1% slice — a full-size warm run would
+    # double the probe's wall clock at 10M docs for no extra signal
+    warm = lsh_verified_pairs(
+        docs.filter(F.col("doc_id") < max(n // 100, 1000)),
+        "doc_id", "text", n=3, threshold=0.5,
+    )
+    warm.groupBy().count().write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
-    agg.write.format("noop").mode("overwrite").save()
+    row = agg.first()  # one evaluation, timed
     wall = time.perf_counter() - t0
-    row = agg.first()
     print(
         json.dumps(
             {
@@ -311,7 +316,10 @@ def cdc_probe(n: int) -> None:
 
     root = tempfile.mkdtemp(prefix="cdc_probe_")
     try:
-        engine = CdcEngine(TableStore(spark, root))
+        # guard sized to the workload: ~0.5% deletes exceeds the
+        # production default (100k) past 20M rows, and a probe that
+        # silently skips its deletes measures the wrong cycle
+        engine = CdcEngine(TableStore(spark, root), delete_guard=n)
         spec = TableSpec("player", "pk", has_scores=False)
         t0 = time.perf_counter()
         engine.update(spec, base)
