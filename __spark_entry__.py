@@ -1476,6 +1476,73 @@ def q_cdc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate stripping (CCNet/RefinedWeb-style
+    paragraph filter): the fixture injects a universal footer line
+    into every doc and a second banner into every even doc; any line
+    in >100 distinct docs is dropped corpus-wide, remaining lines
+    reassemble in order. All Catalyst (posexplode + two-level distinct
+    agg + anti-join + array_sort rebuild)."""
+    from updater_spark.operators.text import strip_boilerplate
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    multi = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter today"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\nall rights reserved")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return strip_boilerplate(multi, "doc_id", "text", max_df=100)
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability under the corpus's own unigram
+    distribution — the zeroth-order LM-perplexity quality filter
+    (low = rare-token soup). Two Catalyst passes: corpus term counts,
+    then token→count join + per-doc mean of ln(count/N)."""
+    from updater_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(demo.load(spark, sf_dir, "documents"))
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression of the embeddings table: 64
+    dims → 4 subspace codes against a fixed 16-codeword-per-subspace
+    codebook (deterministic data subset, like the IVF fixtures).
+    Returns codes + reconstruction error; the oracle reproduces the
+    per-subspace argmin and distances with DuckDB list arithmetic."""
+    from updater_spark.operators.similarity import pq_assign
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    cw_rows = (
+        emb.filter(F.col("vec_id") % 17 == 3)
+        .orderBy("vec_id")
+        .limit(16)
+        .select("embedding")
+        .collect()
+    )
+    m_sub, sub = 4, 16
+    codebooks = [
+        [
+            [float(x) for x in r[0][m * sub : (m + 1) * sub]]
+            for r in cw_rows
+        ]
+        for m in range(m_sub)
+    ]
+    out = pq_assign(emb, codebooks)
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes"),
+        "recon_err",
+    )
+
+
 def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination probe: every corpus doc scored by
     8-gram collision against a benchmark slice (doc_id % 17 == 0).
@@ -2106,6 +2173,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_export": q_shard_export,
         # --- new in round 3 (keep inside the first 50) ---
         "cdc_dedup_incremental": q_cdc_dedup_incremental,
+        "text_boilerplate": q_text_boilerplate,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "pq_codes": q_pq_codes,
         # --- parity core + extensions, all green in r2 ---
         "s2_fingerprint": q_s2_fingerprint,
         "j1_diff_classify": q_j1_diff_classify,
@@ -2714,6 +2784,88 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = c.id_a
             JOIN sizes sb ON sb.doc_id = c.id_b
             WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+        """,
+        "text_boilerplate": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       text || chr(10) || 'subscribe to our newsletter today'
+                            || CASE WHEN doc_id % 2 = 0
+                                    THEN chr(10) || 'all rights reserved'
+                                    ELSE '' END AS text
+                FROM documents
+            ),
+            split AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus
+            ),
+            numbered AS (
+                SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+                FROM split
+            ),
+            lines AS (SELECT doc_id, i, ls[i] AS line FROM numbered),
+            freq AS (
+                SELECT line, COUNT(DISTINCT doc_id) AS df
+                FROM lines GROUP BY line
+            ),
+            kept AS (
+                SELECT l.doc_id, l.i, l.line FROM lines l
+                JOIN freq f ON l.line = f.line
+                WHERE f.df <= 100
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY i) AS text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ),
+            totals AS (
+                SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(r.text, '') AS text,
+                   t.n_lines,
+                   t.n_lines - COALESCE(r.n_kept, 0) AS n_dropped
+            FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        """,
+        "text_unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents
+            ),
+            vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+            tot AS (SELECT SUM(cnt) AS n FROM vocab)
+            SELECT t.doc_id,
+                   COUNT(*) AS n_tokens,
+                   round(avg(ln(v.cnt / tot.n)), 4) AS avg_logprob
+            FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+            GROUP BY t.doc_id
+        """,
+        "pq_codes": """
+            WITH vecs AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cw AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+                FROM (SELECT vec_id, v FROM vecs WHERE vec_id % 17 = 3
+                      ORDER BY vec_id LIMIT 16)
+            ),
+            sub AS (SELECT unnest(range(0, 4)) AS m),
+            dists AS (
+                SELECT c.vec_id, s.m, k.j,
+                       list_distance(c.v[s.m*16+1 : s.m*16+16],
+                                     k.cv[s.m*16+1 : s.m*16+16]) AS d
+                FROM vecs c CROSS JOIN sub s CROSS JOIN cw k
+            ),
+            best AS (
+                SELECT vec_id, m, j, d,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d, j) AS rn
+                FROM dists
+            )
+            SELECT vec_id,
+                   string_agg(j::VARCHAR, ',' ORDER BY m) AS codes,
+                   round(SUM(d), 6) AS recon_err
+            FROM best WHERE rn = 1 GROUP BY vec_id
         """,
         # dedup_incremental: union of bootstrap+update candidates refined
         # by exact Jaccard == the one-shot verified pipeline (pair-set

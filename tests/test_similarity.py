@@ -318,3 +318,38 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark, emb_df):
         for r in lsh_topk(df, q, k=3, bits=6, dim=16, multiprobe=1).collect()
     }
     assert (0, 1) in got1
+
+
+def test_pq_assign_matches_numpy(spark, emb_df):
+    """Per-subspace argmin + reconstruction error vs a numpy oracle;
+    codeword vectors must code to themselves with zero error."""
+    import numpy as np
+
+    from updater_spark.operators.similarity import pq_assign
+
+    df, vecs = emb_df
+    dim = len(vecs[0])
+    m_sub = 4
+    sub = dim // m_sub
+    cw_ids = list(range(0, 16))
+    codebooks = [
+        [[float(x) for x in vecs[j][m * sub : (m + 1) * sub]] for j in cw_ids]
+        for m in range(m_sub)
+    ]
+    out = {r["vec_id"]: r for r in pq_assign(df, codebooks).collect()}
+
+    cb = np.array(codebooks)  # (m, k, sub)
+    for vid in range(20):
+        v = np.asarray(vecs[vid], dtype=np.float64)
+        want_codes, want_err = [], 0.0
+        for m in range(m_sub):
+            d = np.linalg.norm(cb[m] - v[m * sub : (m + 1) * sub], axis=1)
+            want_codes.append(int(np.argmin(d)))
+            want_err += float(d.min())
+        got = out[vid]
+        assert list(got["codes"]) == want_codes, vid
+        assert abs(got["recon_err"] - round(want_err, 6)) < 1e-4
+    # self-coding: the codeword-source vectors reconstruct exactly
+    for j in cw_ids:
+        assert list(out[j]["codes"]) == [j] * m_sub
+        assert out[j]["recon_err"] == 0.0

@@ -230,3 +230,63 @@ def test_chunk_text_fuzz_coverage(spark):
         assert recon == toks
 
     prop()
+
+
+def test_strip_boilerplate_drops_hot_lines_keeps_order(spark):
+    from updater_spark.operators.text import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nBOILER\nbeta two"),
+            (2, "gamma three\nBOILER"),
+            (3, "BOILER\ndelta four\nepsilon five"),
+            (4, "BOILER"),  # fully boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(docs, max_df=2).collect()
+    }
+    assert out[1]["text"] == "alpha one\nbeta two"
+    assert out[2]["text"] == "gamma three"
+    assert out[3]["text"] == "delta four\nepsilon five"
+    # fully-boilerplate doc keeps its row with empty text
+    assert out[4]["text"] == "" and out[4]["n_dropped"] == 1
+    assert all(out[i]["n_dropped"] == 1 for i in (1, 2, 3))
+    # a line at exactly max_df distinct docs survives
+    docs2 = spark.createDataFrame(
+        [(1, "x\nshared"), (2, "y\nshared")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r["text"] for r in strip_boilerplate(docs2, max_df=2).collect()}
+    assert out2 == {1: "x\nshared", 2: "y\nshared"}
+
+
+def test_strip_boilerplate_df_counts_distinct_docs(spark):
+    """A line repeated WITHIN one doc counts once toward df."""
+    from updater_spark.operators.text import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "rep\nrep\nrep\nunique")], "doc_id long, text string"
+    )
+    out = strip_boilerplate(docs, max_df=2).collect()[0]
+    assert out["text"] == "rep\nrep\nrep\nunique"  # df=1, kept
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from updater_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # counts: a=2, b=2, c=1; N=5
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    exp1 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert abs(out[1]["avg_logprob"] - round(exp1, 4)) < 1e-9
+    assert abs(out[2]["avg_logprob"] - round(exp2, 4)) < 1e-9
+    # rare-token doc scores lower than common-token doc
+    assert out[2]["avg_logprob"] < out[1]["avg_logprob"]

@@ -770,3 +770,54 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def pq_assign(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization — the vector-COMPRESSION half of the ANN
+    toolbox (IVF/LSH bucket, PQ shrinks what's stored): split each
+    D-dim vector into M contiguous subvectors and store, per
+    subspace, only the index of the nearest codeword. At D=64 fp32
+    that is 256 bytes -> M bytes + one shared codebook, the trade
+    that makes billion-vector indexes fit on disk budgets.
+
+    ``codebooks``: M lists of k codewords, each of dimension D/M.
+    Assignment = per-subspace argmin of Euclidean distance, ties to
+    the lowest codeword (matching SQL row_number order). All flat
+    scalar projections (M*k codegen'd distance expressions over
+    element_at — no interpreted higher-order lambdas, the round-1
+    minhash lesson).
+
+    Returns ``(id, codes array<long>, recon_err double)`` where
+    recon_err is the sum over subspaces of the winning Euclidean
+    distance — the quantization-quality number to monitor when
+    retraining codebooks."""
+    m_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = as_double(F.col(vec_col))
+
+    def dist(m: int, j: int) -> Column:
+        cw = codebooks[m][j]
+        return F.sqrt(
+            sum(
+                (F.element_at(v, m * sub + s + 1) - F.lit(float(cw[s])))
+                * (F.element_at(v, m * sub + s + 1) - F.lit(float(cw[s])))
+                for s in range(sub)
+            )
+        )
+
+    codes, errs = [], []
+    for m in range(m_sub):
+        arr = F.array(*[dist(m, j) for j in range(len(codebooks[m]))])
+        best = F.array_min(arr)
+        codes.append((F.array_position(arr, best) - 1).cast("long"))
+        errs.append(best)
+    return corpus.select(
+        F.col(id_col),
+        F.array(*codes).alias("codes"),
+        F.round(sum(errs), 6).alias("recon_err"),
+    )

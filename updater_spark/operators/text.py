@@ -367,3 +367,103 @@ def chunk_text(
         F.size("_w").cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", "_w").alias("chunk"),
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 100,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb
+    paragraph-frequency filter): a LINE that occurs in more than
+    ``max_df`` distinct documents is boilerplate (cookie banners,
+    nav menus, "subscribe" footers) and is dropped from every doc;
+    remaining lines are reassembled in their original order.
+
+    Two-shuffle shape, all Catalyst: explode lines carrying their
+    position → per-line distinct-doc frequency (two-level partial
+    agg) → anti-join hot lines → rebuild with an in-group
+    array_sort (no window, no Python). At 100 TB the line-frequency
+    table is the only wide state, and it is orders of magnitude
+    smaller than the corpus (lines repeat — that is the point).
+
+    Returns ``(id, text, n_lines, n_dropped)``; a fully-boilerplate
+    doc keeps its row with empty text, so downstream length filters
+    see it rather than silently losing the id."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(line_sep))).alias(
+            "_pos", "_line"
+        ),
+    )
+    hot = (
+        lines.groupBy("_line")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_line")
+    )
+    kept = lines.join(hot, "_line", "anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_line"))
+                ),
+                lambda s: s["_line"],
+            ),
+            line_sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+            F.col("n_lines"),
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    OWN unigram distribution — the cheap stand-in for the LM-
+    perplexity quality filter (CCNet trains a small LM; the unigram
+    model is its zeroth-order version and needs no training
+    artifacts). Low scores = rare-token soup (gibberish, codes,
+    mangled encodings); high = common fluent vocabulary.
+
+    Two passes over the tokens, both Catalyst: corpus term counts
+    (two-level partial agg), then a token→count join and per-doc
+    mean of ln(count/N). N rides along via a broadcast single-row
+    cross join, so nothing recomputes the vocabulary.
+
+    Returns ``(id, n_tokens, avg_logprob)`` with avg_logprob rounded
+    to 4 decimals (cross-engine float-sum tolerance)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    )
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").alias("_n"))
+    scored = (
+        toks.join(vocab, "_tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("_cnt") / F.col("_n"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored
