@@ -266,6 +266,30 @@ def dedup_probe(n: int) -> None:
     t0 = time.perf_counter()
     row = agg.first()  # one evaluation, timed
     wall = time.perf_counter() - t0
+
+    # LSH bucket-size distribution: the evidence that max_bucket keeps
+    # the pair expansion bounded — P99/max must stay flat as n grows
+    # (a quadratic hot bucket would show up here long before it OOMs)
+    from updater_spark.operators.dedup import band_hashes, minhash_signatures
+
+    sizes = (
+        band_hashes(minhash_signatures(docs, "doc_id", "text"), 16)
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.max("sz").alias("max"),
+            F.expr("percentile_approx(sz, 0.99)").alias("p99"),
+            F.expr("percentile_approx(sz, 0.5)").alias("p50"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .first()
+    )
+    bucket_stats = {
+        "max": int(sizes["max"]),
+        "p99": int(sizes["p99"]),
+        "p50": int(sizes["p50"]),
+        "n_buckets": int(sizes["n_buckets"]),
+    }
     print(
         json.dumps(
             {
@@ -276,6 +300,7 @@ def dedup_probe(n: int) -> None:
                     "pairs_found": row["n_pairs"],
                     "pairs_expected": n // 100,
                     "min_jaccard": round(row["min_j"], 4),
+                    "bucket_sizes": bucket_stats,
                 },
             }
         )
