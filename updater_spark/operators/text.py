@@ -445,8 +445,12 @@ def unigram_logprob(
 
     Two passes over the tokens, both Catalyst: corpus term counts
     (two-level partial agg), then a token→count join and per-doc
-    mean of ln(count/N). N rides along via a broadcast single-row
-    cross join, so nothing recomputes the vocabulary.
+    mean of ln(count/N). N — one bigint — is folded on the DRIVER
+    (the vocab plan runs once, eagerly) and embedded as a literal:
+    the scalar-subquery shape without the one-row
+    BroadcastNestedLoopJoin a crossJoin would put in the plan (the
+    plan lint bans cartesian nodes, and a lint that must allowlist
+    benign cases stops being a lint).
 
     Returns ``(id, n_tokens, avg_logprob)`` with avg_logprob rounded
     to 4 decimals (cross-engine float-sum tolerance)."""
@@ -454,15 +458,14 @@ def unigram_logprob(
         F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
     )
     vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
-    total = vocab.agg(F.sum("_cnt").alias("_n"))
+    n_total = vocab.agg(F.sum("_cnt")).first()[0]
     scored = (
         toks.join(vocab, "_tok")
-        .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(
-                F.avg(F.log(F.col("_cnt") / F.col("_n"))), 4
+                F.avg(F.log(F.col("_cnt") / F.lit(float(n_total)))), 4
             ).alias("avg_logprob"),
         )
     )
