@@ -1543,6 +1543,65 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_fixture(spark: SparkSession, sf_dir: str):
+    """Shared PQ fixture: fixed 16-codeword codebooks (deterministic
+    data subset) + a fixed 8-query set — both corpus-size-independent
+    driver collects (the pinned-k lesson from the ANN fixtures)."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    cw_rows = (
+        emb.filter(F.col("vec_id") % 17 == 3)
+        .orderBy("vec_id")
+        .limit(16)
+        .select("embedding")
+        .collect()
+    )
+    m_sub, sub = 4, 16
+    codebooks = [
+        [
+            [float(x) for x in r[0][m * sub : (m + 1) * sub]]
+            for r in cw_rows
+        ]
+        for m in range(m_sub)
+    ]
+    q_rows = (
+        emb.filter(F.col("vec_id") % 29 == 7)
+        .orderBy("vec_id")
+        .limit(8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r[0]), [float(x) for x in r[1]]) for r in q_rows]
+    return emb, codebooks, queries
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-5 over the PQ-compressed embeddings:
+    the search half of product quantization. Distances are computed
+    entirely from the 4-byte codes plus per-query driver-precomputed
+    distance tables — the float vectors are touched only during
+    compression. The oracle recomputes codes AND tables with DuckDB
+    list arithmetic and must agree on every (rounded) distance and
+    rank."""
+    from updater_spark.operators.similarity import pq_assign, pq_topk
+
+    emb, codebooks, queries = _pq_fixture(spark, sf_dir)
+    codes = pq_assign(emb, codebooks).select("vec_id", "codes")
+    return pq_topk(codes, codebooks, queries, k=5)
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granularity duplication profile of the near-dup
+    corpus (token 5-gram windows appearing in >= 2 docs, merged into
+    maximal per-doc spans). The planted near-copies make every base
+    doc ~fully span-covered; dup_frac is the per-doc fraction of
+    tokens inside a duplicated window union."""
+    from updater_spark.operators.dedup import dup_span_stats
+
+    return dup_span_stats(
+        _near_dup_corpus(spark, sf_dir), n=5, min_df=2
+    )
+
+
 def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination probe: every corpus doc scored by
     8-gram collision against a benchmark slice (doc_id % 17 == 0).
@@ -2176,6 +2235,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "text_unigram_logprob": q_text_unigram_logprob,
         "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
+        "dup_spans": q_dup_spans,
         # --- parity core + extensions, all green in r2 ---
         "s2_fingerprint": q_s2_fingerprint,
         "j1_diff_classify": q_j1_diff_classify,
@@ -2866,6 +2927,124 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(j::VARCHAR, ',' ORDER BY m) AS codes,
                    round(SUM(d), 6) AS recon_err
             FROM best WHERE rn = 1 GROUP BY vec_id
+        """,
+        # pq_adc_topk: recompute the corpus codes (same argmin CTE as
+        # pq_codes) and the per-query squared-distance tables, then
+        # ADC = sum over subspaces of table[m][code_m]; rank on the
+        # rounded distance so ordering is engine-stable.
+        "pq_adc_topk": """
+            WITH vecs AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cw AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+                FROM (SELECT vec_id, v FROM vecs WHERE vec_id % 17 = 3
+                      ORDER BY vec_id LIMIT 16)
+            ),
+            qs AS (
+                SELECT vec_id AS query_id, v AS qv FROM vecs
+                WHERE vec_id % 29 = 7 ORDER BY vec_id LIMIT 8
+            ),
+            sub AS (SELECT unnest(range(0, 4)) AS m),
+            dists AS (
+                SELECT c.vec_id, s.m, k.j,
+                       list_distance(c.v[s.m*16+1 : s.m*16+16],
+                                     k.cv[s.m*16+1 : s.m*16+16]) AS d
+                FROM vecs c CROSS JOIN sub s CROSS JOIN cw k
+            ),
+            code AS (
+                SELECT vec_id, m, j FROM (
+                    SELECT vec_id, m, j,
+                           row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY d, j) AS rn
+                    FROM dists) WHERE rn = 1
+            ),
+            dt AS (
+                SELECT q.query_id, s.m, k.j,
+                       list_distance(q.qv[s.m*16+1 : s.m*16+16],
+                                     k.cv[s.m*16+1 : s.m*16+16]) ^ 2 AS d2
+                FROM qs q CROSS JOIN sub s CROSS JOIN cw k
+            ),
+            adc AS (
+                SELECT t.query_id, c.vec_id AS neighbor_id,
+                       round(SUM(t.d2), 6) AS dist
+                FROM code c JOIN dt t ON c.m = t.m AND c.j = t.j
+                WHERE c.vec_id <> t.query_id
+                GROUP BY t.query_id, c.vec_id
+            )
+            SELECT query_id, neighbor_id, dist, rank FROM (
+                SELECT query_id, neighbor_id, dist,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist, neighbor_id
+                                          )::BIGINT AS rank
+                FROM adc) WHERE rank <= 5
+        """,
+        # dup_spans: positional 5-gram window hashes -> document
+        # frequency -> duplicated windows unioned into maximal per-doc
+        # spans (gaps-and-islands), same construction as the Spark
+        # operator.
+        "dup_spans": """
+            WITH corpus AS ("""
+        + _NEAR_DUP_SQL
+        + """),
+            toked AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM corpus
+            ),
+            wins AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(concat_ws(' ', list_slice(toks, i, i + 4))) AS h
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 5 + 1, 0)
+                                          + 1)) AS i
+                      FROM toked)
+            ),
+            freq AS (
+                SELECT h FROM wins GROUP BY h
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            dup AS (
+                SELECT w.doc_id, w.pos, w.pos + 4 AS e
+                FROM wins w JOIN freq f ON w.h = f.h
+            ),
+            flagged AS (
+                SELECT doc_id, pos, e,
+                       CASE WHEN max(e) OVER w2 IS NULL
+                                 OR pos > max(e) OVER w2 + 1
+                            THEN 1 ELSE 0 END AS nw
+                FROM dup
+                WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING)
+            ),
+            isl AS (
+                SELECT doc_id, pos, e,
+                       SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS island
+                FROM flagged
+            ),
+            spans AS (
+                SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e2,
+                       COUNT(*) AS nwins
+                FROM isl GROUP BY doc_id, island
+            ),
+            per_doc AS (
+                SELECT doc_id, COUNT(*) AS n_spans,
+                       SUM(e2 - s + 1) AS dup_tokens,
+                       SUM(nwins) AS n_dup_windows
+                FROM spans GROUP BY doc_id
+            )
+            SELECT t.doc_id AS id, len(t.toks)::BIGINT AS n_tokens,
+                   greatest(len(t.toks) - 5 + 1, 0)::BIGINT AS n_windows,
+                   COALESCE(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+                   COALESCE(p.n_spans, 0)::BIGINT AS n_spans,
+                   COALESCE(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   round(COALESCE(p.dup_tokens, 0)
+                         / CASE WHEN len(t.toks) > 0
+                                THEN len(t.toks) END, 6) AS dup_frac
+            FROM toked t LEFT JOIN per_doc p USING (doc_id)
         """,
         # dedup_incremental: union of bootstrap+update candidates refined
         # by exact Jaccard == the one-shot verified pipeline (pair-set

@@ -243,3 +243,60 @@ def test_md5_portable_hashes_match_hashlib(spark):
         exp32 = int.from_bytes(d[:4], "big")
         exp64 = int.from_bytes(d[:8], "big", signed=True)
         assert got[w] == (exp32, exp64), w
+
+
+def test_dup_span_stats_islands(spark):
+    """Two docs share a 7-token run; with n=3 that's five duplicated
+    windows per doc which must merge into ONE island covering exactly
+    the shared tokens. The unique doc and the too-short doc report
+    zeros (and a too-short doc still gets a row)."""
+    from updater_spark.operators.dedup import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    docs = [
+        Row(doc_id=1, text=f"one two {shared} three four"),
+        Row(doc_id=2, text=f"{shared} nine ten eleven"),
+        Row(doc_id=3, text="totally unrelated words in this document"),
+        Row(doc_id=4, text="tiny doc"),
+    ]
+    out = {
+        r["id"]: r.asDict()
+        for r in dup_span_stats(
+            spark.createDataFrame(docs), n=3, min_df=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1: shared run at positions 2..8 -> one island of 7 tokens
+    assert out[1]["n_spans"] == 1
+    assert out[1]["dup_tokens"] == 7
+    assert out[1]["n_dup_windows"] == 5
+    assert abs(out[1]["dup_frac"] - 7 / 11) < 1e-6
+    # doc 2: same run at positions 0..6
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 7
+    # unique doc: windows exist, none duplicated
+    assert out[3]["n_windows"] == 4 and out[3]["dup_tokens"] == 0
+    assert out[3]["dup_frac"] == 0.0
+    # 2-token doc: shorter than n -> no windows at all
+    assert out[4]["n_windows"] == 0 and out[4]["n_spans"] == 0
+
+
+def test_dup_span_stats_disjoint_spans(spark):
+    """Two separated shared runs in one doc must stay two islands;
+    dup_tokens is the union size, not windows * n."""
+    from updater_spark.operators.dedup import dup_span_stats
+
+    a = "red green blue"
+    b = "cyan magenta yellow"
+    docs = [
+        Row(doc_id=1, text=f"{a} filler1 filler2 filler3 {b}"),
+        Row(doc_id=2, text=f"{a} other words entirely {b}"),
+    ]
+    out = {
+        r["id"]: r.asDict()
+        for r in dup_span_stats(
+            spark.createDataFrame(docs), n=3, min_df=2
+        ).collect()
+    }
+    assert out[1]["n_spans"] == 2
+    assert out[1]["dup_tokens"] == 6  # two 3-token islands
+    assert out[2]["n_spans"] == 2 and out[2]["dup_tokens"] == 6

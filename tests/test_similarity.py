@@ -353,3 +353,51 @@ def test_pq_assign_matches_numpy(spark, emb_df):
     for j in cw_ids:
         assert list(out[j]["codes"]) == [j] * m_sub
         assert out[j]["recon_err"] == 0.0
+
+
+def test_pq_topk_adc(spark):
+    """ADC distances must equal the hand-computed table lookups; ranks
+    order by (rounded dist, neighbor id); self-matches excluded and
+    query_id is BIGINT (engine-stable schema)."""
+    from updater_spark.operators.similarity import pq_assign, pq_topk
+
+    # 4-dim vectors, 2 subspaces of 2 dims, 2 codewords each
+    codebooks = [
+        [[0.0, 0.0], [1.0, 1.0]],
+        [[0.0, 1.0], [1.0, 0.0]],
+    ]
+    vecs = [
+        (1, [0.1, 0.0, 0.0, 0.9]),   # codes (0, 0)
+        (2, [0.9, 1.0, 1.0, 0.1]),   # codes (1, 1)
+        (3, [0.0, 0.1, 0.9, 0.0]),   # codes (0, 1)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<double>",
+    )
+    codes = pq_assign(df, codebooks).select("vec_id", "codes")
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert got_codes == {1: [0, 0], 2: [1, 1], 3: [0, 1]}
+
+    q = (7, [0.0, 0.0, 0.0, 1.0])  # table: sub0 {c0:0, c1:2}, sub1 {c0:0, c1:2}
+    out = pq_topk(codes, codebooks, [q], k=3)
+    assert dict(out.dtypes)["query_id"] == "bigint"
+    rows = {r["neighbor_id"]: (r["dist"], r["rank"]) for r in out.collect()}
+    assert rows[1] == (0.0, 1)   # codes (0,0) -> 0 + 0
+    assert rows[3] == (2.0, 2)   # codes (0,1) -> 0 + 2
+    assert rows[2] == (4.0, 3)   # codes (1,1) -> 2 + 2
+
+
+def test_pq_topk_tie_and_self_exclusion(spark):
+    from updater_spark.operators.similarity import pq_assign, pq_topk
+
+    codebooks = [[[0.0], [1.0]], [[0.0], [1.0]]]
+    # ids 5 and 9 quantize identically -> tied dist, rank by id
+    df = spark.createDataFrame(
+        [(9, [0.0, 0.0]), (5, [0.1, 0.1]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    codes = pq_assign(df, codebooks).select("vec_id", "codes")
+    out = pq_topk(codes, codebooks, [(2, [1.0, 1.0])], k=5).collect()
+    ranked = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [(1, 5), (2, 9)]  # self (2) excluded, tie -> lower id first

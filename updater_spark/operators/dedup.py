@@ -521,3 +521,120 @@ def simhash_near_pairs(
     return cand.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Substring-granularity duplication profile: for every doc, how
+    much of it is covered by token n-gram windows that also appear in
+    at least ``min_df`` documents (the window itself included).
+
+    This is the Spark-native reading of exact-substring training-data
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): instead of a suffix array over the
+    concatenated corpus, hash every POSITIONAL n-token window, count
+    document frequency per window hash, and union the duplicated
+    windows back into maximal per-doc spans (gaps-and-islands).
+    Document-level near-dup (MinHash) misses a boilerplate paragraph
+    pasted into thousands of otherwise-unique pages; this catches it
+    and says exactly which token ranges to cut.
+
+    Returns one row per input doc:
+    ``(id, n_tokens, n_windows, n_dup_windows, n_spans, dup_tokens,
+    dup_frac)`` where ``dup_tokens`` is the size of the union of all
+    duplicated windows' token ranges and ``dup_frac`` its share of
+    the doc (0.0 for docs shorter than ``n`` tokens).
+
+    Scale shape: the positional-window explode is ~one row per corpus
+    token, then (1) one md5-keyed groupBy for document frequency
+    (partial count-distinct aggregation, so hot boilerplate windows
+    don't single-reduce), (2) one md5-keyed join back to positions
+    (only hashes with df >= min_df survive the join's build side), and
+    (3) one doc-keyed window for island merging, bounded per doc by
+    doc length. No per-row Python, no driver materialization.
+    """
+    toks = F.col("_toks")
+    toked = tokenize(df, text_col).select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        toks.alias("_toks"),
+    )
+    # positional (non-distinct) windows; docs shorter than n emit none
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array())
+    wins = toked.select(
+        "id", "_toks", F.explode(idx).alias("pos")
+    ).select(
+        "id",
+        "pos",
+        F.md5(
+            F.concat_ws(" ", F.slice(toks, F.col("pos") + 1, n))
+        ).alias("h"),
+    )
+    freq = wins.groupBy("h").agg(
+        F.count_distinct("id").alias("gram_df")
+    ).filter(F.col("gram_df") >= min_df)
+    dup = wins.join(freq, "h").select(
+        "id", "pos", (F.col("pos") + n - 1).alias("end")
+    )
+    # gaps-and-islands: a window starts a new span when its start is
+    # past every previous window's end (+1 merges exactly-adjacent
+    # ranges — same union size either way)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.select(
+        "id",
+        "pos",
+        "end",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("_new"),
+        F.lit(1).alias("_one"),
+    ).withColumn(
+        "island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = flagged.groupBy("id", "island").agg(
+        F.min("pos").alias("s"),
+        F.max("end").alias("e"),
+        F.count("_one").alias("wins_in_span"),
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.count("island").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        F.sum("wins_in_span").alias("n_dup_windows"),
+    )
+    n_wins = F.greatest(F.col("n_tokens") - n + 1, F.lit(0))
+    return (
+        toked.drop("_toks")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            n_wins.cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

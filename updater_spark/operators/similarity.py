@@ -821,3 +821,89 @@ def pq_assign(
         F.array(*codes).alias("codes"),
         F.round(sum(errs), 6).alias("recon_err"),
     )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-compressed corpus —
+    the SEARCH half of product quantization (``pq_assign`` is the
+    compression half; Jegou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search").
+
+    For each query the driver precomputes the M x K table of SQUARED
+    Euclidean distances from the query's m-th subvector to every
+    codeword (M*K floats — a few hundred doubles per query, broadcast
+    as literals).  A corpus row's approximate squared distance to the
+    query is then ``sum_m table[m][code_m]`` — M constant-array
+    lookups per (row, query), all whole-stage codegen'd; the original
+    vectors are never touched, which is the entire point: search runs
+    on the compressed representation.
+
+    ``queries`` is a BOUNDED list of (query_id, vector) pairs — same
+    contract as the other ANN fixtures (the table literals grow with
+    len(queries) * M * K).  Returns ``(query_id, neighbor_id, dist,
+    rank)``; rank orders by (rounded dist ASC, neighbor_id ASC) so
+    the result is engine-stable.  Self-matches excluded.
+
+    Scale shape: corpus scanned once, no shuffle before the top-k
+    window; what the window shuffles is Q x N fixed-width structs
+    (the codes and tables are gone by then).  With Q bounded and the
+    rounded-dist ordering, the plan is one Exchange keyed by
+    query_id.
+    """
+    m_sub = len(codebooks)
+    n_cw = len(codebooks[0])
+    sub = len(codebooks[0][0])
+
+    def table(qvec: list[float]) -> list[list[float]]:
+        return [
+            [
+                sum(
+                    (float(qvec[m * sub + s]) - float(cw[s])) ** 2
+                    for s in range(sub)
+                )
+                for cw in codebooks[m]
+            ]
+            for m in range(m_sub)
+        ]
+
+    code_at = [
+        F.element_at(F.col(codes_col), m + 1).cast("int") + 1
+        for m in range(m_sub)
+    ]
+    per_query = []
+    for qid, qvec in queries:
+        t = table(qvec)
+        dist = sum(
+            F.element_at(
+                F.array(*[F.lit(float(x)) for x in t[m]]), code_at[m]
+            )
+            for m in range(m_sub)
+        )
+        per_query.append(
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                F.round(dist, round_digits).alias("dist"),
+            )
+        )
+    scored = (
+        codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.explode(F.array(*per_query)).alias("q"),
+        )
+        .select("q.query_id", "neighbor_id", "q.dist")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
