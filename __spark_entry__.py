@@ -1602,6 +1602,27 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-gather ADC search — the many-query deploy twin of
+    pq_adc_topk (same fixture, same output contract, SAME oracle):
+    scoring is M numpy gathers per corpus batch over the (Q, M, K)
+    distance-table tensor instead of per-query literal arrays."""
+    from updater_spark.operators.similarity import (
+        pq_assign,
+        pq_topk_arrow,
+    )
+
+    emb, codebooks, _ = _pq_fixture(spark, sf_dir)
+    qdf = (
+        emb.filter(F.col("vec_id") % 29 == 7)
+        .orderBy("vec_id")
+        .limit(8)
+        .select("vec_id", "embedding")
+    )
+    codes = pq_assign(emb, codebooks).select("vec_id", "codes")
+    return pq_topk_arrow(codes, codebooks, qdf, k=5)
+
+
 def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination probe: every corpus doc scored by
     8-gram collision against a benchmark slice (doc_id % 17 == 0).
@@ -2236,6 +2257,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
+        "pq_adc_arrow": q_pq_adc_arrow,
         "dup_spans": q_dup_spans,
         # --- parity core + extensions, all green in r2 ---
         "s2_fingerprint": q_s2_fingerprint,
@@ -3885,6 +3907,8 @@ def oracle_sql() -> dict[str, str]:
     # the Arrow GEMM brute force is exact with the same output
     # contract as the Catalyst twin — one oracle serves both
     sqls["sim_topk_arrow"] = sqls["sim_topk_cosine"]
+    # Arrow-gather ADC shares the literal-table ADC's exact contract
+    sqls["pq_adc_arrow"] = sqls["pq_adc_topk"]
     # Bloom prefilter + exact verify ≡ the exact broadcast probe
     sqls["decontam_bloom"] = sqls["decontam_ngram"]
     # cluster-keyed split: the clusters CTE + dataset_split's md5

@@ -401,3 +401,41 @@ def test_pq_topk_tie_and_self_exclusion(spark):
     out = pq_topk(codes, codebooks, [(2, [1.0, 1.0])], k=5).collect()
     ranked = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
     assert ranked == [(1, 5), (2, 9)]  # self (2) excluded, tie -> lower id first
+
+
+def test_pq_topk_arrow_matches_literal_path(spark):
+    """The Arrow-gather ADC scorer and the literal-table Catalyst one
+    are the same function: identical (query, neighbor, dist, rank)
+    sets on a corpus with planted structure."""
+    from updater_spark.operators.similarity import (
+        pq_assign,
+        pq_topk,
+        pq_topk_arrow,
+    )
+
+    codebooks = [
+        [[0.0, 0.0], [1.0, 1.0], [0.5, -0.5]],
+        [[0.0, 1.0], [1.0, 0.0], [-0.5, 0.5]],
+    ]
+    vecs = [
+        (i, [((i * 7) % 5) / 4.0, ((i * 3) % 7) / 6.0,
+             ((i * 11) % 3) / 2.0, ((i * 5) % 9) / 8.0])
+        for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).repartition(4)
+    codes = pq_assign(df, codebooks).select("vec_id", "codes")
+    queries = [(i, v) for i, v in vecs if i % 13 == 1]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries], "vec_id long, embedding array<double>"
+    )
+    lit_rows = sorted(
+        tuple(r) for r in pq_topk(codes, codebooks, queries, k=4).collect()
+    )
+    arrow_rows = sorted(
+        tuple(r)
+        for r in pq_topk_arrow(codes, codebooks, qdf, k=4).collect()
+    )
+    assert lit_rows == arrow_rows
+    assert len(lit_rows) == len(queries) * 4

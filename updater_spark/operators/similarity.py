@@ -907,3 +907,87 @@ def pq_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+def pq_topk_arrow(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Many-query ADC search over PQ codes — the deploy path of
+    ``pq_topk`` when the query set is thousands of vectors (the
+    literal-table variant's expression tree grows with Q; this one
+    ships ONE (Q, M, K) distance-table tensor per executor).
+
+    Same asymmetric contract: queries stay uncompressed, the corpus is
+    scanned as codes only. Per Arrow batch the scorer does M gathers
+    (``tables[:, m, codes[:, m]]`` — pure numpy indexing, no float
+    vector math) and a per-batch local top-k, so the shuffle carries
+    ~(Q * n_local * partitions) fixed-width rows, not Q * N. Output
+    contract identical to ``pq_topk`` (rounded dist ASC, neighbor ASC,
+    self-matches excluded) so the two share an oracle.
+
+    At 100 TB: the codes table is M bytes/vector instead of 4*D — the
+    16x compression is what lets a billion-vector corpus sit in
+    executor page cache; the query tensor is Q*M*K doubles (~1 MB per
+    4k queries at M=4, K=16), broadcast once via task closure.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m_sub = len(codebooks)
+    n_cw = len(codebooks[0])
+    sub = len(codebooks[0][0])
+
+    rows = queries.select(id_col, vec_col).limit(MAX_QUERY_ROWS + 1).collect()
+    if len(rows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"query side exceeds max_rows={MAX_QUERY_ROWS}: chunk the "
+            "query set — the ADC table tensor is broadcast per executor"
+        )
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    # (Q, M, K) squared subspace distances, computed once on the driver
+    cb = np.array(codebooks, dtype=np.float64)  # (M, K, sub)
+    qsub = qm.reshape(len(qids), m_sub, sub)  # (Q, M, sub)
+    tables = ((qsub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+
+    out_schema = "query_id long, neighbor_id long, dist double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf[codes_col].tolist(), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            acc = np.zeros((len(qids), len(ids)))
+            for m in range(m_sub):
+                acc += tables[:, m, cm[:, m]]
+            n_local = min(k + 1, len(ids))  # +1 survives self-match drop
+            top = np.argpartition(acc, n_local - 1, axis=1)[:, :n_local]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n_local),
+                    "neighbor_id": ids[top].ravel(),
+                    "dist": np.round(
+                        np.take_along_axis(acc, top, axis=1), round_digits
+                    ).ravel(),
+                }
+            )
+
+    local = codes.select(id_col, codes_col).mapInPandas(
+        score, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
