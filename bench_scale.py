@@ -458,6 +458,59 @@ def ann_probe(n: int) -> None:
             ["query_id", "neighbor_id"],
         ).count()
         results[f"{name}_recall_at_{k}"] = round(hits / n_exact, 4)
+
+    # --- product quantization: compress then ADC-search the codes ---
+    # Unit-normalize first so ADC's L2 ranking is cosine's ranking
+    # (L2^2 = 2 - 2cos on unit vectors) — recall then measures only
+    # quantization loss, not a metric mismatch.
+    from updater_spark.operators.similarity import (
+        as_double,
+        pq_assign_arrow,
+        pq_topk_arrow,
+        unit,
+    )
+
+    m_sub, n_cw, sub = 4, 64, dim // 4
+    norm = emb.select(
+        "vec_id", unit(as_double(F.col("embedding"))).alias("embedding")
+    ).persist()
+    norm.count()
+    cb_rows = (
+        norm.filter(F.col("vec_id") % max(n // n_cw, 1) == 3)
+        .orderBy("vec_id")
+        .limit(n_cw)
+        .collect()
+    )
+    codebooks = [
+        [
+            [float(x) for x in r["embedding"]][m * sub : (m + 1) * sub]
+            for r in cb_rows
+        ]
+        for m in range(m_sub)
+    ]
+    t0 = time.perf_counter()
+    codes = (
+        pq_assign_arrow(norm, codebooks).select("vec_id", "codes").persist()
+    )
+    codes.count()
+    results["pq_assign_sec"] = round(time.perf_counter() - t0, 3)
+    results["pq_bytes_per_vec"] = m_sub  # vs dim * 4 raw fp32
+    qnorm = norm.filter(F.col("vec_id") % 100 == 0)
+    results["pq_adc_sec"] = timed(
+        lambda: pq_topk_arrow(codes, codebooks, qnorm, k=k)
+    )
+    hits = (
+        pq_topk_arrow(codes, codebooks, qnorm, k=k)
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .count()
+    )
+    results[f"pq_adc_recall_at_{k}"] = round(hits / n_exact, 4)
+    codes.unpersist()
+    norm.unpersist()
+
     exact.unpersist()
     emb.unpersist()
     print(json.dumps({"n_vectors": n, "ann_probe": results}))

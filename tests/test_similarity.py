@@ -439,3 +439,36 @@ def test_pq_topk_arrow_matches_literal_path(spark):
     )
     assert lit_rows == arrow_rows
     assert len(lit_rows) == len(queries) * 4
+
+
+def test_pq_assign_arrow_matches_catalyst(spark):
+    """The numpy assign twin is bit-identical to the generated-SQL
+    Catalyst path: same codes (ties to lowest codeword) and the same
+    rounded recon_err, including an exact-tie codeword pair."""
+    from updater_spark.operators.similarity import (
+        pq_assign,
+        pq_assign_arrow,
+    )
+
+    codebooks = [
+        [[0.0, 0.5], [0.5, 0.0], [0.5, 0.0]],  # cw1 == cw2: tie -> 1
+        [[1.0, 1.0], [0.25, 0.75], [0.0, 0.0]],
+    ]
+    vecs = [
+        (i, [((i * 13) % 7) / 6.0, ((i * 5) % 4) / 3.0,
+             ((i * 9) % 8) / 7.0, ((i * 3) % 5) / 4.0])
+        for i in range(1, 101)
+    ] + [(999, [0.5, 0.0, 0.1, 0.1])]  # exact tie in subspace 0
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).repartition(4)
+    cat = {
+        r["vec_id"]: (list(r["codes"]), r["recon_err"])
+        for r in pq_assign(df, codebooks).collect()
+    }
+    arw = {
+        r["vec_id"]: (list(r["codes"]), r["recon_err"])
+        for r in pq_assign_arrow(df, codebooks).collect()
+    }
+    assert cat == arw
+    assert arw[999][0][0] == 1  # tie resolved to the lower codeword

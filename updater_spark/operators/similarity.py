@@ -787,10 +787,16 @@ def pq_assign(
 
     ``codebooks``: M lists of k codewords, each of dimension D/M.
     Assignment = per-subspace argmin of Euclidean distance, ties to
-    the lowest codeword (matching SQL row_number order). All flat
-    scalar projections (M*k codegen'd distance expressions over
-    element_at — no interpreted higher-order lambdas, the round-1
-    minhash lesson).
+    the lowest codeword (matching SQL row_number order).
+
+    The M*k distance expressions are GENERATED SQL (the md5-minhash
+    lesson): building ~4k Column objects through py4j costs ~4 ms per
+    call = 16 s of pure driver-side plan construction at M=4, k=16;
+    one parsed ``selectExpr`` string is milliseconds. Element casts
+    are materialized once as flat columns first so the cast array
+    isn't re-evaluated per element_at reference (the tokenize()
+    lesson — 30 s instead of ~1.5 s on the sf0.1 embeddings when the
+    transform gets inlined into every access).
 
     Returns ``(id, codes array<long>, recon_err double)`` where
     recon_err is the sum over subspaces of the winning Euclidean
@@ -798,28 +804,41 @@ def pq_assign(
     retraining codebooks."""
     m_sub = len(codebooks)
     sub = len(codebooks[0][0])
-    v = as_double(F.col(vec_col))
+    dim = m_sub * sub
+    flat = corpus.selectExpr(
+        id_col,
+        *[
+            f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) AS _e{i}"
+            for i in range(dim)
+        ],
+    )
 
-    def dist(m: int, j: int) -> Column:
+    def dist_sql(m: int, j: int) -> str:
         cw = codebooks[m][j]
-        return F.sqrt(
-            sum(
-                (F.element_at(v, m * sub + s + 1) - F.lit(float(cw[s])))
-                * (F.element_at(v, m * sub + s + 1) - F.lit(float(cw[s])))
-                for s in range(sub)
-            )
+        terms = " + ".join(
+            f"((_e{m * sub + s} - ({float(cw[s])!r})) * "
+            f"(_e{m * sub + s} - ({float(cw[s])!r})))"
+            for s in range(sub)
         )
+        return f"sqrt({terms})"
 
-    codes, errs = [], []
-    for m in range(m_sub):
-        arr = F.array(*[dist(m, j) for j in range(len(codebooks[m]))])
-        best = F.array_min(arr)
-        codes.append((F.array_position(arr, best) - 1).cast("long"))
-        errs.append(best)
-    return corpus.select(
-        F.col(id_col),
-        F.array(*codes).alias("codes"),
-        F.round(sum(errs), 6).alias("recon_err"),
+    arrs = flat.selectExpr(
+        id_col,
+        *[
+            f"array({', '.join(dist_sql(m, j) for j in range(len(codebooks[m])))})"
+            f" AS _arr{m}"
+            for m in range(m_sub)
+        ],
+    )
+    code_sqls = ", ".join(
+        f"CAST(array_position(_arr{m}, array_min(_arr{m})) - 1 AS LONG)"
+        for m in range(m_sub)
+    )
+    recon = " + ".join(f"array_min(_arr{m})" for m in range(m_sub))
+    return arrs.selectExpr(
+        id_col,
+        f"array({code_sqls}) AS codes",
+        f"round({recon}, 6) AS recon_err",
     )
 
 
@@ -990,4 +1009,56 @@ def pq_topk_arrow(
         local.filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def pq_assign_arrow(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized twin of ``pq_assign`` — same contract, Arrow-batched
+    numpy instead of M*K generated scalar expressions.
+
+    The Catalyst version's giant projection is correct but pays a
+    ~2 s whole-stage-codegen compile per plan (the generated method
+    is past the JIT huge-method limit, so the compiled code isn't
+    even fast); at M=4, K=16 the per-row work is 4k flops, which is
+    exactly the dense-arithmetic shape where one numpy broadcast per
+    Arrow batch wins (the cosine_topk_arrow argument). Ties go to the
+    lowest codeword (argmin's first-hit rule == the SQL row_number
+    order), distances accumulate in float64, and recon_err rounds to
+    6 like the Catalyst twin, so the two paths are bit-identical and
+    share oracles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb = np.array(codebooks, dtype=np.float64)  # (M, K, sub)
+
+    out_schema = f"{id_col} long, codes array<long>, recon_err double"
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vs = vm.reshape(len(vm), m_sub, sub)  # (B, M, sub)
+            # (B, M, K) squared distances, then per-subspace argmin
+            d2 = ((vs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2)  # first minimum -> lowest codeword
+            best = np.sqrt(np.take_along_axis(d2, codes[:, :, None], axis=2))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "codes": list(codes.astype(np.int64)),
+                    "recon_err": np.round(best[:, :, 0].sum(axis=1), 6),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=out_schema
     )
