@@ -1582,10 +1582,16 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression. The oracle recomputes codes AND tables with DuckDB
     list arithmetic and must agree on every (rounded) distance and
     rank."""
-    from updater_spark.operators.similarity import pq_assign, pq_topk
+    from updater_spark.operators.similarity import (
+        pq_assign_arrow,
+        pq_topk,
+    )
 
     emb, codebooks, queries = _pq_fixture(spark, sf_dir)
-    codes = pq_assign(emb, codebooks).select("vec_id", "codes")
+    # codes via the vectorized assign twin (bit-identical to pq_assign
+    # — pytest-pinned — without the giant projection's per-plan
+    # codegen compile; pq_codes keeps the Catalyst path honest)
+    codes = pq_assign_arrow(emb, codebooks).select("vec_id", "codes")
     return pq_topk(codes, codebooks, queries, k=5)
 
 
@@ -1602,13 +1608,26 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of substring-level dedup: every token range
+    covered by a duplicated 5-gram window (df >= 2) is cut from every
+    doc; returns the cleaned text plus kept/total token counts. The
+    oracle rebuilds the text with an ordered string_agg over the
+    anti-joined positions."""
+    from updater_spark.operators.dedup import strip_dup_spans
+
+    return strip_dup_spans(
+        _near_dup_corpus(spark, sf_dir), n=5, min_df=2
+    )
+
+
 def q_pq_adc_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-gather ADC search — the many-query deploy twin of
     pq_adc_topk (same fixture, same output contract, SAME oracle):
     scoring is M numpy gathers per corpus batch over the (Q, M, K)
     distance-table tensor instead of per-query literal arrays."""
     from updater_spark.operators.similarity import (
-        pq_assign,
+        pq_assign_arrow,
         pq_topk_arrow,
     )
 
@@ -1619,7 +1638,7 @@ def q_pq_adc_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(8)
         .select("vec_id", "embedding")
     )
-    codes = pq_assign(emb, codebooks).select("vec_id", "codes")
+    codes = pq_assign_arrow(emb, codebooks).select("vec_id", "codes")
     return pq_topk_arrow(codes, codebooks, qdf, k=5)
 
 
@@ -2259,6 +2278,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "pq_adc_arrow": q_pq_adc_arrow,
         "dup_spans": q_dup_spans,
+        "dedup_strip_spans": q_dedup_strip_spans,
         # --- parity core + extensions, all green in r2 ---
         "s2_fingerprint": q_s2_fingerprint,
         "j1_diff_classify": q_j1_diff_classify,
@@ -3067,6 +3087,52 @@ def oracle_sql() -> dict[str, str]:
                          / CASE WHEN len(t.toks) > 0
                                 THEN len(t.toks) END, 6) AS dup_frac
             FROM toked t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # dedup_strip_spans: duplicated-window coverage anti-joined
+        # against token positions, text rebuilt by ordered string_agg.
+        "dedup_strip_spans": """
+            WITH corpus AS ("""
+        + _NEAR_DUP_SQL
+        + """),
+            toked AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM corpus
+            ),
+            wins AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(concat_ws(' ', list_slice(toks, i, i + 4))) AS h
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 5 + 1, 0)
+                                          + 1)) AS i
+                      FROM toked)
+            ),
+            freq AS (
+                SELECT h FROM wins GROUP BY h
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            dup AS (
+                SELECT w.doc_id, w.pos, w.pos + 4 AS e
+                FROM wins w JOIN freq f ON w.h = f.h
+            ),
+            posns AS (
+                SELECT doc_id, toks, unnest(range(0, len(toks))) AS p
+                FROM toked
+            ),
+            kept AS (
+                SELECT o.doc_id, o.p, o.toks[o.p + 1] AS tok
+                FROM posns o
+                WHERE NOT EXISTS (SELECT 1 FROM dup d
+                                  WHERE d.doc_id = o.doc_id
+                                    AND o.p BETWEEN d.pos AND d.e)
+            )
+            SELECT t.doc_id AS id, len(t.toks)::BIGINT AS n_tokens,
+                   COALESCE(k.kt, 0)::BIGINT AS kept_tokens,
+                   COALESCE(k.ct, '') AS clean_text
+            FROM toked t
+            LEFT JOIN (SELECT doc_id, COUNT(*) AS kt,
+                              string_agg(tok, ' ' ORDER BY p) AS ct
+                       FROM kept GROUP BY doc_id) k USING (doc_id)
         """,
         # dedup_incremental: union of bootstrap+update candidates refined
         # by exact Jaccard == the one-shot verified pipeline (pair-set

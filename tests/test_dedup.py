@@ -300,3 +300,27 @@ def test_dup_span_stats_disjoint_spans(spark):
     assert out[1]["n_spans"] == 2
     assert out[1]["dup_tokens"] == 6  # two 3-token islands
     assert out[2]["n_spans"] == 2 and out[2]["dup_tokens"] == 6
+
+
+def test_strip_dup_spans(spark):
+    """Cleaned text drops exactly the duplicated-window union; docs
+    without duplication come back verbatim (whitespace-collapsed)."""
+    from updater_spark.operators.dedup import strip_dup_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = [
+        Row(doc_id=1, text=f"one two {shared} three"),
+        Row(doc_id=2, text=f"{shared} nine ten"),
+        Row(doc_id=3, text="totally unrelated words here today"),
+    ]
+    out = {
+        r["id"]: r.asDict()
+        for r in strip_dup_spans(
+            spark.createDataFrame(docs), n=5, min_df=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "one two three"
+    assert out[1]["kept_tokens"] == 3 and out[1]["n_tokens"] == 8
+    assert out[2]["clean_text"] == "nine ten"
+    assert out[3]["clean_text"] == "totally unrelated words here today"
+    assert out[3]["kept_tokens"] == out[3]["n_tokens"] == 5

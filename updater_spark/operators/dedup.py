@@ -638,3 +638,92 @@ def dup_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cut every duplicated span (as found by ``dup_span_stats``'s
+    construction) out of every document and return the cleaned text —
+    the actionable end of substring-level dedup: boilerplate that
+    appears in >= ``min_df`` docs is removed wherever it occurs.
+
+    Returns ``(id, n_tokens, kept_tokens, clean_text)`` with
+    ``clean_text`` the surviving tokens joined by single spaces
+    (tokenization already collapses whitespace runs).
+
+    Scale shape: same three key-bounded shuffles as dup_span_stats to
+    build the merged spans, then ONE doc-keyed join of the span lists
+    back to the token arrays; coverage is evaluated as an
+    array-lambda (``exists`` over the per-doc span list — bounded by
+    doc length x span count, no non-equi join, no BNLJ).
+    """
+    toks = F.col("_toks")
+    toked = tokenize(df, text_col).select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+    )
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array())
+    wins = toked.select(
+        "id", "_toks", F.explode(idx).alias("pos")
+    ).select(
+        "id",
+        "pos",
+        F.md5(
+            F.concat_ws(" ", F.slice(toks, F.col("pos") + 1, n))
+        ).alias("h"),
+    )
+    freq = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("id").alias("gram_df"))
+        .filter(F.col("gram_df") >= min_df)
+    )
+    dup = wins.join(freq.select("h"), "h").select(
+        "id", "pos", (F.col("pos") + n - 1).alias("end")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.select(
+        "id",
+        "pos",
+        "end",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("_new"),
+    ).withColumn(
+        "island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = (
+        flagged.groupBy("id", "island")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("_spans"))
+    )
+    joined = toked.join(spans, "id", "left")
+    sp = F.coalesce(F.col("_spans"), F.array())
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size(F.col("_toks")) - 1),
+        lambda i: ~F.exists(
+            sp, lambda r: (i >= r["s"]) & (i <= r["e"])
+        ),
+    )
+    kept_toks = F.transform(
+        kept_idx, lambda i: F.element_at(F.col("_toks"), i + 1)
+    )
+    return joined.select(
+        "id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(kept_toks).cast("long").alias("kept_tokens"),
+        F.concat_ws(" ", kept_toks).alias("clean_text"),
+    )
