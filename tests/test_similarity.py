@@ -472,3 +472,37 @@ def test_pq_assign_arrow_matches_catalyst(spark):
     }
     assert cat == arw
     assert arw[999][0][0] == 1  # tie resolved to the lower codeword
+
+
+def test_semantic_dedup_chains_and_cells(spark):
+    """Planted chain a-b-c (a~b, b~c, a!~c) must collapse into one
+    group via connected components; an isolated vector keeps itself;
+    items in different cells are never compared."""
+    from updater_spark.operators.similarity import semantic_dedup
+
+    # two well-separated directions as centroids
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    vecs = [
+        # chain inside cell 0: consecutive cosines high, ends lower
+        (1, [1.0, 0.00, 0.0, 0.0]),
+        (2, [1.0, 0.25, 0.0, 0.0]),
+        (3, [1.0, 0.52, 0.0, 0.0]),
+        # isolated in cell 0 (cos to all others < .97 after rounding)
+        (4, [0.3, -1.0, 0.0, 0.0]),
+        # pair in cell 1 — must not see cell 0 despite high-ish dims
+        (5, [0.0, 0.0, 0.1, 1.0]),
+        (6, [0.0, 0.0, 0.12, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["id"]: (r["cell"], r["group"], r["keep"])
+        for r in semantic_dedup(df, cents, threshold=0.97).collect()
+    }
+    assert out[1] == (0, 1, True)
+    assert out[2] == (0, 1, False)   # chained through 2's neighbors
+    assert out[3] == (0, 1, False)   # a!~c but linked via b
+    assert out[4][1] == 4 and out[4][2] is True
+    assert out[5] == (1, 5, True)
+    assert out[6] == (1, 5, False)
