@@ -1621,6 +1621,76 @@ def q_dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-data pipeline as ONE Catalyst DAG —
+    quality gate (per-lang exact p25) → exact dedup (min-id per
+    identical text) → near-dup clustering (3-gram Jaccard >= 0.5,
+    connected components, keep the cluster min) → benchmark
+    decontamination (drop docs sharing any 8-gram with the benchmark
+    slice) → leakage-safe split keyed by CLUSTER id. The corpus
+    plants exact copies (every 25th) and near-copies (every 10th) so
+    each stage does real work. One declarative plan end to end: every
+    stage is a pure DataFrame transform, so Catalyst fuses scans and
+    the benchmark gram set broadcasts — the composition is the test
+    that the operators actually compose."""
+    from updater_spark.operators.clusters import resolve_clusters
+    from updater_spark.operators.decontam import contamination
+    from updater_spark.operators.dedup import ngram_jaccard_pairs
+    from updater_spark.operators.packing import dataset_split
+    from updater_spark.operators.text import quality_score
+
+    docs = demo.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+        "lang",
+    )
+    exact = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"), "text", "lang"
+    )
+    corpus = docs.unionByName(near).unionByName(exact)
+
+    # 1. quality gate: keep docs at/above their language's exact p25
+    q = quality_score(corpus).join(corpus.select("doc_id", "lang"), "doc_id")
+    thr = q.groupBy("lang").agg(
+        F.round(F.expr("percentile(quality, 0.25)"), 6).alias("q25")
+    )
+    gated = corpus.join(
+        q.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality") >= F.col("q25"))
+        .select("doc_id"),
+        "doc_id",
+    )
+
+    # 2. exact dedup: min doc_id per identical text survives
+    mins = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = gated.join(mins.select("doc_id"), "doc_id")
+
+    # 3. near-dup clusters; only cluster keepers (min id) survive
+    pairs = ngram_jaccard_pairs(
+        exact_kept, "doc_id", "text", n=3, threshold=0.5
+    )
+    clusters = resolve_clusters(exact_kept, pairs, "doc_id")
+    keepers = exact_kept.join(
+        clusters.filter(F.col("is_keeper")).select("doc_id", "cluster_id"),
+        "doc_id",
+    )
+
+    # 4. decontamination against the benchmark slice of the RAW docs
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    cont = contamination(keepers, bench, "doc_id", "text", n=8)
+    clean = keepers.join(
+        cont.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+
+    # 5. leakage-safe split: the md5 split key is the CLUSTER id
+    return dataset_split(clean, id_col="cluster_id").select(
+        "doc_id", "lang", "cluster_id", "split"
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over a corpus with planted chains: base vectors ∪
     near-identical copies (+1M) ∪ second-order copies of every other
@@ -2319,6 +2389,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dedup_strip_spans": q_dedup_strip_spans,
         "semantic_dedup": q_semantic_dedup,
+        "pipeline_e2e": q_pipeline_e2e,
         # --- parity core + extensions, all green in r2 ---
         "s2_fingerprint": q_s2_fingerprint,
         "j1_diff_classify": q_j1_diff_classify,
@@ -3009,6 +3080,154 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(j::VARCHAR, ',' ORDER BY m) AS codes,
                    round(SUM(d), 6) AS recon_err
             FROM best WHERE rn = 1 GROUP BY vec_id
+        """,
+        # pipeline_e2e: the five pipeline stages as one CTE chain —
+        # quality p25 gate, exact-text min-id dedup, 3-gram Jaccard
+        # clusters via recursive reach, 8-gram benchmark decontam,
+        # md5 split keyed on cluster_id.
+        "pipeline_e2e": """
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, text, lang FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz yy xx', lang
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id + 200000, text, lang
+                FROM documents WHERE doc_id % 25 = 0
+            ),
+            toked AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM corpus
+            ),
+            stats AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       round(len(list_distinct(toks)) / len(toks), 6) AS ttr,
+                       round(list_sum(list_transform(toks, t -> length(t)))
+                             / len(toks), 6) AS mwl
+                FROM toked
+            ),
+            q AS (
+                SELECT s.doc_id, c.lang,
+                       round(
+                           (CASE WHEN n_words BETWEEN 10 AND 100000
+                                 THEN 1.0 ELSE 0.3 END) * 0.4
+                           + least(ttr * 2, 1.0) * 0.4
+                           + (CASE WHEN mwl BETWEEN 2 AND 12
+                                   THEN 1.0 ELSE 0.2 END) * 0.2,
+                       6) AS quality
+                FROM stats s JOIN corpus c USING (doc_id)
+            ),
+            thr AS (
+                SELECT lang, round(quantile_cont(quality, 0.25), 6) AS q25
+                FROM q GROUP BY lang
+            ),
+            gated AS (
+                SELECT c.doc_id, c.text, c.lang
+                FROM corpus c
+                JOIN q ON q.doc_id = c.doc_id
+                JOIN thr ON thr.lang = q.lang
+                WHERE q.quality >= thr.q25
+            ),
+            exact_kept AS (
+                SELECT g.doc_id, g.text, g.lang FROM gated g
+                JOIN (SELECT text, MIN(doc_id) AS doc_id
+                      FROM gated GROUP BY text) m
+                  ON g.doc_id = m.doc_id
+            ),
+            ek_toked AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM exact_kept
+            ),
+            idx3 AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+                FROM ek_toked
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
+                FROM idx3
+            ),
+            sizes AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+            ),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b ON a.sh = b.sh
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT c.id_a, c.id_b FROM common c
+                JOIN sizes sa ON sa.doc_id = c.id_a
+                JOIN sizes sb ON sb.doc_id = c.id_b
+                WHERE c.n_common
+                      / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.comp FROM edges e
+                JOIN reach r ON e.dst = r.id
+            ),
+            comps AS (
+                SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+            ),
+            keepers AS (
+                SELECT e.doc_id, e.lang,
+                       COALESCE(k.component, e.doc_id) AS cluster_id
+                FROM exact_kept e LEFT JOIN comps k ON e.doc_id = k.id
+                WHERE COALESCE(k.component, e.doc_id) = e.doc_id
+            ),
+            kidx AS (
+                SELECT t.doc_id, t.toks,
+                       unnest(range(1, greatest(len(t.toks) - 7, 1) + 1)) AS i
+                FROM ek_toked t JOIN keepers k ON k.doc_id = t.doc_id
+            ),
+            kgrams AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                 toks[i+3], toks[i+4], toks[i+5],
+                                 toks[i+6], toks[i+7]) AS gram
+                FROM kidx
+            ),
+            btoked AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents WHERE doc_id % 17 = 0
+            ),
+            bgrams AS (
+                SELECT DISTINCT
+                       concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                 toks[i+3], toks[i+4], toks[i+5],
+                                 toks[i+6], toks[i+7]) AS gram
+                FROM (SELECT toks,
+                             unnest(range(1, greatest(len(toks) - 7, 1)
+                                          + 1)) AS i
+                      FROM btoked)
+            ),
+            contaminated AS (
+                SELECT DISTINCT kg.doc_id
+                FROM kgrams kg JOIN bgrams b ON kg.gram = b.gram
+            )
+            SELECT k.doc_id, k.lang, k.cluster_id,
+                   CASE WHEN substr(md5(k.cluster_id::VARCHAR
+                                        || 'split-v1'), 1, 4) < 'cccc'
+                            THEN 'train'
+                        WHEN substr(md5(k.cluster_id::VARCHAR
+                                        || 'split-v1'), 1, 4) < 'e666'
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM keepers k
+            WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         # semantic_dedup: cosine-argmax cells over the pinned
         # codebook, intra-cell pairs at rounded cosine >= 0.9, then
