@@ -978,26 +978,39 @@ def pq_topk_arrow(
 
     out_schema = "query_id long, neighbor_id long, dist double"
 
+    # bound the (queries x batch) score matrix: a 10k-query set
+    # against the default 10k-row Arrow batch is 800 MB of float64
+    # PER TASK — chunking the query axis caps it at ~80 MB while
+    # changing nothing semantically (top-k is per query row).
+    q_block = 1024
+
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             cm = np.array(pdf[codes_col].tolist(), dtype=np.int64)
             ids = pdf[id_col].to_numpy()
-            acc = np.zeros((len(qids), len(ids)))
-            for m in range(m_sub):
-                acc += tables[:, m, cm[:, m]]
             n_local = min(k + 1, len(ids))  # +1 survives self-match drop
-            top = np.argpartition(acc, n_local - 1, axis=1)[:, :n_local]
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, n_local),
-                    "neighbor_id": ids[top].ravel(),
-                    "dist": np.round(
-                        np.take_along_axis(acc, top, axis=1), round_digits
-                    ).ravel(),
-                }
-            )
+            for q0 in range(0, len(qids), q_block):
+                tb = tables[q0 : q0 + q_block]
+                acc = np.zeros((len(tb), len(ids)))
+                for m in range(m_sub):
+                    acc += tb[:, m, cm[:, m]]
+                top = np.argpartition(acc, n_local - 1, axis=1)[
+                    :, :n_local
+                ]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            qids[q0 : q0 + q_block], n_local
+                        ),
+                        "neighbor_id": ids[top].ravel(),
+                        "dist": np.round(
+                            np.take_along_axis(acc, top, axis=1),
+                            round_digits,
+                        ).ravel(),
+                    }
+                )
 
     local = codes.select(id_col, codes_col).mapInPandas(
         score, schema=out_schema
