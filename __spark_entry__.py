@@ -1621,6 +1621,104 @@ def q_dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_fixture(spark: SparkSession, sf_dir: str):
+    """Shared IVF-PQ fixture: unit corpus, 8 pinned coarse centroids,
+    16 pinned residual codewords, 8 pinned queries — every collect
+    corpus-size-independent."""
+    import math
+
+    import numpy as np
+
+    from updater_spark.operators.similarity import (
+        as_double,
+        ivfpq_assign,
+        unit,
+    )
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id", unit(as_double(F.col("embedding"))).alias("v")
+    )
+
+    def norm_py(v):
+        n = math.sqrt(sum(float(x) * float(x) for x in v)) or 1.0
+        return [float(x) / n for x in v]
+
+    cent_rows = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select("embedding")
+        .collect()
+    )
+    cents = [norm_py(r[0]) for r in cent_rows]
+    cw_rows = (
+        emb.filter(F.col("vec_id") % 17 == 3)
+        .orderBy("vec_id")
+        .limit(16)
+        .select("embedding")
+        .collect()
+    )
+    cmat = np.array(cents)
+    m_sub, sub = 4, 16
+    resids = []
+    for r in cw_rows:
+        vv = np.array(norm_py(r[0]))
+        resids.append(vv - cmat[int((vv @ cmat.T).argmax())])
+    codebooks = [
+        [list(rv[m * sub : (m + 1) * sub]) for rv in resids]
+        for m in range(m_sub)
+    ]
+    index = ivfpq_assign(u, cents, codebooks, vec_col="v")
+    q_rows = (
+        emb.filter(F.col("vec_id") % 29 == 7)
+        .orderBy("vec_id")
+        .limit(8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qdf = spark.createDataFrame(
+        [(int(r[0]), norm_py(r[1])) for r in q_rows],
+        "vec_id long, v array<double>",
+    )
+    return u, index, cents, codebooks, qdf
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC search: coarse cells + residual product codes, each
+    query probing its 2 nearest of 8 cells. Residual quantization is
+    the load-bearing half — raw-vector PQ measured recall@10 0.005 on
+    clustered data (every cluster member gets the same codes) while
+    the residual form discriminates neighbors. All fixture collects
+    are pinned-k; the oracle replays cells, residual codebooks,
+    codes, probe sets, and per-(query, cell) tables in SQL."""
+    from updater_spark.operators.similarity import ivfpq_topk
+
+    _, index, cents, codebooks, qdf = _ivfpq_fixture(spark, sf_dir)
+    return ivfpq_topk(
+        index, cents, codebooks, qdf, k=5, nprobe=2, vec_col="v"
+    )
+
+
+def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact refine (the FAISS refine pattern): a 20-deep ADC
+    shortlist re-scored exactly against the raw vectors — final
+    quality equals the shortlist's recall, not ADC's ranking
+    precision (measured on the 1M clustered probe: ADC-ranked
+    recall@10 0.30 → refined 0.95). The oracle extends the IVF-PQ
+    CTE chain with the shortlist and an exact-cosine re-rank."""
+    from updater_spark.operators.similarity import (
+        ivfpq_topk,
+        refine_topk,
+    )
+
+    u, index, cents, codebooks, qdf = _ivfpq_fixture(spark, sf_dir)
+    short = ivfpq_topk(
+        index, cents, codebooks, qdf, k=20, nprobe=2, vec_col="v"
+    )
+    return refine_topk(short, u, qdf, k=5, vec_col="v")
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole pretraining-data pipeline as ONE Catalyst DAG —
     quality gate (per-lang exact p25) → exact dedup (min-id per
@@ -2390,6 +2488,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_strip_spans": q_dedup_strip_spans,
         "semantic_dedup": q_semantic_dedup,
         "pipeline_e2e": q_pipeline_e2e,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_refined": q_ann_ivfpq_refined,
         # --- parity core + extensions, all green in r2 ---
         "s2_fingerprint": q_s2_fingerprint,
         "j1_diff_classify": q_j1_diff_classify,
@@ -3080,6 +3180,112 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(j::VARCHAR, ',' ORDER BY m) AS codes,
                    round(SUM(d), 6) AS recon_err
             FROM best WHERE rn = 1 GROUP BY vec_id
+        """,
+        # ann_ivfpq_topk: full IVF-PQ replay — unit vectors, pinned
+        # centroid/codeword subsets, residual codes, per-query probe
+        # sets, per-(query, cell) distance tables, ADC sum, ranked.
+        "ann_ivfpq_topk": """
+            WITH vecs AS (
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> x / sqrt(list_inner_product(
+                                    embedding::DOUBLE[],
+                                    embedding::DOUBLE[]))) AS v
+                FROM embeddings
+            ),
+            cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+                       v AS cv
+                FROM (SELECT vec_id, v FROM vecs WHERE vec_id % 50 = 0
+                      ORDER BY vec_id LIMIT 8)
+            ),
+            p16 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+                FROM (SELECT vec_id, v FROM vecs WHERE vec_id % 17 = 3
+                      ORDER BY vec_id LIMIT 16)
+            ),
+            p16cell AS (
+                SELECT j, c FROM (
+                    SELECT p.j, k.c,
+                           row_number() OVER (PARTITION BY p.j
+                               ORDER BY list_inner_product(p.v, k.cv)
+                                        DESC, k.c) AS rn
+                    FROM p16 p CROSS JOIN cents k) WHERE rn = 1
+            ),
+            cw AS (
+                SELECT p.j,
+                       list_transform(range(1, 65),
+                                      i -> p.v[i] - k.cv[i]) AS rv
+                FROM p16 p JOIN p16cell pc ON p.j = pc.j
+                JOIN cents k ON k.c = pc.c
+            ),
+            cellof AS (
+                SELECT vec_id, c AS cell FROM (
+                    SELECT x.vec_id, k.c,
+                           row_number() OVER (PARTITION BY x.vec_id
+                               ORDER BY list_inner_product(x.v, k.cv)
+                                        DESC, k.c) AS rn
+                    FROM vecs x CROSS JOIN cents k) WHERE rn = 1
+            ),
+            resid AS (
+                SELECT x.vec_id, f.cell,
+                       list_transform(range(1, 65),
+                                      i -> x.v[i] - k.cv[i]) AS rv
+                FROM vecs x JOIN cellof f ON x.vec_id = f.vec_id
+                JOIN cents k ON k.c = f.cell
+            ),
+            sub AS (SELECT unnest(range(0, 4)) AS m),
+            code AS (
+                SELECT vec_id, m, j FROM (
+                    SELECT r.vec_id, s.m, w.j,
+                           row_number() OVER (
+                               PARTITION BY r.vec_id, s.m
+                               ORDER BY list_distance(
+                                   r.rv[s.m*16+1 : s.m*16+16],
+                                   w.rv[s.m*16+1 : s.m*16+16]), w.j
+                           ) AS rn
+                    FROM resid r CROSS JOIN sub s CROSS JOIN cw w)
+                WHERE rn = 1
+            ),
+            qs AS (
+                SELECT vec_id AS query_id, v AS qv FROM vecs
+                WHERE vec_id % 29 = 7 ORDER BY vec_id LIMIT 8
+            ),
+            qprobe AS (
+                SELECT query_id, c AS cell FROM (
+                    SELECT q.query_id, k.c,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY list_inner_product(q.qv, k.cv)
+                                        DESC, k.c) AS rn
+                    FROM qs q CROSS JOIN cents k) WHERE rn <= 2
+            ),
+            dt AS (
+                SELECT q.query_id, p.cell, s.m, w.j,
+                       list_distance(
+                           list_transform(range(1, 65),
+                               i -> q.qv[i] - k.cv[i]
+                           )[s.m*16+1 : s.m*16+16],
+                           w.rv[s.m*16+1 : s.m*16+16]) ^ 2 AS d2
+                FROM qs q JOIN qprobe p ON q.query_id = p.query_id
+                JOIN cents k ON k.c = p.cell
+                CROSS JOIN sub s CROSS JOIN cw w
+            ),
+            adc AS (
+                SELECT t.query_id, c.vec_id AS neighbor_id,
+                       round(SUM(t.d2), 6) AS dist
+                FROM cellof f
+                JOIN code c ON c.vec_id = f.vec_id
+                JOIN dt t ON t.cell = f.cell AND t.m = c.m
+                         AND t.j = c.j
+                WHERE c.vec_id <> t.query_id
+                GROUP BY t.query_id, c.vec_id
+            )
+            SELECT query_id, neighbor_id, dist, rank FROM (
+                SELECT query_id, neighbor_id, dist,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist, neighbor_id
+                                          )::BIGINT AS rank
+                FROM adc) WHERE rank <= 5
         """,
         # pipeline_e2e: the five pipeline stages as one CTE chain —
         # quality p25 gate, exact-text min-id dedup, 3-gram Jaccard
@@ -4300,6 +4506,34 @@ def oracle_sql() -> dict[str, str]:
     sqls["sim_topk_arrow"] = sqls["sim_topk_cosine"]
     # Arrow-gather ADC shares the literal-table ADC's exact contract
     sqls["pq_adc_arrow"] = sqls["pq_adc_topk"]
+    # IVF-PQ refined: same CTE chain up to the ADC scores, then a
+    # 20-deep shortlist re-ranked by exact cosine against the raw
+    # unit vectors.
+    _ivfpq = sqls["ann_ivfpq_topk"]
+    _head = _ivfpq[: _ivfpq.rindex("SELECT query_id, neighbor_id, dist, rank")]
+    sqls["ann_ivfpq_refined"] = _head + """
+            , short AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY dist, neighbor_id
+                                              ) AS rn
+                    FROM adc) WHERE rn <= 20
+            ),
+            refined AS (
+                SELECT s.query_id, s.neighbor_id,
+                       round(list_inner_product(q.qv, x.v), 4) AS sim
+                FROM short s
+                JOIN qs q ON q.query_id = s.query_id
+                JOIN vecs x ON x.vec_id = s.neighbor_id
+            )
+            SELECT query_id, neighbor_id, sim, rank FROM (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id
+                                          )::BIGINT AS rank
+                FROM refined) WHERE rank <= 5
+    """
     # Bloom prefilter + exact verify ≡ the exact broadcast probe
     sqls["decontam_bloom"] = sqls["decontam_ngram"]
     # cluster-keyed split: the clusters CTE + dataset_split's md5

@@ -509,6 +509,85 @@ def ann_probe(n: int) -> None:
     )
     results[f"pq_adc_recall_at_{k}"] = round(hits / n_exact, 4)
     codes.unpersist()
+
+    # --- IVF-PQ: residual quantization, the form that actually holds
+    # recall on clustered data (raw-vector PQ above collapses every
+    # cluster member onto the same codes — its recall number stays in
+    # the output as the measured cautionary tale) ---
+    import numpy as np
+
+    from updater_spark.operators.similarity import ivfpq_assign, ivfpq_topk
+
+    # config matched to the data's structure: 256 coarse cells (the
+    # generator's natural cluster count, so residuals are pure
+    # within-cluster signal) and 16 subspaces x 256 codewords (128
+    # bits/vector — 16x smaller than raw fp32, fine enough to rank
+    # iid-noise residuals)
+    pq_cells, pq_m, pq_k = min(256, max(n // 64, 1)), 16, 256
+    pq_sub = dim // pq_m
+    cellrows = (
+        norm.filter(F.col("vec_id") % max(n // pq_cells, 1) == 5)
+        .orderBy("vec_id")
+        .limit(pq_cells)
+        .collect()
+    )
+    cmat = np.array([list(r["embedding"]) for r in cellrows])
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cents_n = [list(row) for row in cmat]
+    cwrows = (
+        norm.filter(F.col("vec_id") % max(n // pq_k, 1) == 7)
+        .orderBy("vec_id")
+        .limit(pq_k)
+        .collect()
+    )
+    res_cw = []
+    for r in cwrows:
+        vv = np.array(list(r["embedding"]))
+        res_cw.append(vv - cmat[int((vv @ cmat.T).argmax())])
+    res_books = [
+        [list(rv[m * pq_sub : (m + 1) * pq_sub]) for rv in res_cw]
+        for m in range(pq_m)
+    ]
+    t0 = time.perf_counter()
+    ivfpq_index = (
+        ivfpq_assign(norm, cents_n, res_books)
+        .persist()
+    )
+    ivfpq_index.count()
+    results["ivfpq_assign_sec"] = round(time.perf_counter() - t0, 3)
+    results["ivfpq_sec"] = timed(
+        lambda: ivfpq_topk(
+            ivfpq_index, cents_n, res_books, qnorm, k=k, nprobe=8
+        )
+    )
+    hits = (
+        ivfpq_topk(ivfpq_index, cents_n, res_books, qnorm, k=k, nprobe=8)
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .count()
+    )
+    results[f"ivfpq_recall_at_{k}"] = round(hits / n_exact, 4)
+
+    # --- IVF-PQ + exact refine: ADC shortlist of 100, true ranking
+    # restored by re-scoring only the candidates (the FAISS refine
+    # pattern — final recall == shortlist recall, cost == Q*100 rows)
+    from updater_spark.operators.similarity import refine_topk
+
+    def refined():
+        short = ivfpq_topk(
+            ivfpq_index, cents_n, res_books, qnorm, k=100, nprobe=8
+        )
+        return refine_topk(short, norm, qnorm, k=k)
+
+    results["ivfpq_refine_sec"] = timed(refined)
+    hits = refined().join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).count()
+    results[f"ivfpq_refine_recall_at_{k}"] = round(hits / n_exact, 4)
+    ivfpq_index.unpersist()
     norm.unpersist()
 
     exact.unpersist()

@@ -506,3 +506,82 @@ def test_semantic_dedup_chains_and_cells(spark):
     assert out[4][1] == 4 and out[4][2] is True
     assert out[5] == (1, 5, True)
     assert out[6] == (1, 5, False)
+
+
+def test_ivfpq_residual_codes_and_probe_pruning(spark):
+    """Residual quantization discriminates within-cluster neighbors
+    (raw PQ would give every member identical codes); a query only
+    ever scores vectors from its nprobe nearest cells."""
+    import numpy as np
+
+    from updater_spark.operators.similarity import (
+        ivfpq_assign,
+        ivfpq_topk,
+    )
+
+    # two clusters on orthogonal axes; members differ in a residual dim
+    def v(axis, eps):
+        base = [0.0, 0.0, 0.0, 0.0]
+        base[axis] = 1.0
+        base[2] = eps
+        n = float(np.linalg.norm(base))
+        return [x / n for x in base]
+
+    vecs = [
+        (1, v(0, 0.00)), (2, v(0, 0.05)), (3, v(0, 0.30)),
+        (11, v(3, 0.00)), (12, v(3, 0.05)), (13, v(3, 0.30)),
+    ]
+    cents = [v(0, 0.1), v(3, 0.1)]
+    # residual codewords: small/large offsets in the residual dim
+    codebooks = [
+        [[0.0, 0.0], [0.0, 0.0]],
+        [[-0.1, 0.0], [0.2, 0.0]],
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    idx = ivfpq_assign(df, cents, codebooks)
+    got = {r["vec_id"]: (r["cell"], list(r["codes"])) for r in idx.collect()}
+    assert {got[i][0] for i in (1, 2, 3)} == {0}
+    assert {got[i][0] for i in (11, 12, 13)} == {1}
+    # residual codes separate eps=0/0.05 (code 0) from eps=0.30 (code 1)
+    assert got[1][1][1] == got[2][1][1] == 0
+    assert got[3][1][1] == 1
+
+    qdf = spark.createDataFrame([(1, v(0, 0.0))], "vec_id long, embedding array<double>")
+    out = ivfpq_topk(idx, cents, codebooks, qdf, k=5, nprobe=1).collect()
+    seen = {r["neighbor_id"] for r in out}
+    assert seen <= {2, 3}  # own cell only, self excluded
+    ranked = sorted((r["rank"], r["neighbor_id"]) for r in out)
+    assert ranked[0][1] == 2  # same-code neighbor outranks far one
+
+
+def test_refine_topk_restores_exact_ranking(spark):
+    """Refining a shortlist yields exactly the brute-force ranking
+    restricted to the shortlist; candidates outside it never appear."""
+    from pyspark.sql import functions as F
+
+    from updater_spark.operators.similarity import cosine_topk, refine_topk
+
+    vecs = [
+        (i, [1.0, i / 10.0, ((i * 3) % 5) / 5.0, 0.1])
+        for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qdf = df.filter("vec_id = 1")
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in cosine_topk(df, qdf, k=3).collect()
+    }
+    # shortlist = the true top-3 plus noise candidates
+    short = spark.createDataFrame(
+        [(1, n) for n in [r[1] for r in exact] + [15, 19]],
+        "query_id long, neighbor_id long",
+    )
+    refined = {
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in refine_topk(short, df, qdf, k=3).collect()
+    }
+    assert refined == exact
+    # a shortlist MISSING a true neighbor can't invent it
+    short2 = short.filter(F.col("neighbor_id") != sorted(exact)[0][1])
+    got = {r["neighbor_id"] for r in refine_topk(short2, df, qdf, k=3).collect()}
+    assert sorted(exact)[0][1] not in got
