@@ -523,7 +523,7 @@ def ann_probe(n: int) -> None:
     # within-cluster signal) and 16 subspaces x 256 codewords (128
     # bits/vector — 16x smaller than raw fp32, fine enough to rank
     # iid-noise residuals)
-    pq_cells, pq_m, pq_k = min(256, max(n // 64, 1)), 16, 256
+    pq_cells, pq_m, pq_k = min(1024, max(n // 64, 1)), 32, 256
     pq_sub = dim // pq_m
     cellrows = (
         norm.filter(F.col("vec_id") % max(n // pq_cells, 1) == 5)
@@ -570,14 +570,15 @@ def ann_probe(n: int) -> None:
     )
     results[f"ivfpq_recall_at_{k}"] = round(hits / n_exact, 4)
 
-    # --- IVF-PQ + exact refine: ADC shortlist of 100, true ranking
-    # restored by re-scoring only the candidates (the FAISS refine
-    # pattern — final recall == shortlist recall, cost == Q*100 rows)
+    # --- IVF-PQ + exact refine: a 1000-deep ADC shortlist (~3% of
+    # the probed candidates at 1M) re-scored exactly (the FAISS
+    # refine pattern — final recall == shortlist CAPTURE, cost ==
+    # Q*1000 rows, still ~30x less vector math than the exact scan)
     from updater_spark.operators.similarity import refine_topk
 
     def refined():
         short = ivfpq_topk(
-            ivfpq_index, cents_n, res_books, qnorm, k=100, nprobe=8
+            ivfpq_index, cents_n, res_books, qnorm, k=1000, nprobe=8
         )
         return refine_topk(short, norm, qnorm, k=k)
 
@@ -595,6 +596,75 @@ def ann_probe(n: int) -> None:
     print(json.dumps({"n_vectors": n, "ann_probe": results}))
 
 
+def spans_probe(n: int) -> None:
+    """Scale probe for substring-level dedup: dup_span_stats over n
+    synthetic ~40-token docs where every 5th doc carries a shared
+    10-token boilerplate block (the "pasted footer" shape
+    document-level dedup misses). Checks that all planted blocks are
+    found (each covered doc reports >= 10 dup tokens) and that the
+    window explode -> df-count -> island merge chain holds wall-time
+    at corpus-token scale (~n * 40 window rows).
+
+    Usage: ``python bench_scale.py [n_docs] spans``.
+    """
+    from updater_spark.operators.dedup import dup_span_stats
+
+    spark = get_spark("bench_scale_spans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.range(0, n, numPartitions=64).withColumnRenamed(
+        "id", "doc_id"
+    )
+    plant = F.col("doc_id") % 5 == 0
+    toks = []
+    for i in range(40):
+        own = F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)), F.lit(200_000)),
+        )
+        if 15 <= i < 25:
+            # positions 15..24: the shared boilerplate block on every
+            # 5th doc, unique-ish tokens elsewhere
+            toks.append(F.when(plant, F.lit(f"boiler{i}")).otherwise(own))
+        else:
+            toks.append(own)
+    docs = base.select("doc_id", F.concat_ws(" ", *toks).alias("text"))
+
+    # warm-up on a 1% slice (JIT/codegen), then one timed full pass
+    dup_span_stats(
+        docs.filter(F.col("doc_id") < max(n // 100, 1000)), n=8, min_df=2
+    ).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    out = dup_span_stats(docs, n=8, min_df=2).persist()
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("dup_tokens") >= 10, 1).otherwise(0)).alias(
+            "docs_with_block"
+        ),
+        F.max("dup_tokens").alias("max_dup"),
+    ).collect()[0]
+    wall = round(time.perf_counter() - t0, 3)
+    planted = (n + 4) // 5
+    out.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_docs": n,
+                "spans_probe": {
+                    "wall_sec": wall,
+                    "rows": agg["rows"],
+                    "planted_docs": planted,
+                    "docs_with_block_found": agg["docs_with_block"],
+                    "block_recall": round(
+                        agg["docs_with_block"] / planted, 4
+                    ),
+                    "max_dup_tokens": agg["max_dup"],
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
@@ -607,5 +677,7 @@ if __name__ == "__main__":
         ann_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "cdc":
         cdc_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "spans":
+        spans_probe(_n)
     else:
         main(_n)
