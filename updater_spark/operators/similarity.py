@@ -46,7 +46,14 @@ def unit(a: Column) -> Column:
     """Pre-normalized vector: cosine(a, b) == dot(unit(a), unit(b)).
     Normalizing each vector ONCE (O(n) work) instead of computing both
     norms per candidate pair (O(n·m)) is the difference between a
-    linear and a quadratic norm bill in every top-k / near-dup scan."""
+    linear and a quadratic norm bill in every top-k / near-dup scan.
+
+    CAUTION: the norm aggregate sits inside the transform lambda, so
+    Catalyst re-evaluates it PER ELEMENT (O(d^2) per row) wherever
+    this expression is inlined rather than read from a materialized
+    column. Fine in a projection that is scanned once; a join that
+    fans the expression out per candidate pair must persist() the
+    projected column first (see semantic_dedup — 20x measured)."""
     n = norm(a)
     return F.transform(a, lambda x: x / n)
 
@@ -1121,9 +1128,15 @@ def semantic_dedup(
         F.col(id_col).alias("id"),
         unit(as_double(F.col(vec_col))).alias("u"),
     )
+    # persist() the assignment: it feeds BOTH sides of the pair
+    # self-join plus the final output join, and an unmaterialized
+    # lineage re-evaluates the unit()/cast lambda tree per candidate
+    # PAIR — with the norm aggregate re-run per element inside the
+    # transform lambda, that's O(pairs * d^2) interpreted work
+    # (measured 20 s for 500 vectors at sf0.1; ~1 s materialized).
     assigned = ivf_assign(
         u, unit_cents, id_col="id", vec_col="u", out_col="cell"
-    )
+    ).persist()
     a = assigned.select(
         F.col("id").alias("id_a"), F.col("u").alias("ua"), "cell"
     )
