@@ -93,6 +93,31 @@ CHECKS = {
         "BroadcastNestedLoopJoin, no cartesian product anywhere in the "
         "plan (the naive inequality-join formulation degenerates to one)."
     ),
+    "dup_spans": (
+        "the positional-window explode feeds ONE md5-keyed aggregate "
+        "(partial count-distinct, so hot boilerplate windows don't "
+        "single-reduce), one hash join back to positions, and one "
+        "doc-keyed window for island merging — three key-bounded "
+        "Exchanges, no self-join of window rows."
+    ),
+    "dedup_strip_spans": (
+        "span coverage is an array-lambda filter over the per-doc span "
+        "list — no non-equi join, no BroadcastNestedLoopJoin; the only "
+        "joins are the md5 hash join and the doc-keyed span-list join."
+    ),
+    "semantic_dedup": (
+        "the pair join is keyed by the centroid CELL (hash equi-join, "
+        "output bounded by cell sizes) — never an all-pairs product; "
+        "the assignment is persisted so the unit-normalization lambda "
+        "tree is evaluated once, not per candidate pair."
+    ),
+    "pipeline_e2e": (
+        "five stages in one DAG: the per-lang threshold table and the "
+        "benchmark gram set are BroadcastExchange'd; corpus text "
+        "shuffles only for the exact-dedup groupBy and the shingle "
+        "aggregate; stage boundaries are persisted so no branch "
+        "re-derives the corpus from parquet."
+    ),
 }
 # ann_ivf_indexed's partition pruning (PartitionFilters on the bucket
 # column of the stored index) is asserted in
@@ -123,9 +148,28 @@ def main(sf_dir: str) -> None:
     qs = entrymod.queries()
     for name, note in CHECKS.items():
         plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        # the plan STRING reprints each InMemoryRelation's cached
+        # DEFINITION beneath every InMemoryTableScan reference (with
+        # fresh expr ids, so they aren't even identical lines) —
+        # strip those subtrees so a persisted stage isn't counted
+        # once per read
+        kept, skip_depth = [], None
+        for line in plan.splitlines():
+            m = re.search(r"[A-Za-z(]", line)
+            depth = m.start() if m else 0
+            if skip_depth is not None:
+                if depth > skip_depth:
+                    continue
+                skip_depth = None
+            kept.append(line)
+            if "InMemoryRelation" in line:
+                skip_depth = depth
+        plan = "\n".join(kept)
         joins = JOIN_RE.findall(plan)
         jtypes = TYPE_RE.findall(plan)
         pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p]
+        imts = plan.count("InMemoryTableScan")
+        cached = f", cached-stage reads: {imts}" if imts else ""
         out += [
             f"## {name}",
             "",
@@ -134,7 +178,7 @@ def main(sf_dir: str) -> None:
             f"- join operators: `{joins}` (types seen: `{sorted(set(jtypes))}`)",
             f"- pushed filters: `{pushed[:3]}`" if pushed else "- pushed filters: none",
             f"- exchanges: {plan.count('Exchange')}, file scans: {plan.count('FileScan')},"
-            f" hash aggregates: {plan.count('HashAggregate')}",
+            f" hash aggregates: {plan.count('HashAggregate')}{cached}",
             "",
         ]
     with open("/root/repo/PLANS.md", "w") as f:
