@@ -1719,6 +1719,32 @@ def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refine_topk(short, u, qdf, k=5, vec_col="v")
 
 
+def q_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search against a DISK-BACKED index: ivfpq_assign →
+    write_ivfpq_index (cell-partitioned parquet + quantizer-identity
+    sidecar) → read_ivfpq_index → ivfpq_topk. The probe-set filter
+    becomes PartitionFilters on the cell directories (asserted in
+    tests/test_similarity.py), the sidecar re-arms the staleness
+    guard across the parquet round-trip, and the results are
+    identical to the in-memory search — so this query shares
+    ann_ivfpq_topk's oracle."""
+    import tempfile
+
+    from updater_spark.operators.similarity import (
+        ivfpq_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    _, index, cents, codebooks, qdf = _ivfpq_fixture(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_") + "/index"
+    write_ivfpq_index(index, path, cents, codebooks)
+    stored = read_ivfpq_index(spark, path)
+    return ivfpq_topk(
+        stored, cents, codebooks, qdf, k=5, nprobe=2, vec_col="v"
+    )
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole pretraining-data pipeline as ONE Catalyst DAG —
     quality gate (per-lang exact p25) → exact dedup (min-id per
@@ -2497,6 +2523,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": q_pipeline_e2e,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_refined": q_ann_ivfpq_refined,
+        "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
         # --- parity core + extensions, all green in r2 ---
         "s2_fingerprint": q_s2_fingerprint,
         "j1_diff_classify": q_j1_diff_classify,
@@ -4513,6 +4540,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["sim_topk_arrow"] = sqls["sim_topk_cosine"]
     # Arrow-gather ADC shares the literal-table ADC's exact contract
     sqls["pq_adc_arrow"] = sqls["pq_adc_topk"]
+    # the disk-backed index search returns exactly the in-memory
+    # search's results (identity round-trip pytest-pinned)
+    sqls["ann_ivfpq_indexed"] = sqls["ann_ivfpq_topk"]
     # IVF-PQ refined: same CTE chain up to the ADC scores, then a
     # 20-deep shortlist re-ranked by exact cosine against the raw
     # unit vectors.

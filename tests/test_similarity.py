@@ -585,3 +585,61 @@ def test_refine_topk_restores_exact_ranking(spark):
     short2 = short.filter(F.col("neighbor_id") != sorted(exact)[0][1])
     got = {r["neighbor_id"] for r in refine_topk(short2, df, qdf, k=3).collect()}
     assert sorted(exact)[0][1] not in got
+
+
+def test_ivfpq_index_roundtrip_staleness_and_pruning(spark, tmp_path):
+    """Disk round-trip returns identical search results; a stale
+    quantizer is rejected; the probe-set filter reaches the cell
+    partition directories (PartitionFilters, not a post-scan
+    Filter)."""
+    from updater_spark.operators.similarity import (
+        ivfpq_assign,
+        ivfpq_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    def v(axis, eps):
+        base = [0.0] * 4
+        base[axis] = 1.0
+        base[2] = eps
+        n = float(np.linalg.norm(base))
+        return [x / n for x in base]
+
+    vecs = [(i, v(0, i / 100.0)) for i in range(1, 9)] + [
+        (i, v(3, (i - 10) / 100.0)) for i in range(11, 19)
+    ]
+    cents = [v(0, 0.05), v(3, 0.05)]
+    codebooks = [[[0.0, 0.0], [0.1, 0.0]], [[-0.05, 0.0], [0.05, 0.0]]]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    idx = ivfpq_assign(df, cents, codebooks)
+    qdf = df.filter("vec_id = 1")
+    mem = sorted(
+        tuple(r)
+        for r in ivfpq_topk(idx, cents, codebooks, qdf, k=3, nprobe=1).collect()
+    )
+
+    path = str(tmp_path / "index")
+    write_ivfpq_index(idx, path, cents, codebooks)
+    stored = read_ivfpq_index(spark, path)
+    disk = sorted(
+        tuple(r)
+        for r in ivfpq_topk(
+            stored, cents, codebooks, qdf, k=3, nprobe=1
+        ).collect()
+    )
+    assert disk == mem and len(mem) == 3
+
+    # stale quantizer (different codebooks) must be rejected
+    other = [[[9.0, 9.0], [8.0, 8.0]], [[7.0, 7.0], [6.0, 6.0]]]
+    with pytest.raises(ValueError, match="stale IVF-PQ index"):
+        ivfpq_topk(stored, cents, other, qdf, k=3, nprobe=1)
+
+    # probe-set filter reaches the partition directories
+    plan = (
+        ivfpq_topk(stored, cents, codebooks, qdf, k=3, nprobe=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan

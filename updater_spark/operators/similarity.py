@@ -1003,19 +1003,17 @@ def pq_topk_arrow(
                 acc = np.zeros((len(tb), len(ids)))
                 for m in range(m_sub):
                     acc += tb[:, m, cm[:, m]]
-                top = np.argpartition(acc, n_local - 1, axis=1)[
-                    :, :n_local
-                ]
+                # composite (dist, id) local top-k: PQ distances tie
+                # structurally, a dist-only argpartition keeps an
+                # arbitrary tied subset (see _adc_local_topk)
+                out_d, out_i = _adc_local_topk(acc, ids, n_local)
                 yield pd.DataFrame(
                     {
                         "query_id": np.repeat(
                             qids[q0 : q0 + q_block], n_local
                         ),
-                        "neighbor_id": ids[top].ravel(),
-                        "dist": np.round(
-                            np.take_along_axis(acc, top, axis=1),
-                            round_digits,
-                        ).ravel(),
+                        "neighbor_id": out_i.ravel(),
+                        "dist": np.round(out_d, round_digits).ravel(),
                     }
                 )
 
@@ -1223,8 +1221,12 @@ def ivfpq_assign(
                 }
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        assign, schema=out_schema
+    return (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(assign, schema=out_schema)
+        .withMetadata(
+            "cell", {"ivfpq": ivfpq_index_id(centroids, codebooks)}
+        )
     )
 
 
@@ -1320,27 +1322,50 @@ def ivfpq_topk(
                 for m in range(m_sub):
                     acc += t[:, m, ccodes[:, m]]
                 n_local = min(k + 1, len(cids))
-                top = np.argpartition(acc, n_local - 1, axis=1)[
-                    :, :n_local
-                ]
+                # composite (dist, id) selection — structural PQ ties
+                out_d, out_i = _adc_local_topk(acc, cids, n_local)
                 yield pd.DataFrame(
                     {
                         "query_id": np.repeat(qids[qsel], n_local),
-                        "neighbor_id": cids[top].ravel(),
-                        "dist": np.round(
-                            np.take_along_axis(acc, top, axis=1),
-                            round_digits,
-                        ).ravel(),
+                        "neighbor_id": out_i.ravel(),
+                        "dist": np.round(out_d, round_digits).ravel(),
                     }
                 )
 
+    # staleness guard: an index carrying a quantizer identity (set by
+    # ivfpq_assign, restored from the sidecar by read_ivfpq_index)
+    # must match the centroids+codebooks this search will build its
+    # tables from — silently mixing them degrades recall with no
+    # error otherwise.
+    meta = (
+        next(
+            (f.metadata for f in index.schema.fields if f.name == "cell"),
+            None,
+        )
+        or {}
+    )
+    ident = meta.get("ivfpq")
+    if ident is not None and ident != ivfpq_index_id(centroids, codebooks):
+        raise ValueError(
+            "stale IVF-PQ index: the index was built from different "
+            "centroids/codebooks than this search was given — rebuild "
+            "with ivfpq_assign or pass the quantizer the index was "
+            "built with"
+        )
+    # probe-set pruning: no query scores a cell outside its probe
+    # set, so filtering to the union of probe sets is a semantic
+    # no-op — and on a cell-partitioned disk index (write_ivfpq_index
+    # layout) it becomes PartitionFilters: unprobed cell directories
+    # are never read.
+    probed_cells = sorted(int(c) for c in np.unique(probe))
+    src = index.select(id_col, "cell", "codes").filter(
+        F.col("cell").isin(probed_cells)
+    )
     # The per-task table cache is keyed by cell: with cells scattered
     # across partitions every task eventually builds ~all Q*nprobe
     # tables. Co-locating each cell in one partition first (a shuffle
     # of just id+cell+codes — a few bytes/row) bounds the cache at
-    # cells-per-partition tables. A disk index already written
-    # partitioned by cell (the ivfpq_assign layout) skips this.
-    src = index.select(id_col, "cell", "codes")
+    # cells-per-partition tables.
     if repartition_by_cell:
         src = src.repartition("cell")
     local = src.mapInPandas(score, schema=out_schema)
@@ -1403,3 +1428,123 @@ def refine_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+IVFPQ_CODEBOOK_SIDECAR = "_IVFPQ_CODEBOOK"
+
+
+def ivfpq_index_id(
+    centroids: list[list[float]], codebooks: list[list[list[float]]]
+) -> str:
+    """Stable identity of an IVF-PQ quantizer — md5 over the exact
+    float64 bytes of BOTH the coarse centroid matrix and the residual
+    codebook tensor (ADC tables depend on both; a search against an
+    index built from either different one silently degrades recall)."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.md5()
+    h.update(np.ascontiguousarray(centroids, dtype=np.float64).tobytes())
+    h.update(np.ascontiguousarray(codebooks, dtype=np.float64).tobytes())
+    return h.hexdigest()
+
+
+def write_ivfpq_index(
+    index: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> None:
+    """Persist an ``ivfpq_assign``-ed corpus as a cell-partitioned
+    parquet index — the disk layout where the probe-set filter
+    becomes PartitionFilters and unprobed cells are never read. The
+    quantizer identity goes into an ``_IVFPQ_CODEBOOK`` sidecar (the
+    ``write_ivf_index`` lesson: partitionBy drops partition-column
+    metadata on read, so identity in column metadata would silently
+    vanish and the staleness guard would never fire)."""
+    index.write.partitionBy("cell").parquet(path)
+    spark = index.sparkSession
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    sidecar = jvm.org.apache.hadoop.fs.Path(path, IVFPQ_CODEBOOK_SIDECAR)
+    out = fs.create(sidecar, True)
+    try:
+        out.write(
+            bytearray(ivfpq_index_id(centroids, codebooks).encode("utf-8"))
+        )
+    finally:
+        out.close()
+
+
+def read_ivfpq_index(spark, path: str) -> DataFrame:
+    """Read a ``write_ivfpq_index`` layout, restoring the quantizer
+    identity from the sidecar into the cell column's metadata so
+    ``ivfpq_topk`` verifies it against the centroids+codebooks it is
+    given."""
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    sidecar = jvm.org.apache.hadoop.fs.Path(path, IVFPQ_CODEBOOK_SIDECAR)
+    if not fs.exists(sidecar):
+        raise FileNotFoundError(
+            f"{path} has no {IVFPQ_CODEBOOK_SIDECAR} sidecar — was this "
+            "index written with write_ivfpq_index()?"
+        )
+    stream = fs.open(sidecar)
+    try:
+        ident = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+    return spark.read.parquet(path).withMetadata(
+        "cell", {"ivfpq": ident}
+    )
+
+
+def _adc_local_topk(acc, ids, n_local):
+    """Per-row local top-``n_local`` of an ADC score matrix under the
+    COMPOSITE order (dist ASC, neighbor_id ASC) — returns
+    ``(dists, ids)`` of shape (rows, n_local).
+
+    PQ distances tie STRUCTURALLY (identical codes => identical ADC
+    sums), so an argpartition on distance alone keeps an arbitrary
+    subset of the tied candidates and the global (dist, id) window
+    then ranks different survivors run to run — memory vs disk
+    searches of the same index returned different tied neighbors.
+    Selection: argpartition by dist with a 64-wide margin, composite-
+    sort the narrow slice (two stable argsorts), and fall back to a
+    full-row composite sort for the rare row whose boundary tie
+    extends past the margin (exactness guard, not a heuristic).
+    """
+    import numpy as np
+
+    n_rows, b = acc.shape
+    take = min(b, n_local + 64)
+    if take < b:
+        part = np.argpartition(acc, take - 1, axis=1)[:, :take]
+    else:
+        part = np.broadcast_to(np.arange(b), (n_rows, b)).copy()
+    pdist = np.take_along_axis(acc, part, axis=1)
+    pids = ids[part]
+    # composite sort of the slice: stable sort by id, then by dist
+    o1 = np.argsort(pids, axis=1, kind="stable")
+    pdist = np.take_along_axis(pdist, o1, axis=1)
+    pids = np.take_along_axis(pids, o1, axis=1)
+    o2 = np.argsort(pdist, axis=1, kind="stable")
+    pdist = np.take_along_axis(pdist, o2, axis=1)
+    pids = np.take_along_axis(pids, o2, axis=1)
+    out_d = pdist[:, :n_local]
+    out_i = pids[:, :n_local]
+    if take < b:
+        kth = out_d[:, -1]
+        # ties at the boundary value beyond the slice -> full re-sort
+        full_ties = (acc == kth[:, None]).sum(axis=1)
+        slice_ties = (pdist == kth[:, None]).sum(axis=1)
+        for r in np.nonzero(full_ties > slice_ties)[0]:
+            o = sorted(range(b), key=lambda j: (acc[r, j], ids[j]))[
+                :n_local
+            ]
+            out_d[r] = acc[r, o]
+            out_i[r] = ids[o]
+    return out_d, out_i
