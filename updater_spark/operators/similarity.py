@@ -112,6 +112,7 @@ def cosine_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_query_rows: int | None = None,
 ) -> DataFrame:
     """Brute-force top-k via Arrow-batched numpy GEMM.
 
@@ -125,9 +126,16 @@ def cosine_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    qids, qm = _collect_unit_queries(queries, id_col, vec_col)
+    qids, qm = _collect_unit_queries(
+        queries, id_col, vec_col, max_rows=max_query_rows or MAX_QUERY_ROWS
+    )
 
     out_schema = "query_id long, neighbor_id long, sim double"
+
+    # bound the (batch x queries) score matrix per task — same knob
+    # as pq_topk_arrow's q_block: 200k queries x a 10k-row Arrow
+    # batch is 16 GB of float64 unchunked, 80 MB at 1024
+    q_block = 1024
 
     def score(batches):
         for pdf in batches:
@@ -136,25 +144,29 @@ def cosine_topk_arrow(
             cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
             ids = pdf[id_col].to_numpy()
-            sims = cm @ qm.T  # (batch, n_queries)
             n_local = min(k + 1, len(ids))  # +1 to survive self-match drop
-            # ONE argpartition over the query axis — a per-query Python
-            # loop costs |queries| interpreter round-trips per batch and
-            # dominates wall time past ~1k queries. Partition from the
-            # TAIL (largest) instead of negating: -sims would copy the
-            # full (batch × queries) matrix every batch
-            top = np.argpartition(sims, len(ids) - n_local, axis=0)[
-                len(ids) - n_local :, :
-            ]
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, n_local),
-                    "neighbor_id": ids[top].ravel(order="F"),
-                    "sim": np.round(
-                        np.take_along_axis(sims, top, axis=0), 4
-                    ).ravel(order="F"),
-                }
-            )
+            for q0 in range(0, len(qids), q_block):
+                qb = qm[q0 : q0 + q_block]
+                sims = cm @ qb.T  # (batch, q_block)
+                # ONE argpartition over the query axis — a per-query
+                # Python loop costs |queries| interpreter round-trips
+                # per batch and dominates wall time past ~1k queries.
+                # Partition from the TAIL (largest) instead of
+                # negating: -sims would copy the full matrix per batch
+                top = np.argpartition(sims, len(ids) - n_local, axis=0)[
+                    len(ids) - n_local :, :
+                ]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            qids[q0 : q0 + q_block], n_local
+                        ),
+                        "neighbor_id": ids[top].ravel(order="F"),
+                        "sim": np.round(
+                            np.take_along_axis(sims, top, axis=0), 4
+                        ).ravel(order="F"),
+                    }
+                )
 
     local = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -191,34 +203,90 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return code
 
 
-# ceiling on how many query rows the fused searches will pull to the
-# driver — the same small-side bound a broadcast join enforces with
-# spark.sql.autoBroadcastJoinThreshold. 200k × 64 dims × 8B ≈ 100 MB.
+# Default ceiling on how many query rows the fused searches pull to
+# the driver — the same small-side stance a broadcast join takes with
+# spark.sql.autoBroadcastJoinThreshold, and a PARAMETER, not a
+# functional limit (every search takes ``max_query_rows``).
+#
+# Memory model of the fused query side (all terms bounded, none scale
+# with the corpus):
+#   driver:   Q × D × 8 B          query matrix (Arrow-collected flat,
+#                                  no per-float Python objects)
+#           + QB × C × 8 B         probe-assign GEMM block (QB =
+#                                  _Q_BLOCK rows at a time, never Q×C)
+#   executor: Q × D × 8 B          closure-shipped query matrix, plus
+#           + QB × batch × 8 B     the score matrix, query axis
+#                                  chunked at q_block (pq_topk_arrow /
+#                                  ivfpq_topk)
+# At the default 200k × 64-dim: 100 MB driver + 100 MB/executor —
+# raise the parameter if the cluster affords more; past a few 100 MB
+# the right tool is a partitioned corpus-corpus join
+# (embedding_near_dup_pairs) rather than a broadcast-shaped search.
 MAX_QUERY_ROWS = 200_000
+
+# queries GEMM'd against centroids per block during probe assignment:
+# bounds the (block × C) matrix at ~64 MB for C=1024 cells.
+_Q_BLOCK = 8192
+
+# pq_topk builds one M*K-literal expression tree PER query — a much
+# lower ceiling than the tensor-shipping paths.
+MAX_LITERAL_QUERIES = 256
+
+
+def _collect_queries(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_rows: int = MAX_QUERY_ROWS,
+    unit: bool = False,
+):
+    """Driver-side (ids, row matrix) for the fused searches — the same
+    small-query-side assumption a broadcast join would make (see the
+    MAX_QUERY_ROWS memory model).
+
+    Collected via Arrow straight into flat numpy: at 200k × 64 dims
+    that is ~100 MB of float64, vs ~400 MB+ of boxed PyFloats the Row
+    path would allocate — the query matrix is the ONLY per-Q driver
+    allocation, so this is what bounds driver RSS.
+
+    Raises past ``max_rows`` instead of silently OOMing: the parameter
+    is the broadcast-size knob; a query set too big to broadcast
+    should run as a partitioned corpus-corpus join
+    (``embedding_near_dup_pairs``) instead."""
+    import numpy as np
+
+    tbl = (
+        queries.select(
+            F.col(id_col).cast("long").alias("id"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        .limit(max_rows + 1)
+        .toArrow()
+    )
+    if tbl.num_rows > max_rows:
+        raise ValueError(
+            f"query side exceeds max_rows={max_rows}: the fused "
+            "top-k broadcasts the query matrix to every executor "
+            f"(~{max_rows * 64 * 8 >> 20} MB at 64 dims). Raise "
+            "max_query_rows if the cluster affords it, or use a "
+            "partitioned corpus-corpus join for corpus-sized query sets"
+        )
+    qids = tbl.column("id").to_numpy()
+    vcol = tbl.column("v").combine_chunks()
+    flat = vcol.flatten().to_numpy(zero_copy_only=False)
+    qm = np.ascontiguousarray(
+        flat.reshape(len(qids), -1) if len(qids) else flat.reshape(0, 1),
+        dtype=np.float64,
+    )
+    if unit:
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    return qids, qm
 
 
 def _collect_unit_queries(
     queries: DataFrame, id_col: str, vec_col: str, max_rows: int = MAX_QUERY_ROWS
 ):
-    """Driver-side (ids, unit-row matrix) for the fused bucket search —
-    the same small-query-side assumption a broadcast join would make.
-
-    Fails fast past ``max_rows`` instead of silently OOMing the
-    driver: a query set that big should be run as a partitioned
-    corpus-corpus join (``embedding_near_dup_pairs``) or chunked by
-    the caller."""
-    import numpy as np
-
-    rows = queries.select(id_col, vec_col).limit(max_rows + 1).collect()
-    if len(rows) > max_rows:
-        raise ValueError(
-            f"query side exceeds max_rows={max_rows}: the fused top-k "
-            "broadcasts the query matrix to every executor; chunk the "
-            "query set or use a partitioned corpus-corpus join instead"
-        )
-    qids = np.array([r[0] for r in rows], dtype=np.int64)
-    qm = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    return qids, qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    return _collect_queries(queries, id_col, vec_col, max_rows, unit=True)
 
 
 def _fused_bucket_topk(
@@ -872,11 +940,15 @@ def pq_topk(
     vectors are never touched, which is the entire point: search runs
     on the compressed representation.
 
-    ``queries`` is a BOUNDED list of (query_id, vector) pairs — same
-    contract as the other ANN fixtures (the table literals grow with
-    len(queries) * M * K).  Returns ``(query_id, neighbor_id, dist,
-    rank)``; rank orders by (rounded dist ASC, neighbor_id ASC) so
-    the result is engine-stable.  Self-matches excluded.
+    ``queries`` is a BOUNDED list of (query_id, vector) pairs —
+    every query adds an M*K-literal array expression to the plan, so
+    the bound is enforced (``MAX_LITERAL_QUERIES``): past it,
+    driver-side plan construction and codegen blow up with no clear
+    error. Larger query sets belong on ``pq_topk_arrow``, which
+    ships ONE (Q, M, K) tensor instead of Q expression trees.
+    Returns ``(query_id, neighbor_id, dist, rank)``; rank orders by
+    (rounded dist ASC, neighbor_id ASC) so the result is
+    engine-stable.  Self-matches excluded.
 
     Scale shape: corpus scanned once, no shuffle before the top-k
     window; what the window shuffles is Q x N fixed-width structs
@@ -884,6 +956,13 @@ def pq_topk(
     rounded-dist ordering, the plan is one Exchange keyed by
     query_id.
     """
+    if len(queries) > MAX_LITERAL_QUERIES:
+        raise ValueError(
+            f"pq_topk takes at most {MAX_LITERAL_QUERIES} queries — "
+            f"got {len(queries)}; each query is an M*K-literal "
+            "expression tree (plan construction and codegen scale "
+            "with it). Use pq_topk_arrow for large query sets."
+        )
     m_sub = len(codebooks)
     n_cw = len(codebooks[0])
     sub = len(codebooks[0][0])
@@ -944,6 +1023,7 @@ def pq_topk_arrow(
     codes_col: str = "codes",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_query_rows: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Many-query ADC search over PQ codes — the deploy path of
     ``pq_topk`` when the query set is thousands of vectors (the
@@ -970,14 +1050,9 @@ def pq_topk_arrow(
     n_cw = len(codebooks[0])
     sub = len(codebooks[0][0])
 
-    rows = queries.select(id_col, vec_col).limit(MAX_QUERY_ROWS + 1).collect()
-    if len(rows) > MAX_QUERY_ROWS:
-        raise ValueError(
-            f"query side exceeds max_rows={MAX_QUERY_ROWS}: chunk the "
-            "query set — the ADC table tensor is broadcast per executor"
-        )
-    qids = np.array([r[0] for r in rows], dtype=np.int64)
-    qm = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    qids, qm = _collect_queries(
+        queries, id_col, vec_col, max_rows=max_query_rows
+    )
     # (Q, M, K) squared subspace distances, computed once on the driver
     cb = np.array(codebooks, dtype=np.float64)  # (M, K, sub)
     qsub = qm.reshape(len(qids), m_sub, sub)  # (Q, M, sub)
@@ -1003,6 +1078,11 @@ def pq_topk_arrow(
                 acc = np.zeros((len(tb), len(ids)))
                 for m in range(m_sub):
                     acc += tb[:, m, cm[:, m]]
+                # round BEFORE the local top-k so selection uses the
+                # same (rounded dist, id) order the global window and
+                # the oracle rank by — two raw dists <0.5e-6 apart
+                # that round equal must not drop the lower id locally
+                acc = np.round(acc, round_digits)
                 # composite (dist, id) local top-k: PQ distances tie
                 # structurally, a dist-only argpartition keeps an
                 # arbitrary tied subset (see _adc_local_topk)
@@ -1013,7 +1093,7 @@ def pq_topk_arrow(
                             qids[q0 : q0 + q_block], n_local
                         ),
                         "neighbor_id": out_i.ravel(),
-                        "dist": np.round(out_d, round_digits).ravel(),
+                        "dist": out_d.ravel(),
                     }
                 )
 
@@ -1089,6 +1169,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings
@@ -1112,6 +1193,17 @@ def semantic_dedup(
     cell-keyed self-join (bounded output), then hash-min CC in
     O(log diameter) rounds — near-dup chains are short, so this
     converges in 2-3 rounds. Nothing driver-side but the codebook.
+
+    ``max_cell`` is the opt-in hot-cell guard, the semantic twin of
+    LSH ``max_bucket`` / inverted-index ``max_posting``: the
+    intra-cell pair join is O(|cell|²) per cell, and a DEGENERATE
+    codebook (or an embedding-collapsed corpus) funnels everything
+    into one quadratic cell. With ``max_cell`` set, cells holding
+    more than that many vectors contribute NO pairs — their members
+    come out as singletons (keep=true), exactly what the oracle of
+    the capped variant models. Cap engagement is a retrain signal
+    for the codebook, not business as usual; default None = exact
+    (the ADVICE r2 stance: caps are opt-in, never silent).
     """
     import math
 
@@ -1135,10 +1227,22 @@ def semantic_dedup(
     assigned = ivf_assign(
         u, unit_cents, id_col="id", vec_col="u", out_col="cell"
     ).persist()
-    a = assigned.select(
+    paired = assigned
+    if max_cell is not None:
+        # hot-cell guard: cells past the cap are excluded from the
+        # pair join wholesale (one small count agg + a broadcast-able
+        # semi filter on cell id — never a per-row window)
+        ok_cells = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_cell)
+            .select("cell")
+        )
+        paired = assigned.join(F.broadcast(ok_cells), "cell")
+    a = paired.select(
         F.col("id").alias("id_a"), F.col("u").alias("ua"), "cell"
     )
-    b = assigned.select(
+    b = paired.select(
         F.col("id").alias("id_b"), F.col("u").alias("ub"), "cell"
     )
     sim = F.round(dot(F.col("ua"), F.col("ub")), round_digits)
@@ -1148,7 +1252,16 @@ def semantic_dedup(
         .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+    # connected_components is EAGER (localCheckpoint + count per
+    # round), so by the time it returns, every consumer of the
+    # persisted assignment that fans out per PAIR has already run —
+    # the cache can be released here instead of leaking pinned
+    # partitions into a long-lived session (ADVICE r3). The final
+    # output join below re-derives the assignment lazily from
+    # lineage, which is per-ROW work (one unit()/argmax projection
+    # pass), not the per-pair fan-out the persist exists to prevent.
     cc = connected_components(pairs)
+    assigned.unpersist()
     return (
         assigned.join(cc, assigned.id == cc.id, "left")
         .select(
@@ -1241,6 +1354,9 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     round_digits: int = 6,
     repartition_by_cell: bool = True,
+    identity: str | None = None,
+    allow_unverified: bool = False,
+    max_query_rows: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """ADC search over an IVF-PQ index: each query probes its
     ``nprobe`` nearest coarse cells and scores ONLY their members,
@@ -1262,6 +1378,15 @@ def ivfpq_topk(
     probe set is pushed down as a cell filter), codes are M bytes,
     and the only broadcast state is centroids + codebooks + the query
     matrix.
+
+    Identity policy (mirrors ``ivf_topk``): an index whose ``cell``
+    column carries a quantizer identity is verified against the given
+    centroids+codebooks; when NO identity is present (a plain
+    ``spark.read.parquet`` of the cell-partitioned layout drops
+    column metadata) the search REFUSES to run rather than silently
+    disarming the guard — read the index via ``read_ivfpq_index``,
+    pass ``identity=`` (e.g. from an ``IvfPqIndex`` quantizer table),
+    or opt out explicitly with ``allow_unverified=True``.
     """
     import numpy as np
     import pandas as pd
@@ -1271,20 +1396,22 @@ def ivfpq_topk(
     cm_ = np.array(centroids, dtype=np.float64)
     cb = np.array(codebooks, dtype=np.float64)
 
-    rows = queries.select(id_col, vec_col).limit(MAX_QUERY_ROWS + 1).collect()
-    if len(rows) > MAX_QUERY_ROWS:
-        raise ValueError(
-            f"query side exceeds max_rows={MAX_QUERY_ROWS}: chunk the "
-            "query set — tables are broadcast per executor"
-        )
-    qids = np.array([r[0] for r in rows], dtype=np.int64)
-    qm = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    sims = qm @ cm_.T  # (Q, C)
+    qids, qm = _collect_queries(
+        queries, id_col, vec_col, max_rows=max_query_rows
+    )
     n_probe = min(nprobe, len(centroids))
-    # nprobe nearest cells per query, ties to the lowest cell id:
-    # argsort on (-sim, cell) via lexsort for a deterministic probe set
-    order = np.argsort(-sims, axis=1, kind="stable")
-    probe = order[:, :n_probe]  # (Q, nprobe)
+    # nprobe nearest cells per query, ties to the lowest cell id
+    # (stable argsort on -sim). The coarse GEMM runs in query BLOCKS:
+    # a full (Q, C) similarity matrix at 200k queries × 1024 cells is
+    # ~1.6 GB of float64 on the driver before the job starts; blocking
+    # keeps it at (_Q_BLOCK, C) ≈ 64 MB while the (Q, nprobe) probe
+    # table — the part that must exist whole — is ~13 MB.
+    probe = np.empty((len(qids), n_probe), dtype=np.int64)
+    for q0 in range(0, len(qids), _Q_BLOCK):
+        sims_b = qm[q0 : q0 + _Q_BLOCK] @ cm_.T
+        probe[q0 : q0 + _Q_BLOCK] = np.argsort(
+            -sims_b, axis=1, kind="stable"
+        )[:, :n_probe]
     # per-cell list of probing query indices
     probers: dict[int, np.ndarray] = {}
     for c in np.unique(probe):
@@ -1292,6 +1419,9 @@ def ivfpq_topk(
         probers[int(c)] = qsel
 
     out_schema = "query_id long, neighbor_id long, dist double"
+
+    # per-task score-matrix bound, same knob as pq_topk_arrow
+    q_block = 1024
 
     def score(batches):
         tables: dict[int, np.ndarray] = {}
@@ -1318,25 +1448,39 @@ def ivfpq_topk(
                         axis=3
                     )
                     tables[int(c)] = t
-                acc = np.zeros((len(qsel), len(cids)))
-                for m in range(m_sub):
-                    acc += t[:, m, ccodes[:, m]]
                 n_local = min(k + 1, len(cids))
-                # composite (dist, id) selection — structural PQ ties
-                out_d, out_i = _adc_local_topk(acc, cids, n_local)
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(qids[qsel], n_local),
-                        "neighbor_id": out_i.ravel(),
-                        "dist": np.round(out_d, round_digits).ravel(),
-                    }
-                )
+                # chunk the probing-query axis exactly as
+                # pq_topk_arrow does: an unchunked (|qsel|, |cell|)
+                # float64 acc at 200k probing queries × a large cell
+                # is tens of GB per task
+                for q0 in range(0, len(qsel), q_block):
+                    tq = t[q0 : q0 + q_block]
+                    acc = np.zeros((len(tq), len(cids)))
+                    for m in range(m_sub):
+                        acc += tq[:, m, ccodes[:, m]]
+                    # round BEFORE local selection: the global window
+                    # and the oracle rank by (rounded dist, id), so
+                    # local top-k must use the same composite order
+                    acc = np.round(acc, round_digits)
+                    out_d, out_i = _adc_local_topk(acc, cids, n_local)
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.repeat(
+                                qids[qsel[q0 : q0 + q_block]], n_local
+                            ),
+                            "neighbor_id": out_i.ravel(),
+                            "dist": out_d.ravel(),
+                        }
+                    )
 
     # staleness guard: an index carrying a quantizer identity (set by
-    # ivfpq_assign, restored from the sidecar by read_ivfpq_index)
-    # must match the centroids+codebooks this search will build its
-    # tables from — silently mixing them degrades recall with no
-    # error otherwise.
+    # ivfpq_assign, restored from the sidecar by read_ivfpq_index, or
+    # passed as identity=) must match the centroids+codebooks this
+    # search builds its tables from — silently mixing them degrades
+    # recall with no error otherwise. And identity ABSENCE is not a
+    # pass: a plain parquet read of the partitioned layout drops the
+    # metadata, which would otherwise disarm the guard silently
+    # (ivf_topk's policy, mirrored here).
     meta = (
         next(
             (f.metadata for f in index.schema.fields if f.name == "cell"),
@@ -1344,13 +1488,20 @@ def ivfpq_topk(
         )
         or {}
     )
-    ident = meta.get("ivfpq")
+    ident = meta.get("ivfpq") or identity
     if ident is not None and ident != ivfpq_index_id(centroids, codebooks):
         raise ValueError(
             "stale IVF-PQ index: the index was built from different "
             "centroids/codebooks than this search was given — rebuild "
             "with ivfpq_assign or pass the quantizer the index was "
             "built with"
+        )
+    if ident is None and not allow_unverified:
+        raise ValueError(
+            "unverifiable IVF-PQ index: the 'cell' column carries no "
+            "quantizer identity (partitioned parquet writes drop "
+            "column metadata) — read the index via read_ivfpq_index(), "
+            "pass identity=, or opt out with allow_unverified=True"
         )
     # probe-set pruning: no query scores a cell outside its probe
     # set, so filtering to the union of probe sets is a semantic
