@@ -15,6 +15,7 @@ tests/test_fingerprint.py against zlib.
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 from collections.abc import Callable
@@ -1448,25 +1449,33 @@ def q_cdc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = CdcEngine(store)
     idx = DedupIndex(store, "docsidx")
 
-    union: set = set()
+    epoch_pairs = []
     for i, src in enumerate((docs, src1, src2)):
         if i == 0:
             eng.bootstrap(spec, src)
         else:
             eng.update(spec, src)
-        # eager collect: pairs are lazy over store versions the next
-        # epoch's writes GC (apply_cdc_epoch's documented contract)
-        union |= {
-            (r["id_a"], r["id_b"])
-            for r in apply_cdc_epoch(
-                idx, store, "docs_cdc", "doc_id", "text"
-            ).collect()
-        }
+        # eager persist (NOT a driver collect): pairs are lazy over
+        # store versions the next epoch's writes GC (apply_cdc_epoch's
+        # documented contract), so each epoch's pair set is pinned in
+        # executor storage before the next write — but the pairs
+        # themselves never leave the cluster. At 100x the pair set
+        # this stays distributed where a driver set would OOM.
+        p = apply_cdc_epoch(
+            idx, store, "docs_cdc", "doc_id", "text"
+        ).persist()
+        p.count()
+        epoch_pairs.append(p)
     final = store.read("docs_cdc").select("doc_id", "text")
-    alive = {r[0] for r in final.select("doc_id").collect()}
-    cand = spark.createDataFrame(
-        [(a, b) for a, b in union if a in alive and b in alive],
-        "id_a long, id_b long",
+    alive = final.select(F.col("doc_id").alias("_k"))
+    cand = functools.reduce(DataFrame.unionByName, epoch_pairs).distinct()
+    # pairs surfaced in earlier epochs may reference since-deleted
+    # docs: two semi-joins against the live key set (broadcast-able;
+    # the distributed form of the old driver-side alive filter)
+    cand = (
+        cand.join(alive, cand.id_a == F.col("_k"), "semi")
+        .join(alive, cand.id_b == F.col("_k"), "semi")
+        .select("id_a", "id_b")
     )
     verified = verify_pairs_exact(
         final, cand, "doc_id", "text", n=3, threshold=0.5
