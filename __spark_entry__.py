@@ -1870,6 +1870,52 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-cell-guarded SemDeDup variant: same planted-chain
+    corpus and 8-centroid codebook as ``semantic_dedup``, with
+    ``max_cell=16`` — at sf0.01 that EXCLUDES two over-cap cells
+    (21 and 27 members) from the pair join and keeps a boundary-exact
+    cell of 16, so the oracle genuinely models the cut (members of
+    capped cells come out as singletons with keep=true). The cap is
+    the guard that keeps a degenerate codebook / embedding-collapsed
+    corpus off the O(|cell|²) cliff; the oracle reproduces it as a
+    cell-size filter on the pair CTE."""
+    from updater_spark.operators.similarity import (
+        as_double,
+        semantic_dedup,
+    )
+
+    emb = demo.load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    c1 = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * 1.01 + 0.005).alias("v"),
+    )
+    c2 = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * 1.02 + 0.01).alias("v"),
+    )
+    corpus = base.unionByName(c1).unionByName(c2)
+    cent_rows = (
+        base.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select("v")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    return semantic_dedup(
+        corpus,
+        centroids,
+        threshold=0.9,
+        id_col="vec_id",
+        vec_col="v",
+        max_cell=16,
+    )
+
+
 def q_pq_adc_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-gather ADC search — the many-query deploy twin of
     pq_adc_topk (same fixture, same output contract, SAME oracle):
@@ -2529,6 +2575,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dedup_strip_spans": q_dedup_strip_spans,
         "semantic_dedup": q_semantic_dedup,
+        # --- new in round 4 (keep inside the first 50) ---
+        "semantic_dedup_capped": q_semantic_dedup_capped,
         "pipeline_e2e": q_pipeline_e2e,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_refined": q_ann_ivfpq_refined,
@@ -3523,6 +3571,79 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b
                 FROM uv a JOIN uv b
                   ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.comp FROM edges e
+                JOIN reach r ON e.dst = r.id
+            ),
+            comps AS (
+                SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+            )
+            SELECT u.vec_id AS id, u.cell::BIGINT AS cell,
+                   COALESCE(k.component, u.vec_id) AS "group",
+                   COALESCE(k.component, u.vec_id) = u.vec_id AS keep
+            FROM uv u LEFT JOIN comps k ON u.vec_id = k.id
+        """,
+        # semantic_dedup_capped: identical construction, but the pair
+        # CTE only joins within cells holding <= 16 members — the
+        # exact semantics of max_cell (over-cap cells contribute no
+        # pairs; their members fall out as singletons via the final
+        # left join's COALESCE).
+        "semantic_dedup_capped": """
+            WITH RECURSIVE base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            corpus AS (
+                SELECT vec_id, v FROM base
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(v, x -> x * 1.01 + 0.005)
+                FROM base
+                UNION ALL
+                SELECT vec_id + 2000000,
+                       list_transform(v, x -> x * 1.02 + 0.01)
+                FROM base WHERE vec_id % 20 = 0
+            ),
+            cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                       v AS cv
+                FROM (SELECT vec_id, v FROM base WHERE vec_id % 50 = 0
+                      ORDER BY vec_id LIMIT 8)
+            ),
+            sims AS (
+                SELECT c.vec_id, k.j,
+                       list_cosine_similarity(c.v, k.cv) AS s
+                FROM corpus c CROSS JOIN cents k
+            ),
+            cells AS (
+                SELECT vec_id, j AS cell FROM (
+                    SELECT vec_id, j,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY s DESC, j) AS rn
+                    FROM sims) WHERE rn = 1
+            ),
+            uv AS (
+                SELECT c.vec_id, k.cell, c.v
+                FROM corpus c JOIN cells k USING (vec_id)
+            ),
+            ok AS (
+                SELECT cell FROM uv GROUP BY cell
+                HAVING COUNT(*) <= 16
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM uv a JOIN uv b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                JOIN ok ON ok.cell = a.cell
                 WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
             ),
             edges AS (

@@ -508,6 +508,47 @@ def test_semantic_dedup_chains_and_cells(spark):
     assert out[6] == (1, 5, False)
 
 
+def test_semantic_dedup_max_cell_guards_degenerate_codebook(spark):
+    """A DEGENERATE codebook (every centroid in one direction) funnels
+    the whole corpus into one cell — the O(|cell|^2) cliff max_cell
+    exists for. With the cap engaged, the hot cell contributes no
+    pairs (its members come out as singletons), while an under-cap
+    cell still dedups; uncapped, the same corpus chains normally."""
+    from updater_spark.operators.similarity import semantic_dedup
+
+    # both centroids point the same way: cell 0 swallows everything
+    # along +x (argmax ties resolve to the lowest cell)
+    cents = [[1.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]]
+    hot = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(1, 11)]
+    # a genuinely different direction would still land in cell 0 here
+    # (degenerate codebook!), so give the under-cap path its own run
+    df = spark.createDataFrame(
+        hot, "vec_id long, embedding array<double>"
+    )
+    capped = {
+        r["id"]: (r["group"], r["keep"])
+        for r in semantic_dedup(
+            df, cents, threshold=0.99, max_cell=5
+        ).collect()
+    }
+    # cap engaged: 10 > 5, so the hot cell forms NO pairs — all
+    # singletons, everything kept
+    assert all(capped[i] == (i, True) for i in range(1, 11))
+    uncapped = {
+        r["id"]: r["group"]
+        for r in semantic_dedup(df, cents, threshold=0.99).collect()
+    }
+    assert uncapped[2] == 1  # same corpus chains without the cap
+    # cap above the cell size: identical to uncapped (no silent cut)
+    roomy = {
+        r["id"]: r["group"]
+        for r in semantic_dedup(
+            df, cents, threshold=0.99, max_cell=10
+        ).collect()
+    }
+    assert roomy == uncapped
+
+
 def test_ivfpq_residual_codes_and_probe_pruning(spark):
     """Residual quantization discriminates within-cluster neighbors
     (raw PQ would give every member identical codes); a query only
