@@ -1870,6 +1870,43 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance end-to-end
+    (operators/ann_index.py::IvfPqIndex — the compressed twin of
+    ann_index_maintained): bootstrap on two-thirds of the corpus,
+    UPSERT the remaining third, UPSERT updates that rescale every
+    30th vector (cell migration: the stale codes must leave their old
+    cell), REMOVE every 45th — each op re-encodes only its delta and
+    rewrites only affected cell partitions. The search over the
+    maintained index must equal exact IVF-PQ SQL over the final
+    corpus state, which is what the oracle computes."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.ann_index import IvfPqIndex
+    from updater_spark.sources.store import TableStore
+
+    u, _, cents, codebooks, qdf = _ivfpq_fixture(spark, sf_dir)
+    k = F.col("vec_id")
+    root = tempfile.mkdtemp(prefix="ivfpq_maint_")
+    try:
+        idx = IvfPqIndex(TableStore(spark, root), "pqm", vec_col="v")
+        idx.bootstrap(u.filter(k % 3 != 0), cents, codebooks)
+        idx.upsert(u.filter(k % 3 == 0))  # late inserts
+        idx.upsert(  # updates: rescaled vectors, likely migrating cells
+            u.filter(k % 30 == 0).select(
+                "vec_id",
+                F.transform("v", lambda x: x * 1.05 + 0.01).alias("v"),
+            )
+        )
+        idx.remove(u.filter(k % 45 == 0).select("vec_id"))
+        out = idx.search(qdf, k=5, nprobe=2)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hot-cell-guarded SemDeDup variant: same planted-chain
     corpus and 8-centroid codebook as ``semantic_dedup``, with
@@ -2577,6 +2614,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         # --- new in round 4 (keep inside the first 50) ---
         "semantic_dedup_capped": q_semantic_dedup_capped,
+        "ann_ivfpq_maintained": q_ann_ivfpq_maintained,
         "pipeline_e2e": q_pipeline_e2e,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_refined": q_ann_ivfpq_refined,
@@ -3340,6 +3378,121 @@ def oracle_sql() -> dict[str, str]:
             ),
             qs AS (
                 SELECT vec_id AS query_id, v AS qv FROM vecs
+                WHERE vec_id % 29 = 7 ORDER BY vec_id LIMIT 8
+            ),
+            qprobe AS (
+                SELECT query_id, c AS cell FROM (
+                    SELECT q.query_id, k.c,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY list_inner_product(q.qv, k.cv)
+                                        DESC, k.c) AS rn
+                    FROM qs q CROSS JOIN cents k) WHERE rn <= 2
+            ),
+            dt AS (
+                SELECT q.query_id, p.cell, s.m, w.j,
+                       list_distance(
+                           list_transform(range(1, 65),
+                               i -> q.qv[i] - k.cv[i]
+                           )[s.m*16+1 : s.m*16+16],
+                           w.rv[s.m*16+1 : s.m*16+16]) ^ 2 AS d2
+                FROM qs q JOIN qprobe p ON q.query_id = p.query_id
+                JOIN cents k ON k.c = p.cell
+                CROSS JOIN sub s CROSS JOIN cw w
+            ),
+            adc AS (
+                SELECT t.query_id, c.vec_id AS neighbor_id,
+                       round(SUM(t.d2), 6) AS dist
+                FROM cellof f
+                JOIN code c ON c.vec_id = f.vec_id
+                JOIN dt t ON t.cell = f.cell AND t.m = c.m
+                         AND t.j = c.j
+                WHERE c.vec_id <> t.query_id
+                GROUP BY t.query_id, c.vec_id
+            )
+            SELECT query_id, neighbor_id, dist, rank FROM (
+                SELECT query_id, neighbor_id, dist,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist, neighbor_id
+                                          )::BIGINT AS rank
+                FROM adc) WHERE rank <= 5
+        """,
+        # ann_ivfpq_maintained: identical ADC chain, but the corpus
+        # CTE is the FINAL state after the maintenance epochs (insert
+        # all, rescale every 30th, delete every 45th) while the
+        # quantizer (cents/p16) and the query set stay pinned to the
+        # ORIGINAL vectors (vecs0) — exactly what bootstrap froze.
+        "ann_ivfpq_maintained": """
+            WITH vecs0 AS (
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> x / sqrt(list_inner_product(
+                                    embedding::DOUBLE[],
+                                    embedding::DOUBLE[]))) AS v
+                FROM embeddings
+            ),
+            vecs AS (
+                SELECT vec_id,
+                       CASE WHEN vec_id % 30 = 0
+                            THEN list_transform(v, x -> x * 1.05 + 0.01)
+                            ELSE v END AS v
+                FROM vecs0 WHERE vec_id % 45 <> 0
+            ),
+            cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+                       v AS cv
+                FROM (SELECT vec_id, v FROM vecs0 WHERE vec_id % 50 = 0
+                      ORDER BY vec_id LIMIT 8)
+            ),
+            p16 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+                FROM (SELECT vec_id, v FROM vecs0 WHERE vec_id % 17 = 3
+                      ORDER BY vec_id LIMIT 16)
+            ),
+            p16cell AS (
+                SELECT j, c FROM (
+                    SELECT p.j, k.c,
+                           row_number() OVER (PARTITION BY p.j
+                               ORDER BY list_inner_product(p.v, k.cv)
+                                        DESC, k.c) AS rn
+                    FROM p16 p CROSS JOIN cents k) WHERE rn = 1
+            ),
+            cw AS (
+                SELECT p.j,
+                       list_transform(range(1, 65),
+                                      i -> p.v[i] - k.cv[i]) AS rv
+                FROM p16 p JOIN p16cell pc ON p.j = pc.j
+                JOIN cents k ON k.c = pc.c
+            ),
+            cellof AS (
+                SELECT vec_id, c AS cell FROM (
+                    SELECT x.vec_id, k.c,
+                           row_number() OVER (PARTITION BY x.vec_id
+                               ORDER BY list_inner_product(x.v, k.cv)
+                                        DESC, k.c) AS rn
+                    FROM vecs x CROSS JOIN cents k) WHERE rn = 1
+            ),
+            resid AS (
+                SELECT x.vec_id, f.cell,
+                       list_transform(range(1, 65),
+                                      i -> x.v[i] - k.cv[i]) AS rv
+                FROM vecs x JOIN cellof f ON x.vec_id = f.vec_id
+                JOIN cents k ON k.c = f.cell
+            ),
+            sub AS (SELECT unnest(range(0, 4)) AS m),
+            code AS (
+                SELECT vec_id, m, j FROM (
+                    SELECT r.vec_id, s.m, w.j,
+                           row_number() OVER (
+                               PARTITION BY r.vec_id, s.m
+                               ORDER BY list_distance(
+                                   r.rv[s.m*16+1 : s.m*16+16],
+                                   w.rv[s.m*16+1 : s.m*16+16]), w.j
+                           ) AS rn
+                    FROM resid r CROSS JOIN sub s CROSS JOIN cw w)
+                WHERE rn = 1
+            ),
+            qs AS (
+                SELECT vec_id AS query_id, v AS qv FROM vecs0
                 WHERE vec_id % 29 = 7 ORDER BY vec_id LIMIT 8
             ),
             qprobe AS (

@@ -1,15 +1,20 @@
-"""IvfIndex: persistent incrementally-maintained IVF index. The
-invariant under test everywhere: after any sequence of
-bootstrap/upsert/remove, search results EQUAL a fresh one-shot
-ivf_topk over the current corpus with the same codebook."""
+"""IvfIndex / IvfPqIndex: persistent incrementally-maintained ANN
+indexes. The invariant under test everywhere: after any sequence of
+bootstrap/upsert/remove, search results EQUAL a fresh one-shot search
+(ivf_topk / ivfpq_topk over a fresh ivfpq_assign) of the current
+corpus with the same quantizer."""
 
 import numpy as np
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from updater_spark.operators.ann_index import IvfIndex
-from updater_spark.operators.similarity import ivf_topk
+from updater_spark.operators.ann_index import IvfIndex, IvfPqIndex
+from updater_spark.operators.similarity import (
+    ivf_topk,
+    ivfpq_assign,
+    ivfpq_topk,
+)
 
 
 @pytest.fixture(scope="module")
@@ -105,4 +110,92 @@ def test_remove_and_emptied_cell_dropped(spark, corpus, tmp_store):
     q = small.limit(3)
     assert _sorted(idx.search(q, k=2, nprobe=4)) == _sorted(
         ivf_topk(current, q, cents, k=2, nprobe=4)
+    )
+
+
+def _books(vecs, cent_idxs, cw_idxs, m_sub=4):
+    """Residual PQ codebooks from pinned corpus rows (the
+    _ivfpq_fixture recipe at test scale: residual = vec - its
+    nearest centroid, split into m_sub subspaces)."""
+    cm = np.array([vecs[i] for i in cent_idxs])
+    sub = vecs.shape[1] // m_sub
+    resids = []
+    for i in cw_idxs:
+        v = vecs[i]
+        resids.append(v - cm[int((v @ cm.T).argmax())])
+    return [
+        [[float(x) for x in rv[m * sub : (m + 1) * sub]] for rv in resids]
+        for m in range(m_sub)
+    ]
+
+
+def test_ivfpq_index_maintained_equals_fresh(spark, corpus, tmp_store):
+    """The full IVF-PQ lifecycle: bootstrap on a partial corpus,
+    upsert inserts + an UPDATED vector that migrates cells, remove a
+    slice — after all of it, search must equal ivfpq_topk over a
+    fresh ivfpq_assign of the final corpus, and the codes store must
+    hold no stale copies."""
+    df, vecs = corpus
+    cent_idxs = list(range(0, 40, 5))
+    cents = _cents(vecs, cent_idxs)
+    books = _books(vecs, cent_idxs, range(1, 65, 4))
+
+    idx = IvfPqIndex(tmp_store, "pq")
+    base = df.filter("vec_id < 100")
+    idx.bootstrap(base, cents, books)
+
+    # inserts (perturbed copies) + an update that moves vec 7 onto
+    # vec 33's neighborhood (near-certain cell migration)
+    moved = [float(x) + 0.01 for x in vecs[33]]
+    delta = spark.createDataFrame(
+        [Row(vec_id=7, embedding=moved)]
+        + [
+            Row(vec_id=1000 + i, embedding=[float(x) + 0.02 for x in vecs[i]])
+            for i in range(100, 110)
+        ]
+    )
+    idx.upsert(delta)
+    victims = spark.createDataFrame([Row(vec_id=v) for v in (0, 5, 1003)])
+    idx.remove(victims)
+
+    current = (
+        base.filter("vec_id <> 7")
+        .unionByName(delta)
+        .join(victims, "vec_id", "anti")
+    )
+    stored = tmp_store.read_partitioned("pq__cells")
+    assert stored.groupBy("vec_id").count().filter("count > 1").count() == 0
+    assert stored.count() == current.count()
+    assert set(stored.columns) == {"vec_id", "cell", "codes"}  # codes only
+
+    q = df.filter("vec_id % 20 = 0")
+    fresh = ivfpq_topk(
+        ivfpq_assign(current, cents, books),
+        cents,
+        books,
+        q,
+        k=3,
+        nprobe=3,
+    )
+    assert _sorted(idx.search(q, k=3, nprobe=3)) == _sorted(fresh)
+
+
+def test_ivfpq_index_self_describing_quantizer(spark, corpus, tmp_store):
+    """search() takes NO quantizer from the caller; the stored
+    identity round-trips and matches ivfpq_index_id of the stored
+    centroids+codebooks. A second index object over the same store
+    (fresh cache) searches identically."""
+    from updater_spark.operators.similarity import ivfpq_index_id
+
+    df, vecs = corpus
+    cent_idxs = list(range(0, 24, 3))
+    cents = _cents(vecs, cent_idxs)
+    books = _books(vecs, cent_idxs, range(2, 34, 2))
+    idx = IvfPqIndex(tmp_store, "pq_sd")
+    idx.bootstrap(df.filter("vec_id < 60"), cents, books)
+    assert idx.identity() == ivfpq_index_id(idx.centroids(), idx.codebooks())
+    again = IvfPqIndex(tmp_store, "pq_sd")
+    q = df.filter("vec_id % 30 = 0")
+    assert _sorted(again.search(q, k=2, nprobe=2)) == _sorted(
+        idx.search(q, k=2, nprobe=2)
     )

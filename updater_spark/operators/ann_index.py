@@ -39,8 +39,62 @@ from updater_spark.operators.similarity import (
     codebook_id,
     ivf_assign,
     ivf_topk,
+    ivfpq_assign,
+    ivfpq_index_id,
+    ivfpq_topk,
 )
 from updater_spark.sources.store import TableStore
+
+
+def cell_maintenance_stats(
+    idx: DataFrame,
+    touched_ids: DataFrame,
+    inserts: DataFrame | None,
+    id_col: str,
+    part_col: str,
+) -> tuple[list, list]:
+    """ONE aggregation job computing everything incremental index
+    maintenance needs: per partition cell, how many stored rows it
+    has, how many of those are stale copies of touched ids, and how
+    many new rows land in it. From those k rows (k = codebook size, a
+    driver-safe bound independent of corpus size) derive
+
+    - ``affected``: cells that must be rewritten (hold a stale copy,
+      or receive an insert), and
+    - ``to_drop``: affected cells left EMPTY by the rebuild — dynamic
+      partition overwrite only replaces partitions present in the new
+      data, so emptied ones need an explicit drop.
+
+    Shared by ``IvfIndex`` (part_col='bucket') and ``IvfPqIndex``
+    (part_col='cell'); replaces what used to be four
+    distinct().collect() jobs per maintenance op."""
+    hits = touched_ids.withColumn("_hit", F.lit(1))
+    per_old = (
+        idx.select(id_col, part_col)
+        .join(hits, id_col, "left")
+        .groupBy(part_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("_hit").alias("n_stale"),
+        )
+    )
+    if inserts is not None:
+        per_new = inserts.groupBy(part_col).agg(
+            F.count(F.lit(1)).alias("n_ins")
+        )
+        stats = per_old.join(per_new, part_col, "full").fillna(
+            0, ["n_rows", "n_stale", "n_ins"]
+        )
+    else:
+        stats = per_old.withColumn("n_ins", F.lit(0))
+    affected, to_drop = [], []
+    for r in stats.collect():
+        if r["n_stale"] == 0 and r["n_ins"] == 0:
+            continue  # untouched cell
+        affected.append(r[part_col])
+        if r["n_rows"] - r["n_stale"] + r["n_ins"] == 0:
+            to_drop.append(r[part_col])
+    return affected, to_drop
 
 
 class IvfIndex:
@@ -113,49 +167,10 @@ class IvfIndex:
     def _cell_stats(
         self, idx: DataFrame, touched_ids: DataFrame, inserts: DataFrame | None
     ) -> tuple[list, list]:
-        """ONE aggregation job computing everything the maintenance
-        bookkeeping needs: per cell, how many stored rows it has, how
-        many of those are stale copies of touched ids, and how many
-        new rows land in it. From those k rows (k = codebook size, a
-        driver-safe bound independent of corpus size) derive
-
-        - ``affected``: cells that must be rewritten (hold a stale
-          copy, or receive an insert), and
-        - ``to_drop``: affected cells left EMPTY by the rebuild —
-          dynamic partition overwrite only replaces partitions present
-          in the new data, so emptied ones need an explicit drop.
-
-        Replaces the former four distinct().collect() jobs per
-        maintenance op (old-cell scan, new-cell scan, affected union,
-        surviving-cell scan of the full rebuilt plan) with a single
-        pass over the index's (id, bucket) columns."""
-        hits = touched_ids.withColumn("_hit", F.lit(1))
-        per_old = (
-            idx.select(self.id_col, "bucket")
-            .join(hits, self.id_col, "left")
-            .groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.count("_hit").alias("n_stale"),
-            )
+        """See ``cell_maintenance_stats`` (shared with IvfPqIndex)."""
+        return cell_maintenance_stats(
+            idx, touched_ids, inserts, self.id_col, "bucket"
         )
-        if inserts is not None:
-            per_new = inserts.groupBy("bucket").agg(
-                F.count(F.lit(1)).alias("n_ins")
-            )
-            stats = per_old.join(per_new, "bucket", "full").fillna(
-                0, ["n_rows", "n_stale", "n_ins"]
-            )
-        else:
-            stats = per_old.withColumn("n_ins", F.lit(0))
-        affected, to_drop = [], []
-        for r in stats.collect():
-            if r["n_stale"] == 0 and r["n_ins"] == 0:
-                continue  # untouched cell
-            affected.append(r["bucket"])
-            if r["n_rows"] - r["n_stale"] + r["n_ins"] == 0:
-                to_drop.append(r["bucket"])
-        return affected, to_drop
 
     def upsert(self, delta: DataFrame) -> None:
         """Insert or replace the delta's vectors; only affected cell
@@ -225,4 +240,207 @@ class IvfIndex:
             nprobe=nprobe,
             bucket_col="bucket",
             codebook=self.codebook(),
+        )
+
+
+class IvfPqIndex:
+    """Persistent, incrementally-maintained IVF-PQ index — the
+    compressed twin of ``IvfIndex`` and the round-3 VERDICT's missing
+    lifecycle: the write-once ``write_ivfpq_index`` layout gains the
+    same delta upsert/remove the plain IVF index has, so a changing
+    corpus never forces hand re-quantization of whole cells.
+
+    Storage (via TableStore):
+
+    - ``{name}__quantizer``: the coarse centroids AND the residual PQ
+      codebooks in one table ``(kind, i, j, vec, identity)`` —
+      kind='centroid' rows carry (cid → vec), kind='codeword' rows
+      carry (subspace m, codeword j → vec). Stored WITH the index:
+      ``search()`` never takes a quantizer from the caller, making
+      stale-quantizer mixing structurally impossible here (the
+      ``ivfpq_topk`` identity guard still verifies the pair as a
+      belt-and-braces hash check).
+    - ``{name}__cells``: ``(id, cell, codes)`` — CODES ONLY, M bytes
+      per vector, hash-partitioned by cell so searches prune to
+      probed cells at the parquet level and maintenance rewrites
+      touch |affected cells| directories.
+
+    ``upsert(delta)`` re-encodes ONLY the delta (cell assignment +
+    residual codes via ``ivfpq_assign``), then dynamically overwrites
+    only the affected cell partitions — the new vectors' cells plus
+    any cell holding a stale copy of a re-ingested id (an updated
+    vector can migrate cells; its stale codes must leave the OLD
+    cell). Two Spark jobs per op: ``cell_maintenance_stats`` + the
+    dynamic partition overwrite, exactly IvfIndex's shape.
+
+    The quantizer is immutable between bootstraps (upsert never
+    retrains — residual codebooks drift slowly; retraining is a new
+    ``bootstrap``, which rewrites everything by definition)."""
+
+    def __init__(
+        self,
+        store: TableStore,
+        name: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.store = store
+        self.name = name
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._q_cache: (
+            tuple[list[list[float]], list[list[list[float]]], str] | None
+        ) = None
+
+    @property
+    def _cells(self) -> str:
+        return f"{self.name}__cells"
+
+    @property
+    def _quantizer(self) -> str:
+        return f"{self.name}__quantizer"
+
+    def exists(self) -> bool:
+        return self.store.exists_partitioned(self._cells)
+
+    # -- quantizer ------------------------------------------------------
+    def _quantizer_state(
+        self,
+    ) -> tuple[list[list[float]], list[list[list[float]]], str]:
+        if self._q_cache is None:
+            rows = self.store.read(self._quantizer).collect()
+            cents = sorted(
+                (r for r in rows if r["kind"] == "centroid"),
+                key=lambda r: r["i"],
+            )
+            cws = [r for r in rows if r["kind"] == "codeword"]
+            m_sub = 1 + max(r["i"] for r in cws)
+            n_cw = 1 + max(r["j"] for r in cws)
+            books: list[list[list[float]]] = [
+                [None] * n_cw for _ in range(m_sub)
+            ]
+            for r in cws:
+                books[r["i"]][r["j"]] = list(r["vec"])
+            self._q_cache = (
+                [list(r["vec"]) for r in cents],
+                books,
+                rows[0]["identity"],
+            )
+        return self._q_cache
+
+    def centroids(self) -> list[list[float]]:
+        return self._quantizer_state()[0]
+
+    def codebooks(self) -> list[list[list[float]]]:
+        return self._quantizer_state()[1]
+
+    def identity(self) -> str:
+        return self._quantizer_state()[2]
+
+    # -- lifecycle -----------------------------------------------------
+    def bootstrap(
+        self,
+        corpus: DataFrame,
+        centroids: list[list[float]],
+        codebooks: list[list[list[float]]],
+    ) -> None:
+        spark = self.store.spark
+        ident = ivfpq_index_id(centroids, codebooks)
+        quant = [
+            ("centroid", i, 0, [float(x) for x in c], ident)
+            for i, c in enumerate(centroids)
+        ] + [
+            ("codeword", m, j, [float(x) for x in cw], ident)
+            for m, book in enumerate(codebooks)
+            for j, cw in enumerate(book)
+        ]
+        self.store.write(
+            self._quantizer,
+            spark.createDataFrame(
+                quant,
+                "kind string, i long, j long, vec array<double>, "
+                "identity string",
+            ),
+        )
+        self._q_cache = (
+            [list(c) for c in centroids],
+            [[list(cw) for cw in book] for book in codebooks],
+            ident,
+        )
+        assigned = ivfpq_assign(
+            corpus, centroids, codebooks, self.id_col, self.vec_col
+        )
+        # task/cell alignment before the partitioned write — same
+        # small-files argument as IvfIndex.bootstrap
+        self.store.write_partitioned(
+            self._cells, assigned.repartition("cell"), "cell"
+        )
+
+    def upsert(self, delta: DataFrame) -> None:
+        """Insert or replace the delta's vectors: re-encode ONLY the
+        delta against the stored quantizer, rewrite only affected
+        cell partitions. ``delta`` must not be a lazy plan over this
+        index's own storage (the rewrite deletes files such a plan
+        would re-scan) — derive deltas from the upstream source."""
+        cents, books, _ = self._quantizer_state()
+        assigned = ivfpq_assign(
+            delta, cents, books, self.id_col, self.vec_col
+        )
+        idx = self.store.read_partitioned(self._cells)
+        delta_ids = delta.select(self.id_col).distinct()
+        affected, to_drop = cell_maintenance_stats(
+            idx, delta_ids, assigned, self.id_col, "cell"
+        )
+        if not affected:
+            return
+        rebuilt = (
+            idx.filter(F.col("cell").isin(affected))
+            .join(delta_ids, self.id_col, "anti")
+            .unionByName(assigned.select(*idx.columns))
+        )
+        self.store.overwrite_partitions(
+            self._cells, rebuilt.repartition("cell"), "cell"
+        )
+        self.store.drop_partitions(self._cells, "cell", to_drop)
+
+    def remove(self, ids: DataFrame) -> None:
+        """Drop vectors by id; rewrites (or drops) only their cells."""
+        idx = self.store.read_partitioned(self._cells)
+        key = ids.select(self.id_col).distinct()
+        affected, to_drop = cell_maintenance_stats(
+            idx, key, None, self.id_col, "cell"
+        )
+        if not affected:
+            return
+        rebuilt = idx.filter(F.col("cell").isin(affected)).join(
+            key, self.id_col, "anti"
+        )
+        survivors = [c for c in affected if c not in set(to_drop)]
+        if survivors:
+            self.store.overwrite_partitions(
+                self._cells, rebuilt.repartition("cell"), "cell"
+            )
+        self.store.drop_partitions(self._cells, "cell", to_drop)
+
+    # -- search --------------------------------------------------------
+    def search(
+        self, queries: DataFrame, k: int = 5, nprobe: int = 8
+    ) -> DataFrame:
+        """ADC top-k over the stored codes. Quantizer comes FROM the
+        index; its stored identity re-arms ``ivfpq_topk``'s staleness
+        guard across the partitioned read (which drops column
+        metadata), so a quantizer/cells restore mismatch still
+        hash-fails instead of silently degrading recall."""
+        cents, books, ident = self._quantizer_state()
+        stored = self.store.read_partitioned(self._cells)
+        return ivfpq_topk(
+            stored,
+            cents,
+            books,
+            queries,
+            k=k,
+            nprobe=nprobe,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            identity=ident,
         )
