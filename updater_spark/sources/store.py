@@ -15,20 +15,51 @@ DataFrame functions, so swapping this class for ``spark.table`` /
 ``MERGE INTO`` changes no query logic. For the local/benchmark target
 (plain parquet, no extra packages in the container) this gives the
 same semantics.
+
+Concurrency contract — SINGLE WRITER PER TABLE, enforced: the
+promote-on-success scheme is crash-safe for one writer, but two
+concurrent writers could interleave version-pick → write → promote
+and publish a pointer to a half-written directory. Every
+pointer-swapping operation therefore takes a per-table lock file
+(``_LOCK``, created O_EXCL with pid + timestamp); a second writer
+fails LOUDLY with ``ConcurrentWriteError`` instead of corrupting
+``_CURRENT``. Locks left by crashed writers are broken when the
+holding pid is dead (same host — detectable) or the lock is older
+than ``lock_stale_after`` seconds (cross-host crash, where pid
+liveness can't be checked). Readers never lock: they resolve the
+pointer, which only ever moves atomically between complete versions.
+Multi-writer coordination beyond this (queues, retries, cross-table
+transactions) is exactly where to escalate to Delta/Iceberg — their
+commit protocol is this lock generalized (optimistic CAS on a log),
+see SURVEY §7.2.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted a pointer-swapping operation on a
+    table while another LIVE writer holds its lock. The loser fails
+    loudly; ``_CURRENT`` is never corrupted."""
+
+
 class TableStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        lock_stale_after: float = 3600.0,
+    ):
         self.spark = spark
         self.root = root
+        self.lock_stale_after = lock_stale_after
         os.makedirs(root, exist_ok=True)
 
     # -- paths ----------------------------------------------------------
@@ -37,6 +68,66 @@ class TableStore:
 
     def _pointer(self, name: str) -> str:
         return os.path.join(self._dir(name), "_CURRENT")
+
+    # -- single-writer lock ----------------------------------------------
+    def _lock_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_LOCK")
+
+    def _try_break_stale(self, path: str) -> bool:
+        """Break a lock whose holder is provably gone: pid dead on
+        this host, or lock older than ``lock_stale_after`` (a crashed
+        writer never unlinks). Returns True if broken."""
+        try:
+            with open(path) as f:
+                pid_s, ts_s = f.read().strip().split(":", 1)
+            holder_dead = False
+            try:
+                os.kill(int(pid_s), 0)
+            except ProcessLookupError:
+                holder_dead = True
+            except (PermissionError, ValueError):
+                pass  # alive (other user) / unparsable: fall to age
+            expired = time.time() - float(ts_s) > self.lock_stale_after
+            if holder_dead or expired:
+                os.unlink(path)
+                return True
+        except FileNotFoundError:
+            return True  # holder released it between our check and now
+        except (ValueError, OSError):
+            pass  # unreadable lock: refuse to break, fail loudly below
+        return False
+
+    @contextlib.contextmanager
+    def _write_lock(self, name: str):
+        """Per-table writer mutex (O_EXCL create of ``_LOCK`` holding
+        ``pid:timestamp``). Serializes version-pick → write → promote;
+        the loser of a race raises ``ConcurrentWriteError`` instead of
+        publishing over (or under) the winner."""
+        os.makedirs(self._dir(name), exist_ok=True)
+        path = self._lock_path(name)
+        fd = None
+        for attempt in (0, 1):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if attempt == 0 and self._try_break_stale(path):
+                    continue
+                raise ConcurrentWriteError(
+                    f"table {name!r} is locked by another live writer "
+                    f"({path}); TableStore is single-writer per table — "
+                    "serialize the writers, or use Delta/Iceberg for "
+                    "true multi-writer commits"
+                ) from None
+        try:
+            os.write(fd, f"{os.getpid()}:{time.time()}".encode())
+            os.close(fd)
+            yield
+        finally:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
 
     def current_path(self, name: str) -> str | None:
         ptr = self._pointer(name)
@@ -86,23 +177,28 @@ class TableStore:
         ``num_files`` controls output file count for small sink tables
         (avoid thousands of tiny files at local scale; at cluster
         scale leave None and let AQE coalesce).
+
+        Holds the table's writer lock for the whole version-pick →
+        write → promote sequence (single-writer contract; a racing
+        writer gets ``ConcurrentWriteError``, never a corrupted
+        ``_CURRENT``).
         """
-        d = self._dir(name)
-        os.makedirs(d, exist_ok=True)
-        versions = [v for v in os.listdir(d) if v.startswith("v")]
-        next_v = f"v{max([int(v[1:]) for v in versions], default=-1) + 1}"
-        path = os.path.join(d, next_v)
-        writer = df.coalesce(num_files) if num_files else df
-        w = writer.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
-        tmp = self._pointer(name) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(next_v)
-        os.replace(tmp, self._pointer(name))  # atomic on POSIX
-        self._gc(name, keep=2)
-        return path
+        with self._write_lock(name):
+            d = self._dir(name)
+            versions = [v for v in os.listdir(d) if v.startswith("v")]
+            next_v = f"v{max([int(v[1:]) for v in versions], default=-1) + 1}"
+            path = os.path.join(d, next_v)
+            writer = df.coalesce(num_files) if num_files else df
+            w = writer.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+            tmp = self._pointer(name) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(next_v)
+            os.replace(tmp, self._pointer(name))  # atomic on POSIX
+            self._gc(name, keep=2)
+            return path
 
     def write_clustered(
         self,
@@ -170,22 +266,23 @@ class TableStore:
         pointer, so a crashed compaction leaves the old directory
         intact — same promote-on-success contract as versioned writes.
         """
-        current = self._appendable_dir(name)
-        df = self.spark.read.parquet(current)
-        if predicate is not None:
-            df = df.filter(predicate)
-        cur_sub = os.path.basename(current)
-        next_sub = (
-            f"data_c{int(cur_sub[6:]) + 1}" if cur_sub.startswith("data_c") else "data_c0"
-        )
-        next_dir = os.path.join(self._dir(name), next_sub)
-        df.coalesce(num_files).write.mode("overwrite").parquet(next_dir)
-        tmp = self._appendable_pointer(name) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(next_sub)
-        os.replace(tmp, self._appendable_pointer(name))
-        shutil.rmtree(current, ignore_errors=True)
-        return next_dir
+        with self._write_lock(name):
+            current = self._appendable_dir(name)
+            df = self.spark.read.parquet(current)
+            if predicate is not None:
+                df = df.filter(predicate)
+            cur_sub = os.path.basename(current)
+            next_sub = (
+                f"data_c{int(cur_sub[6:]) + 1}" if cur_sub.startswith("data_c") else "data_c0"
+            )
+            next_dir = os.path.join(self._dir(name), next_sub)
+            df.coalesce(num_files).write.mode("overwrite").parquet(next_dir)
+            tmp = self._appendable_pointer(name) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(next_sub)
+            os.replace(tmp, self._appendable_pointer(name))
+            shutil.rmtree(current, ignore_errors=True)
+            return next_dir
 
     # -- hash-partitioned tables (partition-pruned incremental writes) --
     def _ppath(self, name: str) -> str:
@@ -271,33 +368,34 @@ class TableStore:
         stable 100M-row replica side never reshuffles. A crashed writer
         leaves the read buffer untouched.
         """
-        os.makedirs(self._dir(name), exist_ok=True)
-        current = self.current_bucketed(name)
-        target_buf = 1 if current == self._catalog_name(name, 0) else 0
-        target = self._catalog_name(name, target_buf)
-        # a previous PROCESS may have left the managed-table directory
-        # behind while this session's metastore has no such table —
-        # saveAsTable then fails with LOCATION_ALREADY_EXISTS. Drop any
-        # registered table first, then clear an orphaned location.
-        self.spark.sql(f"DROP TABLE IF EXISTS {target}")
-        warehouse = self.spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        orphan = os.path.join(warehouse, target.lower())
-        if os.path.exists(orphan):
-            shutil.rmtree(orphan, ignore_errors=True)
-        (
-            df.write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(num_buckets, bucket_col)
-            .sortBy(bucket_col)
-            .saveAsTable(target)
-        )
-        tmp = self._bucketed_pointer(name) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(target)
-        os.replace(tmp, self._bucketed_pointer(name))
-        return self.spark.table(target)
+        with self._write_lock(name):
+            current = self.current_bucketed(name)
+            target_buf = 1 if current == self._catalog_name(name, 0) else 0
+            target = self._catalog_name(name, target_buf)
+            # a previous PROCESS may have left the managed-table
+            # directory behind while this session's metastore has no
+            # such table — saveAsTable then fails with
+            # LOCATION_ALREADY_EXISTS. Drop any registered table
+            # first, then clear an orphaned location.
+            self.spark.sql(f"DROP TABLE IF EXISTS {target}")
+            warehouse = self.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            orphan = os.path.join(warehouse, target.lower())
+            if os.path.exists(orphan):
+                shutil.rmtree(orphan, ignore_errors=True)
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(num_buckets, bucket_col)
+                .sortBy(bucket_col)
+                .saveAsTable(target)
+            )
+            tmp = self._bucketed_pointer(name) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(target)
+            os.replace(tmp, self._bucketed_pointer(name))
+            return self.spark.table(target)
 
     def read_bucketed_versioned(self, name: str) -> DataFrame:
         current = self.current_bucketed(name)
