@@ -57,20 +57,42 @@ def apply_rollup_delta(
         PART_COL, F.to_date("bucket_ts")
     )
     if not store.exists_partitioned(table):
-        store.write_partitioned(table, delta, PART_COL)
+        # align tasks with day-partitions before the write: without it
+        # every aggregation task holds a mix of days and emits a file
+        # into EVERY day directory (tasks x days tiny files; measured
+        # 4x the files per micro-batch at sf0.1). Rollup state per day
+        # is bounded (buckets x keys), so a one-task day is the right
+        # shape even at 100 TB of raw events. An all-empty first batch
+        # must NOT bootstrap an empty (schema-less) partitioned dir.
+        delta = delta.persist()
+        try:
+            if delta.select(PART_COL).limit(1).count():
+                store.write_partitioned(
+                    table, delta.repartition(PART_COL), PART_COL
+                )
+        finally:
+            delta.unpersist()
         return
-    # the touched-day list is tiny (a trigger spans hours, not years):
-    # collect it to drive partition pruning on the state read.
+    # TWO jobs per micro-batch, no more: (1) aggregate the delta,
+    # persist it, collect its touched-day list (tiny — a trigger spans
+    # hours, not years; this one action doubles as the emptiness
+    # probe, so callers don't need a separate isEmpty job); (2) merge
+    # with the day-pruned state read and overwrite those days. At
+    # micro-batch cadence, per-action job overhead is the cost model.
     delta = delta.persist()
     try:
         days = [r[0] for r in delta.select(PART_COL).distinct().collect()]
+        if not days:
+            return  # empty batch: nothing to fold
         current = store.read_partitioned(table).filter(
             F.col(PART_COL).isin(days)
         )
         merged = rollup_merge(
             current.drop(PART_COL), delta.drop(PART_COL), keys
         ).withColumn(PART_COL, F.to_date("bucket_ts"))
-        store.overwrite_partitions(table, merged, PART_COL)
+        store.overwrite_partitions(
+            table, merged.repartition(PART_COL), PART_COL
+        )
     finally:
         delta.unpersist()
 
@@ -135,7 +157,12 @@ def rollup_repair_days(
         if emptied:
             store.drop_partitions(table, PART_COL, emptied)
         if still:
-            store.overwrite_partitions(table, delta, PART_COL)
+            # task/day alignment (see apply_rollup_delta): the repair
+            # runs at batch shuffle parallelism, which otherwise fans
+            # tasks x days files into the overwritten directories
+            store.overwrite_partitions(
+                table, delta.repartition(PART_COL), PART_COL
+            )
     finally:
         delta.unpersist()
 
@@ -168,17 +195,14 @@ def run_rollup_stream(
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        # persist-then-probe: the delta merge runs multiple actions
-        # over the batch; the emptiness check doubles as cache warm-up
-        batch_df.persist()
-        try:
-            if batch_df.isEmpty():
-                return
-            apply_rollup_delta(
-                store, table, batch_df, ts_col, value_col, keys, bucket
-            )
-        finally:
-            batch_df.unpersist()
+        # no isEmpty probe and no raw-batch persist: the batch is read
+        # exactly ONCE (by the delta aggregation), and the delta's own
+        # touched-day collect doubles as the emptiness check — one
+        # fewer job per micro-batch, which is the dominant cost at
+        # trigger cadence
+        apply_rollup_delta(
+            store, table, batch_df, ts_col, value_col, keys, bucket
+        )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
