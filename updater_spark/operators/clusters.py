@@ -36,6 +36,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """``(id, component)`` for every vertex appearing in ``pairs``;
     ``component`` is the minimum vertex id reachable from ``id``.
@@ -44,6 +45,11 @@ def connected_components(
     raises if ``max_iter`` rounds don't converge — a signal the pair
     graph has pathological chains and the large-star variant is
     needed.
+
+    ``stats_out``: optional dict the call fills with convergence
+    telemetry (``rounds``: label-propagation rounds to fixpoint,
+    ``edges``: symmetric edge count) — the scale-probe observable for
+    the O(log diameter) claim (bench_scale.py semantic).
     """
     # symmetric edge list; self-loops are harmless but dropped early
     edges = (
@@ -59,7 +65,9 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    if stats_out is not None:
+        stats_out["edges"] = edges.count()
+    for rnd in range(max_iter):
         # min label among neighbors, per vertex
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -81,6 +89,8 @@ def connected_components(
         changed = new_labels.filter("_changed").limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            if stats_out is not None:
+                stats_out["rounds"] = rnd + 1
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "

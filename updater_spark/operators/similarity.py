@@ -1170,6 +1170,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     round_digits: int = 4,
     max_cell: int | None = None,
+    stats_out: dict | None = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings
@@ -1204,6 +1206,23 @@ def semantic_dedup(
     the capped variant models. Cap engagement is a retrain signal
     for the codebook, not business as usual; default None = exact
     (the ADVICE r2 stance: caps are opt-in, never silent).
+
+    ``arrow=True`` is the LARGE-CODEBOOK deploy path: SemDeDup at
+    scale needs k ≈ the corpus's natural cluster count (the paper
+    runs 50k clusters at 100M docs) to keep cells small, and at that
+    k the Catalyst formulation collapses twice over — assignment
+    builds k dot-aggregate expressions (plan construction alone is
+    minutes past ~1k centroids), and the pair join evaluates one
+    interpreted zip_with dot PER PAIR. The arrow path assigns cells
+    with one GEMM argmax per Arrow batch and scores each cell with
+    ONE |cell|×|cell| GEMM inside applyInPandas (grouped by cell —
+    the shuffle the Catalyst join pays anyway). Same semantics
+    (argmax ties to the lowest cell, sims rounded then thresholded,
+    max_cell cut identical); differs only by float-sum association
+    inside the dot products, so exact oracle twins keep the default
+    Catalyst path and the probe/deploy scale runs use arrow
+    (equality on the planted fixture asserted in
+    tests/test_similarity.py).
     """
     import math
 
@@ -1224,34 +1243,85 @@ def semantic_dedup(
     # PAIR — with the norm aggregate re-run per element inside the
     # transform lambda, that's O(pairs * d^2) interpreted work
     # (measured 20 s for 500 vectors at sf0.1; ~1 s materialized).
-    assigned = ivf_assign(
-        u, unit_cents, id_col="id", vec_col="u", out_col="cell"
-    ).persist()
-    paired = assigned
-    if max_cell is not None:
-        # hot-cell guard: cells past the cap are excluded from the
-        # pair join wholesale (one small count agg + a broadcast-able
-        # semi filter on cell id — never a per-row window)
-        ok_cells = (
-            assigned.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_cell)
-            .select("cell")
+    if arrow:
+        import numpy as np
+        import pandas as pd
+
+        cm = np.array(unit_cents, dtype=np.float64)
+
+        def assign_fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vm = np.array(pdf["u"].tolist(), dtype=np.float64)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(),
+                        "u": pdf["u"],
+                        # argmax first-hit == ties to the lowest cell,
+                        # matching ivf_assign's array_position order
+                        "cell": (vm @ cm.T).argmax(axis=1),
+                    }
+                )
+
+        assigned = u.mapInPandas(
+            assign_fn, schema="id long, u array<double>, cell long"
+        ).persist()
+
+        def cell_pairs(pdf):
+            if len(pdf) < 2 or (max_cell is not None and len(pdf) > max_cell):
+                return pd.DataFrame(
+                    {"id_a": pd.Series(dtype="int64"),
+                     "id_b": pd.Series(dtype="int64"),
+                     "sim": pd.Series(dtype="float64")}
+                )
+            ids = pdf["id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            vm = np.array(pdf["u"].tolist(), dtype=np.float64)[order]
+            sims = np.round(vm @ vm.T, round_digits)
+            iu = np.triu_indices(len(ids), k=1)
+            keep = sims[iu] >= threshold
+            return pd.DataFrame(
+                {
+                    "id_a": ids[iu[0][keep]],
+                    "id_b": ids[iu[1][keep]],
+                    "sim": sims[iu][keep],
+                }
+            )
+
+        pairs = assigned.groupBy("cell").applyInPandas(
+            cell_pairs, "id_a long, id_b long, sim double"
         )
-        paired = assigned.join(F.broadcast(ok_cells), "cell")
-    a = paired.select(
-        F.col("id").alias("id_a"), F.col("u").alias("ua"), "cell"
-    )
-    b = paired.select(
-        F.col("id").alias("id_b"), F.col("u").alias("ub"), "cell"
-    )
-    sim = F.round(dot(F.col("ua"), F.col("ub")), round_digits)
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= threshold)
-    )
+    else:
+        assigned = ivf_assign(
+            u, unit_cents, id_col="id", vec_col="u", out_col="cell"
+        ).persist()
+        paired = assigned
+        if max_cell is not None:
+            # hot-cell guard: cells past the cap are excluded from the
+            # pair join wholesale (one small count agg + a broadcast-able
+            # semi filter on cell id — never a per-row window)
+            ok_cells = (
+                assigned.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") <= max_cell)
+                .select("cell")
+            )
+            paired = assigned.join(F.broadcast(ok_cells), "cell")
+        a = paired.select(
+            F.col("id").alias("id_a"), F.col("u").alias("ua"), "cell"
+        )
+        b = paired.select(
+            F.col("id").alias("id_b"), F.col("u").alias("ub"), "cell"
+        )
+        sim = F.round(dot(F.col("ua"), F.col("ub")), round_digits)
+        pairs = (
+            a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("sim"))
+            .filter(F.col("sim") >= threshold)
+        )
     # connected_components is EAGER (localCheckpoint + count per
     # round), so by the time it returns, every consumer of the
     # persisted assignment that fans out per PAIR has already run —
@@ -1260,8 +1330,31 @@ def semantic_dedup(
     # output join below re-derives the assignment lazily from
     # lineage, which is per-ROW work (one unit()/argmax projection
     # pass), not the per-pair fan-out the persist exists to prevent.
-    cc = connected_components(pairs)
+    if stats_out is not None:
+        # scale telemetry (bench_scale.py semantic): cell occupancy
+        # distribution — THE anti-O(n²) observable — and pair width
+        sizes = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("cells"),
+                F.max("n").alias("max_cell_size"),
+                F.expr("percentile(n, 0.99)").alias("p99_cell_size"),
+                F.sum(F.col("n") * (F.col("n") - 1) / 2).alias(
+                    "pair_candidates"
+                ),
+            )
+            .collect()[0]
+        )
+        stats_out.update(sizes.asDict())
+        pairs = pairs.persist()
+        stats_out["pairs_above_threshold"] = pairs.count()
+    cc = connected_components(
+        pairs, stats_out=stats_out if stats_out is not None else None
+    )
     assigned.unpersist()
+    if stats_out is not None:
+        pairs.unpersist()
     return (
         assigned.join(cc, assigned.id == cc.id, "left")
         .select(
