@@ -1831,18 +1831,15 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over a corpus with planted chains: base vectors ∪
-    near-identical copies (+1M) ∪ second-order copies of every other
-    base (+2M) — groups of 2 and 3 that must chain through connected
-    components within each centroid cell. Threshold 0.9 sits far from
-    both the planted (~1.0) and cross-item (~0) cosine clusters; the
-    8-centroid codebook is a pinned data subset (fixed-k fixture
-    rule)."""
-    from updater_spark.operators.similarity import (
-        as_double,
-        semantic_dedup,
-    )
+def _semantic_fixture(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[list[float]]]:
+    """Shared SemDeDup fixture: base vectors ∪ near-identical copies
+    (+1M) ∪ second-order copies of every other base (+2M) — groups of
+    2 and 3 that must chain through connected components within each
+    centroid cell — plus the pinned 8-centroid codebook (a fixed data
+    subset, the fixed-k fixture rule)."""
+    from updater_spark.operators.similarity import as_double
 
     emb = demo.load(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 10 == 0
@@ -1864,9 +1861,39 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v")
         .collect()
     )
-    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    return corpus, [[float(x) for x in r[0]] for r in cent_rows]
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted-chain fixture (``_semantic_fixture``).
+    Threshold 0.9 sits far from both the planted (~1.0) and cross-item
+    (~0) cosine clusters."""
+    from updater_spark.operators.similarity import semantic_dedup
+
+    corpus, centroids = _semantic_fixture(spark, sf_dir)
     return semantic_dedup(
         corpus, centroids, threshold=0.9, id_col="vec_id", vec_col="v"
+    )
+
+
+def q_semantic_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-CODEBOOK deploy path of SemDeDup (``arrow=True``:
+    GEMM-argmax cell assignment, block-chunked per-cell GEMM pair
+    scoring) on the same fixture and against the SAME oracle as
+    ``semantic_dedup`` — the two paths are exact twins by contract
+    (rounded-then-thresholded sims, argmax ties to the lowest cell),
+    so the driver gate pins the deploy path to DuckDB ground truth,
+    not merely to the Catalyst twin."""
+    from updater_spark.operators.similarity import semantic_dedup
+
+    corpus, centroids = _semantic_fixture(spark, sf_dir)
+    return semantic_dedup(
+        corpus,
+        centroids,
+        threshold=0.9,
+        id_col="vec_id",
+        vec_col="v",
+        arrow=True,
     )
 
 
@@ -1907,42 +1934,35 @@ def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hot-cell-guarded SemDeDup variant: same planted-chain
-    corpus and 8-centroid codebook as ``semantic_dedup``, with
-    ``max_cell=16`` — at sf0.01 that EXCLUDES two over-cap cells
-    (21 and 27 members) from the pair join and keeps a boundary-exact
-    cell of 16, so the oracle genuinely models the cut (members of
-    capped cells come out as singletons with keep=true). The cap is
-    the guard that keeps a degenerate codebook / embedding-collapsed
-    corpus off the O(|cell|²) cliff; the oracle reproduces it as a
-    cell-size filter on the pair CTE."""
-    from updater_spark.operators.similarity import (
-        as_double,
-        semantic_dedup,
+def q_semantic_dedup_t95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at a SECOND threshold (0.95) on the same fixture —
+    pins the round-then-threshold boundary (VERDICT r4 ask #8): the
+    planted c2 copies (x*1.02+0.01) sit near but not at cosine 1.0,
+    so a tighter threshold prunes real edges and the component
+    structure must shift identically in Spark and DuckDB. Any drift
+    in rounding order (round before vs after compare) or float-sum
+    association would move edges at exactly this kind of boundary."""
+    from updater_spark.operators.similarity import semantic_dedup
+
+    corpus, centroids = _semantic_fixture(spark, sf_dir)
+    return semantic_dedup(
+        corpus, centroids, threshold=0.95, id_col="vec_id", vec_col="v"
     )
 
-    emb = demo.load(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % 10 == 0
-    )
-    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    c1 = base.select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(F.col("v"), lambda x: x * 1.01 + 0.005).alias("v"),
-    )
-    c2 = base.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 2_000_000).alias("vec_id"),
-        F.transform(F.col("v"), lambda x: x * 1.02 + 0.01).alias("v"),
-    )
-    corpus = base.unionByName(c1).unionByName(c2)
-    cent_rows = (
-        base.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(8)
-        .select("v")
-        .collect()
-    )
-    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+
+def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-cell-guarded SemDeDup variant: same planted-chain
+    fixture as ``semantic_dedup``, with ``max_cell=16`` — at sf0.01
+    that EXCLUDES two over-cap cells (21 and 27 members) from the
+    pair join and keeps a boundary-exact cell of 16, so the oracle
+    genuinely models the cut (members of capped cells come out as
+    singletons with keep=true). The cap is the guard that keeps a
+    degenerate codebook / embedding-collapsed corpus off the
+    O(|cell|²) cliff; the oracle reproduces it as a cell-size filter
+    on the pair CTE."""
+    from updater_spark.operators.similarity import semantic_dedup
+
+    corpus, centroids = _semantic_fixture(spark, sf_dir)
     return semantic_dedup(
         corpus,
         centroids,
@@ -2602,67 +2622,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
-    # the FIRST 50 registered queries.  Rounds 1-2 covered the original
-    # first 50 (all green in CORRECTNESS_r02.json); this round the 31
-    # queries that have never had a hard driver row are promoted to the
-    # front, followed by queries new this round, then the already-green
-    # parity core.  The union of r2+r3 driver rows then covers every
-    # registered query.
+    # the FIRST 50 registered queries. Round-5 rotation (VERDICT r4
+    # ask #6): queries NEW this round lead, then the 46 queries whose
+    # last hard driver row is r2/r3 — in particular the
+    # store-dependent parity core after the locking change and the
+    # r2-checked ANN/sim queries after the r4 chunking work — then the
+    # 50 queries freshly green in CORRECTNESS_r04. The union of
+    # r4 ∪ r5 driver rows again covers all registered queries.
     return {
-        # --- 31 queries never driver-sampled before round 3 ---
-        "sample_stratified": q_sample_stratified,
-        "mixture_resample": q_mixture_resample,
-        "asof_join_events": q_asof_join_events,
-        "dedup_clusters": q_dedup_clusters,
-        "text_repetition": q_text_repetition,
-        "pii_redact": q_pii_redact,
-        "dedup_incremental": q_dedup_incremental,
-        "decontam_ngram": q_decontam_ngram,
-        "decontam_bloom": q_decontam_bloom,
-        "text_chunks": q_text_chunks,
-        "leakage_safe_split": q_leakage_safe_split,
-        "events_json_agg": q_events_json_agg,
-        "revenue_cube": q_revenue_cube,
-        "scores_unpivot": q_scores_unpivot,
-        "corpus_quantiles": q_corpus_quantiles,
-        "changelog_replay": q_changelog_replay,
-        "shuffle_order": q_shuffle_order,
-        "pivot_events": q_pivot_events,
-        "events_running": q_events_running,
-        "corpus_top_terms": q_corpus_top_terms,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "quality_filter": q_quality_filter,
-        "skew_salted_join": q_skew_salted_join,
-        "interval_join_events": q_interval_join_events,
-        "rollup_multires": q_rollup_multires,
-        "streaming_rollup": q_streaming_rollup,
-        "rollup_cdc_repair": q_rollup_cdc_repair,
-        "tribe_stats_repair": q_tribe_stats_repair,
-        "clustered_scan": q_clustered_scan,
-        "events_distinct_users": q_events_distinct_users,
-        "shard_export": q_shard_export,
-        # --- new in round 3 (keep inside the first 50) ---
-        "cdc_dedup_incremental": q_cdc_dedup_incremental,
-        "text_boilerplate": q_text_boilerplate,
-        "text_unigram_logprob": q_text_unigram_logprob,
-        "pq_codes": q_pq_codes,
-        "pq_adc_topk": q_pq_adc_topk,
-        "pq_adc_arrow": q_pq_adc_arrow,
-        "dup_spans": q_dup_spans,
-        "dedup_strip_spans": q_dedup_strip_spans,
-        "semantic_dedup": q_semantic_dedup,
-        # --- new in round 4 (keep inside the first 50) ---
-        "semantic_dedup_capped": q_semantic_dedup_capped,
-        "ann_ivfpq_maintained": q_ann_ivfpq_maintained,
-        "pipeline_e2e": q_pipeline_e2e,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_ivfpq_refined": q_ann_ivfpq_refined,
-        "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
-        # --- parity core + extensions, all green in r2 ---
-        "s2_fingerprint": q_s2_fingerprint,
-        "j1_diff_classify": q_j1_diff_classify,
-        "j2_semi_join_fetch": q_j2_semi_join_fetch,
-        "s5_merge_upsert": q_s5_merge_upsert,
+        # --- new in round 5 ---
+        "semantic_dedup_arrow": q_semantic_dedup_arrow,
+        "semantic_dedup_t95": q_semantic_dedup_t95,
+        # --- last hard driver row r2/r3: the r5 re-check set ---
         "s7_apply_deletes": q_s7_apply_deletes,
         "j5_changelog": q_j5_changelog,
         "cdc_full_cycle": q_cdc_full_cycle,
@@ -2709,6 +2680,57 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "pack_chunks": q_pack_chunks,
         "pack_greedy": q_pack_greedy,
+        # --- freshly green in CORRECTNESS_r04 ---
+        "sample_stratified": q_sample_stratified,
+        "mixture_resample": q_mixture_resample,
+        "asof_join_events": q_asof_join_events,
+        "dedup_clusters": q_dedup_clusters,
+        "text_repetition": q_text_repetition,
+        "pii_redact": q_pii_redact,
+        "dedup_incremental": q_dedup_incremental,
+        "decontam_ngram": q_decontam_ngram,
+        "decontam_bloom": q_decontam_bloom,
+        "text_chunks": q_text_chunks,
+        "leakage_safe_split": q_leakage_safe_split,
+        "events_json_agg": q_events_json_agg,
+        "revenue_cube": q_revenue_cube,
+        "scores_unpivot": q_scores_unpivot,
+        "corpus_quantiles": q_corpus_quantiles,
+        "changelog_replay": q_changelog_replay,
+        "shuffle_order": q_shuffle_order,
+        "pivot_events": q_pivot_events,
+        "events_running": q_events_running,
+        "corpus_top_terms": q_corpus_top_terms,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "quality_filter": q_quality_filter,
+        "skew_salted_join": q_skew_salted_join,
+        "interval_join_events": q_interval_join_events,
+        "rollup_multires": q_rollup_multires,
+        "streaming_rollup": q_streaming_rollup,
+        "rollup_cdc_repair": q_rollup_cdc_repair,
+        "tribe_stats_repair": q_tribe_stats_repair,
+        "clustered_scan": q_clustered_scan,
+        "events_distinct_users": q_events_distinct_users,
+        "shard_export": q_shard_export,
+        "cdc_dedup_incremental": q_cdc_dedup_incremental,
+        "text_boilerplate": q_text_boilerplate,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
+        "pq_adc_arrow": q_pq_adc_arrow,
+        "dup_spans": q_dup_spans,
+        "dedup_strip_spans": q_dedup_strip_spans,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_capped": q_semantic_dedup_capped,
+        "ann_ivfpq_maintained": q_ann_ivfpq_maintained,
+        "pipeline_e2e": q_pipeline_e2e,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_refined": q_ann_ivfpq_refined,
+        "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
+        "s2_fingerprint": q_s2_fingerprint,
+        "j1_diff_classify": q_j1_diff_classify,
+        "j2_semi_join_fetch": q_j2_semi_join_fetch,
+        "s5_merge_upsert": q_s5_merge_upsert,
     }
 
 
@@ -5006,4 +5028,13 @@ def oracle_sql() -> dict[str, str]:
         FROM starts
     """
     sqls.update(_generated_oracles())
+    # semantic_dedup_arrow is the deploy path of semantic_dedup with
+    # IDENTICAL semantics by contract (rounded-then-thresholded sims,
+    # argmax ties to the lowest cell) — the same oracle pins both
+    # implementations to the same ground truth.
+    sqls["semantic_dedup_arrow"] = sqls["semantic_dedup"]
+    # second-threshold variant: same construction, tighter edge set
+    sqls["semantic_dedup_t95"] = sqls["semantic_dedup"].replace(
+        ">= 0.9", ">= 0.95"
+    )
     return sqls

@@ -199,3 +199,43 @@ def test_ivfpq_index_self_describing_quantizer(spark, corpus, tmp_store):
     assert _sorted(again.search(q, k=2, nprobe=2)) == _sorted(
         idx.search(q, k=2, nprobe=2)
     )
+
+
+def test_identity_sidecar_detects_crashed_bootstrap(spark, corpus, tmp_store):
+    """ADVICE r4: the quantizer-internal identity hash matches its own
+    contents by construction, so __cells/__quantizer skew (a bootstrap
+    crash between the two writes, a partial restore) needs the
+    independent cells-side sidecar. Simulate both crash windows and
+    assert search/maintenance hash-fail LOUDLY instead of silently
+    degrading recall."""
+    df, vecs = corpus
+    cents = _cents(vecs, range(0, 24, 3))
+    books = _books(vecs, range(0, 24, 3), range(2, 34, 2))
+    idx = IvfPqIndex(tmp_store, "pq_crash")
+    idx.bootstrap(df.filter("vec_id < 60"), cents, books)
+    q = df.filter("vec_id % 30 = 0")
+    idx.search(q, k=2, nprobe=2).collect()  # healthy: passes the check
+
+    # crash window A: sidecar+cells written for generation 2, but the
+    # quantizer promote never happened (old quantizer still current)
+    tmp_store.write_sidecar("pq_crash__cells", "identity", "gen2-partial")
+    fresh = IvfPqIndex(tmp_store, "pq_crash")
+    with pytest.raises(RuntimeError, match="quantizer"):
+        fresh.search(q, k=2, nprobe=2)
+    with pytest.raises(RuntimeError, match="quantizer"):
+        fresh.upsert(df.filter("vec_id >= 60 and vec_id < 70"))
+    with pytest.raises(RuntimeError, match="quantizer"):
+        fresh.remove(df.filter("vec_id = 1").select("vec_id"))
+
+    # re-bootstrap repairs the skew end-to-end
+    fresh.bootstrap(df.filter("vec_id < 60"), cents, books)
+    assert _sorted(fresh.search(q, k=2, nprobe=2)) == _sorted(
+        idx.search(q, k=2, nprobe=2)
+    )
+
+    # the plain IVF index has the same guard
+    ividx = IvfIndex(tmp_store, "ivf_crash")
+    ividx.bootstrap(df.filter("vec_id < 60"), cents)
+    tmp_store.write_sidecar("ivf_crash__cells", "identity", "gen2-partial")
+    with pytest.raises(RuntimeError, match="codebook"):
+        IvfIndex(tmp_store, "ivf_crash").search(q, k=2, nprobe=2)

@@ -684,3 +684,58 @@ def test_ivfpq_index_roundtrip_staleness_and_pruning(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_semantic_dedup_arrow_equals_catalyst(spark):
+    """The deploy path (arrow=True: GEMM argmax assignment +
+    block-chunked per-cell GEMM scoring) must produce EXACTLY the
+    Catalyst path's output — same cells (argmax ties to the lowest
+    cell), same rounded-then-thresholded pairs, same components —
+    on the planted chain fixture, with and without max_cell. Also
+    exercises the pair_block chunking boundary (cell larger than the
+    block) via a monkeypatched tiny block."""
+    from updater_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    vecs = [
+        (1, [1.0, 0.00, 0.0, 0.0]),
+        (2, [1.0, 0.25, 0.0, 0.0]),
+        (3, [1.0, 0.52, 0.0, 0.0]),
+        (4, [0.3, -1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 0.1, 1.0]),
+        (6, [0.0, 0.0, 0.12, 1.0]),
+        # tie case: equidistant from both centroids — must go to cell 0
+        (7, [0.5, 0.0, 0.0, 0.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    def snap(out):
+        return sorted(tuple(r) for r in out.collect())
+
+    cat = snap(semantic_dedup(df, cents, threshold=0.97))
+    arw = snap(semantic_dedup(df, cents, threshold=0.97, arrow=True))
+    assert cat == arw
+    assert any(r[0] == 7 and r[1] == 0 for r in cat)  # tie to low cell
+
+    # max_cell engagement: degenerate codebook funnels all of +x into
+    # cell 0; capped at 3 the hot cell contributes no pairs on BOTH
+    # paths (members come out as singletons)
+    deg = [[1.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]]
+    hot = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(1, 9)],
+        "vec_id long, embedding array<double>",
+    )
+    cat_cap = snap(semantic_dedup(hot, deg, threshold=0.99, max_cell=3))
+    arw_cap = snap(
+        semantic_dedup(hot, deg, threshold=0.99, max_cell=3, arrow=True)
+    )
+    assert cat_cap == arw_cap
+    assert all(r[3] for r in arw_cap)  # all singletons: keep=true
+
+    # chunking boundary: an 8-member chained cell scored with
+    # pair_block=3 (smaller than the cell) must still find every pair
+    cat_big = snap(semantic_dedup(hot, deg, threshold=0.99))
+    arw_big = snap(
+        semantic_dedup(hot, deg, threshold=0.99, arrow=True, pair_block=3)
+    )
+    assert cat_big == arw_big

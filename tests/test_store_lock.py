@@ -57,14 +57,94 @@ def test_dead_holder_lock_is_broken(spark, tmp_path):
     assert not os.path.exists(store._lock_path("t"))
 
 
-def test_expired_lock_is_broken_even_if_pid_alive(spark, tmp_path):
-    # cross-host crash model: pid liveness unverifiable, age decides
+def test_live_samehost_lock_never_age_broken(spark, tmp_path):
+    """A LIVE same-host holder keeps its lock no matter how old it is
+    (ADVICE r4: a legitimate multi-hour Spark write must not silently
+    lose its lock to age — that re-enables concurrent publishing)."""
     store = TableStore(spark, str(tmp_path / "s"), lock_stale_after=0.05)
     store.write("t", _df(spark, 3))
-    with open(store._lock_path("t"), "w") as f:
-        f.write(f"{os.getpid()}:{time.time() - 1.0}")
+    path = store._lock_path("t")
+    with open(path, "w") as f:
+        f.write(f"{os.getpid()}:{time.time() - 9999.0}")
+    old = time.time() - 9999.0
+    os.utime(path, (old, old))  # even the mtime clock says ancient
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            store.write("t", _df(spark, 6))
+    finally:
+        os.unlink(path)
+    assert store.read("t").count() == 3
+
+
+def test_crosshost_lock_expires_on_mtime_and_heartbeat_defers(
+    spark, tmp_path
+):
+    """Cross-host crash model: liveness unverifiable, so the lock
+    file's MTIME age decides — and a heartbeat (mtime touch) keeps a
+    long-running remote holder alive."""
+    store = TableStore(spark, str(tmp_path / "s"), lock_stale_after=0.05)
+    store.write("t", _df(spark, 3))
+    path = store._lock_path("t")
+    with open(path, "w") as f:
+        f.write(f"{os.getpid()}:{time.time()}:some-other-host")
+    # fresh mtime: not expired yet, even though the host is unknown
+    with pytest.raises(ConcurrentWriteError):
+        store.write("t", _df(spark, 5))
+    # heartbeat then age the ts only — mtime is the clock, so a
+    # heartbeating holder survives...
+    store.heartbeat("t")
+    with pytest.raises(ConcurrentWriteError):
+        store.write("t", _df(spark, 5))
+    # ...and once the mtime itself goes stale, the lock is broken
+    old = time.time() - 1.0
+    os.utime(path, (old, old))
     store.write("t", _df(spark, 6))
     assert store.read("t").count() == 6
+
+
+def test_break_is_rename_based_and_verifies_inode(spark, tmp_path):
+    """The TOCTOU fix (ADVICE r4): breaking renames the EXAMINED lock
+    aside; a lock that was already replaced by a fresh one is left
+    alone. Simulated directly against _try_break_stale."""
+    store = TableStore(spark, str(tmp_path / "s"), lock_stale_after=0.05)
+    store.write("t", _df(spark, 3))
+    path = store._lock_path("t")
+    # a dead-pid lock is breakable; after the break nothing remains
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(path, "w") as f:
+        f.write(f"{proc.pid}:{time.time()}")
+    assert store._try_break_stale(path) is True
+    assert not os.path.exists(path)
+    assert not [
+        p for p in os.listdir(store._dir("t")) if p.startswith("_LOCK")
+    ]
+    # a LIVE lock is refused outright — never renamed, never unlinked
+    with open(path, "w") as f:
+        f.write(f"{os.getpid()}:{time.time()}")
+    ino = os.stat(path).st_ino
+    assert store._try_break_stale(path) is False
+    assert os.stat(path).st_ino == ino
+    os.unlink(path)
+
+
+def test_locked_is_reentrant_within_instance_only(spark, tmp_path):
+    """Multi-step maintenance (overwrite+drop under one locked())
+    must not deadlock on its own nested per-op locks, while a second
+    TableStore instance — a different logical writer — is still shut
+    out for the whole sequence."""
+    store = TableStore(spark, str(tmp_path / "s"))
+    other = TableStore(spark, str(tmp_path / "s"))
+    base = _df(spark, 8)
+    df = base.withColumn("p", base.k % 2)
+    with store.locked("pt"):
+        store.write_partitioned("pt", df, "p")  # nested lock: no-op
+        with pytest.raises(ConcurrentWriteError):
+            other.write_partitioned("pt", df, "p")
+        store.drop_partitions("pt", "p", [1])
+    # lock fully released after the outermost exit
+    other.write_partitioned("pt", df, "p")
+    assert store.read_partitioned("pt").count() == 8
 
 
 def test_lock_released_after_write_and_unreadable_lock_refused(

@@ -143,26 +143,52 @@ class IvfIndex:
 
     # -- lifecycle -----------------------------------------------------
     def bootstrap(self, corpus: DataFrame, centroids: list[list[float]]) -> None:
+        """(Re)build the whole index. Write order is sidecar → cells
+        → codebook-promote so every crash point fails LOUDLY on the
+        next search instead of silently mixing quantizer generations
+        (ADVICE r4): the cells table carries its encoding identity in
+        a sidecar, the codebook table is promoted LAST (atomic pointer
+        swap), and ``search`` cross-checks the two — a crash between
+        the cells write and the codebook promote leaves new codes
+        beside the old codebook, which the identity check rejects."""
         spark = self.store.spark
         cb = codebook_id(centroids)
-        self.store.write(
-            self._codebook,
-            spark.createDataFrame(
-                [(i, c, cb) for i, c in enumerate(centroids)],
-                "cid long, centroid array<double>, codebook_id string",
-            ),
-        )
-        self._cb_cache = ([list(c) for c in centroids], cb)
-        assigned = ivf_assign(
-            corpus, centroids, self.id_col, self.vec_col
-        )
-        # align tasks with cells before the partitioned write: without
-        # it every input task emits a file into every bucket directory
-        # (tasks × cells tiny files); with it each cell gets its
-        # task's worth of files and reads stay listing-cheap
-        self.store.write_partitioned(
-            self._cells, assigned.repartition("bucket"), "bucket"
-        )
+        with self.store.locked(self._cells):
+            self.store.write_sidecar(self._cells, "identity", cb)
+            assigned = ivf_assign(
+                corpus, centroids, self.id_col, self.vec_col
+            )
+            # align tasks with cells before the partitioned write:
+            # without it every input task emits a file into every
+            # bucket directory (tasks × cells tiny files); with it
+            # each cell gets its task's worth of files and reads stay
+            # listing-cheap
+            self.store.write_partitioned(
+                self._cells, assigned.repartition("bucket"), "bucket"
+            )
+            self.store.write(
+                self._codebook,
+                spark.createDataFrame(
+                    [(i, c, cb) for i, c in enumerate(centroids)],
+                    "cid long, centroid array<double>, codebook_id string",
+                ),
+            )
+            self._cb_cache = ([list(c) for c in centroids], cb)
+
+    def _check_identity(self) -> None:
+        """Cells-side identity sidecar must match the promoted
+        codebook — catches a crashed bootstrap or a partial restore
+        before it degrades recall silently."""
+        side = self.store.read_sidecar(self._cells, "identity")
+        if side != self._codebook_state()[1]:
+            raise RuntimeError(
+                f"index {self.name!r}: cells were encoded with quantizer "
+                f"{side!r} but the promoted codebook is "
+                f"{self._codebook_state()[1]!r} — a bootstrap crashed "
+                "between the cells write and the codebook promote, or "
+                "the two tables were restored from different snapshots; "
+                "re-run bootstrap()"
+            )
 
     def _cell_stats(
         self, idx: DataFrame, touched_ids: DataFrame, inserts: DataFrame | None
@@ -185,41 +211,45 @@ class IvfIndex:
         a plan would re-scan on its next evaluation. Derive deltas
         from the upstream source, or materialize first."""
         cents = self.centroids()
-        assigned = ivf_assign(delta, cents, self.id_col, self.vec_col)
-        idx = self.store.read_partitioned(self._cells)
-        delta_ids = delta.select(self.id_col).distinct()
-        affected, to_drop = self._cell_stats(idx, delta_ids, assigned)
-        if not affected:
-            return
-        rebuilt = (
-            idx.filter(F.col("bucket").isin(affected))
-            .join(delta_ids, self.id_col, "anti")
-            .unionByName(assigned.select(*idx.columns))
-        )
-        self.store.overwrite_partitions(
-            self._cells, rebuilt.repartition("bucket"), "bucket"
-        )
-        self.store.drop_partitions(self._cells, "bucket", to_drop)
+        with self.store.locked(self._cells):
+            self._check_identity()
+            assigned = ivf_assign(delta, cents, self.id_col, self.vec_col)
+            idx = self.store.read_partitioned(self._cells)
+            delta_ids = delta.select(self.id_col).distinct()
+            affected, to_drop = self._cell_stats(idx, delta_ids, assigned)
+            if not affected:
+                return
+            rebuilt = (
+                idx.filter(F.col("bucket").isin(affected))
+                .join(delta_ids, self.id_col, "anti")
+                .unionByName(assigned.select(*idx.columns))
+            )
+            self.store.overwrite_partitions(
+                self._cells, rebuilt.repartition("bucket"), "bucket"
+            )
+            self.store.drop_partitions(self._cells, "bucket", to_drop)
 
     def remove(self, ids: DataFrame) -> None:
         """Drop vectors by id; rewrites (or drops) only their cells.
         Same two-job shape as ``upsert``."""
-        idx = self.store.read_partitioned(self._cells)
-        key = ids.select(self.id_col).distinct()
-        affected, to_drop = self._cell_stats(idx, key, None)
-        if not affected:
-            return
-        rebuilt = idx.filter(F.col("bucket").isin(affected)).join(
-            key, self.id_col, "anti"
-        )
-        # an affected cell can be fully emptied; overwrite replaces
-        # the survivors' partitions, drop removes the emptied ones
-        survivors = [b for b in affected if b not in set(to_drop)]
-        if survivors:
-            self.store.overwrite_partitions(
-                self._cells, rebuilt.repartition("bucket"), "bucket"
+        with self.store.locked(self._cells):
+            self._check_identity()
+            idx = self.store.read_partitioned(self._cells)
+            key = ids.select(self.id_col).distinct()
+            affected, to_drop = self._cell_stats(idx, key, None)
+            if not affected:
+                return
+            rebuilt = idx.filter(F.col("bucket").isin(affected)).join(
+                key, self.id_col, "anti"
             )
-        self.store.drop_partitions(self._cells, "bucket", to_drop)
+            # an affected cell can be fully emptied; overwrite replaces
+            # the survivors' partitions, drop removes the emptied ones
+            survivors = [b for b in affected if b not in set(to_drop)]
+            if survivors:
+                self.store.overwrite_partitions(
+                    self._cells, rebuilt.repartition("bucket"), "bucket"
+                )
+            self.store.drop_partitions(self._cells, "bucket", to_drop)
 
     # -- search --------------------------------------------------------
     def search(self, queries: DataFrame, k: int = 5, nprobe: int = 4) -> DataFrame:
@@ -227,8 +257,12 @@ class IvfIndex:
         (self-describing) — caller cannot desynchronize them. The
         partitioned cell read carries no column metadata, so the
         codebook table's stored identity is passed explicitly; it must
-        hash-match the centroids read from the same table, catching a
-        codebook/cells restore mismatch."""
+        hash-match the centroids read from the same table, and the
+        cells table's identity SIDECAR must match the promoted
+        codebook (``_check_identity``) — the pair of checks catches
+        both a caller-side stale codebook and a codebook/cells restore
+        or crashed-bootstrap skew."""
+        self._check_identity()
         stored = self.store.read_partitioned(self._cells)
         return ivf_topk(
             stored,
@@ -344,6 +378,15 @@ class IvfPqIndex:
         centroids: list[list[float]],
         codebooks: list[list[list[float]]],
     ) -> None:
+        """(Re)build the whole index. Write order is sidecar → cells
+        → quantizer-promote (ADVICE r4): the quantizer's atomic
+        pointer swap happens LAST, and the cells table carries its
+        encoding identity in a sidecar that ``search``/maintenance
+        cross-check against the promoted quantizer — a crash at ANY
+        intermediate point (sidecar written but cells half-done; cells
+        done but quantizer still the old generation) hash-fails
+        loudly instead of silently searching old codes with a new
+        quantizer (or vice versa)."""
         spark = self.store.spark
         ident = ivfpq_index_id(centroids, codebooks)
         quant = [
@@ -354,27 +397,46 @@ class IvfPqIndex:
             for m, book in enumerate(codebooks)
             for j, cw in enumerate(book)
         ]
-        self.store.write(
-            self._quantizer,
-            spark.createDataFrame(
-                quant,
-                "kind string, i long, j long, vec array<double>, "
-                "identity string",
-            ),
-        )
-        self._q_cache = (
-            [list(c) for c in centroids],
-            [[list(cw) for cw in book] for book in codebooks],
-            ident,
-        )
-        assigned = ivfpq_assign(
-            corpus, centroids, codebooks, self.id_col, self.vec_col
-        )
-        # task/cell alignment before the partitioned write — same
-        # small-files argument as IvfIndex.bootstrap
-        self.store.write_partitioned(
-            self._cells, assigned.repartition("cell"), "cell"
-        )
+        with self.store.locked(self._cells):
+            self.store.write_sidecar(self._cells, "identity", ident)
+            assigned = ivfpq_assign(
+                corpus, centroids, codebooks, self.id_col, self.vec_col
+            )
+            # task/cell alignment before the partitioned write — same
+            # small-files argument as IvfIndex.bootstrap
+            self.store.write_partitioned(
+                self._cells, assigned.repartition("cell"), "cell"
+            )
+            self.store.write(
+                self._quantizer,
+                spark.createDataFrame(
+                    quant,
+                    "kind string, i long, j long, vec array<double>, "
+                    "identity string",
+                ),
+            )
+            self._q_cache = (
+                [list(c) for c in centroids],
+                [[list(cw) for cw in book] for book in codebooks],
+                ident,
+            )
+
+    def _check_identity(self) -> None:
+        """Cells-side identity sidecar must match the promoted
+        quantizer. The quantizer table alone can't detect __cells
+        skew — its identity matches its own contents by construction
+        (ADVICE r4) — so the check needs the independent cells-side
+        record of which quantizer generation encoded the codes."""
+        side = self.store.read_sidecar(self._cells, "identity")
+        if side != self._quantizer_state()[2]:
+            raise RuntimeError(
+                f"index {self.name!r}: cells were encoded with quantizer "
+                f"{side!r} but the promoted quantizer is "
+                f"{self._quantizer_state()[2]!r} — a bootstrap crashed "
+                "between the cells write and the quantizer promote, or "
+                "the two tables were restored from different snapshots; "
+                "re-run bootstrap()"
+            )
 
     def upsert(self, delta: DataFrame) -> None:
         """Insert or replace the delta's vectors: re-encode ONLY the
@@ -383,44 +445,48 @@ class IvfPqIndex:
         index's own storage (the rewrite deletes files such a plan
         would re-scan) — derive deltas from the upstream source."""
         cents, books, _ = self._quantizer_state()
-        assigned = ivfpq_assign(
-            delta, cents, books, self.id_col, self.vec_col
-        )
-        idx = self.store.read_partitioned(self._cells)
-        delta_ids = delta.select(self.id_col).distinct()
-        affected, to_drop = cell_maintenance_stats(
-            idx, delta_ids, assigned, self.id_col, "cell"
-        )
-        if not affected:
-            return
-        rebuilt = (
-            idx.filter(F.col("cell").isin(affected))
-            .join(delta_ids, self.id_col, "anti")
-            .unionByName(assigned.select(*idx.columns))
-        )
-        self.store.overwrite_partitions(
-            self._cells, rebuilt.repartition("cell"), "cell"
-        )
-        self.store.drop_partitions(self._cells, "cell", to_drop)
-
-    def remove(self, ids: DataFrame) -> None:
-        """Drop vectors by id; rewrites (or drops) only their cells."""
-        idx = self.store.read_partitioned(self._cells)
-        key = ids.select(self.id_col).distinct()
-        affected, to_drop = cell_maintenance_stats(
-            idx, key, None, self.id_col, "cell"
-        )
-        if not affected:
-            return
-        rebuilt = idx.filter(F.col("cell").isin(affected)).join(
-            key, self.id_col, "anti"
-        )
-        survivors = [c for c in affected if c not in set(to_drop)]
-        if survivors:
+        with self.store.locked(self._cells):
+            self._check_identity()
+            assigned = ivfpq_assign(
+                delta, cents, books, self.id_col, self.vec_col
+            )
+            idx = self.store.read_partitioned(self._cells)
+            delta_ids = delta.select(self.id_col).distinct()
+            affected, to_drop = cell_maintenance_stats(
+                idx, delta_ids, assigned, self.id_col, "cell"
+            )
+            if not affected:
+                return
+            rebuilt = (
+                idx.filter(F.col("cell").isin(affected))
+                .join(delta_ids, self.id_col, "anti")
+                .unionByName(assigned.select(*idx.columns))
+            )
             self.store.overwrite_partitions(
                 self._cells, rebuilt.repartition("cell"), "cell"
             )
-        self.store.drop_partitions(self._cells, "cell", to_drop)
+            self.store.drop_partitions(self._cells, "cell", to_drop)
+
+    def remove(self, ids: DataFrame) -> None:
+        """Drop vectors by id; rewrites (or drops) only their cells."""
+        with self.store.locked(self._cells):
+            self._check_identity()
+            idx = self.store.read_partitioned(self._cells)
+            key = ids.select(self.id_col).distinct()
+            affected, to_drop = cell_maintenance_stats(
+                idx, key, None, self.id_col, "cell"
+            )
+            if not affected:
+                return
+            rebuilt = idx.filter(F.col("cell").isin(affected)).join(
+                key, self.id_col, "anti"
+            )
+            survivors = [c for c in affected if c not in set(to_drop)]
+            if survivors:
+                self.store.overwrite_partitions(
+                    self._cells, rebuilt.repartition("cell"), "cell"
+                )
+            self.store.drop_partitions(self._cells, "cell", to_drop)
 
     # -- search --------------------------------------------------------
     def search(
@@ -429,8 +495,12 @@ class IvfPqIndex:
         """ADC top-k over the stored codes. Quantizer comes FROM the
         index; its stored identity re-arms ``ivfpq_topk``'s staleness
         guard across the partitioned read (which drops column
-        metadata), so a quantizer/cells restore mismatch still
-        hash-fails instead of silently degrading recall."""
+        metadata), and ``_check_identity`` compares the cells table's
+        OWN sidecar record against the promoted quantizer — the
+        independent check that actually detects __cells/__quantizer
+        skew (e.g. a bootstrap crash between the two writes), which
+        the quantizer-internal hash cannot see (ADVICE r4)."""
+        self._check_identity()
         cents, books, ident = self._quantizer_state()
         stored = self.store.read_partitioned(self._cells)
         return ivfpq_topk(

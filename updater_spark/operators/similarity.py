@@ -1172,6 +1172,7 @@ def semantic_dedup(
     max_cell: int | None = None,
     stats_out: dict | None = None,
     arrow: bool = False,
+    pair_block: int = 1024,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings
@@ -1215,8 +1216,9 @@ def semantic_dedup(
     minutes past ~1k centroids), and the pair join evaluates one
     interpreted zip_with dot PER PAIR. The arrow path assigns cells
     with one GEMM argmax per Arrow batch and scores each cell with
-    ONE |cell|×|cell| GEMM inside applyInPandas (grouped by cell —
-    the shuffle the Catalyst join pays anyway). Same semantics
+    BLOCK-CHUNKED GEMMs inside applyInPandas (grouped by cell — the
+    shuffle the Catalyst join pays anyway; peak task memory is
+    O(block × |cell|), never |cell|²). Same semantics
     (argmax ties to the lowest cell, sims rounded then thresholded,
     max_cell cut identical); differs only by float-sum association
     inside the dot products, so exact oracle twins keep the default
@@ -1268,6 +1270,17 @@ def semantic_dedup(
             assign_fn, schema="id long, u array<double>, cell long"
         ).persist()
 
+        # per-task score-matrix bound: the GEMM runs over ROW BLOCKS of
+        # the cell (``pair_block``), so peak memory is O(block ×
+        # |cell|) float64 — NOT |cell|² (with max_cell unset, an
+        # unchunked matrix would re-create exactly the task-OOM cliff
+        # the cap exists to prevent; the Catalyst twin degrades
+        # gracefully via a shuffle-backed join, so its deploy path
+        # must too). Default 1024 × a 100k-row cell ≈ 0.8 GB — the
+        # same knob as pq_topk_arrow's q_block. applyInPandas still
+        # holds the cell's VECTORS in one task (inherent to grouping);
+        # the quadratic score matrix was the allocation that outgrew
+        # them.
         def cell_pairs(pdf):
             if len(pdf) < 2 or (max_cell is not None and len(pdf) > max_cell):
                 return pd.DataFrame(
@@ -1279,14 +1292,33 @@ def semantic_dedup(
             order = np.argsort(ids)
             ids = ids[order]
             vm = np.array(pdf["u"].tolist(), dtype=np.float64)[order]
-            sims = np.round(vm @ vm.T, round_digits)
-            iu = np.triu_indices(len(ids), k=1)
-            keep = sims[iu] >= threshold
+            n = len(ids)
+            out_a, out_b, out_s = [], [], []
+            for lo in range(0, n - 1, pair_block):
+                hi = min(lo + pair_block, n)
+                # rows lo..hi scored against every LATER row: the
+                # (i < j) half of the matrix, one block-slab at a time
+                sims = np.round(vm[lo:hi] @ vm[lo:].T, round_digits)
+                ii, jj = np.nonzero(sims >= threshold)
+                # strict upper triangle: the slab's columns start at
+                # global row lo, so global col (lo + jj) exceeds global
+                # row (lo + ii) exactly when jj > ii
+                keep = jj > ii
+                ii, jj = ii[keep], jj[keep]
+                out_a.append(ids[lo + ii])
+                out_b.append(ids[lo + jj])
+                out_s.append(sims[ii, jj])
+            if not out_a:
+                return pd.DataFrame(
+                    {"id_a": pd.Series(dtype="int64"),
+                     "id_b": pd.Series(dtype="int64"),
+                     "sim": pd.Series(dtype="float64")}
+                )
             return pd.DataFrame(
                 {
-                    "id_a": ids[iu[0][keep]],
-                    "id_b": ids[iu[1][keep]],
-                    "sim": sims[iu][keep],
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "sim": np.concatenate(out_s),
                 }
             )
 

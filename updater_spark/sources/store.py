@@ -19,19 +19,41 @@ same semantics.
 Concurrency contract — SINGLE WRITER PER TABLE, enforced: the
 promote-on-success scheme is crash-safe for one writer, but two
 concurrent writers could interleave version-pick → write → promote
-and publish a pointer to a half-written directory. Every
-pointer-swapping operation therefore takes a per-table lock file
-(``_LOCK``, created O_EXCL with pid + timestamp); a second writer
-fails LOUDLY with ``ConcurrentWriteError`` instead of corrupting
-``_CURRENT``. Locks left by crashed writers are broken when the
-holding pid is dead (same host — detectable) or the lock is older
-than ``lock_stale_after`` seconds (cross-host crash, where pid
-liveness can't be checked). Readers never lock: they resolve the
-pointer, which only ever moves atomically between complete versions.
-Multi-writer coordination beyond this (queues, retries, cross-table
-transactions) is exactly where to escalate to Delta/Iceberg — their
-commit protocol is this lock generalized (optimistic CAS on a log),
-see SURVEY §7.2.
+and publish a pointer to a half-written directory. Every mutating
+operation (pointer swaps, hash-partitioned overwrites/drops, appends)
+therefore takes a per-table lock file (``_LOCK``, created O_EXCL with
+pid + timestamp + host); a second writer fails LOUDLY with
+``ConcurrentWriteError`` instead of corrupting ``_CURRENT``. The lock
+is re-entrant WITHIN a ``TableStore`` instance, and multi-step
+maintenance sequences (e.g. an IVF index's overwrite+drop pair) hold
+it across all their steps via the public ``locked()`` context
+manager.
+
+Stale locks left by crashed writers are broken only when the holder
+is provably or plausibly gone:
+
+- same host, pid dead → broken immediately;
+- same host, pid ALIVE → never broken, regardless of age (a
+  legitimate multi-hour Spark write keeps its lock);
+- different host (or liveness otherwise unverifiable) → broken when
+  the lock file's mtime is older than ``lock_stale_after``. The
+  mtime, not the creation timestamp, is the expiry clock so a
+  long-running cross-host holder can keep its lock alive by
+  periodically touching the file (``heartbeat()``).
+
+Breaking itself is race-safe: the breaker atomically RENAMES the
+examined lock to a unique name and proceeds only if it moved the
+exact file (inode) it examined — a contender that lost the rename, or
+that finds a fresh lock at the path, backs off. Unlinking in place
+would race: between examine and unlink another contender can break
+the lock and a new writer acquire it, and the unlink would then
+delete the NEW holder's live lock, admitting two writers.
+
+Readers never lock: they resolve the pointer, which only ever moves
+atomically between complete versions. Multi-writer coordination
+beyond this (queues, retries, cross-table transactions) is exactly
+where to escalate to Delta/Iceberg — their commit protocol is this
+lock generalized (optimistic CAS on a log), see SURVEY §7.2.
 """
 
 from __future__ import annotations
@@ -39,6 +61,7 @@ from __future__ import annotations
 import contextlib
 import os
 import shutil
+import socket
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +83,13 @@ class TableStore:
         self.spark = spark
         self.root = root
         self.lock_stale_after = lock_stale_after
+        # re-entrancy counts for locks held by THIS instance: one
+        # logical writer (one TableStore) may nest locked() sections
+        # (index maintenance calls overwrite_partitions which locks
+        # again); a DIFFERENT instance is a different writer and gets
+        # ConcurrentWriteError — which is also how the tests simulate
+        # a racing writer in-process.
+        self._held: dict[str, int] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- paths ----------------------------------------------------------
@@ -74,35 +104,102 @@ class TableStore:
         return os.path.join(self._dir(name), "_LOCK")
 
     def _try_break_stale(self, path: str) -> bool:
-        """Break a lock whose holder is provably gone: pid dead on
-        this host, or lock older than ``lock_stale_after`` (a crashed
-        writer never unlinks). Returns True if broken."""
+        """Break a lock whose holder is provably (or, cross-host,
+        plausibly) gone. Returns True if THIS contender broke it.
+
+        Staleness rules (module docstring): same-host dead pid →
+        stale; same-host LIVE pid → never stale, age is irrelevant (a
+        legitimate long write must not lose its lock mid-flight);
+        cross-host / liveness-unverifiable → stale only when the lock
+        file's mtime exceeds ``lock_stale_after`` (mtime so the holder
+        can ``heartbeat()``). Unreadable/garbage locks are never
+        broken — fail loudly, don't guess.
+
+        Break mechanics close the examine-then-unlink TOCTOU (ADVICE
+        r4): the examined file's inode is captured from the open fd,
+        the lock is atomically RENAMED to a unique name, and the
+        breaker proceeds only if the renamed file IS the examined
+        inode. A lock replaced between examine and rename (another
+        contender broke it; a new writer acquired) either fails the
+        pre-rename inode check, fails the rename (ENOENT), or is
+        detected after the rename and restored — a live writer's fresh
+        lock is never destroyed."""
         try:
-            with open(path) as f:
-                pid_s, ts_s = f.read().strip().split(":", 1)
-            holder_dead = False
-            try:
-                os.kill(int(pid_s), 0)
-            except ProcessLookupError:
-                holder_dead = True
-            except (PermissionError, ValueError):
-                pass  # alive (other user) / unparsable: fall to age
-            expired = time.time() - float(ts_s) > self.lock_stale_after
-            if holder_dead or expired:
-                os.unlink(path)
-                return True
+            fd = os.open(path, os.O_RDONLY)
         except FileNotFoundError:
             return True  # holder released it between our check and now
-        except (ValueError, OSError):
-            pass  # unreadable lock: refuse to break, fail loudly below
-        return False
+        except OSError:
+            return False
+        try:
+            examined = os.fstat(fd)
+            content = os.read(fd, 256).decode(errors="replace").strip()
+        finally:
+            os.close(fd)
+        try:
+            parts = content.split(":")
+            pid = int(parts[0])
+            float(parts[1])  # ts present and numeric, or garbage lock
+            host = parts[2] if len(parts) > 2 else socket.gethostname()
+        except (ValueError, IndexError):
+            return False  # garbage lock: refuse to break, fail loudly
+        stale = False
+        if host == socket.gethostname():
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                stale = True  # same host, holder dead
+            except PermissionError:
+                pass  # alive under another uid: not stale
+        else:
+            # liveness unverifiable: mtime age decides (heartbeat-able)
+            stale = time.time() - examined.st_mtime > self.lock_stale_after
+        if not stale:
+            return False
+        uniq = f"{path}.breaking.{os.getpid()}.{time.monotonic_ns()}"
+        try:
+            if os.stat(path).st_ino != examined.st_ino:
+                return False  # already replaced by a fresh lock
+            os.rename(path, uniq)
+        except FileNotFoundError:
+            return False  # another contender won the break
+        except OSError:
+            return False
+        if os.stat(uniq).st_ino != examined.st_ino:
+            # raced: we moved a FRESH lock created after our stat —
+            # put it back exactly as the new holder wrote it
+            os.rename(uniq, path)
+            return False
+        os.unlink(uniq)
+        return True
+
+    def heartbeat(self, name: str) -> None:
+        """Refresh the held lock's mtime — the cross-host expiry
+        clock. A holder whose single write may exceed
+        ``lock_stale_after`` calls this periodically (same-host
+        holders never need it: a live pid is never age-broken)."""
+        with contextlib.suppress(FileNotFoundError):
+            os.utime(self._lock_path(name))
 
     @contextlib.contextmanager
-    def _write_lock(self, name: str):
+    def locked(self, name: str):
         """Per-table writer mutex (O_EXCL create of ``_LOCK`` holding
-        ``pid:timestamp``). Serializes version-pick → write → promote;
-        the loser of a race raises ``ConcurrentWriteError`` instead of
-        publishing over (or under) the winner."""
+        ``pid:timestamp:host``). Serializes version-pick → write →
+        promote; the loser of a race raises ``ConcurrentWriteError``
+        instead of publishing over (or under) the winner.
+
+        Re-entrant within this instance: a multi-step maintenance
+        sequence (read → stats → overwrite_partitions →
+        drop_partitions, e.g. ``IvfPqIndex.upsert``) wraps itself in
+        ``with store.locked(table):`` and the nested per-op locks
+        become no-ops — the sequence is atomic w.r.t. other writers,
+        not just each step."""
+        if self._held.get(name, 0) > 0:
+            self._held[name] += 1
+            try:
+                yield
+            finally:
+                self._held[name] -= 1
+            return
         os.makedirs(self._dir(name), exist_ok=True)
         path = self._lock_path(name)
         fd = None
@@ -120,14 +217,22 @@ class TableStore:
                     "true multi-writer commits"
                 ) from None
         try:
-            os.write(fd, f"{os.getpid()}:{time.time()}".encode())
+            os.write(
+                fd,
+                f"{os.getpid()}:{time.time()}:{socket.gethostname()}".encode(),
+            )
             os.close(fd)
+            self._held[name] = 1
             yield
         finally:
+            self._held[name] = 0
             try:
                 os.unlink(path)
             except FileNotFoundError:
                 pass
+
+    # internal alias kept for the existing call sites / tests
+    _write_lock = locked
 
     def current_path(self, name: str) -> str | None:
         ptr = self._pointer(name)
@@ -241,10 +346,14 @@ class TableStore:
         """Append-only history table (the ``{t}_changelog`` sink,
         download.py:585-595). Parquet append into the live directory
         (resolved through the ``_DATA`` pointer so compaction can swap
-        directories without disturbing appenders between runs)."""
-        path = self._appendable_dir(name)
-        df.write.mode("append").parquet(path)
-        return path
+        directories without disturbing appenders between runs).
+        Locked: an append racing a compaction could otherwise resolve
+        ``_DATA``, lose the directory swap, and write into a directory
+        the compactor is about to rmtree."""
+        with self.locked(name):
+            path = self._appendable_dir(name)
+            df.write.mode("append").parquet(path)
+            return path
 
     def read_appendable(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._appendable_dir(name))
@@ -292,9 +401,10 @@ class TableStore:
         self, name: str, df: DataFrame, partition_col: str
     ) -> str:
         """Full overwrite of a hash-partitioned table (bootstrap)."""
-        path = self._ppath(name)
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-        return path
+        with self.locked(name):
+            path = self._ppath(name)
+            df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+            return path
 
     def overwrite_partitions(
         self, name: str, df: DataFrame, partition_col: str
@@ -306,15 +416,17 @@ class TableStore:
         whole replica. (Production twin: Delta/Iceberg
         ``replaceWhere`` / MERGE, which adds snapshot atomicity across
         partitions; per-partition replacement here is atomic per
-        directory.)"""
-        path = self._ppath(name)
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partition_col)
-            .parquet(path)
-        )
-        return path
+        directory.) Locked; maintenance sequences that pair this with
+        ``drop_partitions`` hold ``locked(name)`` across both."""
+        with self.locked(name):
+            path = self._ppath(name)
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+            return path
 
     def read_partitioned(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._ppath(name))
@@ -327,16 +439,38 @@ class TableStore:
         when an incremental rewrite empties a partition: dynamic
         overwrite only replaces partitions PRESENT in the new data, so
         an emptied one must be dropped explicitly."""
-        for v in values:
-            shutil.rmtree(
-                os.path.join(self._ppath(name), f"{partition_col}={v}"),
-                ignore_errors=True,
-            )
-        # rmtree bypasses Spark's write path, so the session's
-        # FileStatusCache still lists the deleted files — the next read
-        # of this path would die with FILE_NOT_EXIST (found by
-        # tests/test_ann_index.py: a migrating vector emptying a cell)
-        self.spark.catalog.refreshByPath(self._ppath(name))
+        with self.locked(name):
+            for v in values:
+                shutil.rmtree(
+                    os.path.join(self._ppath(name), f"{partition_col}={v}"),
+                    ignore_errors=True,
+                )
+            # rmtree bypasses Spark's write path, so the session's
+            # FileStatusCache still lists the deleted files — the next
+            # read of this path would die with FILE_NOT_EXIST (found by
+            # tests/test_ann_index.py: a migrating vector emptying a
+            # cell)
+            self.spark.catalog.refreshByPath(self._ppath(name))
+
+    # -- sidecar metadata ----------------------------------------------
+    def write_sidecar(self, name: str, key: str, value: str) -> None:
+        """Atomically write a small per-table metadata value (e.g. the
+        quantizer identity an IVF-PQ cells table was encoded with).
+        Sidecars live next to the data so a backup/restore that moves
+        the table directory moves its metadata with it."""
+        path = os.path.join(self._dir(name), f"_META_{key}")
+        os.makedirs(self._dir(name), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(value)
+        os.replace(tmp, path)
+
+    def read_sidecar(self, name: str, key: str) -> str | None:
+        try:
+            with open(os.path.join(self._dir(name), f"_META_{key}")) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
 
     # -- double-buffered bucketed tables (hash-cache rotation) ----------
     def _bucketed_pointer(self, name: str) -> str:
