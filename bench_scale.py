@@ -665,6 +665,453 @@ def spans_probe(n: int) -> None:
     )
 
 
+def semantic_probe(n: int) -> None:
+    """The anti-O(n^2) proof for SemDeDup (cited by clusters.py and
+    similarity.py): n clustered embeddings, a codebook sized so cells
+    stay ~1000 deep, planted near-dup twins on every 20th vector.
+    Reports the ``stats_out`` telemetry — cells, max/p99 cell size,
+    pair_candidates (the GEMM work the cell partition leaves), pairs
+    above threshold, CC convergence — plus wall time for the
+    ``arrow=True`` deploy path at full n, and an arrow-vs-Catalyst
+    equality + timing comparison at a small-k subsample (the Catalyst
+    path's k dot-aggregate expressions cap its usable codebook size;
+    that asymmetry is exactly why the arrow path exists).
+
+    Usage: ``python bench_scale.py [n_vectors] semantic`` (try
+    1_000_000).
+    """
+    from updater_spark.operators.similarity import semantic_dedup
+
+    spark = get_spark("bench_scale_semantic")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dim = 32
+    k_cells = max(min(n // 1000, 4096), 64)
+
+    # clustered vectors, hash-derived (ann_probe's generator shape):
+    # v = 0.6*center(id % k_cells) + 0.4*noise(id) -> within-cluster
+    # cosine ~0.7, far below threshold; planted twins (scale 1.001)
+    # sit at ~1.0
+    def comp(i: int):
+        cl = F.col("vec_id") % k_cells
+        center = (
+            F.pmod(F.xxhash64(cl, F.lit(i)), F.lit(2_000_001)) / 1_000_000.0
+            - 1.0
+        )
+        noise = (
+            F.pmod(F.xxhash64("vec_id", F.lit(i + 555)), F.lit(2_000_001))
+            / 1_000_000.0
+            - 1.0
+        )
+        return (center * 0.6 + noise * 0.4).cast("double")
+
+    base = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "vec_id")
+        .select(
+            "vec_id",
+            F.array(*[comp(i) for i in range(dim)]).alias("embedding"),
+        )
+    )
+    twins = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + n).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = base.unionByName(twins).persist()
+    corpus.count()  # materialize: time dedup, not generation
+    planted = (n + 19) // 20
+
+    # codebook: one representative per cluster (vec_id 0..k-1 covers
+    # each id%k class once) — k x dim x 8B driver-side, ~1 MB at 4096
+    cents = [
+        list(r["embedding"])
+        for r in corpus.filter(F.col("vec_id") < k_cells)
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+    stats: dict = {}
+    t0 = time.perf_counter()
+    out = semantic_dedup(
+        corpus,
+        cents,
+        threshold=0.98,
+        id_col="vec_id",
+        vec_col="embedding",
+        stats_out=stats,
+        arrow=True,
+    ).persist()
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("dropped"),
+    ).collect()[0]
+    wall = round(time.perf_counter() - t0, 3)
+    out.unpersist()
+
+    # arrow vs Catalyst: equality and timing at a Catalyst-feasible
+    # codebook (64 cells / 40k vectors — the Catalyst path builds one
+    # dot-aggregate expression PER centroid, so its plan construction
+    # alone is minutes past ~1k cells; measured here, not asserted)
+    n_small = min(n, 40_000)
+    small = corpus.filter(
+        (F.col("vec_id") % k_cells < 64)
+        & (
+            (F.col("vec_id") < n_small)
+            | ((F.col("vec_id") >= n) & (F.col("vec_id") < n + n_small))
+        )
+    ).persist()
+    small.count()
+    cmp_res = {"n_small": small.count()}
+    for label, kw in (("catalyst", {}), ("arrow", {"arrow": True})):
+        t0 = time.perf_counter()
+        r = semantic_dedup(
+            small, cents[:64], threshold=0.98,
+            id_col="vec_id", vec_col="embedding", **kw,
+        ).persist()
+        r.count()
+        cmp_res[f"{label}_sec"] = round(time.perf_counter() - t0, 3)
+        cmp_res[f"{label}_rows"] = r.count()
+        cmp_res[label] = r
+    mismatch = (
+        cmp_res.pop("catalyst").exceptAll(cmp_res.pop("arrow")).count()
+    )
+    cmp_res["rows_only_in_catalyst"] = mismatch
+    small.unpersist()
+    corpus.unpersist()
+
+    print(
+        json.dumps(
+            {
+                "n_vectors": n,
+                "semantic_probe": {
+                    "wall_sec_arrow": wall,
+                    "rows": agg["rows"],
+                    "planted_twins": planted,
+                    "near_dups_dropped": agg["dropped"],
+                    "twin_recall": round(agg["dropped"] / planted, 4),
+                    "k_cells": k_cells,
+                    "cells": stats.get("cells"),
+                    "max_cell_size": stats.get("max_cell_size"),
+                    "p99_cell_size": float(stats.get("p99_cell_size", 0)),
+                    "pair_candidates": int(stats.get("pair_candidates", 0)),
+                    "allpairs_candidates": agg["rows"] * (agg["rows"] - 1) // 2,
+                    "pairs_above_threshold": stats.get(
+                        "pairs_above_threshold"
+                    ),
+                    "cc_rounds": stats.get("rounds"),
+                    "cc_edges": stats.get("edges"),
+                    "small_compare": cmp_res,
+                },
+            }
+        )
+    )
+
+
+def cdcindex_probe(n: int) -> None:
+    """Steady-state maintenance cost — the 100 TB question the
+    incremental indexes exist to answer (VERDICT r3 ask #5 / r4 ask
+    #3): drive three full CDC epochs (1% updates, ~0.3% deletes,
+    ~0.5% inserts per epoch) and maintain BOTH downstream indexes
+    incrementally each epoch — the MinHash dedup index via
+    ``apply_cdc_epoch`` and the IVF ANN index via
+    ``IvfIndex.upsert``/``remove`` — then time the full-rebuild
+    alternative on the final state. ``crossover_epochs`` = rebuild
+    seconds / mean epoch seconds: how many epochs an incremental
+    index must survive before it has beaten rebuild-every-epoch
+    (values > 1 mean incremental wins every single epoch).
+
+    Usage: ``python bench_scale.py [n_rows] cdcindex`` (try
+    10_000_000; the dedup track signs text, the ANN track assigns
+    32-dim vectors).
+    """
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.ann_index import IvfIndex
+    from updater_spark.operators.dedup_index import (
+        DedupIndex,
+        apply_cdc_epoch,
+    )
+    from updater_spark.plans.cdc import CdcEngine
+    from updater_spark.schema import TableSpec
+    from updater_spark.sources.store import TableStore
+
+    spark = get_spark("bench_scale_cdcindex")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dim, n_cells = 32, 256
+
+    def text_cols(ver):
+        # ~24 hash-derived tokens; ver shifts the mutated docs' text
+        toks = [
+            F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(F.col("pk"), F.lit(i), ver), F.lit(50_000)
+                ),
+            )
+            for i in range(24)
+        ]
+        return F.concat_ws(" ", *toks)
+
+    def vec(ver):
+        return F.array(
+            *[
+                (
+                    (
+                        F.pmod(
+                            F.xxhash64(F.col("pk") % n_cells, F.lit(i)),
+                            F.lit(2_000_001),
+                        )
+                        / 1_000_000.0
+                        - 1.0
+                    )
+                    * 0.7
+                    + (
+                        F.pmod(
+                            F.xxhash64("pk", F.lit(i + 99), ver),
+                            F.lit(2_000_001),
+                        )
+                        / 1_000_000.0
+                        - 1.0
+                    )
+                    * 0.3
+                ).cast("double")
+                for i in range(dim)
+            ]
+        )
+
+    def snapshot(epoch: int):
+        """Full source snapshot at a given epoch: updates are pk%100
+        in 1..epoch (each re-mutated at its epoch), deletes pk%331 in
+        1..epoch, inserts appear at n + e*n//200."""
+        ids = spark.range(1, n + 1, numPartitions=64).withColumnRenamed(
+            "id", "pk"
+        )
+        for e in range(1, epoch + 1):
+            ids = ids.filter(F.col("pk") % 331 != e)
+            ins = spark.range(
+                n + e * (n // 200), n + e * (n // 200) + n // 200
+            ).withColumnRenamed("id", "pk")
+            ids = ids.unionByName(ins)
+        ver = F.lit(0)
+        for e in range(1, epoch + 1):
+            ver = F.when(F.col("pk") % 100 == e, F.lit(e)).otherwise(ver)
+        return ids.select(
+            "pk", text_cols(ver).alias("text"), vec(ver).alias("embedding")
+        )
+
+    root = tempfile.mkdtemp(prefix="cdcindex_probe_")
+    res: dict = {"epochs": []}
+    try:
+        store = TableStore(spark, root)
+        engine = CdcEngine(store, delete_guard=n)
+        spec = TableSpec("docs", "pk", has_scores=False)
+
+        t0 = time.perf_counter()
+        engine.update(spec, snapshot(0))
+        res["cdc_bootstrap_sec"] = round(time.perf_counter() - t0, 3)
+
+        dedup = DedupIndex(store, "ddx")
+        t0 = time.perf_counter()
+        dedup.bootstrap(
+            store.read("docs").select("pk", "text"), "pk", "text"
+        ).count()
+        res["dedup_bootstrap_sec"] = round(time.perf_counter() - t0, 3)
+
+        cents = [
+            list(r["embedding"])
+            for r in snapshot(0)
+            .filter(F.col("pk") <= n_cells)
+            .orderBy("pk")
+            .collect()
+        ]
+        ann = IvfIndex(store, "annx", id_col="pk", vec_col="embedding")
+        t0 = time.perf_counter()
+        ann.bootstrap(snapshot(0).select("pk", "embedding"), cents)
+        res["ann_bootstrap_sec"] = round(time.perf_counter() - t0, 3)
+
+        for e in (1, 2, 3):
+            snap = snapshot(e)
+            row: dict = {"epoch": e}
+            t0 = time.perf_counter()
+            stats = engine.update(spec, snap)
+            row["cdc_sec"] = round(time.perf_counter() - t0, 3)
+            row["upserts"] = stats.upserts
+            row["deletes"] = stats.deletes
+
+            # dedup index: consume the epoch change feed written by
+            # the engine (__delta / __deleted)
+            t0 = time.perf_counter()
+            pairs = apply_cdc_epoch(dedup, store, "docs", "pk", "text")
+            row["dedup_pairs"] = pairs.count()
+            row["dedup_index_sec"] = round(time.perf_counter() - t0, 3)
+
+            # ANN index: same delta, re-encode only the delta
+            delta_vec = snap.join(
+                store.read("docs__delta").select("pk"), "pk", "semi"
+            ).select("pk", "embedding")
+            deleted = store.read("docs__deleted").select("pk")
+            t0 = time.perf_counter()
+            ann.upsert(delta_vec)
+            ann.remove(deleted)
+            row["ann_index_sec"] = round(time.perf_counter() - t0, 3)
+            res["epochs"].append(row)
+
+        # full-rebuild baselines over the FINAL corpus state
+        final_docs = store.read("docs").select("pk", "text")
+        store2 = TableStore(spark, tempfile.mkdtemp(prefix="cdcidx_rb_"))
+        t0 = time.perf_counter()
+        DedupIndex(store2, "ddx_rb").bootstrap(
+            final_docs, "pk", "text"
+        ).count()
+        res["dedup_rebuild_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        IvfIndex(store2, "annx_rb", id_col="pk", vec_col="embedding").bootstrap(
+            snapshot(3).select("pk", "embedding"), cents
+        )
+        res["ann_rebuild_sec"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(store2.root, ignore_errors=True)
+
+        mean_dedup = sum(r["dedup_index_sec"] for r in res["epochs"]) / 3
+        mean_ann = sum(r["ann_index_sec"] for r in res["epochs"]) / 3
+        res["dedup_crossover_epochs"] = round(
+            res["dedup_rebuild_sec"] / mean_dedup, 2
+        )
+        res["ann_crossover_epochs"] = round(
+            res["ann_rebuild_sec"] / mean_ann, 2
+        )
+        print(json.dumps({"n_rows": n, "cdcindex_probe": res}))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def annrss_probe(n: int) -> None:
+    """r4 ask #4: the ANN query side is driver-collected by design
+    (the broadcast-join assumption); the r4 work chunked every
+    per-query driver allocation and documented an O(block x cells)
+    memory model — this probe MEASURES it: 200k queries x n vectors
+    through ivfpq_topk (coarse probe-assign GEMM in 8192-query
+    blocks) and pq_topk_arrow, with the Python driver's peak RSS
+    (VmHWM) logged at each phase. Expected: the ~100 MB query matrix
+    (200k x 64 dims float64) is the only per-Q allocation; an
+    unchunked probe-assign would instead materialize Q x C score
+    matrices (200k x 1024 x 8B = 1.6 GB per codebook pass) and show
+    up here.
+
+    Usage: ``python bench_scale.py [n_vectors] annrss`` (try
+    1_000_000; query count is fixed at n/5 capped to 200k).
+    """
+    import numpy as np
+
+    def vm_hwm_mb() -> float:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM"):
+                    return round(int(line.split()[1]) / 1024, 1)
+        return -1.0
+
+    from updater_spark.operators.similarity import (
+        as_double,
+        ivfpq_assign,
+        ivfpq_topk,
+        pq_assign_arrow,
+        pq_topk_arrow,
+        unit,
+    )
+
+    spark = get_spark("bench_scale_annrss")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dim, n_clusters = 64, 256
+
+    def comp(i: int):
+        cl = F.col("vec_id") % n_clusters
+        center = (
+            F.pmod(F.xxhash64(cl, F.lit(i)), F.lit(2_000_001)) / 1_000_000.0
+            - 1.0
+        )
+        noise = (
+            F.pmod(F.xxhash64("vec_id", F.lit(i + 777)), F.lit(2_000_001))
+            / 1_000_000.0
+            - 1.0
+        )
+        return (center * 0.8 + noise * 0.2).cast("double")
+
+    emb = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "vec_id")
+        .select(
+            "vec_id",
+            F.array(*[comp(i) for i in range(dim)]).alias("embedding"),
+        )
+    )
+    norm = emb.select(
+        "vec_id", unit(as_double(F.col("embedding"))).alias("embedding")
+    ).persist()
+    norm.count()
+    stride = max(n // 200_000, 1)
+    queries = norm.filter(F.col("vec_id") % stride == 0).limit(200_000)
+    n_queries = queries.count()
+
+    # quantizer: 256 coarse cells (one representative per generator
+    # cluster), 32 subspaces x 256 residual codewords — ann_probe's
+    # recall-validated construction
+    cellrows = (
+        norm.filter(F.col("vec_id") < n_clusters).orderBy("vec_id").collect()
+    )
+    cmat = np.array([list(r["embedding"]) for r in cellrows])
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cents = [list(row) for row in cmat]
+    pq_m, pq_k = 32, 256
+    pq_sub = dim // pq_m
+    cwrows = (
+        norm.filter(F.col("vec_id") % max(n // pq_k, 1) == 7)
+        .orderBy("vec_id")
+        .limit(pq_k)
+        .collect()
+    )
+    res_cw = []
+    for r in cwrows:
+        vv = np.array(list(r["embedding"]))
+        res_cw.append(vv - cmat[int((vv @ cmat.T).argmax())])
+    books = [
+        [list(rv[m * pq_sub : (m + 1) * pq_sub]) for rv in res_cw]
+        for m in range(pq_m)
+    ]
+
+    res = {"n_queries": n_queries, "rss_baseline_mb": vm_hwm_mb()}
+    codes = ivfpq_assign(norm, cents, books).persist()
+    codes.count()
+    res["rss_after_assign_mb"] = vm_hwm_mb()
+
+    t0 = time.perf_counter()
+    ivfpq_topk(
+        codes, cents, books, queries, k=10, nprobe=4
+    ).write.format("noop").mode("overwrite").save()
+    res["ivfpq_topk_sec"] = round(time.perf_counter() - t0, 3)
+    res["rss_after_ivfpq_mb"] = vm_hwm_mb()
+
+    flat_codes = codes.select("vec_id", "codes")
+    t0 = time.perf_counter()
+    pq_topk_arrow(flat_codes, books, queries, k=10).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    res["pq_arrow_sec"] = round(time.perf_counter() - t0, 3)
+    res["rss_after_pq_arrow_mb"] = vm_hwm_mb()
+
+    res["query_matrix_mb"] = round(n_queries * dim * 8 / 2**20, 1)
+    res["unchunked_qxc_matrix_mb"] = round(
+        n_queries * len(cents) * 8 / 2**20, 1
+    )
+    res["driver_growth_mb"] = round(
+        res["rss_after_pq_arrow_mb"] - res["rss_baseline_mb"], 1
+    )
+    codes.unpersist()
+    norm.unpersist()
+    print(json.dumps({"n_vectors": n, "annrss_probe": res}))
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
@@ -679,5 +1126,11 @@ if __name__ == "__main__":
         cdc_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "spans":
         spans_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "semantic":
+        semantic_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "cdcindex":
+        cdcindex_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "annrss":
+        annrss_probe(_n)
     else:
         main(_n)

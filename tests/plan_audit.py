@@ -118,12 +118,44 @@ CHECKS = {
         "aggregate; stage boundaries are persisted so no branch "
         "re-derives the corpus from parquet."
     ),
+    "semantic_dedup_capped": (
+        "the hot-cell cut is a tiny cell-count aggregate joined back "
+        "as a BroadcastHashJoin semi filter on the cell id BEFORE the "
+        "pair self-join — never a per-row window; the pair join stays "
+        "a cell-keyed hash equi-join over the surviving cells only."
+    ),
+    "semantic_dedup_arrow": (
+        "the deploy path's Python stages are Arrow-batched and "
+        "confined to assignment (MapInPandas GEMM argmax) and per-cell "
+        "pair scoring (FlatMapGroupsInPandas, block-chunked GEMM); "
+        "NO row-at-a-time BatchEvalPython anywhere, and the CC/output "
+        "joins around them remain JVM hash equi-joins."
+    ),
+    "ann_ivfpq_topk": (
+        "the corpus side is a codes-only scan (cell + M codes, no "
+        "float vectors) feeding one MapInPandas ADC stage; the only "
+        "Exchange after it is the per-query top-k window — the corpus "
+        "is never shuffled and the query matrix rides in as broadcast "
+        "python state, not a join side."
+    ),
+    "ann_ivfpq_refined": (
+        "the exact re-score joins the ADC shortlist back to the "
+        "corpus by neighbor id (hash equi-join bounded by Q x "
+        "shortlist rows) — refinement cost scales with the shortlist, "
+        "not the corpus."
+    ),
 }
-# ann_ivf_indexed's partition pruning (PartitionFilters on the bucket
-# column of the stored index) is asserted in
-# tests/test_similarity.py::test_indexed_search_prunes_partitions —
-# the query fn materializes through a temp dir, so its returned plan
-# is a LocalTableScan and is not audited here.
+# Not string-audited here, each for the same reason: the query fn
+# materializes its result through a temp store, so the returned plan
+# is a LocalTableScan / plain state scan and the interesting physical
+# evidence is asserted by tests instead —
+# - ann_ivf_indexed / ann_ivfpq_indexed / *_maintained: partition
+#   pruning (PartitionFilters on the stored cell column) in
+#   tests/test_similarity.py::test_indexed_search_prunes_partitions
+#   and tests/test_ann_index.py;
+# - streaming_rollup / rollup_cdc_repair: partition-pruned day
+#   overwrites asserted by mtime in tests/test_rollup_stream.py and
+#   tests/test_rollup.py (only touched day directories rewrite).
 
 JOIN_RE = re.compile(r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)\b")
 TYPE_RE = re.compile(r"\b(FullOuter|LeftSemi|LeftAnti|LeftOuter|RightOuter|Inner|Cross)\b")
