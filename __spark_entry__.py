@@ -1980,6 +1980,107 @@ def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# SemanticIndex three-epoch fixture state, built ONCE per (process,
+# sf_dir) — same discipline as _CDC_DEDUP_CACHE: the epochs are pure
+# persisted-state setup; the operator under test (verify -> CC ->
+# assignment join) runs fresh and distributed every call.
+_SEM_INC_CACHE: dict[str, str] = {}
+
+
+def _semantic_index_epochs(spark: SparkSession, sf_dir: str):
+    """Drive (or reuse) three SemanticIndex epochs over the planted
+    fixture; returns (index, accumulated candidate pairs)."""
+    import tempfile
+
+    from updater_spark.operators.semantic_index import SemanticIndex
+    from updater_spark.sources.store import TableStore
+
+    def fixture():
+        from updater_spark.operators.similarity import as_double
+
+        emb = demo.load(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 10 == 0
+        )
+        base = emb.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        cent_rows = (
+            base.filter(F.col("vec_id") % 50 == 0)
+            .orderBy("vec_id")
+            .limit(8)
+            .select("v")
+            .collect()
+        )
+        return base, [[float(x) for x in r[0]] for r in cent_rows]
+
+    root = _SEM_INC_CACHE.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "cand")):
+        store = TableStore(spark, os.path.join(root, "store"))
+        idx = SemanticIndex(
+            store, "semx", threshold=0.9, id_col="vec_id", vec_col="v"
+        )
+        return idx, spark.read.parquet(os.path.join(root, "cand"))
+
+    base, centroids = fixture()
+    root = tempfile.mkdtemp(prefix="seminc_")
+    store = TableStore(spark, os.path.join(root, "store"))
+    idx = SemanticIndex(
+        store, "semx", threshold=0.9, id_col="vec_id", vec_col="v"
+    )
+    # epoch 0: bootstrap the base corpus
+    p0 = idx.bootstrap(base, centroids).persist()
+    p0.count()
+    # epoch 1: insert near-twins (+1M) AND re-ingest every 30th base
+    # vector with a DIRECTION change (x*0.4+0.2) — its earlier twin
+    # pairs go stale and must be dropped by verify_pairs
+    twins = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.01 + 0.005).alias("v"),
+    )
+    upd = base.filter(F.col("vec_id") % 30 == 0).select(
+        "vec_id", F.transform("v", lambda x: x * 0.4 + 0.2).alias("v")
+    )
+    p1 = idx.update(twins.unionByName(upd)).persist()
+    p1.count()
+    # epoch 2: delete every 40th base vector
+    idx.remove(
+        base.filter(F.col("vec_id") % 40 == 0).select("vec_id")
+    )
+    cand = p0.unionByName(p1).select("id_a", "id_b").distinct()
+    cand.write.mode("overwrite").parquet(os.path.join(root, "cand"))
+    p0.unpersist()
+    p1.unpersist()
+    _SEM_INC_CACHE[sf_dir] = root
+    return idx, spark.read.parquet(os.path.join(root, "cand"))
+
+
+def q_semantic_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup as CDC ENGINE STATE (operators/semantic_index.py —
+    the embedding twin of cdc_dedup_incremental): three epochs drive
+    a persistent SemanticIndex — bootstrap the base corpus; insert
+    near-twins and re-ingest every 30th vector with a direction
+    change; delete every 40th — each epoch re-assigning ONLY its
+    delta and pairing it only within its own cells. The accumulated
+    candidate pairs, re-verified against the final index state
+    (verify_pairs: stale pairs from updated embeddings drop, deleted
+    ids leave), chained through connected components over the final
+    cell assignments, must equal one-shot SemDeDup of the final
+    corpus — which is what the oracle computes directly."""
+    from updater_spark.operators.clusters import connected_components
+
+    idx, cand = _semantic_index_epochs(spark, sf_dir)
+    cc = connected_components(idx.verify_pairs(cand))
+    assigned = idx.assignments()
+    return assigned.join(cc, "id", "left").select(
+        "id",
+        "cell",
+        F.coalesce("component", "id").alias("group"),
+        (F.coalesce("component", "id") == F.col("id")).alias("keep"),
+    )
+
+
 def q_semantic_dedup_t95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at a SECOND threshold (0.95) on the same fixture —
     pins the round-then-threshold boundary (VERDICT r4 ask #8): the
@@ -2679,6 +2780,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "semantic_dedup_arrow": q_semantic_dedup_arrow,
         "semantic_dedup_t95": q_semantic_dedup_t95,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
         # --- last hard driver row r2/r3: the r5 re-check set ---
         "s7_apply_deletes": q_s7_apply_deletes,
         "j5_changelog": q_j5_changelog,
@@ -5083,4 +5185,72 @@ def oracle_sql() -> dict[str, str]:
     sqls["semantic_dedup_t95"] = sqls["semantic_dedup"].replace(
         ">= 0.9", ">= 0.95"
     )
+    # semantic_dedup_incremental: one-shot SemDeDup of the FINAL
+    # corpus state after the three index epochs (bootstrap; twins +
+    # direction-updates of every 30th; delete every 40th). Centroids
+    # stay pinned to the ORIGINAL base values (collected at
+    # bootstrap), exactly like the index's stored codebook.
+    sqls["semantic_dedup_incremental"] = """
+        WITH RECURSIVE base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        finalc AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id % 30 = 0
+                        THEN list_transform(v, x -> x * 0.4 + 0.2)
+                        ELSE v END AS v
+            FROM base WHERE vec_id % 40 <> 0
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(v, x -> x * 1.01 + 0.005)
+            FROM base
+        ),
+        cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM base WHERE vec_id % 50 = 0
+                  ORDER BY vec_id LIMIT 8)
+        ),
+        sims AS (
+            SELECT c.vec_id, k.j,
+                   list_cosine_similarity(c.v, k.cv) AS s
+            FROM finalc c CROSS JOIN cents k
+        ),
+        cells AS (
+            SELECT vec_id, j AS cell FROM (
+                SELECT vec_id, j,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, j) AS rn
+                FROM sims) WHERE rn = 1
+        ),
+        uv AS (
+            SELECT c.vec_id, k.cell, c.v
+            FROM finalc c JOIN cells k USING (vec_id)
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM uv a JOIN uv b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.comp FROM edges e
+            JOIN reach r ON e.dst = r.id
+        ),
+        comps AS (
+            SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+        )
+        SELECT u.vec_id AS id, u.cell::BIGINT AS cell,
+               COALESCE(k.component, u.vec_id) AS "group",
+               COALESCE(k.component, u.vec_id) = u.vec_id AS keep
+        FROM uv u LEFT JOIN comps k ON u.vec_id = k.id
+    """
     return sqls

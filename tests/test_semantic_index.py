@@ -1,0 +1,174 @@
+"""SemanticIndex: persistent incrementally-maintained SemDeDup state.
+
+The invariant under test: after any sequence of bootstrap / update
+(inserts AND re-ingested updates) / remove, the union of per-epoch
+pairs — re-verified against current state — equals the one-shot
+``semantic_dedup`` pair set of the current corpus, and connected
+components over it reproduce the one-shot groups exactly.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from updater_spark.operators.clusters import connected_components
+from updater_spark.operators.semantic_index import SemanticIndex
+from updater_spark.operators.similarity import semantic_dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Two well-separated clusters with planted near-dup twins: base
+    vectors 0..59 around two centers, twins (+1000) of every 4th at
+    scale 1.001 (cos ~1.0); within-cluster non-twin cosine ~0.8."""
+    rng = np.random.RandomState(3)
+    centers = np.array([[1.0, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 1.0]])
+    rows = []
+    for i in range(60):
+        c = centers[i % 2]
+        v = 0.9 * c + 0.15 * rng.randn(6)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    twins = [
+        Row(
+            vec_id=r.vec_id + 1000,
+            embedding=[float(x) * 1.001 for x in r.embedding],
+        )
+        for r in rows
+        if r.vec_id % 4 == 0
+    ]
+    return spark.createDataFrame(rows + twins), [
+        [float(x) for x in c] for c in centers
+    ]
+
+
+def test_epochs_match_one_shot(spark, corpus, tmp_store):
+    df, cents = corpus
+    k = F.col("vec_id")
+
+    # epoch 0: bootstrap on the base slice (no twins yet)
+    e0 = df.filter(k < 1000)
+    idx = SemanticIndex(tmp_store, "semx", threshold=0.98)
+    all_pairs = [idx.bootstrap(e0, cents)]
+    all_pairs[-1].persist().count()
+
+    # epoch 1: insert the twins AND re-ingest every 10th base vector
+    # with a DIRECTION change (x*0.3 + 0.25 — cosine-relevant, unlike
+    # a pure rescale): an updated vector's earlier twin pairs are now
+    # STALE and verify_pairs must drop them
+    upd = df.filter((k % 10 == 0) & (k < 1000)).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 0.3 + 0.25).alias(
+            "embedding"
+        ),
+    )
+    e1 = df.filter(k >= 1000).unionByName(upd)
+    all_pairs.append(idx.update(e1))
+    all_pairs[-1].persist().count()
+
+    # epoch 2: delete every 12th base vector
+    dels = df.filter((k % 12 == 0) & (k < 1000)).select("vec_id")
+    idx.remove(dels)
+
+    # final corpus = base - deleted, with updates applied, + twins
+    final = (
+        df.filter(k < 1000)
+        .join(upd.select("vec_id"), "vec_id", "anti")
+        .unionByName(upd)
+        .join(dels, "vec_id", "anti")
+        .unionByName(df.filter(k >= 1000))
+    )
+
+    import functools
+
+    from pyspark.sql import DataFrame
+
+    cand = functools.reduce(DataFrame.unionByName, all_pairs)
+    verified = sorted(
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in idx.verify_pairs(cand).collect()
+    )
+
+    # one-shot pair set of the final corpus, via a FRESH index
+    # bootstrap (its bootstrap() IS the one-shot scan)
+    fresh = SemanticIndex(tmp_store, "semx_fresh", threshold=0.98)
+    oneshot = sorted(
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in fresh.bootstrap(final, cents).collect()
+    )
+    assert verified == oneshot and len(oneshot) > 0
+
+    # ...and the GROUPS equal one-shot semantic_dedup of the corpus
+    cc = connected_components(idx.verify_pairs(cand))
+    assigned = idx.assignments()
+    got = {
+        r["id"]: (r["cell"], r["group"], r["keep"])
+        for r in assigned.join(cc, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.coalesce("component", "id").alias("group"),
+            (F.coalesce("component", "id") == F.col("id")).alias("keep"),
+        )
+        .collect()
+    }
+    want = {
+        r["id"]: (r["cell"], r["group"], r["keep"])
+        for r in semantic_dedup(
+            final, cents, threshold=0.98, id_col="vec_id"
+        ).collect()
+    }
+    assert got == want
+
+    for p in all_pairs:
+        p.unpersist()
+
+
+def test_update_reingested_id_never_pairs_through_stale_cell(
+    spark, corpus, tmp_store
+):
+    """A vector re-ingested into a DIFFERENT cell must leave its old
+    cell's partition (the migration contract shared with IvfIndex)."""
+    df, cents = corpus
+    idx = SemanticIndex(tmp_store, "semmig", threshold=0.98)
+    idx.bootstrap(df.filter(F.col("vec_id") < 1000), cents)
+    before = {
+        r["id"]: r["cell"] for r in idx.assignments().collect()
+    }
+    # flip vector 0 into the other cluster's direction
+    moved = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    idx.update(moved)
+    after = {r["id"]: r["cell"] for r in idx.assignments().collect()}
+    assert before[0] != after[0]
+    assert sorted(before) == sorted(after)  # no dup rows, no losses
+
+
+def test_identity_sidecar_guards_crashed_bootstrap(spark, corpus, tmp_store):
+    df, cents = corpus
+    idx = SemanticIndex(tmp_store, "semcrash", threshold=0.98)
+    idx.bootstrap(df.filter(F.col("vec_id") < 1000), cents)
+    tmp_store.write_sidecar("semcrash__cells", "identity", "gen2-partial")
+    fresh = SemanticIndex(tmp_store, "semcrash", threshold=0.98)
+    with pytest.raises(RuntimeError, match="codebook"):
+        fresh.update(df.filter(F.col("vec_id") >= 1000))
+    with pytest.raises(RuntimeError, match="codebook"):
+        fresh.remove(df.limit(1).select("vec_id"))
+
+
+def test_max_cell_cut_matches_one_shot(spark, corpus, tmp_store):
+    """With max_cell engaged, epoch pairs ∪ verify equals the capped
+    one-shot — over-cap cells contribute nothing on either path."""
+    df, cents = corpus
+    base = df.filter(F.col("vec_id") < 1000)
+    # cap below cluster size: both ~30-member cells are cut entirely
+    idx = SemanticIndex(tmp_store, "semcap", threshold=0.98, max_cell=10)
+    p0 = idx.bootstrap(base, cents)
+    assert p0.count() == 0
+    assert idx.verify_pairs(p0).count() == 0
+    want = semantic_dedup(
+        base, cents, threshold=0.98, id_col="vec_id", max_cell=10
+    )
+    assert want.filter(~F.col("keep")).count() == 0  # all singletons

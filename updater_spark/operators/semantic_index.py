@@ -1,0 +1,346 @@
+"""Persistent, incrementally-maintained SEMANTIC dedup index —
+SemDeDup (Abbas et al. 2023) as CDC engine state.
+
+``semantic_dedup`` (similarity.py) is the one-shot form: assign every
+vector to its nearest centroid cell, pair within cells, chain into
+groups. At 100 TB the corpus doesn't arrive once — it mutates in CDC
+epochs — and re-running the one-shot over the full corpus every epoch
+re-pays the full assignment + pair scan for a 0.1% delta. This class
+is the embedding twin of the MinHash ``DedupIndex``
+(dedup_index.py) and the ANN ``IvfIndex`` (ann_index.py): state that
+persists between runs so each epoch signs/assigns ONLY the delta and
+pairs it only against the stored members of its own cells.
+
+Storage (via TableStore):
+
+- ``{name}__codebook``: (cid, centroid array<double>, codebook_id) —
+  the quantizer, stored WITH the index (self-describing; searches and
+  maintenance never take centroids from the caller). Centroids are
+  unit-normalized at bootstrap so stored dots ARE cosines.
+- ``{name}__cells``: (id, u array<double>, cell) — unit-normalized
+  vectors, hash-partitioned by cell: epoch pair-joins read only the
+  delta's cells (partition pruning), maintenance rewrites only
+  affected cell directories. The cells table carries its codebook
+  identity in a sidecar (the ADVICE r4 crash-skew guard, same as
+  IvfPqIndex).
+
+``update(delta)`` re-assigns only the delta, rewrites only affected
+cell partitions (``cell_maintenance_stats`` — one aggregation job,
+shared with the ANN indexes), then returns the epoch's NEW near-dup
+pairs: delta x stored-others in the same cell ∪ delta x delta. A
+re-ingested id's old vector leaves its cell first, so a changed
+embedding never pairs through its stale position.
+
+Cross-epoch contract (the ``DedupIndex`` contract, embedding-space):
+the union of every epoch's pairs, filtered to ids alive in the final
+corpus, equals the one-shot ``semantic_dedup`` pair set of that final
+corpus — so connected components over the accumulated pairs
+reproduce the one-shot groups exactly
+(tests/test_semantic_index.py::test_epochs_match_one_shot).
+
+Reference context: the reference engine has no embedding operators at
+all (it is a MySQL-replica updater, /root/reference/src/download.py);
+this index composes its CDC change-feed pattern
+(``{t}__delta``/``{t}__deleted``, plans/cdc.py) with the SemDeDup
+construction, the same way dedup_index.py does for MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from updater_spark.operators.ann_index import cell_maintenance_stats
+from updater_spark.operators.similarity import (
+    as_double,
+    codebook_id,
+    dot,
+    unit,
+)
+from updater_spark.sources.store import TableStore
+
+
+class SemanticIndex:
+    def __init__(
+        self,
+        store: TableStore,
+        name: str,
+        threshold: float = 0.9,
+        round_digits: int = 4,
+        max_cell: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.store = store
+        self.name = name
+        self.threshold = threshold
+        self.round_digits = round_digits
+        self.max_cell = max_cell
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._cb_cache: tuple[list[list[float]], str] | None = None
+
+    @property
+    def _cells(self) -> str:
+        return f"{self.name}__cells"
+
+    @property
+    def _codebook(self) -> str:
+        return f"{self.name}__codebook"
+
+    def exists(self) -> bool:
+        return self.store.exists_partitioned(self._cells)
+
+    # -- codebook ------------------------------------------------------
+    def _codebook_state(self) -> tuple[list[list[float]], str]:
+        if self._cb_cache is None:
+            rows = self.store.read(self._codebook).orderBy("cid").collect()
+            self._cb_cache = (
+                [list(r["centroid"]) for r in rows],
+                rows[0]["codebook_id"],
+            )
+        return self._cb_cache
+
+    def centroids(self) -> list[list[float]]:
+        return self._codebook_state()[0]
+
+    def _check_identity(self) -> None:
+        """Cells-side identity sidecar must match the promoted
+        codebook (ADVICE r4: the codebook's own identity matches its
+        contents by construction and cannot see __cells skew)."""
+        side = self.store.read_sidecar(self._cells, "identity")
+        if side != self._codebook_state()[1]:
+            raise RuntimeError(
+                f"semantic index {self.name!r}: cells were assigned with "
+                f"codebook {side!r} but the promoted codebook is "
+                f"{self._codebook_state()[1]!r} — a bootstrap crashed "
+                "between the cells write and the codebook promote, or the "
+                "two tables were restored from different snapshots; "
+                "re-run bootstrap()"
+            )
+
+    # -- assignment ----------------------------------------------------
+    def _assign(self, vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
+        """(id, u, cell): unit-normalize, argmax-dot cell (ties to the
+        lowest cell — semantic_dedup/ivf_assign order). Catalyst-only;
+        the stored codebook stays the driver's only per-row state."""
+        u = vecs.select(
+            F.col(self.id_col).alias("id"),
+            unit(as_double(F.col(self.vec_col))).alias("u"),
+        )
+        dots = [
+            dot(F.col("u"), F.array(*[F.lit(x) for x in c])) for c in cents
+        ]
+        arr = F.array(*dots)
+        best = (F.array_position(arr, F.array_max(arr)) - 1).cast("long")
+        return u.withColumn("cell", best)
+
+    def _pair(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        """Cell-keyed near-dup pairs between two (id, u, cell) sets:
+        hash equi-join on cell (never all-pairs), rounded cosine
+        thresholded, canonical (id_a < id_b) order. With ``max_cell``
+        set, cells over the cap contribute no pairs (the one-shot
+        semantics: their members surface as singletons)."""
+        if self.max_cell is not None:
+            sizes = (
+                self.store.read_partitioned(self._cells)
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") <= self.max_cell)
+                .select("cell")
+            )
+            left = left.join(F.broadcast(sizes), "cell")
+            right = right.join(F.broadcast(sizes), "cell")
+        a = left.select(
+            F.col("id").alias("id_a"), F.col("u").alias("ua"), "cell"
+        )
+        b = right.select(
+            F.col("id").alias("id_b"), F.col("u").alias("ub"), "cell"
+        )
+        sim = F.round(dot(F.col("ua"), F.col("ub")), self.round_digits)
+        return (
+            a.join(b, "cell")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                sim.alias("sim"),
+            )
+            .filter(F.col("sim") >= self.threshold)
+            .distinct()
+        )
+
+    # -- lifecycle -----------------------------------------------------
+    def bootstrap(
+        self, corpus: DataFrame, centroids: list[list[float]]
+    ) -> DataFrame:
+        """Build the index from the initial corpus; returns the
+        near-dup pairs within it (the one-shot scan's pair set).
+        Centroids are unit-normalized here (stored dots are cosines).
+        Write order: sidecar → cells → codebook-promote, so a crash
+        at any point identity-fails loudly on the next use."""
+        import math
+
+        spark = self.store.spark
+        cents = []
+        for c in centroids:
+            nrm = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+            cents.append([float(x) / nrm for x in c])
+        cb = codebook_id(cents)
+        with self.store.locked(self._cells):
+            self.store.write_sidecar(self._cells, "identity", cb)
+            assigned = self._assign(corpus, cents)
+            self.store.write_partitioned(
+                self._cells, assigned.repartition("cell"), "cell"
+            )
+            self.store.write(
+                self._codebook,
+                spark.createDataFrame(
+                    [(i, c, cb) for i, c in enumerate(cents)],
+                    "cid long, centroid array<double>, codebook_id string",
+                ),
+            )
+            self._cb_cache = (cents, cb)
+        stored = self.store.read_partitioned(self._cells)
+        return self._pair(stored, stored).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+
+    def update(self, delta: DataFrame) -> DataFrame:
+        """Ingest new/changed vectors; returns the epoch's NEW pairs
+        (delta×old ∪ delta×delta). A re-ingested id replaces its old
+        vector FIRST, so pairs always reflect current embeddings and
+        a moved vector never pairs through its stale cell. The pair
+        DataFrame is computed over post-write state — consume (or
+        persist) it before the next epoch's write GCs versions, the
+        ``apply_cdc_epoch`` contract."""
+        cents, _ = self._codebook_state()
+        with self.store.locked(self._cells):
+            self._check_identity()
+            assigned = self._assign(delta, cents)
+            idx = self.store.read_partitioned(self._cells)
+            delta_ids = delta.select(
+                F.col(self.id_col).alias("id")
+            ).distinct()
+            affected, to_drop = cell_maintenance_stats(
+                idx, delta_ids, assigned, "id", "cell"
+            )
+            if affected:
+                rebuilt = (
+                    idx.filter(F.col("cell").isin(affected))
+                    .join(delta_ids, "id", "anti")
+                    .unionByName(assigned.select(*idx.columns))
+                )
+                self.store.overwrite_partitions(
+                    self._cells, rebuilt.repartition("cell"), "cell"
+                )
+                self.store.drop_partitions(self._cells, "cell", to_drop)
+        stored = self.store.read_partitioned(self._cells)
+        probe = stored.join(delta_ids, "id", "semi")
+        rest = stored.join(delta_ids, "id", "anti")
+        new_old = self._pair(probe, rest)
+        new_new = self._pair(probe, probe).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+        return new_old.unionByName(new_new).distinct()
+
+    def remove(self, ids: DataFrame) -> None:
+        """Drop vectors (CDC deletes) from the index state; rewrites
+        (or drops) only their cells."""
+        with self.store.locked(self._cells):
+            self._check_identity()
+            idx = self.store.read_partitioned(self._cells)
+            key = ids.select(F.col(self.id_col).alias("id")).distinct()
+            affected, to_drop = cell_maintenance_stats(
+                idx, key, None, "id", "cell"
+            )
+            if not affected:
+                return
+            rebuilt = idx.filter(F.col("cell").isin(affected)).join(
+                key, "id", "anti"
+            )
+            survivors = [c for c in affected if c not in set(to_drop)]
+            if survivors:
+                self.store.overwrite_partitions(
+                    self._cells, rebuilt.repartition("cell"), "cell"
+                )
+            self.store.drop_partitions(self._cells, "cell", to_drop)
+
+    def assignments(self) -> DataFrame:
+        """(id, cell) of the current state — the final-output join
+        side for building (id, cell, group, keep) rows. ``cell`` is
+        re-cast to long: it is written long, but Spark re-infers
+        partition-directory values as int on read."""
+        return self.store.read_partitioned(self._cells).select(
+            "id", F.col("cell").cast("long").alias("cell")
+        )
+
+    def verify_pairs(self, pairs: DataFrame) -> DataFrame:
+        """Re-score accumulated candidate pairs against CURRENT state —
+        the semantic twin of ``verify_pairs_exact`` (dedup.py), and the
+        step that makes the cross-epoch contract exact: a pair emitted
+        in epoch k can go stale when either endpoint's embedding is
+        re-ingested later (its sim was true THEN, not now), and pairs
+        referencing since-deleted ids must leave. Joining the pair list
+        back to the live cells table (two hash joins, O(|pairs|)) and
+        recomputing the rounded cosine under the same cell/threshold/
+        cap rules yields exactly the one-shot ``semantic_dedup`` pair
+        set of the current corpus. Completeness needs no re-scan: when
+        the LATER of a final pair's two embeddings was ingested, the
+        other already held its final value, so ``update``'s new×old
+        emitted the candidate."""
+        cur = self.store.read_partitioned(self._cells)
+        if self.max_cell is not None:
+            ok = (
+                cur.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") <= self.max_cell)
+                .select("cell")
+            )
+            cur = cur.join(F.broadcast(ok), "cell")
+        a = cur.select(
+            F.col("id").alias("id_a"),
+            F.col("u").alias("_ua"),
+            F.col("cell").alias("_ca"),
+        )
+        b = cur.select(
+            F.col("id").alias("id_b"),
+            F.col("u").alias("_ub"),
+            F.col("cell").alias("_cb"),
+        )
+        sim = F.round(dot(F.col("_ua"), F.col("_ub")), self.round_digits)
+        return (
+            pairs.select("id_a", "id_b")
+            .distinct()
+            .join(a, "id_a")
+            .join(b, "id_b")
+            .filter(F.col("_ca") == F.col("_cb"))
+            .select("id_a", "id_b", sim.alias("sim"))
+            .filter(F.col("sim") >= self.threshold)
+        )
+
+
+def apply_cdc_epoch(
+    index: SemanticIndex,
+    store: TableStore,
+    table: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Maintain a semantic index from one ``CdcEngine`` epoch: after
+    ``engine.update(spec, source)`` the store holds the epoch's change
+    feed (``{table}__delta`` changed+new rows, ``{table}__deleted``
+    applied delete keys); deletes leave the cell state first, then the
+    delta is re-assigned and paired. Returns the epoch's new pairs —
+    the exact composition ``dedup_index.apply_cdc_epoch`` uses for
+    MinHash, so the two indexes can mirror the same replica
+    side-by-side."""
+    deleted = store.read(f"{table}__deleted").select(
+        F.col(id_col).alias(index.id_col)
+    )
+    index.remove(deleted)
+    delta = store.read(f"{table}__delta").select(
+        F.col(id_col).alias(index.id_col),
+        F.col(vec_col).alias(index.vec_col),
+    )
+    return index.update(delta)
