@@ -224,6 +224,13 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 # (embedding_near_dup_pairs) rather than a broadcast-shaped search.
 MAX_QUERY_ROWS = 200_000
 
+# ivfpq_topk: a cell's ADC distance table is cached across Arrow
+# batches only when its prober set is at most this many queries
+# (256 x M x K doubles ≈ 17 MB at M=32, K=256); larger sets build
+# per-(cell, q_block) transients instead — the bound that keeps a
+# task's table memory independent of total query count.
+_TABLE_CACHE_QSEL = 256
+
 # queries GEMM'd against centroids per block during probe assignment:
 # bounds the (block × C) matrix at ~64 MB for C=1024 cells.
 _Q_BLOCK = 8192
@@ -1040,8 +1047,13 @@ def pq_topk_arrow(
 
     At 100 TB: the codes table is M bytes/vector instead of 4*D — the
     16x compression is what lets a billion-vector corpus sit in
-    executor page cache; the query tensor is Q*M*K doubles (~1 MB per
-    4k queries at M=4, K=16), broadcast once via task closure.
+    executor page cache; what ships in the task closure is the RAW
+    query matrix (Q*D doubles — the documented only-per-Q
+    allocation), NOT the (Q, M, K) distance tensor: at deploy-shaped
+    parameters (200k queries, M=32, K=256) that tensor is ~13 GB and
+    driver-materializing it OOMs before the job starts (measured by
+    bench_scale.py annrss, round 5) — tables are built per
+    (task, query-block) instead, a ~50 MFLOP transient per block.
     """
     import numpy as np
     import pandas as pd
@@ -1053,17 +1065,15 @@ def pq_topk_arrow(
     qids, qm = _collect_queries(
         queries, id_col, vec_col, max_rows=max_query_rows
     )
-    # (Q, M, K) squared subspace distances, computed once on the driver
     cb = np.array(codebooks, dtype=np.float64)  # (M, K, sub)
-    qsub = qm.reshape(len(qids), m_sub, sub)  # (Q, M, sub)
-    tables = ((qsub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
 
     out_schema = "query_id long, neighbor_id long, dist double"
 
-    # bound the (queries x batch) score matrix: a 10k-query set
-    # against the default 10k-row Arrow batch is 800 MB of float64
-    # PER TASK — chunking the query axis caps it at ~80 MB while
-    # changing nothing semantically (top-k is per query row).
+    # bound BOTH per-task allocations on the query axis: the
+    # (q_block, M, K) distance-table block (~67 MB at M=32, K=256)
+    # and the (q_block x batch) score matrix (~80 MB vs a 10k-row
+    # Arrow batch) — chunking changes nothing semantically (top-k is
+    # per query row).
     q_block = 1024
 
     def score(batches):
@@ -1074,7 +1084,10 @@ def pq_topk_arrow(
             ids = pdf[id_col].to_numpy()
             n_local = min(k + 1, len(ids))  # +1 survives self-match drop
             for q0 in range(0, len(qids), q_block):
-                tb = tables[q0 : q0 + q_block]
+                qsub = qm[q0 : q0 + q_block].reshape(-1, m_sub, sub)
+                tb = ((qsub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(
+                    axis=3
+                )
                 acc = np.zeros((len(tb), len(ids)))
                 for m in range(m_sub):
                     acc += tb[:, m, cm[:, m]]
@@ -1563,9 +1576,23 @@ def ivfpq_topk(
                 mask = cells == c
                 cids = ids[mask]
                 ccodes = cm_codes[mask]
-                t = tables.get(int(c))
-                if t is None:
-                    # (|qsel|, M, K) residual tables for this cell
+                n_local = min(k + 1, len(cids))
+                # chunk the probing-query axis exactly as
+                # pq_topk_arrow does — for BOTH allocations: the
+                # (|qsel|, |cell|) float64 acc AND the (|qsel|, M, K)
+                # residual distance table. Caching whole-cell tables
+                # across batches is only safe when the cell's prober
+                # set is small (<= _TABLE_CACHE_QSEL, ~17 MB at M=32,
+                # K=256); at deploy query counts (200k queries x
+                # nprobe probes spread over the codebook) whole-cell
+                # tables are ~100 MB EACH and a task hosting a few
+                # cells OOMs the executor — measured by
+                # bench_scale.py annrss (round 5). Large prober sets
+                # rebuild a (q_block, M, K) transient per block
+                # instead (~50 MFLOPs, noise next to the gathers).
+                cacheable = len(qsel) <= _TABLE_CACHE_QSEL
+                t = tables.get(int(c)) if cacheable else None
+                if cacheable and t is None:
                     qres = (qm[qsel] - cm_[c]).reshape(
                         len(qsel), m_sub, sub
                     )
@@ -1573,13 +1600,16 @@ def ivfpq_topk(
                         axis=3
                     )
                     tables[int(c)] = t
-                n_local = min(k + 1, len(cids))
-                # chunk the probing-query axis exactly as
-                # pq_topk_arrow does: an unchunked (|qsel|, |cell|)
-                # float64 acc at 200k probing queries × a large cell
-                # is tens of GB per task
                 for q0 in range(0, len(qsel), q_block):
-                    tq = t[q0 : q0 + q_block]
+                    if t is not None:
+                        tq = t[q0 : q0 + q_block]
+                    else:
+                        qres = (
+                            qm[qsel[q0 : q0 + q_block]] - cm_[c]
+                        ).reshape(-1, m_sub, sub)
+                        tq = (
+                            (qres[:, :, None, :] - cb[None, :, :, :]) ** 2
+                        ).sum(axis=3)
                     acc = np.zeros((len(tq), len(cids)))
                     for m in range(m_sub):
                         acc += tq[:, m, ccodes[:, m]]
