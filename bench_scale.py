@@ -1092,12 +1092,22 @@ def annrss_probe(n: int) -> None:
     res["ivfpq_topk_sec"] = round(time.perf_counter() - t0, 3)
     res["rss_after_ivfpq_mb"] = vm_hwm_mb()
 
+    # pq_topk_arrow is the FULL-SCAN ADC (every query scores every
+    # vector): at 200k x 1M that is 6.4T code gathers — not a deploy
+    # shape (the IVF-PQ path above is the large-Q path; full-scan ADC
+    # is for moderate query counts). Probe it at a 20k-query slice:
+    # enough to exercise the per-block table build + gather pipeline
+    # and the driver memory model, without benchmarking a shape the
+    # API exists to avoid.
+    pq_q = queries.limit(20_000)
+    n_pq_q = pq_q.count()
     flat_codes = codes.select("vec_id", "codes")
     t0 = time.perf_counter()
-    pq_topk_arrow(flat_codes, books, queries, k=10).write.format(
+    pq_topk_arrow(flat_codes, books, pq_q, k=10).write.format(
         "noop"
     ).mode("overwrite").save()
     res["pq_arrow_sec"] = round(time.perf_counter() - t0, 3)
+    res["pq_arrow_n_queries"] = n_pq_q
     res["rss_after_pq_arrow_mb"] = vm_hwm_mb()
 
     res["query_matrix_mb"] = round(n_queries * dim * 8 / 2**20, 1)

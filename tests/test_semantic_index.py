@@ -172,3 +172,70 @@ def test_max_cell_cut_matches_one_shot(spark, corpus, tmp_store):
         base, cents, threshold=0.98, id_col="vec_id", max_cell=10
     )
     assert want.filter(~F.col("keep")).count() == 0  # all singletons
+
+
+def test_apply_cdc_epoch_mirrors_replica(spark, corpus, tmp_store):
+    """The CDC composition (semantic_index.apply_cdc_epoch): CdcEngine
+    owns the replica, the semantic index consumes its persisted change
+    feed (__delta/__deleted) each epoch — verified pairs over the
+    accumulated feed equal a fresh bootstrap of the final replica."""
+    from updater_spark.operators.semantic_index import apply_cdc_epoch
+    from updater_spark.plans.cdc import CdcEngine
+    from updater_spark.schema import TableSpec
+
+    df, cents = corpus
+    k = F.col("vec_id")
+    eng = CdcEngine(tmp_store)
+    spec = TableSpec("vecs", "vec_id")
+
+    snap0 = df.filter(k < 1000)
+    eng.update(spec, snap0)
+    idx = SemanticIndex(tmp_store, "semcdc", threshold=0.98)
+    pairs = [
+        idx.bootstrap(
+            tmp_store.read("vecs").select("vec_id", "embedding"), cents
+        )
+    ]
+    pairs[-1].persist().count()
+
+    # epoch 2: twins inserted, every 10th vector direction-changed,
+    # every 12th deleted — one snapshot, engine computes the feed
+    upd = snap0.filter(k % 10 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 0.3 + 0.25).alias(
+            "embedding"
+        ),
+    )
+    snap1 = (
+        snap0.join(upd.select("vec_id"), "vec_id", "anti")
+        .unionByName(upd)
+        .filter(k % 12 != 0)
+        .unionByName(df.filter(k >= 1000))
+    )
+    eng.update(spec, snap1)
+    pairs.append(apply_cdc_epoch(idx, tmp_store, "vecs", "vec_id", "embedding"))
+    pairs[-1].persist().count()
+
+    import functools
+
+    from pyspark.sql import DataFrame
+
+    cand = functools.reduce(DataFrame.unionByName, pairs)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in idx.verify_pairs(cand).collect()
+    )
+    fresh = SemanticIndex(tmp_store, "semcdc_fresh", threshold=0.98)
+    want = sorted(
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in fresh.bootstrap(
+            tmp_store.read("vecs").select("vec_id", "embedding"), cents
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    # the index state mirrors the replica's live id set exactly
+    assert sorted(
+        r["id"] for r in idx.assignments().collect()
+    ) == sorted(r["vec_id"] for r in tmp_store.read("vecs").collect())
+    for p in pairs:
+        p.unpersist()
