@@ -144,6 +144,13 @@ CHECKS = {
         "shortlist rows) — refinement cost scales with the shortlist, "
         "not the corpus."
     ),
+    "semantic_dedup_incremental": (
+        "the final output is a scan of the index's cell-partitioned "
+        "state left-joined to the (eagerly computed, checkpointed) "
+        "component table — epoch maintenance cost lives in the "
+        "fixture build, not in this plan; verify_pairs is two hash "
+        "equi-joins bounded by |candidate pairs|."
+    ),
 }
 # Not string-audited here, each for the same reason: the query fn
 # materializes its result through a temp store, so the returned plan
