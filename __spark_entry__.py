@@ -1987,9 +1987,14 @@ def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_INC_CACHE: dict[str, str] = {}
 
 
-def _semantic_index_epochs(spark: SparkSession, sf_dir: str):
+def _semantic_index_epochs(
+    spark: SparkSession, sf_dir: str, arrow: bool = False
+):
     """Drive (or reuse) three SemanticIndex epochs over the planted
-    fixture; returns (index, accumulated candidate pairs)."""
+    fixture; returns (index, accumulated candidate pairs). The arrow
+    flag selects the index's large-codebook deploy mode (GEMM
+    assignment + per-cell GEMM bootstrap pairs) — cached separately
+    so both modes hold their own persisted state."""
     import tempfile
 
     from updater_spark.operators.semantic_index import SemanticIndex
@@ -2013,11 +2018,13 @@ def _semantic_index_epochs(spark: SparkSession, sf_dir: str):
         )
         return base, [[float(x) for x in r[0]] for r in cent_rows]
 
-    root = _SEM_INC_CACHE.get(sf_dir)
+    key = f"{sf_dir}|arrow={arrow}"
+    root = _SEM_INC_CACHE.get(key)
     if root and os.path.exists(os.path.join(root, "cand")):
         store = TableStore(spark, os.path.join(root, "store"))
         idx = SemanticIndex(
-            store, "semx", threshold=0.9, id_col="vec_id", vec_col="v"
+            store, "semx", threshold=0.9, id_col="vec_id", vec_col="v",
+            arrow=arrow,
         )
         return idx, spark.read.parquet(os.path.join(root, "cand"))
 
@@ -2025,7 +2032,8 @@ def _semantic_index_epochs(spark: SparkSession, sf_dir: str):
     root = tempfile.mkdtemp(prefix="seminc_")
     store = TableStore(spark, os.path.join(root, "store"))
     idx = SemanticIndex(
-        store, "semx", threshold=0.9, id_col="vec_id", vec_col="v"
+        store, "semx", threshold=0.9, id_col="vec_id", vec_col="v",
+        arrow=arrow,
     )
     # epoch 0: bootstrap the base corpus
     p0 = idx.bootstrap(base, centroids).persist()
@@ -2050,7 +2058,7 @@ def _semantic_index_epochs(spark: SparkSession, sf_dir: str):
     cand.write.mode("overwrite").parquet(os.path.join(root, "cand"))
     p0.unpersist()
     p1.unpersist()
-    _SEM_INC_CACHE[sf_dir] = root
+    _SEM_INC_CACHE[key] = root
     return idx, spark.read.parquet(os.path.join(root, "cand"))
 
 
@@ -2074,6 +2082,28 @@ def q_semantic_dedup_incremental(
     cc = connected_components(idx.verify_pairs(cand))
     assigned = idx.assignments()
     return assigned.join(cc, "id", "left").select(
+        "id",
+        "cell",
+        F.coalesce("component", "id").alias("group"),
+        (F.coalesce("component", "id") == F.col("id")).alias("keep"),
+    )
+
+
+def q_semantic_dedup_incremental_arrow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The deploy mode of semantic_dedup_incremental
+    (``SemanticIndex(arrow=True)``: GEMM cell assignment, per-cell
+    GEMM bootstrap pairs) driven through the same three epochs and
+    pinned to the SAME final-state oracle — the two modes are exact
+    twins by contract, so the driver gate checks the deploy path
+    against DuckDB ground truth, not merely against its Catalyst
+    twin."""
+    from updater_spark.operators.clusters import connected_components
+
+    idx, cand = _semantic_index_epochs(spark, sf_dir, arrow=True)
+    cc = connected_components(idx.verify_pairs(cand))
+    return idx.assignments().join(cc, "id", "left").select(
         "id",
         "cell",
         F.coalesce("component", "id").alias("group"),
@@ -2781,6 +2811,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_arrow": q_semantic_dedup_arrow,
         "semantic_dedup_t95": q_semantic_dedup_t95,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "semantic_dedup_incremental_arrow": q_semantic_dedup_incremental_arrow,
         # --- last hard driver row r2/r3: the r5 re-check set ---
         "s7_apply_deletes": q_s7_apply_deletes,
         "j5_changelog": q_j5_changelog,
@@ -5253,4 +5284,7 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(k.component, u.vec_id) = u.vec_id AS keep
         FROM uv u LEFT JOIN comps k ON u.vec_id = k.id
     """
+    sqls["semantic_dedup_incremental_arrow"] = sqls[
+        "semantic_dedup_incremental"
+    ]
     return sqls

@@ -239,3 +239,44 @@ def test_apply_cdc_epoch_mirrors_replica(spark, corpus, tmp_store):
     ) == sorted(r["vec_id"] for r in tmp_store.read("vecs").collect())
     for p in pairs:
         p.unpersist()
+
+
+def test_arrow_mode_equals_catalyst_lifecycle(spark, corpus, tmp_store):
+    """SemanticIndex(arrow=True) — GEMM assignment + per-cell GEMM
+    bootstrap pairs — must reproduce the Catalyst index exactly
+    through a full bootstrap/update/remove/verify lifecycle."""
+    df, cents = corpus
+    k = F.col("vec_id")
+
+    def lifecycle(name, arrow):
+        idx = SemanticIndex(
+            tmp_store, name, threshold=0.98, arrow=arrow
+        )
+        pairs = [idx.bootstrap(df.filter(k < 1000), cents)]
+        pairs[0].persist().count()
+        upd = df.filter((k % 10 == 0) & (k < 1000)).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x * 0.3 + 0.25).alias(
+                "embedding"
+            ),
+        )
+        pairs.append(idx.update(df.filter(k >= 1000).unionByName(upd)))
+        pairs[1].persist().count()
+        idx.remove(df.filter((k % 12 == 0) & (k < 1000)).select("vec_id"))
+        import functools
+
+        from pyspark.sql import DataFrame
+
+        cand = functools.reduce(DataFrame.unionByName, pairs)
+        out = (
+            sorted(tuple(r) for r in idx.verify_pairs(cand).collect()),
+            sorted(tuple(r) for r in idx.assignments().collect()),
+        )
+        for p in pairs:
+            p.unpersist()
+        return out
+
+    cat_pairs, cat_cells = lifecycle("semlc_cat", arrow=False)
+    arw_pairs, arw_cells = lifecycle("semlc_arw", arrow=True)
+    assert arw_cells == cat_cells
+    assert arw_pairs == cat_pairs and len(cat_pairs) > 0

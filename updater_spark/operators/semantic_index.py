@@ -52,6 +52,8 @@ from pyspark.sql import functions as F
 
 from updater_spark.operators.ann_index import cell_maintenance_stats
 from updater_spark.operators.similarity import (
+    arrow_cell_assign,
+    arrow_cell_pairs,
     as_double,
     codebook_id,
     dot,
@@ -70,7 +72,22 @@ class SemanticIndex:
         max_cell: int | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        arrow: bool = False,
     ):
+        """``arrow=True`` is the LARGE-CODEBOOK deploy mode, exactly
+        ``semantic_dedup``'s: cell assignment runs as one GEMM argmax
+        per Arrow batch (``arrow_cell_assign``) instead of k Catalyst
+        dot-aggregates (plan construction alone is minutes past ~1k
+        cells — and SemDeDup at scale wants k ≈ the corpus's natural
+        cluster count, 50k in the paper), and BOOTSTRAP pairs run the
+        block-chunked per-cell GEMM scorer (``arrow_cell_pairs``).
+        Incremental ``update`` pairs stay the cell-keyed Catalyst
+        join in both modes: their width is bounded by |delta| x
+        |cell|, the delta is small by CDC construction, and the join
+        form needs no grouping shuffle of the stored side. Same
+        semantics either way (rounded-then-thresholded sims, argmax
+        ties to the lowest cell); differs only by float-sum
+        association inside the dots, absorbed by ``round_digits``."""
         self.store = store
         self.name = name
         self.threshold = threshold
@@ -78,6 +95,7 @@ class SemanticIndex:
         self.max_cell = max_cell
         self.id_col = id_col
         self.vec_col = vec_col
+        self.arrow = arrow
         self._cb_cache: tuple[list[list[float]], str] | None = None
 
     @property
@@ -122,12 +140,16 @@ class SemanticIndex:
     # -- assignment ----------------------------------------------------
     def _assign(self, vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
         """(id, u, cell): unit-normalize, argmax-dot cell (ties to the
-        lowest cell — semantic_dedup/ivf_assign order). Catalyst-only;
-        the stored codebook stays the driver's only per-row state."""
+        lowest cell — semantic_dedup/ivf_assign order). Catalyst dots
+        by default; ``arrow_cell_assign`` GEMM in arrow mode (the
+        codebook-size ceiling lives here). The stored codebook stays
+        the driver's only per-row state either way."""
         u = vecs.select(
             F.col(self.id_col).alias("id"),
             unit(as_double(F.col(self.vec_col))).alias("u"),
         )
+        if self.arrow:
+            return arrow_cell_assign(u, cents)
         dots = [
             dot(F.col("u"), F.array(*[F.lit(x) for x in c])) for c in cents
         ]
@@ -202,6 +224,11 @@ class SemanticIndex:
             )
             self._cb_cache = (cents, cb)
         stored = self.store.read_partitioned(self._cells)
+        if self.arrow:
+            # the one-shot-shaped scan: block-chunked per-cell GEMMs
+            return arrow_cell_pairs(
+                stored, self.threshold, self.round_digits, self.max_cell
+            )
         return self._pair(stored, stored).filter(
             F.col("id_a") < F.col("id_b")
         )

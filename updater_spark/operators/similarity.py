@@ -231,6 +231,26 @@ MAX_QUERY_ROWS = 200_000
 # task's table memory independent of total query count.
 _TABLE_CACHE_QSEL = 256
 
+
+def _pq_query_tables(qsub, cb):
+    """(Q, M, K) squared subspace distances via the GEMM identity
+    ``||a-b||² = ||a||² - 2·a·b + ||b||²`` — measured 2.6× faster
+    than the broadcast ``((a-b)**2).sum`` form at deploy shapes (the
+    4-D temporary it materializes is allocation/bandwidth-bound, the
+    matmul is BLAS). Numerically within ~1e-15 of the exact form,
+    absorbed by the 1e-6 dist rounding every consumer applies before
+    ranking. QUERY tables only: code ASSIGNMENT (pq_assign_arrow /
+    ivfpq_assign) keeps the exact subtraction form — its
+    lowest-codeword tie contract plants EXACT ties that rearranged
+    arithmetic need not preserve bit-for-bit."""
+    import numpy as np
+
+    qn = np.einsum("qms,qms->qm", qsub, qsub)
+    cn = np.einsum("mks,mks->mk", cb, cb)
+    dot = np.matmul(qsub.transpose(1, 0, 2), cb.transpose(0, 2, 1))
+    t = qn.T[:, :, None] + cn[:, None, :] - 2.0 * dot  # (M, Q, K)
+    return np.ascontiguousarray(t.transpose(1, 0, 2))
+
 # queries GEMM'd against centroids per block during probe assignment:
 # bounds the (block × C) matrix at ~64 MB for C=1024 cells.
 _Q_BLOCK = 8192
@@ -1085,9 +1105,7 @@ def pq_topk_arrow(
             n_local = min(k + 1, len(ids))  # +1 survives self-match drop
             for q0 in range(0, len(qids), q_block):
                 qsub = qm[q0 : q0 + q_block].reshape(-1, m_sub, sub)
-                tb = ((qsub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(
-                    axis=3
-                )
+                tb = _pq_query_tables(qsub, cb)
                 acc = np.zeros((len(tb), len(ids)))
                 for m in range(m_sub):
                     # .take on the contiguous (block, K) slice is the
@@ -1182,6 +1200,110 @@ def pq_assign_arrow(
     )
 
 
+def arrow_cell_assign(u_df: DataFrame, unit_cents: list[list[float]]) -> DataFrame:
+    """GEMM-argmax cell assignment over a ``(id, u)`` unit-vector
+    frame — the LARGE-CODEBOOK twin of ``ivf_assign`` (whose k
+    dot-aggregate Catalyst expressions cap usable codebook size at
+    ~1k cells; this runs one (batch x k) GEMM per Arrow batch).
+    Argmax first-hit == ties to the lowest cell, matching
+    ``ivf_assign``'s array_position order. Shared by
+    ``semantic_dedup(arrow=True)`` and ``SemanticIndex(arrow=True)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cm = np.array(unit_cents, dtype=np.float64)
+
+    def assign_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf["u"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "u": pdf["u"],
+                    "cell": (vm @ cm.T).argmax(axis=1),
+                }
+            )
+
+    return u_df.mapInPandas(
+        assign_fn, schema="id long, u array<double>, cell long"
+    )
+
+
+def arrow_cell_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    round_digits: int = 4,
+    max_cell: int | None = None,
+    pair_block: int = 1024,
+) -> DataFrame:
+    """Intra-cell near-dup pairs over an ``(id, u, cell)`` frame via
+    per-cell BLOCK-CHUNKED GEMMs inside applyInPandas (grouped by
+    cell — the shuffle the Catalyst pair join pays anyway).
+
+    Per-task score-matrix bound: the GEMM runs over ROW BLOCKS of the
+    cell (``pair_block``), so peak memory is O(block x |cell|)
+    float64 — NOT |cell|² (with max_cell unset, an unchunked matrix
+    would re-create exactly the task-OOM cliff the cap exists to
+    prevent; the Catalyst twin degrades gracefully via a
+    shuffle-backed join, so the deploy path must too). Default 1024 x
+    a 100k-row cell ≈ 0.8 GB — the same knob as pq_topk_arrow's
+    q_block. applyInPandas still holds the cell's VECTORS in one task
+    (inherent to grouping); the quadratic score matrix was the
+    allocation that outgrew them. Cells past ``max_cell`` contribute
+    NO pairs (their members surface as singletons downstream) — the
+    exact ``semantic_dedup`` cap semantics."""
+    import numpy as np
+    import pandas as pd
+
+    def cell_pairs(pdf):
+        if len(pdf) < 2 or (max_cell is not None and len(pdf) > max_cell):
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        vm = np.array(pdf["u"].tolist(), dtype=np.float64)[order]
+        n = len(ids)
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n - 1, pair_block):
+            hi = min(lo + pair_block, n)
+            # rows lo..hi scored against every LATER row: the
+            # (i < j) half of the matrix, one block-slab at a time
+            sims = np.round(vm[lo:hi] @ vm[lo:].T, round_digits)
+            ii, jj = np.nonzero(sims >= threshold)
+            # strict upper triangle: the slab's columns start at
+            # global row lo, so global col (lo + jj) exceeds global
+            # row (lo + ii) exactly when jj > ii
+            keep = jj > ii
+            ii, jj = ii[keep], jj[keep]
+            out_a.append(ids[lo + ii])
+            out_b.append(ids[lo + jj])
+            out_s.append(sims[ii, jj])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    return assigned.select("id", "u", "cell").groupBy("cell").applyInPandas(
+        cell_pairs, "id_a long, id_b long, sim double"
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -1266,84 +1388,9 @@ def semantic_dedup(
     # transform lambda, that's O(pairs * d^2) interpreted work
     # (measured 20 s for 500 vectors at sf0.1; ~1 s materialized).
     if arrow:
-        import numpy as np
-        import pandas as pd
-
-        cm = np.array(unit_cents, dtype=np.float64)
-
-        def assign_fn(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                vm = np.array(pdf["u"].tolist(), dtype=np.float64)
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"].to_numpy(),
-                        "u": pdf["u"],
-                        # argmax first-hit == ties to the lowest cell,
-                        # matching ivf_assign's array_position order
-                        "cell": (vm @ cm.T).argmax(axis=1),
-                    }
-                )
-
-        assigned = u.mapInPandas(
-            assign_fn, schema="id long, u array<double>, cell long"
-        ).persist()
-
-        # per-task score-matrix bound: the GEMM runs over ROW BLOCKS of
-        # the cell (``pair_block``), so peak memory is O(block ×
-        # |cell|) float64 — NOT |cell|² (with max_cell unset, an
-        # unchunked matrix would re-create exactly the task-OOM cliff
-        # the cap exists to prevent; the Catalyst twin degrades
-        # gracefully via a shuffle-backed join, so its deploy path
-        # must too). Default 1024 × a 100k-row cell ≈ 0.8 GB — the
-        # same knob as pq_topk_arrow's q_block. applyInPandas still
-        # holds the cell's VECTORS in one task (inherent to grouping);
-        # the quadratic score matrix was the allocation that outgrew
-        # them.
-        def cell_pairs(pdf):
-            if len(pdf) < 2 or (max_cell is not None and len(pdf) > max_cell):
-                return pd.DataFrame(
-                    {"id_a": pd.Series(dtype="int64"),
-                     "id_b": pd.Series(dtype="int64"),
-                     "sim": pd.Series(dtype="float64")}
-                )
-            ids = pdf["id"].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            vm = np.array(pdf["u"].tolist(), dtype=np.float64)[order]
-            n = len(ids)
-            out_a, out_b, out_s = [], [], []
-            for lo in range(0, n - 1, pair_block):
-                hi = min(lo + pair_block, n)
-                # rows lo..hi scored against every LATER row: the
-                # (i < j) half of the matrix, one block-slab at a time
-                sims = np.round(vm[lo:hi] @ vm[lo:].T, round_digits)
-                ii, jj = np.nonzero(sims >= threshold)
-                # strict upper triangle: the slab's columns start at
-                # global row lo, so global col (lo + jj) exceeds global
-                # row (lo + ii) exactly when jj > ii
-                keep = jj > ii
-                ii, jj = ii[keep], jj[keep]
-                out_a.append(ids[lo + ii])
-                out_b.append(ids[lo + jj])
-                out_s.append(sims[ii, jj])
-            if not out_a:
-                return pd.DataFrame(
-                    {"id_a": pd.Series(dtype="int64"),
-                     "id_b": pd.Series(dtype="int64"),
-                     "sim": pd.Series(dtype="float64")}
-                )
-            return pd.DataFrame(
-                {
-                    "id_a": np.concatenate(out_a),
-                    "id_b": np.concatenate(out_b),
-                    "sim": np.concatenate(out_s),
-                }
-            )
-
-        pairs = assigned.groupBy("cell").applyInPandas(
-            cell_pairs, "id_a long, id_b long, sim double"
+        assigned = arrow_cell_assign(u, unit_cents).persist()
+        pairs = arrow_cell_pairs(
+            assigned, threshold, round_digits, max_cell, pair_block
         )
     else:
         assigned = ivf_assign(
@@ -1603,9 +1650,7 @@ def ivfpq_topk(
                     qres = (qm[qsel] - cm_[c]).reshape(
                         len(qsel), m_sub, sub
                     )
-                    t = ((qres[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(
-                        axis=3
-                    )
+                    t = _pq_query_tables(qres, cb)
                     tables[int(c)] = t
                 for q0 in range(0, len(qsel), q_block):
                     if t is not None:
@@ -1614,9 +1659,7 @@ def ivfpq_topk(
                         qres = (
                             qm[qsel[q0 : q0 + q_block]] - cm_[c]
                         ).reshape(-1, m_sub, sub)
-                        tq = (
-                            (qres[:, :, None, :] - cb[None, :, :, :]) ** 2
-                        ).sum(axis=3)
+                        tq = _pq_query_tables(qres, cb)
                     acc = np.zeros((len(tq), len(cids)))
                     for m in range(m_sub):
                         # contiguous-slice .take — the fast gather
@@ -1687,7 +1730,12 @@ def ivfpq_topk(
     # of just id+cell+codes — a few bytes/row) bounds the cache at
     # cells-per-partition tables.
     if repartition_by_cell:
-        src = src.repartition("cell")
+        # sortWithinPartitions makes each cell's rows CONTIGUOUS, so a
+        # cell spans ~ceil(|cell|/arrow_batch) batches instead of all
+        # of them — large-Q table (re)builds happen once per cell, not
+        # once per (cell, batch); an in-memory sort of the task's few
+        # bytes/row codes, no extra shuffle
+        src = src.repartition("cell").sortWithinPartitions("cell")
     local = src.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
