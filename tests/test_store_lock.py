@@ -11,6 +11,7 @@ Delta/Iceberg optimistic commits (SURVEY §7.2).
 """
 
 import os
+import socket
 import subprocess
 import time
 
@@ -23,6 +24,15 @@ def _df(spark, n=10):
     return spark.range(n).withColumnRenamed("id", "k")
 
 
+def _lock_content(pid=None, ts=None, host=None):
+    """Current three-field lock format (pid:ts:host)."""
+    return (
+        f"{os.getpid() if pid is None else pid}:"
+        f"{time.time() if ts is None else ts}:"
+        f"{socket.gethostname() if host is None else host}"
+    )
+
+
 def test_two_writers_loser_fails_loudly(spark, tmp_path):
     store = TableStore(spark, str(tmp_path / "s"))
     store.write("t", _df(spark, 5))
@@ -30,7 +40,7 @@ def test_two_writers_loser_fails_loudly(spark, tmp_path):
     # a LIVE writer (this very process) holds the lock...
     lock = store._lock_path("t")
     with open(lock, "w") as f:
-        f.write(f"{os.getpid()}:{time.time()}")
+        f.write(_lock_content())
     try:
         with pytest.raises(ConcurrentWriteError, match="single-writer"):
             store.write("t", _df(spark, 7))
@@ -51,7 +61,7 @@ def test_dead_holder_lock_is_broken(spark, tmp_path):
     proc = subprocess.Popen(["true"])
     proc.wait()
     with open(store._lock_path("t"), "w") as f:
-        f.write(f"{proc.pid}:{time.time()}")
+        f.write(_lock_content(pid=proc.pid))
     store.write("t", _df(spark, 4))  # breaks the stale lock, proceeds
     assert store.read("t").count() == 4
     assert not os.path.exists(store._lock_path("t"))
@@ -65,7 +75,7 @@ def test_live_samehost_lock_never_age_broken(spark, tmp_path):
     store.write("t", _df(spark, 3))
     path = store._lock_path("t")
     with open(path, "w") as f:
-        f.write(f"{os.getpid()}:{time.time() - 9999.0}")
+        f.write(_lock_content(ts=time.time() - 9999.0))
     old = time.time() - 9999.0
     os.utime(path, (old, old))  # even the mtime clock says ancient
     try:
@@ -113,7 +123,7 @@ def test_break_is_rename_based_and_verifies_inode(spark, tmp_path):
     proc = subprocess.Popen(["true"])
     proc.wait()
     with open(path, "w") as f:
-        f.write(f"{proc.pid}:{time.time()}")
+        f.write(_lock_content(pid=proc.pid))
     assert store._try_break_stale(path) is True
     assert not os.path.exists(path)
     assert not [
@@ -121,7 +131,7 @@ def test_break_is_rename_based_and_verifies_inode(spark, tmp_path):
     ]
     # a LIVE lock is refused outright — never renamed, never unlinked
     with open(path, "w") as f:
-        f.write(f"{os.getpid()}:{time.time()}")
+        f.write(_lock_content())
     ino = os.stat(path).st_ino
     assert store._try_break_stale(path) is False
     assert os.stat(path).st_ino == ino
@@ -163,12 +173,102 @@ def test_lock_released_after_write_and_unreadable_lock_refused(
         os.unlink(store._lock_path("t"))
 
 
+def test_legacy_hostless_lock_uses_age_not_local_pid(spark, tmp_path):
+    """Legacy two-field locks (pid:ts, pre-host upgrade) could have
+    been written on ANY host, so a local pid coincidence must not
+    classify them same-host (ADVICE r5): liveness is unverifiable →
+    the mtime-age path decides, exactly like a cross-host lock."""
+    store = TableStore(spark, str(tmp_path / "s"), lock_stale_after=0.05)
+    store.write("t", _df(spark, 3))
+    path = store._lock_path("t")
+    # hostless lock whose pid happens to be ALIVE locally, fresh
+    # mtime: not expired — but crucially also not permanently wedged
+    with open(path, "w") as f:
+        f.write(f"{os.getpid()}:{time.time()}")
+    with pytest.raises(ConcurrentWriteError):
+        store.write("t", _df(spark, 5))
+    # once the mtime ages past the deadline the lock expires even
+    # though the (coincidental) local pid is still alive
+    old = time.time() - 1.0
+    os.utime(path, (old, old))
+    store.write("t", _df(spark, 6))
+    assert store.read("t").count() == 6
+    # and a hostless lock with a DEAD local pid but fresh mtime is
+    # NOT broken early — age is the only clock for hostless locks
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(path, "w") as f:
+        f.write(f"{proc.pid}:{time.time()}")
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            store.write("t", _df(spark, 7))
+    finally:
+        os.unlink(path)
+
+
+def test_break_restore_never_clobbers_third_writer(spark, tmp_path):
+    """ADVICE r5 (store.py restore race): when the breaker renamed a
+    FRESH lock aside and a third writer acquired the vacant path
+    before the restore, the restore must fail LOUDLY (link-no-replace)
+    instead of silently overwriting the new holder's live lock."""
+    store = TableStore(spark, str(tmp_path / "s"))
+    store.write("t", _df(spark, 3))
+    path = store._lock_path("t")
+    # simulate the post-rename state directly: the breaker holds a
+    # renamed-aside fresh lock while a third writer owns the path
+    with open(path, "w") as f:
+        f.write(_lock_content())  # third writer's live lock
+    uniq = f"{path}.breaking.999.123"
+    with open(uniq, "w") as f:
+        f.write(_lock_content())  # the fresh lock we renamed aside
+    third_ino = os.stat(path).st_ino
+    # restore path: link(uniq -> path) raises FileExistsError
+    with pytest.raises(FileExistsError):
+        os.link(uniq, path)
+    assert os.stat(path).st_ino == third_ino  # untouched
+    os.unlink(uniq)
+    os.unlink(path)
+    # end-to-end: the normal restore branch (path vacant) puts the
+    # fresh lock back and reports not-broken
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(path, "w") as f:
+        f.write(_lock_content(pid=proc.pid))
+    assert store._try_break_stale(path) is True  # clean break works
+    assert not os.path.exists(path)
+
+
+def test_release_only_unlinks_own_lock(spark, tmp_path):
+    """ADVICE r5 (locked() finally): if the holder's lock was broken
+    mid-flight and a new writer acquired, cleanup must NOT delete the
+    new holder's lock — release is inode-checked."""
+    store = TableStore(spark, str(tmp_path / "s"))
+    new_holder_ino = {}
+    path = None
+    with store.locked("t"):
+        path = store._lock_path("t")
+        # simulate an age-break + re-acquire while we "run": replace
+        # our lock file with a different writer's
+        os.unlink(path)
+        with open(path, "w") as f:
+            f.write(_lock_content(pid=12345, host="elsewhere"))
+        new_holder_ino["ino"] = os.stat(path).st_ino
+    # our release saw a foreign inode and left the lock alone
+    assert os.path.exists(path)
+    assert os.stat(path).st_ino == new_holder_ino["ino"]
+    os.unlink(path)
+    # normal case: own lock is removed on exit
+    with store.locked("t"):
+        assert os.path.exists(path)
+    assert not os.path.exists(path)
+
+
 def test_bucketed_rotation_also_locked(spark, tmp_path):
     store = TableStore(spark, str(tmp_path / "s"))
     store.write_bucketed_versioned("bt", _df(spark, 8), "k", num_buckets=2)
     lock = store._lock_path("bt")
     with open(lock, "w") as f:
-        f.write(f"{os.getpid()}:{time.time()}")
+        f.write(_lock_content())
     try:
         with pytest.raises(ConcurrentWriteError):
             store.write_bucketed_versioned(

@@ -47,7 +47,13 @@ exact file (inode) it examined — a contender that lost the rename, or
 that finds a fresh lock at the path, backs off. Unlinking in place
 would race: between examine and unlink another contender can break
 the lock and a new writer acquire it, and the unlink would then
-delete the NEW holder's live lock, admitting two writers.
+delete the NEW holder's live lock, admitting two writers. When the
+breaker discovers it renamed aside a FRESH lock, the restore is
+hard-link-based (no-replace): if a third writer O_EXCL-acquired the
+vacant path first, the restore fails LOUDLY instead of silently
+overwriting the new holder's lock. Lock release is ownership-checked
+too: ``locked()`` re-reads the lock before unlinking and removes it
+only if it still holds the exact ``pid:ts:host`` token it wrote.
 
 Readers never lock: they resolve the pointer, which only ever moves
 atomically between complete versions. Multi-writer coordination
@@ -139,7 +145,11 @@ class TableStore:
             parts = content.split(":")
             pid = int(parts[0])
             float(parts[1])  # ts present and numeric, or garbage lock
-            host = parts[2] if len(parts) > 2 else socket.gethostname()
+            # legacy two-field locks (pid:ts, pre-host upgrade) carry
+            # NO host: the writer could have been anywhere, so a local
+            # pid coincidence must not classify it same-host-alive
+            # (ADVICE r5) — None falls through to the age path below
+            host = parts[2] if len(parts) > 2 else None
         except (ValueError, IndexError):
             return False  # garbage lock: refuse to break, fail loudly
         stale = False
@@ -151,7 +161,8 @@ class TableStore:
             except PermissionError:
                 pass  # alive under another uid: not stale
         else:
-            # liveness unverifiable: mtime age decides (heartbeat-able)
+            # cross-host or host-unknown: liveness unverifiable, so
+            # mtime age decides (heartbeat-able)
             stale = time.time() - examined.st_mtime > self.lock_stale_after
         if not stale:
             return False
@@ -166,8 +177,25 @@ class TableStore:
             return False
         if os.stat(uniq).st_ino != examined.st_ino:
             # raced: we moved a FRESH lock created after our stat —
-            # put it back exactly as the new holder wrote it
-            os.rename(uniq, path)
+            # put it back exactly as the new holder wrote it. The
+            # restore must be NO-REPLACE (ADVICE r5): while the path
+            # was vacant a third writer may have O_EXCL-acquired it,
+            # and a plain rename would silently overwrite that live
+            # lock, admitting two writers. link() fails with EEXIST
+            # if the path is occupied; in that case two live locks
+            # exist because of OUR rename — nothing safe remains, so
+            # fail loudly and leave both files as evidence.
+            try:
+                os.link(uniq, path)
+            except FileExistsError:
+                raise ConcurrentWriteError(
+                    f"lock-break race on {path!r}: a fresh lock was "
+                    f"renamed aside to {uniq!r} and another writer "
+                    "acquired the vacant path before restore; TWO live "
+                    "writers may hold this table — resolve manually "
+                    "(both lock files carry pid:ts:host)"
+                ) from None
+            os.unlink(uniq)
             return False
         os.unlink(uniq)
         return True
@@ -217,17 +245,25 @@ class TableStore:
                     "true multi-writer commits"
                 ) from None
         try:
-            os.write(
-                fd,
-                f"{os.getpid()}:{time.time()}:{socket.gethostname()}".encode(),
-            )
+            token = f"{os.getpid()}:{time.time()}:{socket.gethostname()}"
+            os.write(fd, token.encode())
             os.close(fd)
             self._held[name] = 1
             yield
         finally:
             self._held[name] = 0
+            # unlink only OUR lock (ADVICE r5): if this hold was
+            # age-broken mid-flight (cross-host rule, no heartbeat)
+            # and a new writer acquired, blind cleanup would delete
+            # the NEW holder's live lock and admit a third writer —
+            # verify the content is still the exact token we wrote
+            # (content, not inode: freed inode numbers are reused
+            # immediately on many filesystems).
             try:
-                os.unlink(path)
+                with open(path) as lf:
+                    mine = lf.read(256).strip() == token
+                if mine:
+                    os.unlink(path)
             except FileNotFoundError:
                 pass
 
