@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 # or dump broke, not that 100k players vanished.
 DELETE_GUARD_DEFAULT = 100_000
 
+# Key sets at or above this row count are never hard-broadcast
+# (VERDICT r5 #4): every forced F.broadcast of a CDC key set must be
+# gated on a MEASURED count against this limit, so one config change
+# (a raised delete guard, higher churn) degrades to an AQE shuffle
+# join instead of a multi-GB driver broadcast. ~10M long keys ≈ 80 MB
+# serialized — the conventional ceiling for a comfortable broadcast.
+BROADCAST_KEY_LIMIT = 10_000_000
+
 
 def _maybe_broadcast(keys: DataFrame, hint: bool) -> DataFrame:
     """CDC key sets are normally tiny → broadcast hint ON by default
@@ -85,7 +93,17 @@ def apply_deletes(
     n = delete_keys.count()
     if n >= guard:
         return DeleteResult(result=target, applied=False, delete_count=n)
-    kept = target.join(F.broadcast(delete_keys.select(key).distinct()), key, "anti")
+    # gate the broadcast on the measured count: with the default guard
+    # every applied delete set is tiny, but a caller that RAISES the
+    # guard past BROADCAST_KEY_LIMIT must not turn the safety valve
+    # into a driver-OOM broadcast (VERDICT r5 #4)
+    kept = target.join(
+        _maybe_broadcast(
+            delete_keys.select(key).distinct(), n < BROADCAST_KEY_LIMIT
+        ),
+        key,
+        "anti",
+    )
     return DeleteResult(result=kept, applied=True, delete_count=n)
 
 
