@@ -2150,21 +2150,63 @@ def q_streaming_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_stream_fixture(spark: SparkSession, sf_dir: str):
+def _semantic_stream_fixture(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+):
     from updater_spark.operators.similarity import as_double
 
     emb = demo.load(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 10 == 0
     )
     base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    # wide=True: EVERY base vector is a centroid (50 cells at sf0.01,
+    # ~cell-per-vector) — the shape the arrow assignment exists for
     cent_rows = (
-        base.filter(F.col("vec_id") % 50 == 0)
+        base.filter(F.col("vec_id") % (10 if wide else 50) == 0)
         .orderBy("vec_id")
-        .limit(8)
+        .limit(50 if wide else 8)
         .select("v")
         .collect()
     )
     return base, [[float(x) for x in r[0]] for r in cent_rows]
+
+
+def q_streaming_semantic_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming_semantic`` with GEMM cell assignment
+    (``assign_arrow=True``) and a per-vector-scale codebook (50
+    cells): the large-codebook deploy path — the Catalyst literal
+    assignment caps at ~1k cells, the arrow path runs at 4k in
+    tests/test_semantic_stream.py — oracled against the same DuckDB
+    self-join with the wide centroid set."""
+    import tempfile
+
+    from updater_spark.streaming.semantic_stream import run_semantic_stream
+
+    base, centroids = _semantic_stream_fixture(spark, sf_dir, wide=True)
+    root = tempfile.mkdtemp(prefix="semstream_arrow_")
+    src_dir = os.path.join(root, "drops")
+    base.coalesce(1).write.mode("append").parquet(src_dir)
+    twins = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.01 + 0.005).alias("v"),
+    )
+    twins.coalesce(1).write.mode("append").parquet(src_dir)
+    with _stream_confs(spark):
+        q = run_semantic_stream(
+            spark,
+            src_dir,
+            "vec_id long, v array<double>",
+            centroids,
+            os.path.join(root, "out"),
+            os.path.join(root, "ckpt"),
+            threshold=0.9,
+            vec_col="v",
+            assign_arrow=True,
+        )
+        q.awaitTermination(240)
+    return spark.read.parquet(os.path.join(root, "out")).select(
+        F.col("vec_id").alias("id"), "cell", "dup_of", "is_new"
+    )
 
 
 def q_semantic_dedup_t95(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2855,71 +2897,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
-    # the FIRST 50 registered queries. Round-5 rotation (VERDICT r4
-    # ask #6): queries NEW this round lead, then the 46 queries whose
-    # last hard driver row is r2/r3 — in particular the
-    # store-dependent parity core after the locking change and the
-    # r2-checked ANN/sim queries after the r4 chunking work — then the
-    # 50 queries freshly green in CORRECTNESS_r04. The union of
-    # r4 ∪ r5 driver rows again covers all registered queries.
+    # the FIRST 50 registered queries. Round-6 rotation (VERDICT r5
+    # ask #2): queries with NO hard driver row lead — streaming_semantic
+    # (registered past the window in r5) and streaming_semantic_arrow
+    # (new this round) — then the block whose last hard row is r4 (the
+    # oldest), through the semantic-stream code they sit near. The r5
+    # first-50 set follows; r5 ∪ r6 driver rows again cover everything.
     return {
-        # --- new in round 5 ---
-        "semantic_dedup_arrow": q_semantic_dedup_arrow,
-        "semantic_dedup_t95": q_semantic_dedup_t95,
-        "semantic_dedup_incremental": q_semantic_dedup_incremental,
-        "semantic_dedup_incremental_arrow": q_semantic_dedup_incremental_arrow,
-        # --- last hard driver row r2/r3: the r5 re-check set ---
-        "s7_apply_deletes": q_s7_apply_deletes,
-        "j5_changelog": q_j5_changelog,
-        "cdc_full_cycle": q_cdc_full_cycle,
-        "p2_scores": q_p2_scores,
-        "p4_name_normalize": q_p4_name_normalize,
-        "j3_tribe_active": q_j3_tribe_active,
-        "a3_tribe_stats_incremental": q_a3_tribe_stats_incremental,
-        "a3_tribe_stats_bootstrap": q_a3_tribe_stats_bootstrap,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "a2_events_hourly": q_a2_events_hourly,
-        "j1_diff_large": q_j1_diff_large,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_lsh_verified": q_dedup_lsh_verified,
-        "dedup_simhash": q_dedup_simhash,
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "sim_topk_cosine": q_sim_topk_cosine,
-        "sim_topk_arrow": q_sim_topk_arrow,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "ann_index_maintained": q_ann_index_maintained,
-        "streaming_first_seen": q_streaming_first_seen,
-        "multimodal_blob_meta": q_multimodal_blob_meta,
-        "multimodal_decode_stub": q_multimodal_decode_stub,
-        "dedup_embedding_neardup": q_dedup_embedding_neardup,
-        "a1_counts": q_a1_counts,
-        "s11_schema_introspection": q_s11_schema_introspection,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "q5_local_supplier": q_q5_local_supplier,
-        "window_topn": q_window_topn,
-        "events_sessionize": q_events_sessionize,
-        "rollup_revenue": q_rollup_revenue,
-        "set_ops": q_set_ops,
-        "streaming_cdc": q_streaming_cdc,
-        "dataset_split": q_dataset_split,
-        "pack_chunks": q_pack_chunks,
-        "pack_greedy": q_pack_greedy,
-        # --- new in round 5, outside the first-50 sample (the 46-query
-        # stale re-check set fills it); judge-side oracle_check covers
-        # them now, rotate to the front in round 6 ---
+        # --- no hard driver row yet ---
         "streaming_semantic": q_streaming_semantic,
-        # --- freshly green in CORRECTNESS_r04 ---
+        "streaming_semantic_arrow": q_streaming_semantic_arrow,
+        # --- last hard driver row r4: the r6 re-check set ---
         "sample_stratified": q_sample_stratified,
         "mixture_resample": q_mixture_resample,
         "asof_join_events": q_asof_join_events,
@@ -2970,6 +2958,57 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_diff_classify": q_j1_diff_classify,
         "j2_semi_join_fetch": q_j2_semi_join_fetch,
         "s5_merge_upsert": q_s5_merge_upsert,
+        # --- hard row r5 (CORRECTNESS_r05) ---
+        "semantic_dedup_arrow": q_semantic_dedup_arrow,
+        "semantic_dedup_t95": q_semantic_dedup_t95,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "semantic_dedup_incremental_arrow": q_semantic_dedup_incremental_arrow,
+        "s7_apply_deletes": q_s7_apply_deletes,
+        "j5_changelog": q_j5_changelog,
+        "cdc_full_cycle": q_cdc_full_cycle,
+        "p2_scores": q_p2_scores,
+        "p4_name_normalize": q_p4_name_normalize,
+        "j3_tribe_active": q_j3_tribe_active,
+        "a3_tribe_stats_incremental": q_a3_tribe_stats_incremental,
+        "a3_tribe_stats_bootstrap": q_a3_tribe_stats_bootstrap,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "a2_events_hourly": q_a2_events_hourly,
+        "j1_diff_large": q_j1_diff_large,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_lsh_verified": q_dedup_lsh_verified,
+        "dedup_simhash": q_dedup_simhash,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "sim_topk_cosine": q_sim_topk_cosine,
+        "sim_topk_arrow": q_sim_topk_arrow,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "ann_index_maintained": q_ann_index_maintained,
+        "streaming_first_seen": q_streaming_first_seen,
+        "multimodal_blob_meta": q_multimodal_blob_meta,
+        "multimodal_decode_stub": q_multimodal_decode_stub,
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "a1_counts": q_a1_counts,
+        "s11_schema_introspection": q_s11_schema_introspection,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier": q_q5_local_supplier,
+        "window_topn": q_window_topn,
+        "events_sessionize": q_events_sessionize,
+        "rollup_revenue": q_rollup_revenue,
+        "set_ops": q_set_ops,
+        "streaming_cdc": q_streaming_cdc,
+        "dataset_split": q_dataset_split,
+        "pack_chunks": q_pack_chunks,
+        "pack_greedy": q_pack_greedy,
     }
 
 
@@ -5396,4 +5435,13 @@ def oracle_sql() -> dict[str, str]:
                d.dup_of IS NULL AS is_new
         FROM uv u LEFT JOIN dup d ON u.vec_id = d.vec_id
     """
+    # streaming_semantic_arrow: same online first-seen contract with
+    # the GEMM assignment path and the WIDE codebook (every base
+    # vector a centroid) — only the cents CTE differs.
+    sqls["streaming_semantic_arrow"] = sqls["streaming_semantic"].replace(
+        "FROM (SELECT vec_id, v FROM base WHERE vec_id % 50 = 0\n"
+        "                  ORDER BY vec_id LIMIT 8)",
+        "FROM (SELECT vec_id, v FROM base WHERE vec_id % 10 = 0\n"
+        "                  ORDER BY vec_id LIMIT 50)",
+    )
     return sqls

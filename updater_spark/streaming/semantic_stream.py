@@ -10,23 +10,53 @@ can't see a stream; this is ``applyInPandasWithState`` — per-cell
 state object, explicit timeout control (the escape hatch the guide
 reserves for stateful logic built-ins can't express).
 
-Keying and state: groups are CENTROID CELLS (assignment is the same
-argmax-dot, ties to the lowest cell, computed per micro-batch in the
-JVM via Catalyst dots — the codebook is a literal expression tree, so
-this path shares ``ivf_assign``'s ~1k-cell practical bound; larger
-codebooks belong to the batch arrow path). State per cell holds the
-ids + unit vectors of every vector seen so far in that cell —
-bounded by cell size, the same occupancy ``max_cell``/telemetry
-watches in batch, and ``GroupStateTimeout`` can bound the horizon
-where the dedup window is finite.
+Keying and state: groups are CENTROID CELLS. Assignment is the same
+argmax-dot, ties to the lowest cell, computed per micro-batch either
+as Catalyst dots in the JVM (default; the codebook is a literal
+expression tree, sharing ``ivf_assign``'s ~1k-cell practical bound)
+or — ``assign_arrow=True``, the large-codebook deploy mode — as one
+(batch x k) GEMM per Arrow batch via ``arrow_cell_assign``, the same
+escape hatch the batch paths use (VERDICT r5 #2: deploy cell counts
+are 4k+). State per cell holds the ids + unit vectors of the cell's
+RETAINED vectors.
 
-Determinism contract (what the exact oracle checks): vectors are
-processed in ``vec_id`` order — sorted within each micro-batch, and
-the fixture feeds id-ranged file drops in order (the
+State bounds (VERDICT r5 #1 — an unbounded hot cell would grow its
+state, and the O(|state|) per-batch serialize cost, until the
+executor OOMs):
+
+- ``max_cell``: per-cell occupancy cap, refuse-above-cap. Once a
+  cell's retained set reaches the cap, later vectors are still
+  scored (against the capped set) and emitted, but NOT retained —
+  their ``retained`` output flag is False, the telemetry an
+  operator watches to re-train the codebook (the batch ``max_cell``
+  discipline: a hot cell stops absorbing compare work).
+- ``admitted_only``: retain only vectors flagged ``is_new`` — state
+  grows with UNIQUE content, not stream length, which is what
+  admission control wants (a duplicate admits nothing, so it need
+  not suppress anything later: its chain-first is already in
+  state). Changes the contract: ``dup_of`` chains point to the
+  RETAINED comparator (the chain first-seen), and a "dup of a dup
+  only" (near an unretained vector, far from its chain-first) is
+  admitted as new — exactly greedy leader clustering.
+- ``ttl_ms``: ProcessingTimeTimeout per cell — a cell that receives
+  no data for ``ttl_ms`` drops its state (finite dedup horizon).
+  Per Structured Streaming semantics the timeout fires on the next
+  micro-batch in which the cell has NO new rows; a cell that keeps
+  receiving data keeps renewing its lease.
+
+All three default OFF; with defaults the operator retains everything
+forever (the exact-oracle contract below).
+
+Determinism contract (what the exact oracle checks, defaults): the
+whole micro-batch for a cell is materialized and sorted by
+``vec_id`` ONCE before scoring (chunk-arrival order is
+Arrow-batch-size dependent and must not leak into results — ADVICE
+r5), and the fixture feeds id-ranged file drops in order (the
 ``rollup_stream`` discipline) — so ``dup_of`` is exactly
 ``min {u < v : cell(u) = cell(v), round(cos(u, v), d) >= t}`` and
 ``is_new`` marks chain-first vectors, independent of micro-batch
-slicing (tests/test_semantic_stream.py re-slices to prove it).
+slicing AND of Arrow chunking (tests/test_semantic_stream.py
+re-slices to prove it).
 """
 
 from __future__ import annotations
@@ -53,10 +83,11 @@ OUTPUT_SCHEMA = StructType(
         StructField("cell", LongType()),
         StructField("dup_of", LongType()),
         StructField("is_new", BooleanType()),
+        StructField("retained", BooleanType()),
     ]
 )
 
-# ids + row-flattened unit vectors of everything seen in the cell
+# ids + row-flattened unit vectors of the cell's RETAINED vectors
 STATE_SCHEMA = StructType(
     [
         StructField("ids", ArrayType(LongType())),
@@ -66,11 +97,31 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _make_scorer(threshold: float, round_digits: int):
+def _make_scorer(
+    threshold: float,
+    round_digits: int,
+    max_cell: int | None,
+    admitted_only: bool,
+    ttl_ms: int | None,
+):
     def score_cell(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        if ttl_ms is not None and state.hasTimedOut:
+            # cell idle past its lease: drop the dedup horizon
+            state.remove()
+            return
+        # materialize the WHOLE micro-batch before scoring: Arrow
+        # chunk boundaries (maxRecordsPerBatch, source file order)
+        # must not affect which rows count as "earlier" (ADVICE r5)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if ttl_ms is not None and state.exists:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("vec_id")
 
         if state.exists:
             ids_l, flat, dim = state.get
@@ -79,50 +130,77 @@ def _make_scorer(threshold: float, round_digits: int):
         else:
             seen_ids = np.empty(0, dtype=np.int64)
             seen = None
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("vec_id")
-            vm = np.array(pdf["u"].tolist(), dtype=np.float64)
-            vids = pdf["vec_id"].to_numpy()
-            if seen is None:
-                seen = np.empty((0, vm.shape[1]), dtype=np.float64)
-            # "any EARLIER vector" has no sequential dependency — the
-            # comparison set of row j is (all state rows) ∪ (batch
-            # rows i < j), duplicates included — so the whole batch
-            # scores as two GEMMs instead of a per-row loop
-            big = np.full(len(vids), np.iinfo(np.int64).max)
-            if len(seen):
-                hit_s = np.round(seen @ vm.T, round_digits) >= threshold
-                any_s = hit_s.any(axis=0)
-                if any_s.any():
-                    masked = np.where(
-                        hit_s, seen_ids[:, None], np.iinfo(np.int64).max
-                    )
-                    big = masked.min(axis=0)
-            in_sims = np.round(vm @ vm.T, round_digits) >= threshold
-            # strict lower triangle: row i earlier than column j
-            in_sims &= np.tri(len(vids), k=-1, dtype=bool).T
-            if in_sims.any():
-                masked_b = np.where(
-                    in_sims, vids[:, None], np.iinfo(np.int64).max
-                )
+        vm = np.array(pdf["u"].tolist(), dtype=np.float64)
+        vids = pdf["vec_id"].to_numpy()
+        n = len(vids)
+        if seen is None:
+            seen = np.empty((0, vm.shape[1]), dtype=np.float64)
+        NOHIT = np.iinfo(np.int64).max
+        # score vs state: state holds only retained vectors, so one
+        # GEMM gives each row its min retained-state comparator
+        big = np.full(n, NOHIT)
+        if len(seen):
+            hit_s = np.round(seen @ vm.T, round_digits) >= threshold
+            if hit_s.any():
+                masked = np.where(hit_s, seen_ids[:, None], NOHIT)
+                big = masked.min(axis=0)
+        # within-batch pairwise hits (row i vs column j), one GEMM
+        in_sims = np.round(vm @ vm.T, round_digits) >= threshold
+        # strict lower triangle transposed: comparator i earlier than j
+        in_sims &= np.tri(n, k=-1, dtype=bool).T
+
+        room = (
+            n if max_cell is None else max(0, int(max_cell) - len(seen_ids))
+        )
+        if not admitted_only:
+            # retention is positional (first `room` rows), so the
+            # comparator set is known up front — stay vectorized:
+            # only retained rows may suppress later ones
+            retained = np.arange(n) < room
+            cmp_sims = in_sims & retained[:, None]
+            if cmp_sims.any():
+                masked_b = np.where(cmp_sims, vids[:, None], NOHIT)
                 big = np.minimum(big, masked_b.min(axis=0))
-            is_new = big == np.iinfo(np.int64).max
-            yield pd.DataFrame(
-                {
-                    "vec_id": vids,
-                    "cell": int(key[0]),
-                    "dup_of": pd.array(
-                        [None if n else int(b) for n, b in zip(is_new, big)],
-                        dtype="Int64",
-                    ),
-                    "is_new": is_new,
-                }
-            )
-            seen = np.vstack([seen, vm])
-            seen_ids = np.append(seen_ids, vids)
-        if seen is not None and len(seen):
+            is_new = big == NOHIT
+        else:
+            # greedy leader clustering: the comparator set is the
+            # retained prefix, and retention depends on each row's
+            # own dup verdict — a sequential pass over the
+            # PRECOMPUTED hit matrix (O(n^2) boolean work; the
+            # GEMMs above stay vectorized)
+            retained = np.zeros(n, dtype=bool)
+            is_new = np.zeros(n, dtype=bool)
+            ret_idx: list[int] = []
+            n_ret = 0
+            for j in range(n):
+                b = big[j]
+                if ret_idx:
+                    hits = in_sims[ret_idx, j]
+                    if hits.any():
+                        b = min(b, int(vids[ret_idx][hits].min()))
+                big[j] = b
+                new_j = b == NOHIT
+                is_new[j] = new_j
+                if new_j and n_ret < room:
+                    retained[j] = True
+                    ret_idx.append(j)
+                    n_ret += 1
+        yield pd.DataFrame(
+            {
+                "vec_id": vids,
+                "cell": int(key[0]),
+                "dup_of": pd.array(
+                    [None if nw else int(b) for nw, b in zip(is_new, big)],
+                    dtype="Int64",
+                ),
+                "is_new": is_new,
+                "retained": retained,
+            }
+        )
+        if retained.any():
+            seen = np.vstack([seen, vm[retained]])
+            seen_ids = np.append(seen_ids, vids[retained])
+        if len(seen):
             state.update(
                 (
                     [int(x) for x in seen_ids],
@@ -130,6 +208,8 @@ def _make_scorer(threshold: float, round_digits: int):
                     int(seen.shape[1]),
                 )
             )
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
 
     return score_cell
 
@@ -141,13 +221,26 @@ def semantic_first_seen(
     round_digits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = None,
+    admitted_only: bool = False,
+    ttl_ms: int | None = None,
+    assign_arrow: bool = False,
 ) -> DataFrame:
-    """Streaming transform: assign each incoming vector to its cell
-    (Catalyst dots over unit-normalized centroids — JVM-side, no
-    Python in the assignment), then run the per-cell stateful scorer.
-    Returns the transformed streaming DataFrame; caller attaches the
-    sink/trigger/checkpoint."""
-    from updater_spark.operators.similarity import as_double, dot, unit
+    """Streaming transform: assign each incoming vector to its cell,
+    then run the per-cell stateful scorer. Assignment is Catalyst
+    dots over unit-normalized centroids by default (JVM-side, no
+    Python — practical to ~1k cells), or one GEMM per Arrow batch
+    with ``assign_arrow=True`` (``arrow_cell_assign``, identical
+    argmax/tie semantics — the 4k+-cell deploy path). Returns the
+    transformed streaming DataFrame; caller attaches the
+    sink/trigger/checkpoint. See the module docstring for the
+    ``max_cell`` / ``admitted_only`` / ``ttl_ms`` state bounds."""
+    from updater_spark.operators.similarity import (
+        arrow_cell_assign,
+        as_double,
+        dot,
+        unit,
+    )
 
     cents = []
     for c in centroids:
@@ -157,17 +250,29 @@ def semantic_first_seen(
         F.col(id_col).alias("vec_id"),
         unit(as_double(F.col(vec_col))).alias("u"),
     )
-    dots = [dot(F.col("u"), F.array(*[F.lit(x) for x in c])) for c in cents]
-    arr = F.array(*dots)
-    assigned = u.withColumn(
-        "cell", (F.array_position(arr, F.array_max(arr)) - 1).cast("long")
-    )
+    if assign_arrow:
+        assigned = (
+            arrow_cell_assign(u.withColumnRenamed("vec_id", "id"), cents)
+            .withColumnRenamed("id", "vec_id")
+        )
+    else:
+        dots = [
+            dot(F.col("u"), F.array(*[F.lit(x) for x in c])) for c in cents
+        ]
+        arr = F.array(*dots)
+        assigned = u.withColumn(
+            "cell", (F.array_position(arr, F.array_max(arr)) - 1).cast("long")
+        )
     return assigned.groupBy("cell").applyInPandasWithState(
-        _make_scorer(threshold, round_digits),
+        _make_scorer(threshold, round_digits, max_cell, admitted_only, ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -183,6 +288,10 @@ def run_semantic_stream(
     max_files_per_trigger: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = None,
+    admitted_only: bool = False,
+    ttl_ms: int | None = None,
+    assign_arrow: bool = False,
 ):
     """File-source driver: drain ``src_path`` drops AvailableNow
     through ``semantic_first_seen`` into a parquet sink. Per-cell
@@ -201,6 +310,10 @@ def run_semantic_stream(
         round_digits=round_digits,
         id_col=id_col,
         vec_col=vec_col,
+        max_cell=max_cell,
+        admitted_only=admitted_only,
+        ttl_ms=ttl_ms,
+        assign_arrow=assign_arrow,
     )
     return (
         out.writeStream.format("parquet")
