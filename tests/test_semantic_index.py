@@ -280,3 +280,82 @@ def test_arrow_mode_equals_catalyst_lifecycle(spark, corpus, tmp_store):
     arw_pairs, arw_cells = lifecycle("semlc_arw", arrow=True)
     assert arw_cells == cat_cells
     assert arw_pairs == cat_pairs and len(cat_pairs) > 0
+
+
+def test_cap_crossing_emits_owed_pairs(spark, corpus, tmp_store):
+    """ADVICE r5: a cell over ``max_cell`` emits no pairs — if later
+    deletes (or migrations) shrink it under the cap, the epoch must
+    emit the cell's full intra-cell pair set, or the cross-epoch
+    contract silently loses those pairs vs the capped one-shot."""
+    import functools
+
+    from pyspark.sql import DataFrame
+
+    df, cents = corpus
+    k = F.col("vec_id")
+    base = df.filter(k < 1000)  # two ~30-member cells
+
+    # cap 20: both cells start OVER cap -> bootstrap emits nothing
+    idx = SemanticIndex(tmp_store, "semxc", threshold=0.98, max_cell=20)
+    # localCheckpoint, not persist: a persisted EMPTY result never
+    # materializes cache blocks (AQE empty-relation propagation), so
+    # later evaluation would recompute over rewritten store files —
+    # eager checkpoint truncates the lineage instead
+    pairs = [idx.bootstrap(base, cents).localCheckpoint(eager=True)]
+    assert pairs[0].count() == 0
+
+    # delete every other even id: cells shrink to ~15 members each —
+    # both cross under the cap and owe their full pair sets
+    dels = base.filter(k % 4 == 0).select("vec_id")
+    owed = idx.remove(dels).localCheckpoint(eager=True)
+    pairs.append(owed)
+    assert owed.count() > 0  # the crossing actually paid out
+
+    cand = functools.reduce(DataFrame.unionByName, pairs)
+    verified = sorted(
+        tuple(r) for r in idx.verify_pairs(cand).collect()
+    )
+
+    final = base.join(dels, "vec_id", "anti")
+    fresh = SemanticIndex(
+        tmp_store, "semxc_fresh", threshold=0.98, max_cell=20
+    )
+    oneshot = sorted(tuple(r) for r in fresh.bootstrap(final, cents).collect())
+    assert verified == oneshot and len(oneshot) > 0
+
+
+def test_cap_crossing_via_update_migration(spark, corpus, tmp_store):
+    """The update() side of the crossing: re-ingesting vectors INTO a
+    different cell shrinks their old cell under the cap — update()
+    must include the old cell's owed pairs."""
+    import functools
+
+    from pyspark.sql import DataFrame
+
+    df, cents = corpus
+    k = F.col("vec_id")
+    base = df.filter(k < 1000)
+    idx = SemanticIndex(tmp_store, "semxm", threshold=0.98, max_cell=20)
+    pairs = [idx.bootstrap(base, cents).localCheckpoint(eager=True)]
+
+    # migrate every other even CELL-0 id into cell 1's direction
+    movers = base.filter(k % 4 == 0).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "CASE WHEN i = 5 THEN 1.0 ELSE 0.0 END)"
+        ).alias("embedding"),
+    )
+    pairs.append(idx.update(movers).localCheckpoint(eager=True))
+
+    cand = functools.reduce(DataFrame.unionByName, pairs)
+    verified = sorted(tuple(r) for r in idx.verify_pairs(cand).collect())
+
+    final = base.join(movers.select("vec_id"), "vec_id", "anti").unionByName(
+        movers
+    )
+    fresh = SemanticIndex(
+        tmp_store, "semxm_fresh", threshold=0.98, max_cell=20
+    )
+    oneshot = sorted(tuple(r) for r in fresh.bootstrap(final, cents).collect())
+    assert verified == oneshot

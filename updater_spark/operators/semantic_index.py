@@ -157,6 +157,58 @@ class SemanticIndex:
         best = (F.array_position(arr, F.array_max(arr)) - 1).cast("long")
         return u.withColumn("cell", best)
 
+    def _empty_pairs(self) -> DataFrame:
+        return self.store.spark.createDataFrame(
+            [], "id_a long, id_b long, sim double"
+        )
+
+    def _pre_sizes(self, idx: DataFrame, affected: list) -> dict:
+        """Materialize affected-cell occupancies BEFORE a rewrite
+        (collect forces the read; ``idx`` is lazy over store files, so
+        reading after the overwrite would see post-write state)."""
+        if self.max_cell is None or not affected:
+            return {}
+        return {
+            r["cell"]: r["n"]
+            for r in idx.filter(F.col("cell").isin(affected))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def _cap_crossing_pairs(
+        self, stored: DataFrame, affected: list, pre: dict
+    ) -> DataFrame:
+        """Pairs owed when a cell crosses from over-cap to under-cap
+        (ADVICE r5): with ``max_cell`` set, an over-cap cell emits NO
+        pairs in any epoch — if deletes/migrations later shrink it
+        under the cap, the one-shot of the final corpus INCLUDES its
+        intra-cell pairs, but no epoch ever emitted them as
+        candidates and ``verify_pairs`` can only re-score what was
+        emitted. Detect the crossing (pre > cap >= post) and emit the
+        cell's full intra-cell pair set for this epoch — bounded by
+        ``max_cell``² per crossed cell, and crossings are rare (a
+        cell shrinks through the cap at most once per epoch)."""
+        if self.max_cell is None or not affected:
+            return self._empty_pairs()
+        post = {
+            r["cell"]: r["n"]
+            for r in stored.filter(F.col("cell").isin(affected))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        crossed = [
+            c
+            for c in affected
+            if pre.get(c, 0) > self.max_cell
+            and 2 <= post.get(c, 0) <= self.max_cell
+        ]
+        if not crossed:
+            return self._empty_pairs()
+        sub = stored.filter(F.col("cell").isin(crossed))
+        return self._pair(sub, sub).filter(F.col("id_a") < F.col("id_b"))
+
     def _pair(self, left: DataFrame, right: DataFrame) -> DataFrame:
         """Cell-keyed near-dup pairs between two (id, u, cell) sets:
         hash equi-join on cell (never all-pairs), rounded cosine
@@ -238,9 +290,12 @@ class SemanticIndex:
         (delta×old ∪ delta×delta). A re-ingested id replaces its old
         vector FIRST, so pairs always reflect current embeddings and
         a moved vector never pairs through its stale cell. The pair
-        DataFrame is computed over post-write state — consume (or
-        persist) it before the next epoch's write GCs versions, the
-        ``apply_cdc_epoch`` contract."""
+        DataFrame is computed over post-write state — consume it (write
+        it out, or ``localCheckpoint(eager=True)``) before the next
+        epoch's write GCs versions, the ``apply_cdc_epoch`` contract.
+        Note ``persist()`` does NOT protect a result that happens to
+        be EMPTY: no cache blocks materialize and later evaluation
+        recomputes over the rewritten store files."""
         cents, _ = self._codebook_state()
         with self.store.locked(self._cells):
             self._check_identity()
@@ -252,6 +307,7 @@ class SemanticIndex:
             affected, to_drop = cell_maintenance_stats(
                 idx, delta_ids, assigned, "id", "cell"
             )
+            pre = self._pre_sizes(idx, affected)
             if affected:
                 rebuilt = (
                     idx.filter(F.col("cell").isin(affected))
@@ -269,11 +325,19 @@ class SemanticIndex:
         new_new = self._pair(probe, probe).filter(
             F.col("id_a") < F.col("id_b")
         )
-        return new_old.unionByName(new_new).distinct()
+        # a migrating re-ingest can shrink its OLD cell through the
+        # cap: that cell owes its full pair set this epoch
+        crossing = self._cap_crossing_pairs(stored, affected, pre)
+        return (
+            new_old.unionByName(new_new).unionByName(crossing).distinct()
+        )
 
-    def remove(self, ids: DataFrame) -> None:
+    def remove(self, ids: DataFrame) -> DataFrame:
         """Drop vectors (CDC deletes) from the index state; rewrites
-        (or drops) only their cells."""
+        (or drops) only their cells. Returns the pairs OWED by cells
+        the deletion shrank through ``max_cell`` (empty without a cap
+        or crossing — see ``_cap_crossing_pairs``); accumulate them
+        like ``update``'s pairs."""
         with self.store.locked(self._cells):
             self._check_identity()
             idx = self.store.read_partitioned(self._cells)
@@ -282,7 +346,8 @@ class SemanticIndex:
                 idx, key, None, "id", "cell"
             )
             if not affected:
-                return
+                return self._empty_pairs()
+            pre = self._pre_sizes(idx, affected)
             rebuilt = idx.filter(F.col("cell").isin(affected)).join(
                 key, "id", "anti"
             )
@@ -292,6 +357,9 @@ class SemanticIndex:
                     self._cells, rebuilt.repartition("cell"), "cell"
                 )
             self.store.drop_partitions(self._cells, "cell", to_drop)
+        return self._cap_crossing_pairs(
+            self.store.read_partitioned(self._cells), affected, pre
+        )
 
     def assignments(self) -> DataFrame:
         """(id, cell) of the current state — the final-output join
@@ -315,7 +383,11 @@ class SemanticIndex:
         set of the current corpus. Completeness needs no re-scan: when
         the LATER of a final pair's two embeddings was ingested, the
         other already held its final value, so ``update``'s new×old
-        emitted the candidate."""
+        emitted the candidate — and with ``max_cell`` set, a cell
+        whose over-cap epochs emitted nothing pays its full pair set
+        the moment it shrinks under the cap
+        (``_cap_crossing_pairs``, ADVICE r5), so the cap punches no
+        hole in the contract."""
         cur = self.store.read_partitioned(self._cells)
         if self.max_cell is not None:
             ok = (
@@ -365,9 +437,11 @@ def apply_cdc_epoch(
     deleted = store.read(f"{table}__deleted").select(
         F.col(id_col).alias(index.id_col)
     )
-    index.remove(deleted)
+    # remove() returns pairs owed by cells the deletes shrank through
+    # max_cell (ADVICE r5) — part of the epoch's candidate feed
+    owed = index.remove(deleted)
     delta = store.read(f"{table}__delta").select(
         F.col(id_col).alias(index.id_col),
         F.col(vec_col).alias(index.vec_col),
     )
-    return index.update(delta)
+    return index.update(delta).unionByName(owed).distinct()
