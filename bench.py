@@ -155,6 +155,27 @@ def run() -> None:
         out["errors"] = errors
     # allow_nan=False: a NaN would make the line unparseable downstream
     print(json.dumps(out, allow_nan=False))
+    # SECOND, SHORT summary line AFTER the full dict (VERDICT r5 #5):
+    # the driver's tail capture truncates long output from the FRONT,
+    # which lost exec_total + ~29 queries in BENCH_r04/r05 (parsed=
+    # null both rounds). Totals + slowest-10 in <1 KB, printed last,
+    # survive any tail window.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    summary = {
+        "bench_summary": 1,
+        "exec_total_sec": total,
+        "build_total_sec": out["build_total_sec"],
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": sf,
+        "hash_diff_rows_per_sec": out["hash_diff_rows_per_sec"],
+        "cdc_bootstrap_sec": out["cdc_bootstrap_sec"],
+        "cdc_incremental_sec": out["cdc_incremental_sec"],
+        "slowest10": slowest,
+    }
+    print(json.dumps(summary, allow_nan=False))
 
 
 if __name__ == "__main__":

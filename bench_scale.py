@@ -811,11 +811,14 @@ def cdcindex_probe(n: int) -> None:
     """Steady-state maintenance cost — the 100 TB question the
     incremental indexes exist to answer (VERDICT r3 ask #5 / r4 ask
     #3): drive three full CDC epochs (1% updates, ~0.3% deletes,
-    ~0.5% inserts per epoch) and maintain BOTH downstream indexes
-    incrementally each epoch — the MinHash dedup index via
-    ``apply_cdc_epoch`` and the IVF ANN index via
-    ``IvfIndex.upsert``/``remove`` — then time the full-rebuild
-    alternative on the final state. ``crossover_epochs`` = rebuild
+    ~0.5% inserts per epoch) and maintain all THREE downstream
+    indexes incrementally each epoch — the MinHash dedup index, the
+    IVF ANN index, and (r5 ask #4) the SemanticIndex in arrow mode
+    with a WIDE codebook: incremental pair cost is |delta| x |cell|,
+    so SemDeDup at scale wants many small cells (the paper's
+    50k-cell shape); n//2500 cells keeps ~2.5k members/cell here.
+    After the epochs, time the full-rebuild alternative for each
+    index on the final state. ``crossover_epochs`` = rebuild
     seconds / mean epoch seconds: how many epochs an incremental
     index must survive before it has beaten rebuild-every-epoch
     (values > 1 mean incremental wins every single epoch).
@@ -831,6 +834,10 @@ def cdcindex_probe(n: int) -> None:
     from updater_spark.operators.dedup_index import (
         DedupIndex,
         apply_cdc_epoch,
+    )
+    from updater_spark.operators.semantic_index import SemanticIndex
+    from updater_spark.operators.semantic_index import (
+        apply_cdc_epoch as sem_apply_cdc_epoch,
     )
     from updater_spark.plans.cdc import CdcEngine
     from updater_spark.schema import TableSpec
@@ -931,6 +938,32 @@ def cdcindex_probe(n: int) -> None:
         ann.bootstrap(snapshot(0).select("pk", "embedding"), cents)
         res["ann_bootstrap_sec"] = round(time.perf_counter() - t0, 3)
 
+        # semantic track: wide codebook (many small cells — the
+        # incremental pair join is |delta| x |cell|), arrow mode (the
+        # deploy path; the Catalyst literal codebook caps at ~1k)
+        sem_k = max(64, min(n // 2500, 8000))
+        sem_cents = [
+            list(r["embedding"])
+            for r in snapshot(0)
+            .filter(F.col("pk") <= sem_k)
+            .orderBy("pk")
+            .collect()
+        ]
+        sem = SemanticIndex(
+            store,
+            "semx",
+            threshold=0.95,
+            arrow=True,
+            id_col="pk",
+            vec_col="embedding",
+        )
+        t0 = time.perf_counter()
+        res["sem_bootstrap_pairs"] = sem.bootstrap(
+            snapshot(0).select("pk", "embedding"), sem_cents
+        ).count()
+        res["sem_bootstrap_sec"] = round(time.perf_counter() - t0, 3)
+        res["sem_cells"] = sem_k
+
         for e in (1, 2, 3):
             snap = snapshot(e)
             row: dict = {"epoch": e}
@@ -956,6 +989,15 @@ def cdcindex_probe(n: int) -> None:
             ann.upsert(delta_vec)
             ann.remove(deleted)
             row["ann_index_sec"] = round(time.perf_counter() - t0, 3)
+
+            # semantic index: same change feed, delta-only re-assign
+            # + own-cell pairing (remove first, then update)
+            t0 = time.perf_counter()
+            sem_pairs = sem_apply_cdc_epoch(
+                sem, store, "docs", "pk", "embedding"
+            )
+            row["sem_pairs"] = sem_pairs.count()
+            row["sem_index_sec"] = round(time.perf_counter() - t0, 3)
             res["epochs"].append(row)
 
         # full-rebuild baselines over the FINAL corpus state
@@ -971,16 +1013,32 @@ def cdcindex_probe(n: int) -> None:
             snapshot(3).select("pk", "embedding"), cents
         )
         res["ann_rebuild_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        SemanticIndex(
+            store2,
+            "semx_rb",
+            threshold=0.95,
+            arrow=True,
+            id_col="pk",
+            vec_col="embedding",
+        ).bootstrap(snapshot(3).select("pk", "embedding"), sem_cents).count()
+        res["sem_rebuild_sec"] = round(time.perf_counter() - t0, 3)
         shutil.rmtree(store2.root, ignore_errors=True)
 
         mean_dedup = sum(r["dedup_index_sec"] for r in res["epochs"]) / 3
         mean_ann = sum(r["ann_index_sec"] for r in res["epochs"]) / 3
+        mean_sem = sum(r["sem_index_sec"] for r in res["epochs"]) / 3
         res["dedup_crossover_epochs"] = round(
             res["dedup_rebuild_sec"] / mean_dedup, 2
         )
         res["ann_crossover_epochs"] = round(
             res["ann_rebuild_sec"] / mean_ann, 2
         )
+        res["sem_crossover_epochs"] = round(
+            res["sem_rebuild_sec"] / mean_sem, 2
+        )
+        # skew telemetry on the maintained semantic index (r5 ask #7)
+        res["sem_occupancy"] = sem.occupancy()
         print(json.dumps({"n_rows": n, "cdcindex_probe": res}))
     finally:
         shutil.rmtree(root, ignore_errors=True)

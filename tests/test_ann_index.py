@@ -239,3 +239,48 @@ def test_identity_sidecar_detects_crashed_bootstrap(spark, corpus, tmp_store):
     tmp_store.write_sidecar("ivf_crash__cells", "identity", "gen2-partial")
     with pytest.raises(RuntimeError, match="codebook"):
         IvfIndex(tmp_store, "ivf_crash").search(q, k=2, nprobe=2)
+
+
+def test_occupancy_telemetry_and_retrain_trigger(spark, corpus, tmp_store):
+    """Cell-skew telemetry (VERDICT r5 #7): occupancy() summarizes
+    per-cell load in one agg job; needs_retrain flips when drift
+    concentrates mass in one cell — the fixed-codebook failure mode
+    at scale (the quantizer never retrains in place)."""
+    from updater_spark.operators.ann_index import needs_retrain
+
+    df, vecs = corpus
+    cent_idxs = list(range(0, 40, 5))
+    cents = _cents(vecs, cent_idxs)
+    books = _books(vecs, cent_idxs, range(1, 65, 4))
+
+    idx = IvfPqIndex(tmp_store, "pq_occ")
+    idx.bootstrap(df, cents, books)
+    s0 = idx.occupancy()
+    assert s0["n_cells"] > 1 and s0["total_rows"] == 120
+    assert s0["max"] >= s0["p99"] >= s0["p50"] >= 1
+    assert abs(s0["mean"] - 120 / s0["n_cells"]) < 0.01
+    assert not needs_retrain(s0, max_imbalance=50.0)
+
+    # drift: 300 new vectors all landing on centroid 0's cell
+    hot = spark.createDataFrame(
+        [
+            Row(
+                vec_id=10_000 + i,
+                embedding=[float(x) + 0.001 * i for x in vecs[0]],
+            )
+            for i in range(300)
+        ]
+    )
+    idx.upsert(hot)
+    s1 = idx.occupancy()
+    assert s1["total_rows"] == 420
+    assert s1["max"] >= 300
+    assert s1["imbalance"] > s0["imbalance"]
+    # 300-in-one-cell on a 420-row corpus -> max/mean ~= 6.1
+    assert needs_retrain(s1, max_imbalance=5.0)
+
+    # the plain IVF index and the semantic index share the telemetry
+    ividx = IvfIndex(tmp_store, "ivf_occ")
+    ividx.bootstrap(df, cents)
+    sv = ividx.occupancy()
+    assert sv["total_rows"] == 120 and sv["n_cells"] == s0["n_cells"]

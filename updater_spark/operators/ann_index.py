@@ -97,6 +97,69 @@ def cell_maintenance_stats(
     return affected, to_drop
 
 
+def cell_occupancy_stats(idx: DataFrame, part_col: str) -> dict:
+    """Cell-skew telemetry (VERDICT r5 #7) — one aggregation job over
+    the cells table, reduced to k = codebook-size rows (driver-safe
+    regardless of corpus size):
+
+    ``{n_cells, total_rows, mean, p50, p99, max, imbalance}``
+
+    ``imbalance = max / mean`` is THE drift signal for any
+    fixed-codebook index at 100 TB: the quantizer is immutable
+    between bootstraps, so as the corpus distribution drifts, mass
+    concentrates in a few cells — probe cost grows with the hot
+    cell's size (nprobe pulls whole cells), maintenance rewrites of
+    the hot partition get slower, and a hot cell eventually outgrows
+    a task. Occupancy is cheap to watch after each maintenance op;
+    when it trips (see ``needs_retrain``), schedule a re-train — a
+    new ``bootstrap()`` with refreshed centroids, which rewrites
+    everything by definition."""
+    counts = sorted(
+        r["n"]
+        for r in idx.groupBy(part_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_cells = len(counts)
+    total = sum(counts)
+    if not n_cells:
+        return {
+            "n_cells": 0,
+            "total_rows": 0,
+            "mean": 0.0,
+            "p50": 0,
+            "p99": 0,
+            "max": 0,
+            "imbalance": 0.0,
+        }
+    mean = total / n_cells
+
+    def pct(q: float) -> int:
+        return counts[min(n_cells - 1, max(0, int(q * n_cells) - 1))]
+
+    return {
+        "n_cells": n_cells,
+        "total_rows": total,
+        "mean": round(mean, 2),
+        "p50": pct(0.50),
+        "p99": pct(0.99),
+        "max": counts[-1],
+        "imbalance": round(counts[-1] / mean, 3) if mean else 0.0,
+    }
+
+
+def needs_retrain(stats: dict, max_imbalance: float = 8.0) -> bool:
+    """Re-train advisory over ``cell_occupancy_stats`` output: True
+    when the hottest cell holds more than ``max_imbalance``× the mean
+    occupancy. 8× default: at perfect balance every probe reads
+    total/k rows; past ~8× a single-cell probe does an order of
+    magnitude more work than the plan budgeted, and the skew only
+    compounds as drift continues. The trigger is advisory — callers
+    schedule ``bootstrap()`` with refreshed centroids; nothing here
+    mutates the index."""
+    return bool(stats["n_cells"]) and stats["imbalance"] > max_imbalance
+
+
 class IvfIndex:
     def __init__(
         self,
@@ -250,6 +313,15 @@ class IvfIndex:
                     self._cells, rebuilt.repartition("bucket"), "bucket"
                 )
             self.store.drop_partitions(self._cells, "bucket", to_drop)
+
+    # -- telemetry -----------------------------------------------------
+    def occupancy(self) -> dict:
+        """Cell-skew telemetry; see ``cell_occupancy_stats``. Watch
+        ``imbalance`` after maintenance; ``needs_retrain`` advises
+        when drift warrants a re-bootstrap."""
+        return cell_occupancy_stats(
+            self.store.read_partitioned(self._cells), "bucket"
+        )
 
     # -- search --------------------------------------------------------
     def search(self, queries: DataFrame, k: int = 5, nprobe: int = 4) -> DataFrame:
@@ -487,6 +559,15 @@ class IvfPqIndex:
                     self._cells, rebuilt.repartition("cell"), "cell"
                 )
             self.store.drop_partitions(self._cells, "cell", to_drop)
+
+    # -- telemetry -----------------------------------------------------
+    def occupancy(self) -> dict:
+        """Cell-skew telemetry; see ``cell_occupancy_stats``. The
+        IVF-PQ quantizer never retrains in place, so this is the
+        signal that schedules the re-train ``bootstrap()``."""
+        return cell_occupancy_stats(
+            self.store.read_partitioned(self._cells), "cell"
+        )
 
     # -- search --------------------------------------------------------
     def search(

@@ -361,6 +361,17 @@ class SemanticIndex:
             self.store.read_partitioned(self._cells), affected, pre
         )
 
+    def occupancy(self) -> dict:
+        """Cell-skew telemetry (shared ``cell_occupancy_stats``): the
+        codebook is fixed between bootstraps, so corpus drift
+        concentrates cells — the failure mode ``max_cell`` guards at
+        pair time and this surfaces at maintenance time."""
+        from updater_spark.operators.ann_index import cell_occupancy_stats
+
+        return cell_occupancy_stats(
+            self.store.read_partitioned(self._cells), "cell"
+        )
+
     def assignments(self) -> DataFrame:
         """(id, cell) of the current state — the final-output join
         side for building (id, cell, group, keep) rows. ``cell`` is
