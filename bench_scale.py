@@ -1180,6 +1180,106 @@ def annrss_probe(n: int) -> None:
     print(json.dumps({"n_vectors": n, "annrss_probe": res}))
 
 
+def semstream_probe(n: int) -> None:
+    """Hot-cell state growth in ``semantic_first_seen`` (VERDICT r5
+    #1, measured): feed one cell ``n`` mostly-unique vectors in 10
+    ordered drops and compare three state contracts —
+
+    - unbounded (the exact-oracle default): per-batch work grows with
+      state (GEMM against everything seen + the O(|state|) state
+      serialize round-trip), so batch durations RISE across the run;
+    - ``max_cell`` refuse-above-cap: state freezes at the cap, late
+      batches flatten;
+    - ``admitted_only`` on a high-dup stream (64 base directions):
+      state grows with UNIQUE content only, flat from the start.
+
+    Reported: total wall, first/last micro-batch duration (from
+    StreamingQuery progress), retained-state size. Usage:
+    ``python bench_scale.py 100000 semstream``."""
+    import os
+    import shutil
+    import tempfile
+
+    from updater_spark.streaming.semantic_stream import run_semantic_stream
+
+    spark = get_spark("bench_scale_semstream")
+    spark.sparkContext.setLogLevel("ERROR")
+    dim, drops = 64, 10
+    batch = n // drops
+
+    def vecs(unique: bool):
+        # hash-derived vectors biased onto centroid 0; `unique` draws
+        # per-id noise (state grows), otherwise 64 base directions
+        # repeat (high-dup admission-control stream)
+        seed = F.col("vec_id") if unique else F.col("vec_id") % 64
+        return F.array(
+            *[
+                (
+                    F.when(F.lit(i) == 0, F.lit(4.0)).otherwise(F.lit(0.0))
+                    + (
+                        F.pmod(
+                            F.xxhash64(seed, F.lit(i)), F.lit(2_000_001)
+                        )
+                        / 1_000_000.0
+                        - 1.0
+                    )
+                ).cast("double")
+                for i in range(dim)
+            ]
+        )
+
+    cents = [[4.0] + [0.0] * (dim - 1), [-4.0] + [0.0] * (dim - 1)]
+    res: dict = {}
+    for label, unique, kw in (
+        ("unbounded", True, {}),
+        ("max_cell", True, {"max_cell": max(1000, n // 20)}),
+        ("admitted_only", False, {"admitted_only": True}),
+    ):
+        root = tempfile.mkdtemp(prefix=f"semstream_{label}_")
+        src = os.path.join(root, "drops")
+        for d in range(drops):
+            (
+                spark.range(d * batch, (d + 1) * batch)
+                .withColumnRenamed("id", "vec_id")
+                .select("vec_id", vecs(unique).alias("embedding"))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        t0 = time.perf_counter()
+        q = run_semantic_stream(
+            spark,
+            src,
+            "vec_id long, embedding array<double>",
+            cents,
+            os.path.join(root, "out"),
+            os.path.join(root, "ckpt"),
+            threshold=0.9,
+            **kw,
+        )
+        q.awaitTermination(3600)
+        wall = time.perf_counter() - t0
+        prog = [
+            p
+            for p in (q.recentProgress or [])
+            if p and p.get("numInputRows", 0) > 0
+        ]
+        batch_ms = [p["durationMs"]["triggerExecution"] for p in prog]
+        out = spark.read.parquet(os.path.join(root, "out"))
+        res[label] = {
+            "total_sec": round(wall, 2),
+            "rows_per_sec": round(n / wall),
+            "n_batches": len(batch_ms),
+            "batch_ms_first": batch_ms[0] if batch_ms else None,
+            "batch_ms_last": batch_ms[-1] if batch_ms else None,
+            "n_out": out.count(),
+            "n_retained": out.filter("retained").count(),
+            **({"cap": kw["max_cell"]} if "max_cell" in kw else {}),
+        }
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"n_vectors": n, "semstream_probe": res}))
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
@@ -1200,5 +1300,7 @@ if __name__ == "__main__":
         cdcindex_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "annrss":
         annrss_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "semstream":
+        semstream_probe(_n)
     else:
         main(_n)

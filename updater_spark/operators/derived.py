@@ -142,11 +142,21 @@ def stats_repair(
         ]
         if not touched:
             return
-        aff_t = F.broadcast(aff.select(F.col("id_tribe").alias("id")))
-        # semi-join-pruned recompute: only affected tribes' members flow
-        m_aff = member.join(
-            F.broadcast(aff), "id_tribe", "semi"
+        # gate the affected-tribe broadcasts on the measured count
+        # (aff is persisted, so the count is free): normal churn keeps
+        # this tiny, but a bulk re-ingest touching most tribes must
+        # degrade to a shuffle join, not a multi-GB broadcast
+        from updater_spark.operators.merge import (
+            BROADCAST_KEY_LIMIT,
+            _maybe_broadcast,
         )
+
+        hint = aff.count() < BROADCAST_KEY_LIMIT
+        aff_t = _maybe_broadcast(
+            aff.select(F.col("id_tribe").alias("id")), hint
+        )
+        # semi-join-pruned recompute: only affected tribes' members flow
+        m_aff = member.join(_maybe_broadcast(aff, hint), "id_tribe", "semi")
         new_stats = group_stats(
             tribe.join(aff_t, "id", "semi"), m_aff, player, stat_columns
         ).withColumn(PART_COL, _bucket(F.col("id"), buckets))
