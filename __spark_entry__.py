@@ -855,6 +855,73 @@ def q_ann_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift→advise→retrain→search loop end-to-end
+    (ann_index.py::IvfIndex.maybe_retrain — the ACTUATOR for the
+    needs_retrain advisory): bootstrap with a degenerate parallel
+    codebook (two scalings of one direction — every vector lands in
+    one of TWO cells, split by dot sign), upsert a skewed delta (4
+    perturbed replicas of every positive-dot row, piling ~5x mass
+    into one cell), measure occupancy, and RETRAIN — ivf_train on the
+    index's own stored vectors (the self-read path), atomic
+    re-bootstrap, k=8. The query RAISES if the advisory failed to
+    trip, so the driver row is sensitive to the whole loop. Search
+    then probes ALL 8 retrained cells, which makes the result exact
+    top-k over the final corpus regardless of where training
+    converged — the oracle is brute-force cosine SQL over base ∪
+    delta, codebook-free by construction."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.ann_index import IvfIndex
+    from updater_spark.operators.similarity import as_double, dot
+    from updater_spark.sources.store import TableStore
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    c0 = [
+        float(x)
+        for x in base.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    bad = [c0, [2.0 * x for x in c0]]
+    c0_col = F.array(*[F.lit(x) for x in c0])
+    pos = base.filter(dot(as_double(F.col("embedding")), c0_col) > 0)
+    delta = (
+        pos.crossJoin(
+            spark.range(1, 5).withColumnRenamed("id", "r")
+        ).select(
+            (F.col("vec_id") + 10_000_000 * F.col("r")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x * 1.01 + 0.005 * F.col("r").cast("double"),
+            ).alias("embedding"),
+            # 4 distinct perturbation directions per source row: exact
+            # sim ties would make the per-batch top-k cut
+            # partitioning-dependent
+        )
+    )
+    root = tempfile.mkdtemp(prefix="ivf_retrain_")
+    try:
+        idx = IvfIndex(TableStore(spark, root), "emb")
+        idx.bootstrap(base, bad)
+        idx.upsert(delta.select("vec_id", "embedding"))
+        out = idx.maybe_retrain(max_imbalance=1.3, k=8, iterations=2)
+        if not out["retrained"]:
+            raise RuntimeError(
+                "retrain fixture failed to trip needs_retrain: "
+                f"{out['occupancy']}"
+            )
+        res = idx.search(
+            emb.filter(F.col("vec_id") % 25 == 0), k=5, nprobe=8
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing over binary payloads (mapInPandas, Arrow
     batches): the decode/resample body is the documented deterministic
@@ -2905,6 +2972,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first-50 set follows; r5 ∪ r6 driver rows again cover everything.
     return {
         # --- no hard driver row yet ---
+        "ann_index_retrain": q_ann_index_retrain,
         "streaming_semantic": q_streaming_semantic,
         "streaming_semantic_arrow": q_streaming_semantic_arrow,
         # --- last hard driver row r4: the r6 re-check set ---
@@ -3323,6 +3391,44 @@ def _generated_oracles() -> dict[str, str]:
     SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
     """
 
+    # retrain-loop oracle: the Spark side retrains its codebook with
+    # ivf_train (iterative, not SQL-expressible) but then probes ALL
+    # retrained cells, so the result is exact top-k over the final
+    # corpus REGARDLESS of where training converged — brute-force
+    # cosine SQL, codebook-free. The delta reproduces the drift
+    # fixture: 4 perturbed replicas of every positive-dot row.
+    ann_retrain_sql = """
+    WITH c0 AS (
+        SELECT embedding::DOUBLE[] AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT e.vec_id + 10000000 * t.r,
+               list_transform(e.embedding::DOUBLE[],
+                              x -> x * 1.01 + 0.005 * t.r)
+        FROM embeddings e
+        CROSS JOIN c0
+        CROSS JOIN (VALUES (1), (2), (3), (4)) t(r)
+        WHERE list_dot_product(e.embedding::DOUBLE[], c0.cv) > 0
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id % 25 = 0),
+    scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.qv, v.v), 4) AS sim
+        FROM q JOIN vecs v ON q.query_id <> v.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """
+
     return {
         "dedup_minhash_lsh": minhash_sql,
         "dedup_simhash": simhash_sql,
@@ -3332,6 +3438,7 @@ def _generated_oracles() -> dict[str, str]:
         # the stored-index search must land on the identical result
         "ann_ivf_indexed": ann_ivf_sql,
         "ann_index_maintained": ann_maint_sql,
+        "ann_index_retrain": ann_retrain_sql,
     }
 
 

@@ -314,11 +314,80 @@ class IvfIndex:
                 )
             self.store.drop_partitions(self._cells, "bucket", to_drop)
 
+    def retrain(
+        self,
+        corpus: DataFrame | None = None,
+        k: int | None = None,
+        iterations: int = 3,
+        init: str = "lowest_id",
+    ) -> dict:
+        """The ``needs_retrain`` ACTUATOR: re-train the quantizer on
+        the current corpus (``ivf_train``) and rebuild the index
+        (``bootstrap`` — atomic sidecar → cells → codebook-promote) —
+        the only way a fixed-codebook index recovers from
+        drift-induced cell skew; upsert/remove never move centroids.
+
+        ``corpus`` defaults to the index's OWN stored vectors; that
+        self-read is eagerly materialized (``localCheckpoint``)
+        BEFORE bootstrap rewrites the cell files — a lazy plan over
+        the store would re-scan deleted files mid-rebuild (and
+        ``persist()`` does not protect a plan whose early evaluation
+        races the rewrite). At deploy scale prefer passing
+        ``corpus=`` from the upstream source: the self-read pins a
+        full corpus copy in executor storage for the duration of the
+        rebuild. ``k`` defaults to the current codebook size.
+
+        Returns ``{"codebook": new_id, "occupancy": post-stats}``.
+        Single-writer contract: same as every maintenance op — the
+        corpus snapshot is taken outside ``bootstrap``'s lock."""
+        from updater_spark.operators.similarity import ivf_train
+
+        if k is None:
+            k = len(self.centroids())
+        if corpus is None:
+            corpus = (
+                self.store.read_partitioned(self._cells)
+                .select(self.id_col, self.vec_col)
+                .localCheckpoint(eager=True)
+            )
+        cents = ivf_train(
+            corpus,
+            self.id_col,
+            self.vec_col,
+            k=k,
+            iterations=iterations,
+            init=init,
+        )
+        self.bootstrap(corpus, cents)
+        return {"codebook": self.codebook(), "occupancy": self.occupancy()}
+
+    def maybe_retrain(
+        self,
+        max_imbalance: float = 8.0,
+        corpus: DataFrame | None = None,
+        k: int | None = None,
+        iterations: int = 3,
+        init: str = "lowest_id",
+    ) -> dict:
+        """Measure → advise → act in one call: runs ``occupancy()``,
+        and if ``needs_retrain`` trips, ``retrain()``. The maintenance
+        loop a CDC cycle calls after its epoch's upserts. Returns
+        ``{"retrained": bool, "occupancy": ...}`` (plus the pre-
+        retrain stats under ``"occupancy_before"`` when it acted)."""
+        stats = self.occupancy()
+        if not needs_retrain(stats, max_imbalance):
+            return {"retrained": False, "occupancy": stats}
+        out = self.retrain(
+            corpus=corpus, k=k, iterations=iterations, init=init
+        )
+        return {"retrained": True, "occupancy_before": stats, **out}
+
     # -- telemetry -----------------------------------------------------
     def occupancy(self) -> dict:
         """Cell-skew telemetry; see ``cell_occupancy_stats``. Watch
         ``imbalance`` after maintenance; ``needs_retrain`` advises
-        when drift warrants a re-bootstrap."""
+        when drift warrants a re-bootstrap (``retrain``/
+        ``maybe_retrain`` is the actuator)."""
         return cell_occupancy_stats(
             self.store.read_partitioned(self._cells), "bucket"
         )
@@ -560,11 +629,83 @@ class IvfPqIndex:
                 )
             self.store.drop_partitions(self._cells, "cell", to_drop)
 
+    def retrain(
+        self,
+        corpus: DataFrame,
+        k: int | None = None,
+        m_sub: int | None = None,
+        k_codewords: int | None = None,
+        iterations: int = 3,
+        pq_iterations: int = 3,
+        init: str = "lowest_id",
+    ) -> dict:
+        """The ``needs_retrain`` actuator for the compressed index:
+        re-train the coarse quantizer (``ivf_train``) AND the residual
+        codebooks (``pq_train``) on ``corpus``, then rebuild
+        (``bootstrap`` — atomic sidecar → cells → quantizer-promote).
+
+        ``corpus`` is REQUIRED here, unlike ``IvfIndex.retrain``: the
+        cells table stores CODES ONLY (M bytes per vector) — the
+        original vectors are not reconstructible from the index, so a
+        re-train must come from the upstream source. ``k``/``m_sub``/
+        ``k_codewords`` default to the current quantizer's geometry.
+
+        Returns ``{"identity": new_id, "occupancy": post-stats}``."""
+        from updater_spark.operators.similarity import ivf_train, pq_train
+
+        if corpus is None:
+            raise ValueError(
+                f"IvfPqIndex {self.name!r} stores PQ codes only — the "
+                "original vectors cannot be reconstructed from the "
+                "index; pass the upstream corpus to retrain()"
+            )
+        cents_now, books_now, _ = self._quantizer_state()
+        if k is None:
+            k = len(cents_now)
+        if m_sub is None:
+            m_sub = len(books_now)
+        if k_codewords is None:
+            k_codewords = len(books_now[0])
+        cents = ivf_train(
+            corpus,
+            self.id_col,
+            self.vec_col,
+            k=k,
+            iterations=iterations,
+            init=init,
+        )
+        books = pq_train(
+            corpus,
+            cents,
+            self.id_col,
+            self.vec_col,
+            m_sub=m_sub,
+            k_codewords=k_codewords,
+            iterations=pq_iterations,
+        )
+        self.bootstrap(corpus, cents, books)
+        return {"identity": self.identity(), "occupancy": self.occupancy()}
+
+    def maybe_retrain(
+        self,
+        corpus: DataFrame,
+        max_imbalance: float = 8.0,
+        **kwargs,
+    ) -> dict:
+        """Measure → advise → act: ``occupancy()`` + ``needs_retrain``
+        gate a full ``retrain(corpus, ...)``. See ``IvfIndex``'s
+        twin for the return shape."""
+        stats = self.occupancy()
+        if not needs_retrain(stats, max_imbalance):
+            return {"retrained": False, "occupancy": stats}
+        out = self.retrain(corpus, **kwargs)
+        return {"retrained": True, "occupancy_before": stats, **out}
+
     # -- telemetry -----------------------------------------------------
     def occupancy(self) -> dict:
         """Cell-skew telemetry; see ``cell_occupancy_stats``. The
-        IVF-PQ quantizer never retrains in place, so this is the
-        signal that schedules the re-train ``bootstrap()``."""
+        IVF-PQ quantizer never retrains in place between bootstraps;
+        this is the signal that schedules ``retrain(corpus)``."""
         return cell_occupancy_stats(
             self.store.read_partitioned(self._cells), "cell"
         )

@@ -361,11 +361,85 @@ class SemanticIndex:
             self.store.read_partitioned(self._cells), affected, pre
         )
 
+    def retrain(
+        self,
+        corpus: DataFrame | None = None,
+        k: int | None = None,
+        iterations: int = 3,
+        init: str = "lowest_id",
+    ) -> DataFrame:
+        """The ``needs_retrain`` actuator: re-train the cell codebook
+        on the current corpus (``ivf_train``) and rebuild
+        (``bootstrap``). Returns the FULL one-shot pair set of the
+        corpus under the NEW codebook — which REPLACES the consumer's
+        accumulated pair feed, it is not unioned into it: cell
+        boundaries moved, so pairs accumulated under the old codebook
+        are neither a subset nor a superset of what the new one-shot
+        emits, and ``verify_pairs`` over the old feed no longer
+        reproduces ``semantic_dedup`` of the corpus. (Same consume-
+        before-next-write contract as ``update``'s pairs.)
+
+        ``corpus`` defaults to the index's own stored unit vectors,
+        eagerly materialized (``localCheckpoint``) before bootstrap
+        rewrites the cell files; at deploy scale prefer passing the
+        upstream corpus. ``k`` defaults to the current codebook
+        size."""
+        from updater_spark.operators.similarity import ivf_train
+
+        if k is None:
+            k = len(self.centroids())
+        if corpus is None:
+            corpus = (
+                self.store.read_partitioned(self._cells)
+                .select(
+                    F.col("id").alias(self.id_col),
+                    F.col("u").alias(self.vec_col),
+                )
+                .localCheckpoint(eager=True)
+            )
+        cents = ivf_train(
+            corpus,
+            self.id_col,
+            self.vec_col,
+            k=k,
+            iterations=iterations,
+            init=init,
+        )
+        return self.bootstrap(corpus, cents)
+
+    def maybe_retrain(
+        self,
+        max_imbalance: float = 8.0,
+        corpus: DataFrame | None = None,
+        k: int | None = None,
+        iterations: int = 3,
+        init: str = "lowest_id",
+    ) -> dict:
+        """Measure → advise → act: if ``needs_retrain`` trips on
+        ``occupancy()``, run ``retrain`` and return its replacement
+        pair feed under ``"pairs"`` (None when no action — the
+        accumulated feed stays authoritative)."""
+        from updater_spark.operators.ann_index import needs_retrain
+
+        stats = self.occupancy()
+        if not needs_retrain(stats, max_imbalance):
+            return {"retrained": False, "occupancy": stats, "pairs": None}
+        pairs = self.retrain(
+            corpus=corpus, k=k, iterations=iterations, init=init
+        )
+        return {
+            "retrained": True,
+            "occupancy_before": stats,
+            "occupancy": self.occupancy(),
+            "pairs": pairs,
+        }
+
     def occupancy(self) -> dict:
         """Cell-skew telemetry (shared ``cell_occupancy_stats``): the
         codebook is fixed between bootstraps, so corpus drift
         concentrates cells — the failure mode ``max_cell`` guards at
-        pair time and this surfaces at maintenance time."""
+        pair time, this surfaces at maintenance time, and
+        ``retrain``/``maybe_retrain`` repairs."""
         from updater_spark.operators.ann_index import cell_occupancy_stats
 
         return cell_occupancy_stats(

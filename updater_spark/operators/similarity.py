@@ -662,6 +662,114 @@ def codebook_id(centroids: list[list[float]]) -> str:
     ).hexdigest()
 
 
+def pq_train(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 8,
+    k_codewords: int = 16,
+    iterations: int = 3,
+) -> list[list[list[float]]]:
+    """Residual PQ codebook trainer (Jegou et al. 2011 §III): per-
+    subspace Lloyd's k-means in residual space ``v - centroid[cell]``
+    — the codebooks ``ivfpq_assign``/``IvfPqIndex.bootstrap`` consume.
+    Until now PQ codebooks were caller-supplied fixtures; this is the
+    production trainer, and with ``ivf_train`` it completes the
+    re-train actuator for ``needs_retrain`` (see
+    ``IvfPqIndex.retrain``).
+
+    Scale shape: ALL ``m_sub`` subspaces train in ONE narrow
+    mapInPandas pass + one shuffle per Lloyd iteration — each Arrow
+    batch assigns cells (GEMM), forms residuals, argmin-codes every
+    subspace against the current codebooks, and emits per-(m, code)
+    (count, sum) partials, so the shuffle carries ~partitions × M × K
+    rows regardless of corpus size and only the (M, K, dim/M)
+    codebook tensor ever reaches the driver. Never a per-subspace
+    job, never a corpus collect — the ``ivf_train`` shape, keyed
+    (m, code) instead of (cluster).
+
+    Deterministic: initial codewords are the residual subvectors of
+    the ``k_codewords`` lowest-id rows, numpy argmin ties break to
+    the lowest codeword (``ivfpq_assign``'s convention), reductions
+    are exact per-position float sums, and empty codewords keep
+    their previous value (``ivf_train``'s convention). Assignment
+    and residual formation here are bit-identical to
+    ``ivfpq_assign``'s, so trained books quantize exactly as the
+    index will."""
+    import numpy as np
+    import pandas as pd
+
+    cm = np.array(centroids, dtype=np.float64)
+    dim = cm.shape[1]
+    if dim % m_sub:
+        raise ValueError(
+            f"dim {dim} is not divisible by m_sub {m_sub} — PQ needs "
+            "equal-width subspaces"
+        )
+    sub = dim // m_sub
+    base = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).persist()  # scanned once for init + once per Lloyd iteration
+    rows = base.orderBy("id").limit(k_codewords).collect()
+    if len(rows) < k_codewords:
+        base.unpersist()
+        raise ValueError(
+            f"corpus has {len(rows)} rows < k_codewords={k_codewords}"
+        )
+    vm0 = np.array([r["v"] for r in rows], dtype=np.float64)
+    cells0 = (vm0 @ cm.T).argmax(axis=1)
+    resid0 = (vm0 - cm[cells0]).reshape(len(vm0), m_sub, sub)
+    cb = np.ascontiguousarray(resid0.transpose(1, 0, 2))  # (M, K, sub)
+
+    for _ in range(iterations):
+        cb_now = cb.copy()
+
+        def partials(batches, cm=cm, cb=cb_now):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vm = np.array(pdf["v"].tolist(), dtype=np.float64)
+                cells = (vm @ cm.T).argmax(axis=1)
+                resid = (vm - cm[cells]).reshape(len(vm), m_sub, sub)
+                out = []
+                d2 = ((resid[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(
+                    axis=3
+                )
+                codes = d2.argmin(axis=2)  # (B, M), ties to lowest
+                for m in range(m_sub):
+                    for cl in np.unique(codes[:, m]):
+                        mask = codes[:, m] == cl
+                        out.append(
+                            {
+                                "m": int(m),
+                                "code": int(cl),
+                                "n": int(mask.sum()),
+                                "s": resid[mask, m].sum(axis=0).tolist(),
+                            }
+                        )
+                yield pd.DataFrame(out)
+
+        part = base.mapInPandas(
+            partials, schema="m long, code long, n long, s array<double>"
+        )
+        agg = (
+            part.groupBy("m", "code")
+            .agg(
+                F.sum("n").alias("n"),
+                *[
+                    F.sum(F.element_at("s", i + 1)).alias(f"s{i}")
+                    for i in range(sub)
+                ],
+            )
+            .collect()
+        )
+        for r in agg:  # empty codewords keep their previous value
+            cb[r["m"], r["code"]] = [r[f"s{i}"] / r["n"] for i in range(sub)]
+    base.unpersist()
+    return [[[float(x) for x in cw] for cw in book] for book in cb]
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[list[float]],
