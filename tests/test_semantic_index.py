@@ -359,3 +359,46 @@ def test_cap_crossing_via_update_migration(spark, corpus, tmp_store):
     )
     oneshot = sorted(tuple(r) for r in fresh.bootstrap(final, cents).collect())
     assert verified == oneshot
+
+
+def test_update_scan_equals_join_path(spark, corpus, tmp_store):
+    """The map-only broadcast-GEMM epoch-pair scan (arrow mode within
+    the DELTA_BROADCAST_BYTES budget) must emit exactly the pair set
+    of the shuffle-backed Catalyst join path — including under
+    max_cell, where over-cap cells contribute nothing."""
+    df, cents = corpus
+    k = F.col("vec_id")
+
+    def one_epoch(name, arrow, budget, max_cell=None):
+        idx = SemanticIndex(
+            tmp_store, name, threshold=0.98, arrow=arrow, max_cell=max_cell
+        )
+        if budget is not None:
+            idx.DELTA_BROADCAST_BYTES = budget
+        idx.bootstrap(df.filter(k < 1000), cents)
+        upd = df.filter(k >= 1000).unionByName(
+            df.filter((k % 10 == 0) & (k < 1000)).select(
+                "vec_id",
+                F.transform("embedding", lambda x: x * 0.3 + 0.25).alias(
+                    "embedding"
+                ),
+            )
+        )
+        return sorted(tuple(r) for r in idx.update(upd).collect())
+
+    for cap in (None, 20):
+        scan = one_epoch(f"semsc_{cap}", arrow=True, budget=None, max_cell=cap)
+        join_arrow = one_epoch(
+            f"semjn_{cap}", arrow=True, budget=0, max_cell=cap
+        )  # budget 0: arrow mode, but the gate forces the join path
+        join_cat = one_epoch(
+            f"semct_{cap}", arrow=False, budget=None, max_cell=cap
+        )
+        assert scan == join_arrow == join_cat
+        if cap is None:
+            assert len(scan) > 0
+        else:
+            # cap=20 puts BOTH cells (~38 rows each) over the cap:
+            # the correct pair set is EMPTY, and the scan must honor
+            # that exactly like the join paths do
+            assert scan == []

@@ -285,6 +285,110 @@ class SemanticIndex:
             F.col("id_a") < F.col("id_b")
         )
 
+    # broadcast budget for the epoch-pair GEMM scan: the delta's
+    # (id, u, cell) rows ride to every executor, so the arrow fast
+    # path only engages while they fit comfortably in task memory;
+    # past it update() degrades to the shuffle-backed Catalyst join
+    DELTA_BROADCAST_BYTES = 256 << 20
+
+    def _delta_pairs_scan(self, stored: DataFrame, probe_rows) -> DataFrame:
+        """Epoch pairs (delta×stored-same-cell, delta×delta included
+        since stored ⊇ delta post-write) as ONE map-only GEMM scan:
+        the collected delta rows are broadcast as per-cell numpy
+        matrices and every stored batch scores its rows against its
+        cells' delta blocks — no join, and crucially NO SHUFFLE OF
+        THE STORED SIDE. The Catalyst ``_pair`` twin hash-joins
+        delta×stored on cell, which repartitions the ENTIRE corpus
+        (vectors and all) every epoch — measured at 10M rows × 4000
+        cells × 1.5% churn, that join put the incremental path at 3×
+        the cost of a full rebuild (PROBES_r6 cdcindex,
+        sem_crossover 0.28). Here the stored side is read in place,
+        pruned to the delta's cells at the parquet-partition level,
+        so the epoch's pair cost is O(|touched cells| scan + GEMM)
+        — the shape the incremental contract promises.
+
+        Same semantics as ``_pair``: rounded-then-thresholded sims,
+        canonical (id_a < id_b), self-pairs dropped, and with
+        ``max_cell`` set, over-cap cells contribute nothing. The
+        score slab is row-blocked so peak memory is O(block ×
+        |cell delta|), ``arrow_cell_pairs``'s bound."""
+        import numpy as np
+        import pandas as pd
+
+        by_cell: dict = {}
+        for r in probe_rows:
+            by_cell.setdefault(r["cell"], ([], []))
+            by_cell[r["cell"]][0].append(r["id"])
+            by_cell[r["cell"]][1].append(r["u"])
+        if self.max_cell is not None and by_cell:
+            over = {
+                r["cell"]
+                for r in stored.filter(
+                    F.col("cell").isin(list(by_cell))
+                )
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > self.max_cell)
+                .collect()
+            }
+            by_cell = {c: v for c, v in by_cell.items() if c not in over}
+        if not by_cell:
+            return self._empty_pairs()
+        bc = self.store.spark.sparkContext.broadcast(
+            {
+                c: (
+                    np.asarray(ids, dtype=np.int64),
+                    np.asarray(us, dtype=np.float64),
+                )
+                for c, (ids, us) in by_cell.items()
+            }
+        )
+        thr, digits = self.threshold, self.round_digits
+
+        def scan(batches):
+            data = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = []
+                for cell, grp in pdf.groupby("cell"):
+                    sub = data.get(cell)
+                    if sub is None:
+                        continue
+                    dids, dm = sub
+                    sids = grp["id"].to_numpy()
+                    sm = np.asarray(grp["u"].tolist(), dtype=np.float64)
+                    block = max(1, (8 << 20) // max(1, len(dids)))
+                    for lo in range(0, len(sids), block):
+                        sims = np.round(
+                            sm[lo : lo + block] @ dm.T, digits
+                        )
+                        ii, jj = np.nonzero(sims >= thr)
+                        if not len(ii):
+                            continue
+                        a, b = sids[lo + ii], dids[jj]
+                        keep = a != b
+                        if not keep.any():
+                            continue
+                        a, b, s = a[keep], b[keep], sims[ii, jj][keep]
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "id_a": np.minimum(a, b),
+                                    "id_b": np.maximum(a, b),
+                                    "sim": s,
+                                }
+                            )
+                        )
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        return (
+            stored.filter(F.col("cell").isin(list(by_cell)))
+            .select("id", "u", "cell")
+            .mapInPandas(scan, "id_a long, id_b long, sim double")
+        )
+
     def update(self, delta: DataFrame) -> DataFrame:
         """Ingest new/changed vectors; returns the epoch's NEW pairs
         (delta×old ∪ delta×delta). A re-ingested id replaces its old
@@ -295,7 +399,13 @@ class SemanticIndex:
         epoch's write GCs versions, the ``apply_cdc_epoch`` contract.
         Note ``persist()`` does NOT protect a result that happens to
         be EMPTY: no cache blocks materialize and later evaluation
-        recomputes over the rewritten store files."""
+        recomputes over the rewritten store files.
+
+        Pair engine: in arrow mode, while the delta fits the
+        ``DELTA_BROADCAST_BYTES`` budget, pairs run as the map-only
+        broadcast-GEMM scan (``_delta_pairs_scan`` — no corpus
+        shuffle); otherwise the cell-keyed Catalyst join. Identical
+        pair sets either way."""
         cents, _ = self._codebook_state()
         with self.store.locked(self._cells):
             self._check_identity()
@@ -319,18 +429,30 @@ class SemanticIndex:
                 )
                 self.store.drop_partitions(self._cells, "cell", to_drop)
         stored = self.store.read_partitioned(self._cells)
-        probe = stored.join(delta_ids, "id", "semi")
-        rest = stored.join(delta_ids, "id", "anti")
-        new_old = self._pair(probe, rest)
-        new_new = self._pair(probe, probe).filter(
-            F.col("id_a") < F.col("id_b")
-        )
+        dim = len(cents[0])
+        use_scan = False
+        if self.arrow:
+            n_delta = delta_ids.count()
+            use_scan = n_delta * (dim * 8 + 24) <= self.DELTA_BROADCAST_BYTES
+        if use_scan:
+            probe_rows = (
+                stored.join(delta_ids, "id", "semi")
+                .select("id", "u", "cell")
+                .collect()
+            )
+            fresh = self._delta_pairs_scan(stored, probe_rows)
+        else:
+            probe = stored.join(delta_ids, "id", "semi")
+            rest = stored.join(delta_ids, "id", "anti")
+            new_old = self._pair(probe, rest)
+            new_new = self._pair(probe, probe).filter(
+                F.col("id_a") < F.col("id_b")
+            )
+            fresh = new_old.unionByName(new_new)
         # a migrating re-ingest can shrink its OLD cell through the
         # cap: that cell owes its full pair set this epoch
         crossing = self._cap_crossing_pairs(stored, affected, pre)
-        return (
-            new_old.unionByName(new_new).unionByName(crossing).distinct()
-        )
+        return fresh.unionByName(crossing).distinct()
 
     def remove(self, ids: DataFrame) -> DataFrame:
         """Drop vectors (CDC deletes) from the index state; rewrites
