@@ -1180,6 +1180,157 @@ def annrss_probe(n: int) -> None:
     print(json.dumps({"n_vectors": n, "annrss_probe": res}))
 
 
+def semlsm_probe(n: int) -> None:
+    """Overwrite vs append-log SemanticIndex maintenance head-to-head
+    (the r6 finding: at 10M rows × 4000 cells × 1.5% churn, EVERY
+    cell partition holds a delta row, so overwrite-mode epochs
+    rewrite the whole table and lose to a rebuild — sem_crossover
+    0.28 in the first PROBES_r6 cdcindex run). Same data generators
+    as the cdcindex probe's semantic track, semantic-only so the
+    comparison fits one focused run:
+
+    - ``overwrite``: dynamic partition overwrite per epoch (the
+      original maintenance), with the broadcast-GEMM pair scan;
+    - ``append``: ``append_log=True`` — O(|delta|) appended bytes +
+      tombstones per epoch, ``maybe_compact(0.3)`` after each epoch
+      (timed separately — it is the amortized rewrite).
+
+    Reported per mode: bootstrap, per-epoch remove+update+pairs
+    wall, compact wall (append), rebuild baseline, crossover.
+    Usage: ``python bench_scale.py 10000000 semlsm``."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.semantic_index import SemanticIndex
+    from updater_spark.sources.store import TableStore
+
+    spark = get_spark("bench_scale_semlsm")
+    spark.sparkContext.setLogLevel("ERROR")
+    dim, n_cells = 32, 256
+
+    def vec(ver):
+        return F.array(
+            *[
+                (
+                    (
+                        F.pmod(
+                            F.xxhash64(F.col("pk") % n_cells, F.lit(i)),
+                            F.lit(2_000_001),
+                        )
+                        / 1_000_000.0
+                        - 1.0
+                    )
+                    * 0.7
+                    + (
+                        F.pmod(
+                            F.xxhash64("pk", F.lit(i + 99), ver),
+                            F.lit(2_000_001),
+                        )
+                        / 1_000_000.0
+                        - 1.0
+                    )
+                    * 0.3
+                ).cast("double")
+                for i in range(dim)
+            ]
+        )
+
+    def ver_chain(e):
+        ver = F.lit(0)
+        for i in range(1, e + 1):
+            ver = F.when(F.col("pk") % 100 == i, F.lit(i)).otherwise(ver)
+        return ver
+
+    def live_ids(e):
+        ids = spark.range(1, n + 1, numPartitions=64).withColumnRenamed(
+            "id", "pk"
+        )
+        for i in range(1, e + 1):
+            ids = ids.filter(F.col("pk") % 331 != i)
+            ins = spark.range(
+                n + i * (n // 200), n + i * (n // 200) + n // 200
+            ).withColumnRenamed("id", "pk")
+            ids = ids.unionByName(ins)
+        return ids
+
+    def snapshot(e):
+        return live_ids(e).select("pk", vec(ver_chain(e)).alias("embedding"))
+
+    sem_k = max(64, min(n // 2500, 8000))
+    sem_cents = [
+        list(r["embedding"])
+        for r in snapshot(0)
+        .filter(F.col("pk") <= sem_k)
+        .orderBy("pk")
+        .collect()
+    ]
+    res: dict = {"n_cells": sem_k}
+    for mode in ("overwrite", "append"):
+        root = tempfile.mkdtemp(prefix=f"semlsm_{mode}_")
+        store = TableStore(spark, root)
+        sem = SemanticIndex(
+            store,
+            f"sem_{mode}",
+            threshold=0.95,
+            arrow=True,
+            append_log=(mode == "append"),
+            id_col="pk",
+            vec_col="embedding",
+        )
+        m: dict = {"epochs": []}
+        t0 = time.perf_counter()
+        m["bootstrap_pairs"] = sem.bootstrap(snapshot(0), sem_cents).count()
+        m["bootstrap_sec"] = round(time.perf_counter() - t0, 3)
+        for e in (1, 2, 3):
+            deleted = (
+                live_ids(e - 1).filter(F.col("pk") % 331 == e).select("pk")
+            )
+            lo = n + e * (n // 200)
+            delta = (
+                live_ids(e)
+                .filter(
+                    (F.col("pk") % 100 == e)
+                    | ((F.col("pk") >= lo) & (F.col("pk") < lo + n // 200))
+                )
+                .select("pk", vec(ver_chain(e)).alias("embedding"))
+            )
+            row: dict = {"epoch": e}
+            t0 = time.perf_counter()
+            owed = sem.remove(deleted)
+            pairs = sem.update(delta).unionByName(owed)
+            row["pairs"] = pairs.count()
+            row["epoch_sec"] = round(time.perf_counter() - t0, 3)
+            if mode == "append":
+                t0 = time.perf_counter()
+                c = sem.maybe_compact(0.3)
+                row["compacted"] = c["compacted"]
+                row["dead_fraction"] = c["dead_fraction"]
+                row["compact_sec"] = round(time.perf_counter() - t0, 3)
+            m["epochs"].append(row)
+        if mode == "append":
+            m["log_stats"] = sem.log_stats()
+        res[mode] = m
+        shutil.rmtree(root, ignore_errors=True)
+
+    root = tempfile.mkdtemp(prefix="semlsm_rb_")
+    t0 = time.perf_counter()
+    SemanticIndex(
+        TableStore(spark, root),
+        "sem_rb",
+        threshold=0.95,
+        arrow=True,
+        id_col="pk",
+        vec_col="embedding",
+    ).bootstrap(snapshot(3), sem_cents).count()
+    res["rebuild_sec"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(root, ignore_errors=True)
+    for mode in ("overwrite", "append"):
+        mean = sum(r["epoch_sec"] for r in res[mode]["epochs"]) / 3
+        res[mode]["mean_epoch_sec"] = round(mean, 3)
+        res[mode]["crossover_epochs"] = round(res["rebuild_sec"] / mean, 2)
+    print(json.dumps({"n_rows": n, "semlsm_probe": res}))
+
+
 def semstream_probe(n: int) -> None:
     """Hot-cell state growth in ``semantic_first_seen`` (VERDICT r5
     #1, measured): feed one cell ``n`` mostly-unique vectors in 10
@@ -1302,5 +1453,7 @@ if __name__ == "__main__":
         annrss_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "semstream":
         semstream_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "semlsm":
+        semlsm_probe(_n)
     else:
         main(_n)

@@ -402,3 +402,119 @@ def test_update_scan_equals_join_path(spark, corpus, tmp_store):
             # the correct pair set is EMPTY, and the scan must honor
             # that exactly like the join paths do
             assert scan == []
+
+
+def _lifecycle(tmp_store, df, cents, name, **kw):
+    """bootstrap → update (inserts + re-ingests) → remove → verify;
+    returns (verified pair tuples, assignment tuples)."""
+    import functools
+
+    from pyspark.sql import DataFrame
+
+    k = F.col("vec_id")
+    idx = SemanticIndex(tmp_store, name, threshold=0.98, **kw)
+    # localCheckpoint, NOT persist: with max_cell the bootstrap pair
+    # set is EMPTY, and an empty persist materializes no cache blocks
+    # — the lazy plan would re-read files later epochs rewrite
+    pairs = [idx.bootstrap(df.filter(k < 1000), cents).localCheckpoint(
+        eager=True
+    )]
+    upd = df.filter((k % 10 == 0) & (k < 1000)).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 0.3 + 0.25).alias(
+            "embedding"
+        ),
+    )
+    pairs.append(
+        idx.update(df.filter(k >= 1000).unionByName(upd))
+        .localCheckpoint(eager=True)
+    )
+    owed = idx.remove(
+        df.filter((k % 12 == 0) & (k < 1000)).select("vec_id")
+    ).localCheckpoint(eager=True)
+    cand = functools.reduce(DataFrame.unionByName, pairs + [owed])
+    return idx, (
+        sorted(tuple(r) for r in idx.verify_pairs(cand).collect()),
+        sorted(tuple(r) for r in idx.assignments().collect()),
+    )
+
+
+def test_append_log_equals_overwrite_lifecycle(spark, corpus, tmp_store):
+    """append_log mode (append + tombstone + seq reconcile) must land
+    on exactly the overwrite mode's state through a full
+    bootstrap/update (inserts AND re-ingests)/remove/verify lifecycle
+    — in both pair engines, and under max_cell."""
+    df, cents = corpus
+    for arrow in (False, True):
+        for cap in (None, 20):
+            _, ow = _lifecycle(
+                tmp_store, df, cents, f"ow_{arrow}_{cap}",
+                arrow=arrow, max_cell=cap,
+            )
+            idx, ap = _lifecycle(
+                tmp_store, df, cents, f"ap_{arrow}_{cap}",
+                arrow=arrow, max_cell=cap, append_log=True,
+            )
+            assert ap == ow
+            # the epochs really did go through the log
+            stats = idx.log_stats()
+            assert stats["dead_rows"] > 0 and stats["tomb_rows"] > 0
+
+
+def test_append_log_compaction_preserves_state(spark, corpus, tmp_store):
+    df, cents = corpus
+    idx, before = _lifecycle(
+        tmp_store, df, cents, "cp", arrow=True, append_log=True
+    )
+    stats = idx.maybe_compact(max_dead_fraction=0.0)
+    assert stats["compacted"] is True and stats["dead_rows"] > 0
+    after_stats = idx.log_stats()
+    assert after_stats["dead_rows"] == 0 and after_stats["tomb_rows"] == 0
+    assert (
+        sorted(tuple(r) for r in idx.assignments().collect()) == before[1]
+    )
+    # the index keeps working after compaction: another epoch's pairs
+    # land and seq stays monotonic past the rewrite
+    k = F.col("vec_id")
+    extra = df.filter(k % 4 == 1).select(
+        (k + 5000).alias("vec_id"), "embedding"
+    )
+    p = idx.update(extra).localCheckpoint(eager=True)
+    assert p.count() > 0
+    assert idx.log_stats()["live_rows"] == len(before[1]) + extra.count()
+
+
+def test_append_log_crash_retry_is_safe(spark, corpus, tmp_store):
+    """A crashed epoch (seq claimed, partial cell rows appended, no
+    tombstones yet) must be fully repaired by replaying the epoch:
+    the retry's higher seq tombstones the orphaned partial rows."""
+    df, cents = corpus
+    k = F.col("vec_id")
+    idx = SemanticIndex(
+        tmp_store, "crash", threshold=0.98, append_log=True
+    )
+    idx.bootstrap(df.filter(k < 1000), cents)
+    delta = df.filter(k >= 1000)
+
+    # simulate the crash: claim the seq and append PART of the delta's
+    # rows, then die before the tombstone append
+    seq = idx._seq() + 1
+    tmp_store.write_sidecar(idx._cells, "seq", str(seq))
+    partial = idx._assign(delta.filter(k % 8 == 0), idx.centroids())
+    tmp_store.append_partitions(
+        idx._cells,
+        partial.withColumn("seq", F.lit(seq)).repartition("cell"),
+        "cell",
+    )
+
+    # replay the whole epoch, then compare against a clean twin
+    idx.update(delta).localCheckpoint(eager=True).count()
+    clean = SemanticIndex(
+        tmp_store, "crash_clean", threshold=0.98, append_log=True
+    )
+    clean.bootstrap(df.filter(k < 1000), cents)
+    clean.update(delta).localCheckpoint(eager=True).count()
+    assert sorted(tuple(r) for r in idx.assignments().collect()) == sorted(
+        tuple(r) for r in clean.assignments().collect()
+    )
+    assert idx.log_stats()["live_rows"] == clean.log_stats()["live_rows"]

@@ -31,6 +31,13 @@ pairs: delta x stored-others in the same cell ∪ delta x delta. A
 re-ingested id's old vector leaves its cell first, so a changed
 embedding never pairs through its stale position.
 
+When churn per epoch is comparable to the cell count, EVERY partition
+holds a delta row and the dynamic overwrite degenerates into a full
+rewrite per epoch (measured: PROBES_r6 cdcindex, 10M × 4000 cells ×
+1.5% churn) — ``append_log=True`` switches maintenance to an
+append + tombstone + deferred-compaction layout (LSM) whose epochs
+write O(|delta|) bytes; see ``__init__``.
+
 Cross-epoch contract (the ``DedupIndex`` contract, embedding-space):
 the union of every epoch's pairs, filtered to ids alive in the final
 corpus, equals the one-shot ``semantic_dedup`` pair set of that final
@@ -73,8 +80,25 @@ class SemanticIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         arrow: bool = False,
+        append_log: bool = False,
     ):
-        """``arrow=True`` is the LARGE-CODEBOOK deploy mode, exactly
+        """``append_log=True`` is the HIGH-CHURN deploy mode: epochs
+        APPEND delta rows (stamped with an epoch ``seq``) into the
+        existing cell directories and APPEND tombstones to a
+        ``{name}__tomb`` log instead of dynamically overwriting every
+        touched partition — the PROBES_r6 cdcindex run measured the
+        overwrite path write-bound at 10M rows × 4000 cells × 1.5%
+        churn (every partition holds a delta row, so each epoch
+        rewrites the whole table and loses to a rebuild). With the
+        log, an epoch writes O(|delta|) bytes; readers reconcile
+        (row live iff its seq ≥ the id's newest tombstone seq),
+        and ``compact()`` folds the log down when ``log_stats()``
+        says the dead fraction is worth it — the LSM trade. Epoch
+        crash-retry is safe: the epoch seq is claimed FIRST, so a
+        replayed epoch tombstones the crashed attempt's partial rows
+        at a higher seq.
+
+        ``arrow=True`` is the LARGE-CODEBOOK deploy mode, exactly
         ``semantic_dedup``'s: cell assignment runs as one GEMM argmax
         per Arrow batch (``arrow_cell_assign``) instead of k Catalyst
         dot-aggregates (plan construction alone is minutes past ~1k
@@ -96,6 +120,7 @@ class SemanticIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self.arrow = arrow
+        self.append_log = append_log
         self._cb_cache: tuple[list[list[float]], str] | None = None
 
     @property
@@ -105,6 +130,42 @@ class SemanticIndex:
     @property
     def _codebook(self) -> str:
         return f"{self.name}__codebook"
+
+    @property
+    def _tomb(self) -> str:
+        return f"{self.name}__tomb"
+
+    # -- live view (append-log reconciliation) -------------------------
+    def _seq(self) -> int:
+        return int(self.store.read_sidecar(self._cells, "seq") or 0)
+
+    def _stored(self) -> DataFrame:
+        """The index's LIVE (id, u, cell) rows. Overwrite mode: the
+        partitioned read as-is. Append-log mode: reconcile against
+        the tombstone log — a physical row is live iff its epoch
+        ``seq`` is ≥ its id's newest tombstone seq (each epoch
+        tombstones ALL its delta ids at the epoch seq and appends the
+        fresh rows at that same seq, so re-ingests kill their older
+        copies and deletes kill everything). The tombstone side is a
+        per-id max over the log — churn-sized, not corpus-sized —
+        joined once per read; ``compact()`` folds it away."""
+        rows = self.store.read_partitioned(self._cells)
+        if not self.append_log:
+            return rows
+        if not self.store.exists_appendable(self._tomb):
+            return rows.select("id", "u", "cell")
+        newest = (
+            self.store.read_appendable(self._tomb)
+            .groupBy("id")
+            .agg(F.max("seq").alias("_tseq"))
+        )
+        return (
+            rows.join(newest, "id", "left")
+            .filter(
+                F.col("_tseq").isNull() | (F.col("seq") >= F.col("_tseq"))
+            )
+            .select("id", "u", "cell")
+        )
 
     def exists(self) -> bool:
         return self.store.exists_partitioned(self._cells)
@@ -217,7 +278,7 @@ class SemanticIndex:
         semantics: their members surface as singletons)."""
         if self.max_cell is not None:
             sizes = (
-                self.store.read_partitioned(self._cells)
+                self._stored()
                 .groupBy("cell")
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .filter(F.col("_n") <= self.max_cell)
@@ -264,9 +325,19 @@ class SemanticIndex:
         with self.store.locked(self._cells):
             self.store.write_sidecar(self._cells, "identity", cb)
             assigned = self._assign(corpus, cents)
+            if self.append_log:
+                # fresh generation: rows carry seq 0, and any old
+                # tombstone log must go BEFORE the codebook promote —
+                # stale tombs at higher seqs would silently kill the
+                # new rows, and every pre-promote crash window still
+                # fails loudly on the identity check
+                assigned = assigned.withColumn("seq", F.lit(0))
             self.store.write_partitioned(
                 self._cells, assigned.repartition("cell"), "cell"
             )
+            if self.append_log:
+                self.store.drop_appendable(self._tomb)
+                self.store.write_sidecar(self._cells, "seq", "0")
             self.store.write(
                 self._codebook,
                 spark.createDataFrame(
@@ -275,7 +346,7 @@ class SemanticIndex:
                 ),
             )
             self._cb_cache = (cents, cb)
-        stored = self.store.read_partitioned(self._cells)
+        stored = self._stored()
         if self.arrow:
             # the one-shot-shaped scan: block-chunked per-cell GEMMs
             return arrow_cell_pairs(
@@ -405,30 +476,75 @@ class SemanticIndex:
         ``DELTA_BROADCAST_BYTES`` budget, pairs run as the map-only
         broadcast-GEMM scan (``_delta_pairs_scan`` — no corpus
         shuffle); otherwise the cell-keyed Catalyst join. Identical
-        pair sets either way."""
+        pair sets either way.
+
+        Write engine: ``append_log`` mode appends the stamped delta
+        rows + tombstones for the delta's ids (O(|delta|) bytes — a
+        re-ingest's older copies die by seq) instead of dynamically
+        overwriting every touched cell partition; see the class
+        docstring for the crash-retry and compaction story."""
         cents, _ = self._codebook_state()
         with self.store.locked(self._cells):
             self._check_identity()
             assigned = self._assign(delta, cents)
-            idx = self.store.read_partitioned(self._cells)
             delta_ids = delta.select(
                 F.col(self.id_col).alias("id")
             ).distinct()
-            affected, to_drop = cell_maintenance_stats(
-                idx, delta_ids, assigned, "id", "cell"
-            )
-            pre = self._pre_sizes(idx, affected)
-            if affected:
-                rebuilt = (
-                    idx.filter(F.col("cell").isin(affected))
-                    .join(delta_ids, "id", "anti")
-                    .unionByName(assigned.select(*idx.columns))
+            if self.append_log:
+                affected, pre = [], {}
+                if self.max_cell is not None:
+                    # cap bookkeeping only: affected = cells receiving
+                    # delta rows ∪ cells whose live copy of a
+                    # re-ingested id goes stale, with their pre-epoch
+                    # sizes — collected BEFORE the appends (the plans
+                    # read the pre-epoch file set)
+                    live = self._stored()
+                    affected = [
+                        r["cell"]
+                        for r in assigned.select("cell")
+                        .unionByName(
+                            live.join(delta_ids, "id", "semi").select(
+                                "cell"
+                            )
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    pre = self._pre_sizes(live, affected)
+                # claim the epoch seq FIRST: a crash after any append
+                # leaves partial rows that the retried epoch's HIGHER
+                # seq tombstones away
+                seq = self._seq() + 1
+                self.store.write_sidecar(self._cells, "seq", str(seq))
+                self.store.append(
+                    self._tomb, delta_ids.withColumn("seq", F.lit(seq))
                 )
-                self.store.overwrite_partitions(
-                    self._cells, rebuilt.repartition("cell"), "cell"
+                self.store.append_partitions(
+                    self._cells,
+                    assigned.withColumn("seq", F.lit(seq)).repartition(
+                        "cell"
+                    ),
+                    "cell",
                 )
-                self.store.drop_partitions(self._cells, "cell", to_drop)
-        stored = self.store.read_partitioned(self._cells)
+            else:
+                idx = self.store.read_partitioned(self._cells)
+                affected, to_drop = cell_maintenance_stats(
+                    idx, delta_ids, assigned, "id", "cell"
+                )
+                pre = self._pre_sizes(idx, affected)
+                if affected:
+                    rebuilt = (
+                        idx.filter(F.col("cell").isin(affected))
+                        .join(delta_ids, "id", "anti")
+                        .unionByName(assigned.select(*idx.columns))
+                    )
+                    self.store.overwrite_partitions(
+                        self._cells, rebuilt.repartition("cell"), "cell"
+                    )
+                    self.store.drop_partitions(
+                        self._cells, "cell", to_drop
+                    )
+        stored = self._stored()
         dim = len(cents[0])
         use_scan = False
         if self.arrow:
@@ -456,32 +572,110 @@ class SemanticIndex:
 
     def remove(self, ids: DataFrame) -> DataFrame:
         """Drop vectors (CDC deletes) from the index state; rewrites
-        (or drops) only their cells. Returns the pairs OWED by cells
-        the deletion shrank through ``max_cell`` (empty without a cap
-        or crossing — see ``_cap_crossing_pairs``); accumulate them
-        like ``update``'s pairs."""
+        (or drops) only their cells — or, in ``append_log`` mode,
+        appends tombstones ONLY (O(|deletes|) bytes, no data files
+        touched). Returns the pairs OWED by cells the deletion shrank
+        through ``max_cell`` (empty without a cap or crossing — see
+        ``_cap_crossing_pairs``); accumulate them like ``update``'s
+        pairs."""
         with self.store.locked(self._cells):
             self._check_identity()
-            idx = self.store.read_partitioned(self._cells)
             key = ids.select(F.col(self.id_col).alias("id")).distinct()
-            affected, to_drop = cell_maintenance_stats(
-                idx, key, None, "id", "cell"
-            )
-            if not affected:
-                return self._empty_pairs()
-            pre = self._pre_sizes(idx, affected)
-            rebuilt = idx.filter(F.col("cell").isin(affected)).join(
-                key, "id", "anti"
-            )
-            survivors = [c for c in affected if c not in set(to_drop)]
-            if survivors:
-                self.store.overwrite_partitions(
-                    self._cells, rebuilt.repartition("cell"), "cell"
+            if self.append_log:
+                affected, pre = [], {}
+                if self.max_cell is not None:
+                    live = self._stored()
+                    affected = [
+                        r["cell"]
+                        for r in live.join(key, "id", "semi")
+                        .select("cell")
+                        .distinct()
+                        .collect()
+                    ]
+                    pre = self._pre_sizes(live, affected)
+                seq = self._seq() + 1
+                self.store.write_sidecar(self._cells, "seq", str(seq))
+                self.store.append(
+                    self._tomb, key.withColumn("seq", F.lit(seq))
                 )
-            self.store.drop_partitions(self._cells, "cell", to_drop)
-        return self._cap_crossing_pairs(
-            self.store.read_partitioned(self._cells), affected, pre
+            else:
+                idx = self.store.read_partitioned(self._cells)
+                affected, to_drop = cell_maintenance_stats(
+                    idx, key, None, "id", "cell"
+                )
+                if not affected:
+                    return self._empty_pairs()
+                pre = self._pre_sizes(idx, affected)
+                rebuilt = idx.filter(F.col("cell").isin(affected)).join(
+                    key, "id", "anti"
+                )
+                survivors = [c for c in affected if c not in set(to_drop)]
+                if survivors:
+                    self.store.overwrite_partitions(
+                        self._cells, rebuilt.repartition("cell"), "cell"
+                    )
+                self.store.drop_partitions(self._cells, "cell", to_drop)
+        return self._cap_crossing_pairs(self._stored(), affected, pre)
+
+    # -- append-log compaction -----------------------------------------
+    def log_stats(self) -> dict:
+        """Append-log health: how much of the physical table is dead
+        (tombstoned older copies / deletes) and how big the tombstone
+        log has grown. Dead rows cost every reader a wasted scan +
+        reconcile; ``maybe_compact`` trades one rewrite against that
+        recurring cost — the LSM compaction decision, surfaced as
+        telemetry exactly like ``occupancy``/``needs_retrain``."""
+        physical = self.store.read_partitioned(self._cells).count()
+        live = self._stored().count()
+        tomb = (
+            self.store.read_appendable(self._tomb).count()
+            if self.store.exists_appendable(self._tomb)
+            else 0
         )
+        return {
+            "physical_rows": physical,
+            "live_rows": live,
+            "dead_rows": physical - live,
+            "dead_fraction": round((physical - live) / physical, 4)
+            if physical
+            else 0.0,
+            "tomb_rows": tomb,
+        }
+
+    def compact(self) -> None:
+        """Fold the append log down: rewrite the cells table from the
+        LIVE view (one full dynamic write — the cost every overwrite-
+        mode epoch pays) and drop the tombstone log. Live rows are
+        re-stamped seq 0; the epoch counter keeps climbing, so every
+        future tombstone still outranks them. The live view is
+        eagerly materialized first — the overwrite deletes the very
+        files its plan would re-scan (and ``persist()`` would not
+        protect an empty result)."""
+        if not self.append_log:
+            return
+        with self.store.locked(self._cells):
+            live = (
+                self._stored()
+                .withColumn("seq", F.lit(0))
+                .localCheckpoint(eager=True)
+            )
+            self.store.write_partitioned(
+                self._cells, live.repartition("cell"), "cell"
+            )
+            self.store.drop_appendable(self._tomb)
+
+    def maybe_compact(self, max_dead_fraction: float = 0.3) -> dict:
+        """Measure → act: compact when the dead fraction crosses the
+        threshold. Call it after each epoch; at steady churn c per
+        epoch it fires every ~``max_dead_fraction``/c epochs, so the
+        amortized write cost per epoch is ~c/``max_dead_fraction``
+        full rewrites — vs exactly 1.0 for overwrite mode whenever
+        churn touches every partition."""
+        stats = self.log_stats()
+        if stats["dead_fraction"] <= max_dead_fraction:
+            return {"compacted": False, **stats}
+        self.compact()
+        return {"compacted": True, **stats}
 
     def retrain(
         self,
@@ -512,7 +706,7 @@ class SemanticIndex:
             k = len(self.centroids())
         if corpus is None:
             corpus = (
-                self.store.read_partitioned(self._cells)
+                self._stored()
                 .select(
                     F.col("id").alias(self.id_col),
                     F.col("u").alias(self.vec_col),
@@ -564,16 +758,14 @@ class SemanticIndex:
         ``retrain``/``maybe_retrain`` repairs."""
         from updater_spark.operators.ann_index import cell_occupancy_stats
 
-        return cell_occupancy_stats(
-            self.store.read_partitioned(self._cells), "cell"
-        )
+        return cell_occupancy_stats(self._stored(), "cell")
 
     def assignments(self) -> DataFrame:
         """(id, cell) of the current state — the final-output join
         side for building (id, cell, group, keep) rows. ``cell`` is
         re-cast to long: it is written long, but Spark re-infers
         partition-directory values as int on read."""
-        return self.store.read_partitioned(self._cells).select(
+        return self._stored().select(
             "id", F.col("cell").cast("long").alias("cell")
         )
 
@@ -595,7 +787,7 @@ class SemanticIndex:
         the moment it shrinks under the cap
         (``_cap_crossing_pairs``, ADVICE r5), so the cap punches no
         hole in the contract."""
-        cur = self.store.read_partitioned(self._cells)
+        cur = self._stored()
         if self.max_cell is not None:
             ok = (
                 cur.groupBy("cell")

@@ -394,6 +394,23 @@ class TableStore:
     def read_appendable(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._appendable_dir(name))
 
+    def exists_appendable(self, name: str) -> bool:
+        return os.path.exists(self._appendable_dir(name))
+
+    def drop_appendable(self, name: str) -> None:
+        """Remove an append-only table entirely (e.g. truncating a
+        tombstone log after compaction folded it in). A missing table
+        reads as empty through the callers' exists-guards; writing an
+        EMPTY parquet directory instead would leave a schema-less
+        directory that ``spark.read.parquet`` refuses to load."""
+        with self._write_lock(name):
+            d = self._appendable_dir(name)
+            shutil.rmtree(d, ignore_errors=True)
+            ptr = self._appendable_pointer(name)
+            if os.path.exists(ptr):
+                os.remove(ptr)
+            self.spark.catalog.refreshByPath(d)
+
     def compact_appendable(
         self,
         name: str,
@@ -462,6 +479,26 @@ class TableStore:
                 .partitionBy(partition_col)
                 .parquet(path)
             )
+            return path
+
+    def append_partitions(
+        self, name: str, df: DataFrame, partition_col: str
+    ) -> str:
+        """Append new files into existing partition directories
+        WITHOUT touching the rows already there — the write lever for
+        log-structured maintenance (append + tombstone + deferred
+        compaction): a CDC epoch whose delta lands in every partition
+        costs O(|delta|) new bytes instead of a full dynamic
+        overwrite of every touched directory. Readers must reconcile
+        (latest-wins / tombstones) — see SemanticIndex's append_log
+        mode. The explicit cache refresh matters: the session's
+        FileStatusCache otherwise keeps serving the pre-append file
+        listing (same failure mode as ``drop_partitions``, inverted —
+        silently MISSING rows instead of FILE_NOT_EXIST)."""
+        with self.locked(name):
+            path = self._ppath(name)
+            df.write.mode("append").partitionBy(partition_col).parquet(path)
+            self.spark.catalog.refreshByPath(path)
             return path
 
     def read_partitioned(self, name: str) -> DataFrame:
