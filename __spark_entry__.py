@@ -2055,13 +2055,17 @@ _SEM_INC_CACHE: dict[str, str] = {}
 
 
 def _semantic_index_epochs(
-    spark: SparkSession, sf_dir: str, arrow: bool = False
+    spark: SparkSession, sf_dir: str, arrow: bool = False,
+    append_log: bool = False,
 ):
     """Drive (or reuse) three SemanticIndex epochs over the planted
     fixture; returns (index, accumulated candidate pairs). The arrow
     flag selects the index's large-codebook deploy mode (GEMM
-    assignment + per-cell GEMM bootstrap pairs) — cached separately
-    so both modes hold their own persisted state."""
+    assignment + per-cell GEMM bootstrap pairs); append_log selects
+    the LSM maintenance layout (append + tombstone + a forced
+    compaction after the delete epoch, so the driver row covers the
+    fold-down too) — each combination cached separately so every
+    mode holds its own persisted state."""
     import tempfile
 
     from updater_spark.operators.semantic_index import SemanticIndex
@@ -2085,13 +2089,13 @@ def _semantic_index_epochs(
         )
         return base, [[float(x) for x in r[0]] for r in cent_rows]
 
-    key = f"{sf_dir}|arrow={arrow}"
+    key = f"{sf_dir}|arrow={arrow}|lsm={append_log}"
     root = _SEM_INC_CACHE.get(key)
     if root and os.path.exists(os.path.join(root, "cand")):
         store = TableStore(spark, os.path.join(root, "store"))
         idx = SemanticIndex(
             store, "semx", threshold=0.9, id_col="vec_id", vec_col="v",
-            arrow=arrow,
+            arrow=arrow, append_log=append_log,
         )
         return idx, spark.read.parquet(os.path.join(root, "cand"))
 
@@ -2100,7 +2104,7 @@ def _semantic_index_epochs(
     store = TableStore(spark, os.path.join(root, "store"))
     idx = SemanticIndex(
         store, "semx", threshold=0.9, id_col="vec_id", vec_col="v",
-        arrow=arrow,
+        arrow=arrow, append_log=append_log,
     )
     # epoch 0: bootstrap the base corpus
     p0 = idx.bootstrap(base, centroids).persist()
@@ -2121,6 +2125,10 @@ def _semantic_index_epochs(
     idx.remove(
         base.filter(F.col("vec_id") % 40 == 0).select("vec_id")
     )
+    if append_log:
+        # force the LSM fold-down so the driver row also proves state
+        # survives compaction (dead rows dropped, tomb log cleared)
+        idx.maybe_compact(max_dead_fraction=0.0)
     cand = p0.unionByName(p1).select("id_a", "id_b").distinct()
     cand.write.mode("overwrite").parquet(os.path.join(root, "cand"))
     p0.unpersist()
@@ -2169,6 +2177,32 @@ def q_semantic_dedup_incremental_arrow(
     from updater_spark.operators.clusters import connected_components
 
     idx, cand = _semantic_index_epochs(spark, sf_dir, arrow=True)
+    cc = connected_components(idx.verify_pairs(cand))
+    return idx.assignments().join(cc, "id", "left").select(
+        "id",
+        "cell",
+        F.coalesce("component", "id").alias("group"),
+        (F.coalesce("component", "id") == F.col("id")).alias("keep"),
+    )
+
+
+def q_semantic_dedup_lsm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup_incremental's epochs through the APPEND-LOG
+    maintenance layout (``SemanticIndex(append_log=True)``, arrow
+    pair engine): deltas append stamped rows + tombstones instead of
+    dynamically overwriting every touched cell partition — the
+    write-side answer to the measured overwrite degeneration at
+    high churn (PROBES_r6: churn ≥ cells means every epoch rewrites
+    the whole table), with a forced ``compact()`` after the delete
+    epoch so the row also covers the fold-down. Pinned to the SAME
+    final-state oracle as the overwrite modes: reconcile-on-read,
+    compaction, and crash-contract bookkeeping must land on exactly
+    the one-shot SemDeDup of the final corpus."""
+    from updater_spark.operators.clusters import connected_components
+
+    idx, cand = _semantic_index_epochs(
+        spark, sf_dir, arrow=True, append_log=True
+    )
     cc = connected_components(idx.verify_pairs(cand))
     return idx.assignments().join(cc, "id", "left").select(
         "id",
@@ -2973,6 +3007,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- no hard driver row yet ---
         "ann_index_retrain": q_ann_index_retrain,
+        "semantic_dedup_lsm": q_semantic_dedup_lsm,
         "streaming_semantic": q_streaming_semantic,
         "streaming_semantic_arrow": q_streaming_semantic_arrow,
         # --- last hard driver row r4: the r6 re-check set ---
@@ -5493,6 +5528,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["semantic_dedup_incremental_arrow"] = sqls[
         "semantic_dedup_incremental"
     ]
+    # the append-log (LSM) maintenance layout must land on the same
+    # final state as the overwrite modes
+    sqls["semantic_dedup_lsm"] = sqls["semantic_dedup_incremental"]
     # streaming_semantic: online first-seen over cells — dup_of is the
     # MIN earlier id in the same cell within the rounded-cosine
     # threshold; ids strictly increase across the two stream drops, so
