@@ -2186,6 +2186,63 @@ def q_semantic_dedup_incremental_arrow(
     )
 
 
+def q_streaming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN serving (streaming/ann_stream.py): query vectors
+    arrive as two parquet drops and each micro-batch is searched
+    against a persistent IvfIndex via foreachBatch — the serving-side
+    twin of ann_index_maintained's maintenance lifecycle. Results
+    accumulate in an append sink; the oracle is the same exact IVF
+    SQL as ann_ivf_topk (assignment, probe sets, ranking from the
+    deterministic data-subset codebook) over the union of both
+    drops' queries — per-batch streaming search must land on
+    exactly the batch search's results."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.ann_index import IvfIndex
+    from updater_spark.sources.store import TableStore
+    from updater_spark.streaming.ann_stream import run_ann_search_stream
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent_rows = (
+        base.filter(F.col("vec_id") % 31 == 5)
+        .orderBy("vec_id")
+        .limit(32)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    root = tempfile.mkdtemp(prefix="ann_stream_")
+    try:
+        idx = IvfIndex(TableStore(spark, os.path.join(root, "store")), "emb")
+        idx.bootstrap(base, centroids)
+        src = os.path.join(root, "qdrops")
+        for m in (0, 17):
+            base.filter(F.col("vec_id") % 40 == m).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        with _stream_confs(spark):
+            sq = run_ann_search_stream(
+                spark,
+                src,
+                "vec_id long, embedding array<double>",
+                idx,
+                os.path.join(root, "out"),
+                os.path.join(root, "ckpt"),
+                k=5,
+                nprobe=4,
+            )
+            sq.awaitTermination(600)
+        out = spark.read.parquet(os.path.join(root, "out"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_semantic_dedup_lsm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic_dedup_incremental's epochs through the APPEND-LOG
     maintenance layout (``SemanticIndex(append_log=True)``, arrow
@@ -3008,6 +3065,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- no hard driver row yet ---
         "ann_index_retrain": q_ann_index_retrain,
         "semantic_dedup_lsm": q_semantic_dedup_lsm,
+        "streaming_ann": q_streaming_ann,
         "streaming_semantic": q_streaming_semantic,
         "streaming_semantic_arrow": q_streaming_semantic_arrow,
         # --- last hard driver row r4: the r6 re-check set ---
@@ -3474,6 +3532,13 @@ def _generated_oracles() -> dict[str, str]:
         "ann_ivf_indexed": ann_ivf_sql,
         "ann_index_maintained": ann_maint_sql,
         "ann_index_retrain": ann_retrain_sql,
+        # streaming serving: per-micro-batch foreachBatch search must
+        # accumulate to exactly the batch IVF result over the union of
+        # both query drops — same assignment/probe/ranking SQL, only
+        # the query predicate differs
+        "streaming_ann": ann_ivf_sql.replace(
+            "q.vec_id % 25 = 0", "q.vec_id % 40 IN (0, 17)"
+        ),
     }
 
 

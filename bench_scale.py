@@ -1180,6 +1180,133 @@ def annrss_probe(n: int) -> None:
     print(json.dumps({"n_vectors": n, "annrss_probe": res}))
 
 
+def retrain_probe(n: int) -> None:
+    """The drift→advise→retrain loop (IvfIndex.maybe_retrain)
+    measured at scale: bootstrap on an OLD distribution (clusters
+    0..127, codebook ivf_train'd on it), then upsert n/2 vectors
+    from a NEW distribution (clusters 128..255) — the new mass crams
+    into ill-fitting cells, occupancy skews, probe cost balloons —
+    and retrain. Reported: trainer wall (ivf_train at n, pq_train at
+    1.5n — the distributed-trainer throughput numbers), search wall
+    + recall@10 vs exact before drift / after drift / after retrain,
+    occupancy imbalance at each step, retrain wall (self-read +
+    train + rebuild). Usage: ``python bench_scale.py 1000000
+    retrain``."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.ann_index import IvfIndex, needs_retrain
+    from updater_spark.operators.similarity import (
+        cosine_topk_arrow,
+        ivf_train,
+        pq_train,
+    )
+    from updater_spark.sources.store import TableStore
+
+    spark = get_spark("bench_scale_retrain")
+    spark.sparkContext.setLogLevel("ERROR")
+    dim, k, nprobe, cells = 64, 10, 8, 64
+
+    def vec(cluster):
+        def comp(i):
+            center = (
+                F.pmod(F.xxhash64(cluster, F.lit(i)), F.lit(2_000_001))
+                / 1_000_000.0
+                - 1.0
+            )
+            noise = (
+                F.pmod(F.xxhash64("vec_id", F.lit(i + 777)), F.lit(2_000_001))
+                / 1_000_000.0
+                - 1.0
+            )
+            return (center * 0.8 + noise * 0.2).cast("double")
+
+        return F.array(*[comp(i) for i in range(dim)])
+
+    old = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "vec_id")
+        .select("vec_id", vec(F.col("vec_id") % 128).alias("embedding"))
+        .persist()
+    )
+    old.count()
+    drift = (
+        spark.range(n, n + n // 2, numPartitions=32)
+        .withColumnRenamed("id", "vec_id")
+        .select(
+            # concentrated drift: n/2 new rows in only EIGHT new
+            # clusters — the hot-ingest shape (a few new topics
+            # dominating the feed) that actually skews a fixed
+            # codebook; 128 spread-out clusters would land roughly
+            # uniformly over the old cells and never trip
+            "vec_id", vec(128 + F.col("vec_id") % 8).alias("embedding")
+        )
+        .persist()
+    )
+    drift.count()
+    res: dict = {}
+
+    t0 = time.perf_counter()
+    cents = ivf_train(old, k=cells, iterations=2)
+    res["ivf_train_sec"] = round(time.perf_counter() - t0, 3)
+
+    root = tempfile.mkdtemp(prefix="retrain_probe_")
+    try:
+        idx = IvfIndex(TableStore(spark, root), "emb")
+        idx.bootstrap(old, cents)
+
+        def measure(queries, corpus, label):
+            exact = cosine_topk_arrow(corpus, queries, k=k).persist()
+            n_exact = exact.count()
+            t0 = time.perf_counter()
+            got = idx.search(queries, k=k, nprobe=nprobe)
+            got.write.format("noop").mode("overwrite").save()
+            sec = round(time.perf_counter() - t0, 3)
+            hits = (
+                idx.search(queries, k=k, nprobe=nprobe)
+                .join(
+                    exact.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"],
+                )
+                .count()
+            )
+            exact.unpersist()
+            occ = idx.occupancy()
+            res[label] = {
+                "search_sec": sec,
+                "recall": round(hits / n_exact, 4),
+                "imbalance": occ["imbalance"],
+                "max_cell": occ["max"],
+            }
+
+        q_old = old.filter(F.col("vec_id") % 1000 == 0)
+        measure(q_old, old, "before_drift")
+
+        idx.upsert(drift)
+        full = old.unionByName(drift)
+        q_all = full.filter(F.col("vec_id") % 1000 == 0)
+        measure(q_all, full, "after_drift")
+        # alert threshold RELATIVE to the post-bootstrap baseline
+        # (clustered data has irreducible imbalance even with a fresh
+        # codebook): trip at 1.3x the trained-state skew
+        thr = res["before_drift"]["imbalance"] * 1.3
+        res["trip_threshold"] = round(thr, 3)
+        assert needs_retrain(idx.occupancy(), thr)
+
+        t0 = time.perf_counter()
+        out = idx.maybe_retrain(max_imbalance=thr, k=cells, iterations=2)
+        res["retrain_sec"] = round(time.perf_counter() - t0, 3)
+        res["retrained"] = out["retrained"]
+        measure(q_all, full, "after_retrain")
+
+        t0 = time.perf_counter()
+        pq_train(full, idx.centroids(), m_sub=8, k_codewords=16, iterations=2)
+        res["pq_train_sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"n_rows": n, "retrain_probe": res}))
+
+
 def semlsm_probe(n: int) -> None:
     """Overwrite vs append-log SemanticIndex maintenance head-to-head
     (the r6 finding: at 10M rows × 4000 cells × 1.5% churn, EVERY
@@ -1455,5 +1582,7 @@ if __name__ == "__main__":
         semstream_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "semlsm":
         semlsm_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "retrain":
+        retrain_probe(_n)
     else:
         main(_n)

@@ -1,0 +1,76 @@
+"""Streaming ANN serving: a query-vector stream searched against a
+persistent ``IvfIndex`` per micro-batch.
+
+The batch indexes (ann_index.py) cover the MAINTENANCE side of the
+ANN lifecycle; this is the SERVING side for workloads where queries
+arrive continuously (retrieval-augmented pipelines, online
+near-neighbor lookups against a curated corpus): ``readStream`` over
+query drops → ``foreachBatch`` → ``IvfIndex.search`` → append sink.
+
+Why ``foreachBatch`` and not a stream-stream join: the search is a
+bounded-state, stateless-per-batch operation against a STATIC (or
+slowly maintained) index — exactly the shape Structured Streaming
+documents for reusing batch-only operators inside a stream. Each
+micro-batch pays one probe-pruned index read (nprobe/k of the cell
+partitions, the ``ivf_topk`` story); no state store, so restarts
+replay only unconsumed source files (source + sink are the
+exactly-once pair).
+
+Scale: per-batch work is O(|batch queries| x probed-cell rows) GEMM
+inside the fused bucket engine — the corpus is never shuffled, and
+the batch's queries ride the same bounded driver collect as batch
+search (``MAX_QUERY_ROWS``). Index maintenance (upserts / retrain)
+interleaves between micro-batches under the store's table lock: a
+batch searches either the old or the new generation, never a torn
+mix, because ``search`` re-reads codebook + cells per batch and the
+identity guard rejects skew.
+
+Reference context: the reference engine (/root/reference) has no
+streaming or embedding operators; this composes the repo's own
+IvfIndex with Structured Streaming's documented foreachBatch
+pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.streaming import StreamingQuery
+
+
+def run_ann_search_stream(
+    spark,
+    source_dir: str,
+    source_schema: str,
+    index,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    nprobe: int = 4,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Search every arriving query vector against ``index`` (an
+    ``IvfIndex``), appending (query_id, neighbor_id, sim, rank) rows
+    to ``out_dir``. ``source_schema`` must name the index's
+    ``id_col``/``vec_col`` columns (e.g. ``"vec_id long, embedding
+    array<double>"``). ``trigger_once`` processes the backlog and
+    stops — the probe/test mode; pass False for a continuous
+    micro-batch trigger."""
+
+    def search_batch(batch_df, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            (
+                index.search(batch_df, k=k, nprobe=nprobe)
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    writer = stream.writeStream.foreachBatch(search_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
