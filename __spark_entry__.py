@@ -2750,6 +2750,88 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_JOIN_CACHE: dict[str, str] = {}
+
+
+def _drained_join_pairs(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the request↔response stream-stream interval join
+    (streaming/join_stream.py): even event_ids are requests, odd are
+    responses; two time-sliced file drops per side, AvailableNow.
+    The fixture pins watermark_delay far above any cross-drop
+    disorder, so the drained output equals the batch join EXACTLY for
+    any drop order (inner join emits on match; nothing is evicted
+    before the final drain) — eviction behavior is pinned separately
+    in tests/test_join_stream.py. Built once per process, /tmp
+    lifecycle owns cleanup (matches _drained_rollup_state)."""
+    import tempfile
+
+    from updater_spark.streaming.join_stream import (
+        drain,
+        run_stream_interval_join,
+    )
+
+    hit = _STREAM_JOIN_CACHE.get(sf_dir)
+    if hit and os.path.exists(hit):
+        return hit
+    ev = demo.load_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="streamjoin_")
+    ldir, rdir = os.path.join(root, "req"), os.path.join(root, "rsp")
+    ev.filter(F.col("event_id") % 2 == 0).repartitionByRange(
+        2, "ts"
+    ).write.parquet(ldir)
+    ev.filter(F.col("event_id") % 2 == 1).repartitionByRange(
+        2, "ts"
+    ).write.parquet(rdir)
+    out = os.path.join(root, "pairs")
+    with _stream_confs(spark):
+        drain(
+            run_stream_interval_join(
+                spark,
+                ldir,
+                rdir,
+                ev.schema,
+                lambda d: d.select(
+                    "user_id",
+                    F.col("event_id").alias("req_id"),
+                    F.col("ts").alias("req_ts"),
+                ),
+                lambda d: d.select(
+                    "user_id",
+                    F.col("event_id").alias("rsp_id"),
+                    F.col("ts").alias("rsp_ts"),
+                ),
+                "user_id",
+                "req_ts",
+                "rsp_ts",
+                3600,
+                out,
+                os.path.join(root, "ckpt"),
+                watermark_delay="3650 days",
+            )
+        )
+    _STREAM_JOIN_CACHE[sf_dir] = out
+    return out
+
+
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join end-to-end
+    (streaming/join_stream.py::stream_interval_join): requests (even
+    event_ids) matched to the responses (odd) that follow within 1h
+    for the same user, drained through two real file-source streams
+    with symmetric-hash-join state. Integer-only output (ids + delay
+    seconds) — the oracle is the naive batch self-join; watermark
+    state-eviction determinism is pinned in tests/test_join_stream.py."""
+    pairs = spark.read.parquet(_drained_join_pairs(spark, sf_dir))
+    return pairs.select(
+        "user_id",
+        "req_id",
+        "rsp_id",
+        (F.unix_seconds("rsp_ts") - F.unix_seconds("req_ts")).alias(
+            "delay_s"
+        ),
+    )
+
+
 def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation: unique users + events per type. Spark
     plans COUNT(DISTINCT) via Expand + two-level aggregate (exact,
@@ -3019,6 +3101,43 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NB_LABELS = ["de", "en", "es", "fr", "zh"]
+
+
+def _nb_classify(spark: SparkSession, sf_dir: str, hash_bits: int | None) -> DataFrame:
+    from updater_spark.operators.classifier import nb_score, nb_train
+
+    docs = demo.load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    model, meta = nb_train(
+        train, "lang", "text", NB_LABELS, smoothing=1.0, hash_bits=hash_bits
+    )
+    return nb_score(test, model, meta, "doc_id", "text", keep_cols=("lang",))
+
+
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus filtering (operators/classifier.py): train
+    a multinomial Naive Bayes lang classifier on the doc_id%5!=0
+    split (ONE groupBy(token) pass, closed form — the NB member of
+    the CCNet/GPT-3 trained-filter family), score the held-out split
+    with one broadcast-gated join + one groupBy(doc_id). Returns
+    (doc_id, true lang, pred, margin). The synthetic corpus draws
+    tokens independently of `lang`, so accuracy ≈ prior here — the
+    oracle checks exact train/score value parity (the learnability
+    proof lives in tests/test_classifier.py on a marker corpus)."""
+    return _nb_classify(spark, sf_dir, None)
+
+
+def q_nb_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick variant (Weinberger et al. 2009): tokens map to
+    pmod(md5_hash32(tok), 2^12) buckets, so the model is bounded at
+    4096×K rows regardless of corpus size, always broadcasts, and
+    training needs NO vocabulary-count pass (V = 2^12 by definition)
+    — the shape that survives an unbounded web vocabulary at 100 TB."""
+    return _nb_classify(spark, sf_dir, 12)
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 distinctive terms by TF-IDF
     (operators/text.py::tfidf_top_terms). Integer-only ranking
@@ -3063,6 +3182,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first-50 set follows; r5 ∪ r6 driver rows again cover everything.
     return {
         # --- no hard driver row yet ---
+        "nb_classifier": q_nb_classifier,
+        "nb_classifier_hashed": q_nb_classifier_hashed,
+        "streaming_join": q_streaming_join,
         "ann_index_retrain": q_ann_index_retrain,
         "semantic_dedup_lsm": q_semantic_dedup_lsm,
         "streaming_ann": q_streaming_ann,
@@ -3524,6 +3646,20 @@ def _generated_oracles() -> dict[str, str]:
 
     return {
         "dedup_minhash_lsh": minhash_sql,
+        "nb_classifier": _nb_sql(None),
+        "nb_classifier_hashed": _nb_sql(12),
+        "streaming_join": """
+            SELECT r.user_id,
+                   r.event_id AS req_id,
+                   s.event_id AS rsp_id,
+                   date_diff('second', r.ts, s.ts) AS delay_s
+            FROM events r
+            JOIN events s
+              ON r.user_id = s.user_id
+             AND s.ts >= r.ts
+             AND s.ts <= r.ts + INTERVAL 1 HOUR
+            WHERE r.event_id % 2 = 0 AND s.event_id % 2 = 1
+        """,
         "dedup_simhash": simhash_sql,
         "ann_lsh_topk": ann_lsh_sql,
         "ann_lsh_multiprobe": ann_lsh_mp_sql,
@@ -3540,6 +3676,93 @@ def _generated_oracles() -> dict[str, str]:
             "q.vec_id % 25 = 0", "q.vec_id % 40 IN (0, 17)"
         ),
     }
+
+
+def _nb_sql(hash_bits: int | None) -> str:
+    """DuckDB replay of nb_train + nb_score: same splits, same
+    smoothing algebra with the SAME operand order as classifier.py
+    (ln((c+1.0)/(n+1.0*v))), same fixed-label-order argmax chain."""
+    k = len(NB_LABELS)
+    if hash_bits is None:
+        tok = "tok"
+        v_expr = "COUNT(*)"
+    else:
+        tok = (
+            f"CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {1 << hash_bits}"
+        )
+        v_expr = str(1 << hash_bits)
+    c_cols = ",\n               ".join(
+        f"SUM(CASE WHEN label = '{lbl}' THEN 1 ELSE 0 END) AS c_{i}"
+        for i, lbl in enumerate(NB_LABELS)
+    )
+    n_cols = ", ".join(f"SUM(c_{i}) AS n_{i}" for i in range(k))
+    ll_cols = ",\n               ".join(
+        f"ln((c_{i} + 1.0) / (n_{i} + 1.0 * v)) AS ll_{i}" for i in range(k)
+    )
+    pr_cols = ", ".join(
+        f"ln(SUM(CASE WHEN label = '{lbl}' THEN 1 ELSE 0 END)::DOUBLE"
+        f" / COUNT(*)) AS pr_{i}"
+        for i, lbl in enumerate(NB_LABELS)
+    )
+    sum_cols = ",\n               ".join(
+        f"SUM(COALESCE(m.ll_{i}, ln(1.0 / (c2.n_{i} + 1.0 * c2.v)))) AS s_{i}"
+        for i in range(k)
+    )
+    post_cols = ", ".join(f"s_{i} + pr_{i} AS post_{i}" for i in range(k))
+    best = "greatest(" + ", ".join(f"post_{i}" for i in range(k)) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN post_{i} >= {best} THEN '{lbl}'"
+        for i, lbl in enumerate(NB_LABELS[:-1])
+    ) + f" ELSE '{NB_LABELS[-1]}' END"
+    arr = "[" + ", ".join(f"post_{i}" for i in range(k)) + "]"
+    return f"""
+        WITH train AS (
+            SELECT lang AS label, text FROM documents WHERE doc_id % 5 <> 0
+        ),
+        test AS (
+            SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0
+        ),
+        ttok_raw AS (
+            SELECT label,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM train
+        ),
+        ttok AS (SELECT label, {tok} AS tok FROM ttok_raw),
+        counts AS (
+            SELECT tok,
+               {c_cols}
+            FROM ttok GROUP BY tok
+        ),
+        consts AS (SELECT {v_expr} AS v, {n_cols} FROM counts),
+        model AS (
+            SELECT tok,
+               {ll_cols}
+            FROM counts CROSS JOIN consts
+        ),
+        prior AS (SELECT {pr_cols} FROM train),
+        stok_raw AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM test
+        ),
+        stok AS (SELECT doc_id, lang, {tok} AS tok FROM stok_raw),
+        sums AS (
+            SELECT s.doc_id, s.lang,
+               {sum_cols}
+            FROM stok s
+            LEFT JOIN model m USING (tok)
+            CROSS JOIN consts c2
+            GROUP BY s.doc_id, s.lang
+        ),
+        posts AS (
+            SELECT doc_id, lang, {post_cols}
+            FROM sums CROSS JOIN prior
+        )
+        SELECT doc_id, lang,
+               {pred} AS pred,
+               round({best} - list_sort({arr})[{k - 1}], 4) AS margin
+        FROM posts
+    """
 
 
 def oracle_sql() -> dict[str, str]:

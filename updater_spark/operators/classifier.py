@@ -1,0 +1,252 @@
+"""Model-based corpus filtering: a multinomial Naive Bayes text
+classifier trained in ONE aggregation pass and scored with one
+broadcast-gated join.
+
+Why this operator exists: the reference engine (cheeseformice/updater,
+``src/`` — pure SQL diff/upsert plumbing) has no model-based
+filtering; this is part of the LLM-training-pipeline extension
+surface. Production pipelines filter web corpora with *trained*
+classifiers, not just heuristics: CCNet (Wenzek et al., 2019) uses a
+fastText language classifier plus a wiki-trained LM; GPT-3 (Brown et
+al., 2020, Appendix A) uses a logistic-regression quality classifier
+over hashed features. Multinomial Naive Bayes is the closed-form
+member of that family — training IS one grouped count, so it maps
+onto Spark with no iterative solver, no MLlib dependency, and an
+exact SQL oracle.
+
+Spark-first shape (what each stage costs at 100 TB):
+
+- ``nb_train``: explode tokens → ONE shuffle (``groupBy(tok)``) with
+  map-side partial *conditional* sums — K label columns in a single
+  pass, not K passes. The ``min_df`` cut bounds the model exactly
+  like the df-cut bounds posting lists in ``dedup.py``: hapax tokens
+  (the long tail, typically >50% of a web vocabulary) never leave the
+  aggregation. Label totals + vocabulary size come from one small agg
+  over the vocab-sized frame; document priors from a tiny
+  ``groupBy(label)``. The only driver collects are those O(K)
+  constants — they parameterize the closed form.
+- ``nb_score``: explode tokens → join the model on ``tok`` →
+  ONE ``groupBy(id)``. The model is broadcast when its row count is
+  under ``max_broadcast_vocab`` (vocab × (K+1) narrow columns — a
+  5M-token model is ~200 MB, comfortably broadcastable); above that
+  it degrades to a shuffle join on ``tok`` rather than a multi-GB
+  broadcast (the measured-gate discipline from ``plans/cdc.py``).
+- ``hash_bits=b`` (the hashing trick, Weinberger et al., 2009):
+  tokens map to ``pmod(md5_hash32(tok), 2**b)`` buckets, so the model
+  is bounded at ``2**b × K`` rows REGARDLESS of corpus size, the
+  vocabulary-count pass disappears (V is 2**b by definition), and
+  collisions merge counts — the standard memory/accuracy trade every
+  web-scale classifier makes. With ``b ≤ 22`` the model always
+  broadcasts.
+
+Float/oracle contract: per-token log-likelihoods are
+``ln((cnt + α) / (N_label + α·V))`` with the SAME operand order in
+Spark and in the DuckDB oracle, summed per document and rounded to 4
+decimals only at the output edge (the ``unigram_logprob``
+discipline); argmax ties break by fixed label order in both engines.
+
+Everything is built-in Catalyst (split/explode/conditional agg/log) —
+no Python UDFs; the plan-lint suite verifies no ``BatchEvalPython``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from updater_spark.operators.dedup import md5_hash32, tokens
+
+
+@dataclass(frozen=True)
+class NBModelMeta:
+    """Closed-form constants that accompany the per-token model frame."""
+
+    labels: tuple[str, ...]
+    smoothing: float
+    vocab_size: int  # V in the smoothing denominator (2**bits if hashed)
+    label_tokens: dict[str, int]  # N_label: token mass of retained vocab
+    priors: dict[str, float]  # ln(docs_label / docs_total)
+    oov: dict[str, float]  # ln(α / (N_label + α·V)) — unseen-token ll
+    hash_bits: int | None = None
+
+
+def _bucketize(c, hash_bits: int | None):
+    """Identity for exact-vocab models; md5-bucket for hashed ones.
+
+    Applied AFTER the explode (generators can't nest inside other
+    expressions), on the portable ``md5_hash32`` base so the DuckDB
+    oracle reproduces bucket ids exactly."""
+    if hash_bits is None:
+        return c
+    return F.pmod(md5_hash32(c), F.lit(1 << hash_bits)).cast("long")
+
+
+def _exploded_tokens(
+    df: DataFrame, text_col: str, hash_bits: int | None, *lead_cols: str
+) -> DataFrame:
+    raw = df.select(
+        *[F.col(c) for c in lead_cols], F.explode(tokens(text_col)).alias("_t")
+    )
+    return raw.select(
+        *[F.col(c) for c in lead_cols],
+        _bucketize(F.col("_t"), hash_bits).alias("tok"),
+    )
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    labels: list[str],
+    smoothing: float = 1.0,
+    min_df: int = 1,
+    hash_bits: int | None = None,
+) -> tuple[DataFrame, NBModelMeta]:
+    """Train multinomial NB; returns ``(model, meta)``.
+
+    ``model`` is one row per retained token (or hash bucket) with a
+    ``ll_<label>`` double column per label; ``meta`` carries the O(K)
+    closed-form constants (priors, OOV log-likelihoods, V, N_label).
+
+    ``labels`` is explicit and ordered — the caller pins the class
+    set so the conditional-sum columns, the argmax tie-break, and the
+    SQL oracle all agree on one deterministic order (collecting
+    distinct labels would work but make column order data-dependent).
+
+    ``min_df`` drops tokens whose TOTAL count across labels is below
+    the cut *after* counting — totals and V are computed over the
+    retained vocabulary, so the smoothing geometry is self-consistent
+    and SQL-reproducible. ``hash_bits`` switches to hashed features
+    (V fixed at ``2**hash_bits``; no vocabulary-count dependence).
+    """
+    toks = _exploded_tokens(
+        df.select(F.col(label_col).alias("_lbl"), F.col(text_col)),
+        text_col,
+        hash_bits,
+        "_lbl",
+    )
+    counts = toks.groupBy("tok").agg(
+        *[
+            F.sum(F.when(F.col("_lbl") == lbl, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"c_{i}")
+            for i, lbl in enumerate(labels)
+        ]
+    )
+    if min_df > 1:
+        total = sum(F.col(f"c_{i}") for i in range(len(labels)))
+        counts = counts.filter(total >= F.lit(min_df))
+
+    # O(K) closed-form constants: one agg over the vocab-sized frame.
+    agg_row = counts.agg(
+        F.count(F.lit(1)).alias("v"),
+        *[F.sum(f"c_{i}").alias(f"n_{i}") for i in range(len(labels))],
+    ).collect()[0]
+    vocab_size = 1 << hash_bits if hash_bits is not None else int(agg_row["v"])
+    label_tokens = {
+        lbl: int(agg_row[f"n_{i}"] or 0) for i, lbl in enumerate(labels)
+    }
+
+    prior_rows = df.groupBy(F.col(label_col).alias("_lbl")).count().collect()
+    doc_counts = {r["_lbl"]: r["count"] for r in prior_rows}
+    total_docs = sum(doc_counts.get(lbl, 0) for lbl in labels)
+    priors = {
+        lbl: math.log(doc_counts.get(lbl, 0) / total_docs) for lbl in labels
+    }
+    oov = {
+        lbl: math.log(
+            smoothing / (label_tokens[lbl] + smoothing * vocab_size)
+        )
+        for lbl in labels
+    }
+
+    model = counts.select(
+        "tok",
+        *[
+            F.log(
+                (F.col(f"c_{i}") + F.lit(smoothing))
+                / (
+                    F.lit(float(label_tokens[lbl]))
+                    + F.lit(smoothing * vocab_size)
+                )
+            ).alias(f"ll_{i}")
+            for i, lbl in enumerate(labels)
+        ],
+    )
+    meta = NBModelMeta(
+        labels=tuple(labels),
+        smoothing=smoothing,
+        vocab_size=vocab_size,
+        label_tokens=label_tokens,
+        priors=priors,
+        oov=oov,
+        hash_bits=hash_bits,
+    )
+    return model, meta
+
+
+def nb_score(
+    df: DataFrame,
+    model: DataFrame,
+    meta: NBModelMeta,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+    max_broadcast_vocab: int = 5_000_000,
+) -> DataFrame:
+    """Score documents against a trained model.
+
+    Returns one row per document: ``id_col``, any ``keep_cols``
+    (passed through the aggregation key — true labels for an accuracy
+    readout, split tags, …), ``pred`` (argmax label, ties to the
+    first label in ``meta.labels`` order), and ``margin`` (best minus
+    runner-up log-posterior, rounded 4 — the filter threshold knob).
+
+    The model side broadcasts only when its row count is under
+    ``max_broadcast_vocab`` (hashed models always qualify); above the
+    gate it falls back to a shuffle join on the token key rather than
+    forcing a multi-GB broadcast.
+    """
+    k = len(meta.labels)
+    doc_toks = _exploded_tokens(df, text_col, meta.hash_bits, id_col, *keep_cols)
+
+    if meta.hash_bits is not None:
+        rhs = F.broadcast(model)  # ≤ 2**bits rows by construction
+    elif max_broadcast_vocab > 0 and model.count() <= max_broadcast_vocab:
+        rhs = F.broadcast(model)
+    else:
+        rhs = model
+    joined = doc_toks.join(rhs, "tok", "left")
+
+    posts = [
+        (
+            F.sum(F.coalesce(F.col(f"ll_{i}"), F.lit(meta.oov[lbl])))
+            + F.lit(meta.priors[lbl])
+        ).alias(f"post_{i}")
+        for i, lbl in enumerate(meta.labels)
+    ]
+    scored = joined.groupBy(F.col(id_col), *[F.col(c) for c in keep_cols]).agg(
+        *posts
+    )
+
+    # Deterministic argmax: first label (in the pinned order) whose
+    # posterior is >= all others — exact-tie behavior matches the SQL
+    # oracle's CASE chain.
+    best = F.greatest(*[F.col(f"post_{i}") for i in range(k)])
+    pred = F.lit(meta.labels[-1])
+    for i in range(k - 2, -1, -1):
+        pred = F.when(F.col(f"post_{i}") >= best, F.lit(meta.labels[i])).otherwise(
+            pred
+        )
+    runner_up = F.array_sort(F.array(*[F.col(f"post_{i}") for i in range(k)]))[
+        k - 2
+    ]
+    return scored.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        pred.alias("pred"),
+        F.round(best - runner_up, 4).alias("margin"),
+    )
