@@ -2918,6 +2918,55 @@ def q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column Z-order layout end-to-end
+    (operators/zorder.py + sources/store.py::write_zordered): events
+    written Morton-clustered on (user_id, event_id), then a 2-D
+    selective predicate aggregated off the z-ordered copy. Each file
+    covers a bounded rectangle of the (user, id) space, so footer
+    stats prune the scan on EITHER dimension — where the 1-D
+    clustered layout (clustered_scan) only prunes its own sort key
+    (both-dimension pruning is pyarrow/file-count-verified in
+    tests/test_zorder.py). The oracle runs the same filter+agg on the
+    raw table — layout must be invisible to results."""
+    import shutil
+    import tempfile
+
+    from updater_spark.sources.store import TableStore
+
+    ev = demo.load_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="zordered_")
+    try:
+        store = TableStore(spark, os.path.join(root, "store"))
+        store.write_zordered(
+            "ev_z", ev, ["user_id", "event_id"], bits=12, num_files=16
+        )
+        b = ev.agg(
+            F.min("user_id").alias("u_mn"),
+            F.max("user_id").alias("u_mx"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        u_hi = b["u_mn"] + (b["u_mx"] - b["u_mn"]) // 20
+        e_lo, e_hi = b["n"] // 2, b["n"] // 2 + b["n"] // 50
+        return (
+            store.read("ev_z")
+            .filter(
+                F.col("user_id").between(b["u_mn"], u_hi)
+                & F.col("event_id").between(e_lo, e_hi)
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
+                    "sum_e6"
+                ),
+            )
+        )
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
 def q_tribe_stats_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-driven derived-table maintenance
     (operators/derived.py): the reference rebuilds tribe_stats for ALL
@@ -3185,6 +3234,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": q_nb_classifier,
         "nb_classifier_hashed": q_nb_classifier_hashed,
         "streaming_join": q_streaming_join,
+        "zorder_scan": q_zorder_scan,
         "ann_index_retrain": q_ann_index_retrain,
         "semantic_dedup_lsm": q_semantic_dedup_lsm,
         "streaming_ann": q_streaming_ann,
@@ -5562,6 +5612,24 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_e6
             FROM events, bounds
             WHERE event_id BETWEEN bounds.lo AND bounds.hi
+            GROUP BY event_type
+        """,
+        "zorder_scan": """
+            WITH bounds AS (
+                SELECT MIN(user_id) AS u_lo,
+                       MIN(user_id)
+                         + (MAX(user_id) - MIN(user_id)) // 20 AS u_hi,
+                       COUNT(*) // 2 AS e_lo,
+                       COUNT(*) // 2 + COUNT(*) // 50 AS e_hi
+                FROM events
+            )
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_e6
+            FROM events, bounds
+            WHERE user_id BETWEEN bounds.u_lo AND bounds.u_hi
+              AND event_id BETWEEN bounds.e_lo AND bounds.e_hi
             GROUP BY event_type
         """,
         "events_distinct_users": """

@@ -367,6 +367,34 @@ class TableStore:
         ).sortWithinPartitions(*cluster_cols)
         return self.write(name, out)
 
+    def write_zordered(
+        self,
+        name: str,
+        df: DataFrame,
+        cluster_cols: list[str],
+        bits: int = 16,
+        num_files: int | None = None,
+    ) -> str:
+        """Versioned write with MULTI-column clustering: rows are
+        range-partitioned + sorted on the Morton interleave of
+        ``cluster_cols`` (operators/zorder.py), so every file covers
+        a bounded hyper-rectangle of the clustered space and footer
+        stats prune scans filtered on ANY of the columns — the
+        Delta/Iceberg OPTIMIZE ZORDER idea. ``write_clustered`` is
+        the 1-D special case (prefer it for single-key workloads: its
+        per-file ranges are fully disjoint, z-order's are merely
+        bounded). The ``_z`` key is dropped before writing — layout
+        is an implementation detail, never schema."""
+        from updater_spark.operators.zorder import Z_COL, add_zvalue
+
+        zdf = add_zvalue(df, cluster_cols, bits)
+        out = (
+            zdf.repartitionByRange(num_files, Z_COL)
+            if num_files
+            else zdf.repartitionByRange(Z_COL)
+        ).sortWithinPartitions(Z_COL)
+        return self.write(name, out.drop(Z_COL))
+
     def _appendable_pointer(self, name: str) -> str:
         return os.path.join(self._dir(name), "_DATA")
 
