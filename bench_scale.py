@@ -1558,6 +1558,250 @@ def semstream_probe(n: int) -> None:
     print(json.dumps({"n_vectors": n, "semstream_probe": res}))
 
 
+def nbtrain_probe(n: int) -> None:
+    """Naive Bayes classifier at scale: train + score ``n`` synthetic
+    docs (~20 tokens each, 5 classes with class-shifted vocabularies)
+    and compare the exact-vocab model (one groupBy + a vocab-count
+    pass, min_df cut) against the hashed model (2^18 buckets, NO
+    vocab pass, bounded broadcast). The question at 100 TB: does
+    training stay one shuffle and does the hashed path remove the
+    vocabulary-size dependence? Usage:
+    ``python bench_scale.py 2000000 nbtrain``."""
+    from updater_spark.operators.classifier import nb_score, nb_train
+
+    spark = get_spark("bench_scale_nbtrain")
+    spark.sparkContext.setLogLevel("ERROR")
+    labels = [f"c{i}" for i in range(5)]
+    # ~20 tokens/doc; token ids drawn from a 500k-window that shifts
+    # 100k per class — ~900k distinct tokens, classes separable
+    docs = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lbl", F.concat(F.lit("c"), (F.col("doc_id") % 5)))
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(20)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(
+                            F.xxhash64(F.col("doc_id"), i), F.lit(500_000)
+                        )
+                        + (F.col("doc_id") % 5) * 100_000,
+                    ),
+                ),
+                " ",
+            ),
+        )
+    ).persist()
+    docs.count()
+    res: dict = {}
+    for label, kw in (
+        ("exact_mindf5", {"min_df": 5}),
+        ("hashed_b18", {"hash_bits": 18}),
+    ):
+        t0 = time.time()
+        model, meta = nb_train(docs, "lbl", "text", labels, **kw)
+        model = model.persist()
+        n_model = model.count()
+        train_s = round(time.time() - t0, 3)
+        t0 = time.time()
+        scored = nb_score(
+            docs, model, meta, "doc_id", "text", keep_cols=("lbl",)
+        )
+        acc = scored.agg(
+            F.avg((F.col("pred") == F.col("lbl")).cast("double"))
+        ).collect()[0][0]
+        score_s = round(time.time() - t0, 3)
+        res[label] = {
+            "train_sec": train_s,
+            "score_sec": score_s,
+            "model_rows": n_model,
+            "vocab_v": meta.vocab_size,
+            "accuracy": round(acc, 4),
+            "train_docs_per_sec": int(n / train_s),
+            "score_docs_per_sec": int(n / score_s),
+        }
+        model.unpersist()
+    print(json.dumps({"n_docs": n, "nbtrain_probe": res}))
+
+
+def streamjoin_probe(n: int) -> None:
+    """Stream-stream join state contract, measured: ``n`` requests +
+    ``n`` responses over a simulated time axis drain in 10 ordered
+    drops per side. With a 2-window watermark delay, join state must
+    stay FLAT across batches (eviction working: O(rate × horizon));
+    with an effectively-infinite delay it grows linearly with the
+    stream (the documented failure mode this operator exists to
+    avoid). Reported per contract: total wall, first/last state rows,
+    first/last batch duration. Usage:
+    ``python bench_scale.py 2000000 streamjoin``."""
+    import os
+    import shutil
+    import tempfile
+
+    from updater_spark.streaming.join_stream import (
+        drain,
+        run_stream_interval_join,
+    )
+
+    spark = get_spark("bench_scale_streamjoin")
+    spark.sparkContext.setLogLevel("ERROR")
+    drops, users = 10, 10_000
+    batch = n // drops
+    window_s = 1800
+
+    def side(offset: int):
+        # one event per id, ts marches forward 1s per id; responses
+        # lag requests by a hash-jittered 0..window offset
+        return (
+            spark.range(0, n, numPartitions=32)
+            .withColumnRenamed("id", "event_id")
+            .withColumn("user_id", F.pmod(F.xxhash64("event_id"), F.lit(users)))
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000)
+                    + F.col("event_id")
+                    + F.lit(offset)
+                    * F.pmod(F.xxhash64("event_id", F.lit(7)), F.lit(window_s))
+                ),
+            )
+        )
+
+    res: dict = {}
+    for label, delay in (("evicting_1h", "1 hour"), ("unbounded", "3650 days")):
+        root = tempfile.mkdtemp(prefix=f"streamjoin_{label}_")
+        ldir, rdir = os.path.join(root, "l"), os.path.join(root, "r")
+        # sequential time-ordered slice writes: the file source orders
+        # by mtime, and the eviction contract only preserves pairs
+        # when drops arrive in (approximate) event-time order — a
+        # range-partitioned single write lands files in RANDOM task
+        # order and silently sheds ~85% of pairs under a short delay
+        # (measured at 100k; that loss is the semantics, not a bug)
+        for d, src in ((ldir, side(0)), (rdir, side(1))):
+            for k in range(drops):
+                src.filter(
+                    (F.col("event_id") >= k * batch)
+                    & (F.col("event_id") < (k + 1) * batch)
+                ).coalesce(1).write.mode("append").parquet(d)
+        t0 = time.time()
+        q = run_stream_interval_join(
+            spark,
+            ldir,
+            rdir,
+            spark.read.parquet(ldir).schema,
+            lambda df: df.select(
+                "user_id",
+                F.col("event_id").alias("req_id"),
+                F.col("ts").alias("req_ts"),
+            ),
+            lambda df: df.select(
+                "user_id",
+                F.col("event_id").alias("rsp_id"),
+                F.col("ts").alias("rsp_ts"),
+            ),
+            "user_id",
+            "req_ts",
+            "rsp_ts",
+            window_s,
+            os.path.join(root, "out"),
+            os.path.join(root, "ck"),
+            watermark_delay=delay,
+        )
+        drain(q)
+        wall = round(time.time() - t0, 3)
+        prog = [json.loads(p.json) for p in q.recentProgress]
+        states = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in prog
+            if p.get("stateOperators")
+        ]
+        durs = [p["batchDuration"] for p in prog]
+        n_pairs = spark.read.parquet(os.path.join(root, "out")).count()
+        res[label] = {
+            "wall_sec": wall,
+            "n_pairs": n_pairs,
+            "state_rows_first": states[0] if states else None,
+            "state_rows_last": states[-1] if states else None,
+            "batch_ms_first": durs[0] if durs else None,
+            "batch_ms_last": durs[-1] if durs else None,
+            "rows_per_sec": int(2 * n / wall),
+        }
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"n_per_side": n, "streamjoin_probe": res}))
+
+
+def zorder_probe(n: int) -> None:
+    """Layout pruning at scale: ``n`` events written plain / 1-D
+    range-clustered on event_id / z-ordered on (user_id, event_id)
+    into 64 files each, then a ~1%-selectivity 2-D predicate scanned
+    off each copy. Reported: write cost, files touched, scan wall —
+    the claim is z-order pays ≈ the 1-D write cost but prunes BOTH
+    dimensions. Usage: ``python bench_scale.py 20000000 zorder``."""
+    import shutil
+    import tempfile
+
+    from updater_spark.sources.store import TableStore
+
+    spark = get_spark("bench_scale_zorder")
+    spark.sparkContext.setLogLevel("ERROR")
+    users = 100_000
+    ev = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "event_id")
+        .withColumn("user_id", F.pmod(F.xxhash64("event_id"), F.lit(users)))
+        .withColumn("value", (F.pmod(F.xxhash64("event_id", F.lit(3)), F.lit(1000)) / 10.0))
+    ).persist()
+    ev.count()
+    root = tempfile.mkdtemp(prefix="zorder_probe_")
+    store = TableStore(spark, root)
+    writes: dict = {}
+    t0 = time.time()
+    store.write("ev_plain", ev.repartition(64), num_files=64)
+    writes["plain"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    store.write_clustered("ev_1d", ev, ["event_id"], num_files=64)
+    writes["clustered_1d"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    store.write_zordered(
+        "ev_z", ev, ["user_id", "event_id"], bits=16, num_files=64
+    )
+    writes["zorder"] = round(time.time() - t0, 3)
+
+    u_hi = users // 100  # ~1% of users
+    e_lo, e_hi = n // 2, n // 2 + n // 100
+    pred_u = F.col("user_id") <= u_hi
+    pred_e = F.col("event_id").between(e_lo, e_hi)
+    scans: dict = {}
+    for table in ("ev_plain", "ev_1d", "ev_z"):
+        for pname, pred in (("user", pred_u), ("event", pred_e), ("both", pred_u & pred_e)):
+            df = store.read(table).filter(pred)
+            df.agg(F.sum("value")).collect()  # warm listing
+            t0 = time.time()
+            s = df.agg(F.sum("value"), F.count(F.lit(1))).collect()[0]
+            wall = round(time.time() - t0, 3)
+            files = (
+                store.read(table)
+                .filter(pred)
+                .select(F.input_file_name())
+                .distinct()
+                .count()
+            )
+            scans[f"{table}.{pname}"] = {
+                "files_touched": files,
+                "scan_sec": wall,
+                "rows": s[1],
+            }
+    shutil.rmtree(root, ignore_errors=True)
+    print(
+        json.dumps(
+            {"n_rows": n, "zorder_probe": {"write_sec": writes, "scans": scans}}
+        )
+    )
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
@@ -1584,5 +1828,11 @@ if __name__ == "__main__":
         semlsm_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "retrain":
         retrain_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "nbtrain":
+        nbtrain_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "streamjoin":
+        streamjoin_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "zorder":
+        zorder_probe(_n)
     else:
         main(_n)
