@@ -130,6 +130,12 @@ def test_nb_hashed_fixed_v_no_count_pass(spark):
     assert model.count() <= 64
 
 
+def test_nb_empty_label_fails_loudly(spark):
+    train = spark.createDataFrame(TRAIN)
+    with pytest.raises(ValueError, match="no training documents"):
+        nb_train(train, "lang", "text", ["en", "fr", "xx"])
+
+
 def test_nb_broadcast_gate(spark):
     """Small vocab → broadcast join; gate at 0 → shuffle join."""
     train = spark.createDataFrame(TRAIN)

@@ -153,6 +153,14 @@ def nb_train(
     prior_rows = df.groupBy(F.col(label_col).alias("_lbl")).count().collect()
     doc_counts = {r["_lbl"]: r["count"] for r in prior_rows}
     total_docs = sum(doc_counts.get(lbl, 0) for lbl in labels)
+    empty = [lbl for lbl in labels if doc_counts.get(lbl, 0) == 0]
+    if total_docs == 0 or empty:
+        # fail loudly instead of math.log(0): a label with no
+        # training docs has an undefined prior, and silently -inf'ing
+        # it would make every prediction for it impossible anyway
+        raise ValueError(
+            f"no training documents for label(s) {empty or labels}"
+        )
     priors = {
         lbl: math.log(doc_counts.get(lbl, 0) / total_docs) for lbl in labels
     }
