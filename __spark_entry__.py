@@ -2813,6 +2813,106 @@ def _drained_join_pairs(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _drained_outer_pairs(spark: SparkSession, sf_dir: str) -> str:
+    """Left-outer drain: requests are even event_ids; responses are
+    the odd ids with event_id % 4 == 1 (half the odd rows, so many
+    requests go unmatched). Drops are TS-sliced sequentially (the
+    exactness condition: cross-drop disorder < delay), and a
+    far-future non-matching FLUSH row on each side closes every
+    request's null-emission horizon before the drain ends — the
+    left-outer discipline documented in join_stream.py."""
+    import tempfile
+
+    from updater_spark.streaming.join_stream import (
+        drain,
+        run_stream_interval_join,
+    )
+
+    key = sf_dir + "#outer"
+    hit = _STREAM_JOIN_CACHE.get(key)
+    if hit and os.path.exists(hit):
+        return hit
+    ev = demo.load_events(spark, sf_dir)
+    b = ev.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).collect()[0]
+    mid = b["mn"] + (b["mx"] - b["mn"]) / 2
+    root = tempfile.mkdtemp(prefix="streamjoin_outer_")
+    ldir, rdir = os.path.join(root, "req"), os.path.join(root, "rsp")
+    reqs = ev.filter(F.col("event_id") % 2 == 0)
+    rsps = ev.filter(F.col("event_id") % 4 == 1)
+    flush = (
+        spark.range(1)
+        .select(
+            F.lit(-9).cast("long").alias("event_id"),
+            (F.lit(b["mx"]) + F.expr("INTERVAL 4 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+        .select(*ev.columns)
+    )
+    for d, side in ((ldir, reqs), (rdir, rsps)):
+        side.filter(F.col("ts") <= mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        side.filter(F.col("ts") > mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        flush.coalesce(1).write.mode("append").parquet(d)
+    out = os.path.join(root, "pairs")
+    with _stream_confs(spark):
+        drain(
+            run_stream_interval_join(
+                spark,
+                ldir,
+                rdir,
+                ev.schema,
+                lambda d: d.select(
+                    "user_id",
+                    F.col("event_id").alias("req_id"),
+                    F.col("ts").alias("req_ts"),
+                ),
+                lambda d: d.select(
+                    "user_id",
+                    F.col("event_id").alias("rsp_id"),
+                    F.col("ts").alias("rsp_ts"),
+                ),
+                "user_id",
+                "req_ts",
+                "rsp_ts",
+                3600,
+                out,
+                os.path.join(root, "ckpt"),
+                watermark_delay="1 hour",
+                how="left_outer",
+            )
+        )
+    _STREAM_JOIN_CACHE[key] = out
+    return out
+
+
+def q_streaming_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream interval join end-to-end
+    (streaming/join_stream.py, how="left_outer"): every request
+    emits — matched rows as they arrive, unmatched rows as
+    null-responses once the watermark proves the horizon closed
+    (req_ts + window + delay). A finite drain needs the flush-row
+    discipline (_drained_outer_pairs); the oracle is the naive batch
+    LEFT JOIN. Null-emission timing itself is pinned in
+    tests/test_join_stream.py."""
+    pairs = spark.read.parquet(_drained_outer_pairs(spark, sf_dir))
+    return pairs.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        "req_id",
+        "rsp_id",
+        (F.unix_seconds("rsp_ts") - F.unix_seconds("req_ts")).alias(
+            "delay_s"
+        ),
+    )
+
+
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join end-to-end
     (streaming/join_stream.py::stream_interval_join): requests (even
@@ -3234,6 +3334,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": q_nb_classifier,
         "nb_classifier_hashed": q_nb_classifier_hashed,
         "streaming_join": q_streaming_join,
+        "streaming_join_outer": q_streaming_join_outer,
         "zorder_scan": q_zorder_scan,
         "ann_index_retrain": q_ann_index_retrain,
         "semantic_dedup_lsm": q_semantic_dedup_lsm,
@@ -3698,6 +3799,25 @@ def _generated_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": minhash_sql,
         "nb_classifier": _nb_sql(None),
         "nb_classifier_hashed": _nb_sql(12),
+        "streaming_join_outer": """
+            WITH req AS (
+                SELECT user_id, event_id, ts FROM events
+                WHERE event_id % 2 = 0
+            ),
+            rsp AS (
+                SELECT user_id, event_id, ts FROM events
+                WHERE event_id % 4 = 1
+            )
+            SELECT r.user_id,
+                   r.event_id AS req_id,
+                   s.event_id AS rsp_id,
+                   date_diff('second', r.ts, s.ts) AS delay_s
+            FROM req r
+            LEFT JOIN rsp s
+              ON r.user_id = s.user_id
+             AND s.ts >= r.ts
+             AND s.ts <= r.ts + INTERVAL 1 HOUR
+        """,
         "streaming_join": """
             SELECT r.user_id,
                    r.event_id AS req_id,

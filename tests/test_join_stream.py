@@ -145,6 +145,66 @@ def test_restart_resumes_from_checkpoint(spark, tmp_path):
     assert got2 == _batch_expected(spark)
 
 
+def test_left_outer_emits_null_after_horizon(spark, tmp_path):
+    """Left-outer contract: a null-match emits ONLY once the
+    watermark proves no future response can match (passes
+    req_ts + window + delay). Without a flush drop, open-horizon
+    requests stay withheld; a far-future flush row on both sides
+    closes every horizon and the drained output equals the batch
+    left join exactly."""
+    import json  # noqa: F401
+
+    tmp = str(tmp_path)
+    schema = spark.createDataFrame(REQS).schema
+    ldir, rdir = os.path.join(tmp, "lo"), os.path.join(tmp, "ro")
+    flush_l = [_ev(900, -1, 10_000)]  # non-matching keys, far future
+    flush_r = [_ev(901, -2, 10_000)]
+    for d, slices in ((ldir, [REQS, flush_l]), (rdir, [RSPS, flush_r])):
+        for rows in slices:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+    drain(
+        run_stream_interval_join(
+            spark,
+            ldir,
+            rdir,
+            schema,
+            _prep_left,
+            _prep_right,
+            "user_id",
+            "req_ts",
+            "rsp_ts",
+            WINDOW,
+            os.path.join(tmp, "outo"),
+            os.path.join(tmp, "cko"),
+            watermark_delay="0 seconds",
+            how="left_outer",
+        )
+    )
+    got = {
+        (r.user_id, r.req_id, r.rsp_id)
+        for r in read_pairs(spark, os.path.join(tmp, "outo"))
+        .filter(F.col("user_id") >= 0)  # flush rows are fixture noise
+        .collect()
+    }
+    # batch oracle: same operator, batch frames, same flush filter
+    want = {
+        (r.user_id, r.req_id, r.rsp_id)
+        for r in stream_interval_join(
+            _prep_left(spark.createDataFrame(REQS)),
+            _prep_right(spark.createDataFrame(RSPS)),
+            "user_id",
+            "req_ts",
+            "rsp_ts",
+            WINDOW,
+            how="left_outer",
+        ).collect()
+    }
+    assert (9, 3, None) in want  # req 3's only response was too late
+    assert got == want
+
+
 def test_watermark_evicts_state_deterministically(spark, tmp_path):
     """Inner-join lateness contract (module docstring): the watermark
     drives STATE EVICTION at micro-batch end, not input filtering.

@@ -64,8 +64,9 @@ def stream_interval_join(
     right_ts: str,
     window_seconds: int,
     watermark_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two (streaming or batch) frames on ``key`` with
+    """Join two (streaming or batch) frames on ``key`` with
     ``right_ts`` in ``[left_ts, left_ts + window_seconds]``.
 
     Both frames must already be projected to disjoint column names
@@ -74,7 +75,18 @@ def stream_interval_join(
     same ``watermark_delay``; on batch inputs ``withWatermark`` is a
     no-op and the SAME code path yields the oracle join — one
     definition, two execution modes.
-    """
+
+    ``how="left_outer"`` adds the unmatched-left rows (null right
+    columns). Streaming semantics caveat that the fixture must own: a
+    null-match can only be emitted once the watermark proves no
+    future right row can still match — i.e. passes
+    ``left_ts + window + delay`` — so a drained stream emits null
+    rows ONLY for lefts whose horizon closed. A finite drain needs a
+    terminal FLUSH row on both sides (far-future ts, non-matching
+    key, filtered from output) to push the watermark past every real
+    left row; q_streaming_join_outer shows the discipline."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r}")
     lw = (
         left.withWatermark(left_ts, watermark_delay)
         if left.isStreaming
@@ -93,7 +105,7 @@ def stream_interval_join(
             <= F.col(left_ts) + F.expr(f"INTERVAL {window_seconds} SECONDS")
         )
     )
-    return lw.join(rw, cond, "inner").drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])
 
 
 def run_stream_interval_join(
@@ -111,6 +123,7 @@ def run_stream_interval_join(
     checkpoint_dir: str,
     watermark_delay: str = "1 hour",
     max_files_per_trigger: int = 1,
+    how: str = "inner",
 ) -> StreamingQuery:
     """Drive the join over two file-source streams, appending matched
     pairs to ``out_dir`` parquet; AvailableNow, so a drain processes
@@ -133,6 +146,7 @@ def run_stream_interval_join(
         right_ts,
         window_seconds,
         watermark_delay,
+        how,
     )
     return (
         joined.writeStream.format("parquet")
