@@ -3250,6 +3250,52 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy join (operators/fuzzyjoin.py): part names
+    against a mutated copy (leading char dropped for partkey%3==0,
+    'x' appended for %3==1, unchanged otherwise), all pairs within
+    Levenshtein 1 via positional q-gram prefix blocking + built-in
+    levenshtein verify; never a cartesian (plan lint covers it). The
+    oracle IS the naive cross join + levenshtein filter — blocking
+    must be invisible to results; k=2, repetitive-gram, and
+    zero-shared-gram-shorts completeness are pinned in
+    tests/test_fuzzyjoin.py."""
+    from updater_spark.operators.fuzzyjoin import fuzzy_join
+
+    part = demo.load(spark, sf_dir, "part")
+    # key-suffixed names: the raw p_name vocabulary is ~64 strings, so
+    # un-suffixed the TRUE k=2 result is quadratic (3.9M pairs at
+    # sf0.1) — a degenerate linkage task; the suffix makes identity
+    # per-row and keeps the answer (and any engine's cost) linear
+    left = part.select(
+        F.col("p_partkey").alias("lid"),
+        F.concat("p_name", F.lit("#"), F.col("p_partkey")).alias("a_name"),
+    )
+    right = part.filter(F.col("p_partkey") % 2 == 0).select(
+        (F.col("p_partkey") + 1_000_000).alias("rid"),
+        F.concat(
+            F.when(
+                F.col("p_partkey") % 3 == 0, F.expr("substring(p_name, 2)")
+            )
+            .when(F.col("p_partkey") % 3 == 1, F.concat("p_name", F.lit("x")))
+            .otherwise(F.col("p_name")),
+            F.lit("#"),
+            F.col("p_partkey"),
+        ).alias("b_name"),
+    )
+    # k=1, q=4: the '#key' suffixes make these strings digit-dense
+    # and only 100 digit BIgrams exist, so bigram blocking is
+    # structurally quadratic here (measured 27M candidates at sf0.1);
+    # 4-gram postings have 10^4 digit values, and k=1 keeps the
+    # prefix at q+1=5 values — with 300+ rows sharing each of the 64
+    # base names, every name-gram a larger prefix admits costs
+    # ~300 banded candidates per row (k=2 measured ~3× slower for
+    # that reason alone; tests cover k=2 correctness).
+    return fuzzy_join(
+        left, right, "lid", "a_name", "rid", "b_name", max_dist=1, q=4
+    )
+
+
 NB_LABELS = ["de", "en", "es", "fr", "zh"]
 
 
@@ -3336,6 +3382,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join": q_streaming_join,
         "streaming_join_outer": q_streaming_join_outer,
         "zorder_scan": q_zorder_scan,
+        "fuzzy_join_parts": q_fuzzy_join_parts,
         "ann_index_retrain": q_ann_index_retrain,
         "semantic_dedup_lsm": q_semantic_dedup_lsm,
         "streaming_ann": q_streaming_ann,
@@ -3799,6 +3846,25 @@ def _generated_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": minhash_sql,
         "nb_classifier": _nb_sql(None),
         "nb_classifier_hashed": _nb_sql(12),
+        "fuzzy_join_parts": """
+            WITH l AS (
+                SELECT p_partkey AS lid,
+                       p_name || '#' || p_partkey AS a
+                FROM part
+            ),
+            r AS (
+                SELECT p_partkey + 1000000 AS rid,
+                       (CASE WHEN p_partkey % 3 = 0 THEN substr(p_name, 2)
+                             WHEN p_partkey % 3 = 1 THEN p_name || 'x'
+                             ELSE p_name END)
+                       || '#' || p_partkey AS b
+                FROM part WHERE p_partkey % 2 = 0
+            )
+            SELECT lid, rid, levenshtein(a, b) AS dist
+            FROM l, r
+            WHERE abs(length(a) - length(b)) <= 1
+              AND levenshtein(a, b) <= 1
+        """,
         "streaming_join_outer": """
             WITH req AS (
                 SELECT user_id, event_id, ts FROM events
