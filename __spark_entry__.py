@@ -3250,6 +3250,83 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance end-to-end
+    (operators/joinview.py): materialize customer ⋈ nation on the
+    nation key, then apply one CDC-shaped epoch — customers deleted
+    (custkey%13), nation-MOVED (custkey%11 → nationkey+1 mod 25),
+    inserted (custkey%17 cloned +1e9), and nations renamed
+    (nationkey%5) — by rewriting ONLY the join-value buckets the
+    epoch touched (pre-images feed the moved/deleted values' OLD
+    slices). The oracle joins the mutated snapshots from scratch —
+    the spliced view must be indistinguishable; bucket-level write
+    pruning and the pre-image necessity are mtime-/ghost-row-pinned
+    in tests/test_joinview.py."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.joinview import (
+        affected_join_values,
+        join_view_bootstrap,
+        join_view_repair,
+    )
+    from updater_spark.sources.store import TableStore
+
+    cust = demo.load(spark, sf_dir, "customer")
+    nat = demo.load(spark, sf_dir, "nation")
+    a0 = cust.select(
+        "c_custkey", F.col("c_nationkey").alias("nkey"), "c_name"
+    )
+    b0 = nat.select(F.col("n_nationkey").alias("nkey"), "n_name")
+    a1 = (
+        a0.filter(F.col("c_custkey") % 13 != 0)
+        .withColumn(
+            "nkey",
+            F.when(
+                F.col("c_custkey") % 11 == 0, (F.col("nkey") + 1) % 25
+            ).otherwise(F.col("nkey")),
+        )
+        .unionByName(
+            a0.filter(F.col("c_custkey") % 17 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 1_000_000_000
+            )
+        )
+    )
+    b1 = b0.withColumn(
+        "n_name",
+        F.when(
+            F.col("nkey") % 5 == 0, F.concat("n_name", F.lit("_X"))
+        ).otherwise(F.col("n_name")),
+    )
+    aff = affected_join_values(
+        post_images=a1.filter(
+            (F.col("c_custkey") % 11 == 0)
+            | (F.col("c_custkey") > 1_000_000_000)
+        ),
+        pre_images=a0.filter(
+            (F.col("c_custkey") % 13 == 0) | (F.col("c_custkey") % 11 == 0)
+        ),
+        on="nkey",
+    ).unionByName(
+        affected_join_values(
+            post_images=b1.filter(F.col("nkey") % 5 == 0),
+            pre_images=None,
+            on="nkey",
+        )
+    )
+    root = tempfile.mkdtemp(prefix="joinview_")
+    try:
+        store = TableStore(spark, os.path.join(root, "store"))
+        join_view_bootstrap(store, "cview", a0, b0, "nkey", buckets=16)
+        join_view_repair(store, "cview", a1, b1, "nkey", aff, buckets=16)
+        return store.read_partitioned("cview").select(
+            "c_custkey", "nkey", "c_name", "n_name"
+        )
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
 def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-linkage fuzzy join (operators/fuzzyjoin.py): part names
     against a mutated copy (leading char dropped for partkey%3==0,
@@ -3383,6 +3460,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join_outer": q_streaming_join_outer,
         "zorder_scan": q_zorder_scan,
         "fuzzy_join_parts": q_fuzzy_join_parts,
+        "ivm_join_view": q_ivm_join_view,
         "ann_index_retrain": q_ann_index_retrain,
         "semantic_dedup_lsm": q_semantic_dedup_lsm,
         "streaming_ann": q_streaming_ann,
@@ -3846,6 +3924,29 @@ def _generated_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": minhash_sql,
         "nb_classifier": _nb_sql(None),
         "nb_classifier_hashed": _nb_sql(12),
+        "ivm_join_view": """
+            WITH a0 AS (
+                SELECT c_custkey, c_nationkey AS nkey, c_name FROM customer
+            ),
+            a1 AS (
+                SELECT c_custkey,
+                       CASE WHEN c_custkey % 11 = 0 THEN (nkey + 1) % 25
+                            ELSE nkey END AS nkey,
+                       c_name
+                FROM a0 WHERE c_custkey % 13 <> 0
+                UNION ALL
+                SELECT c_custkey + 1000000000, nkey, c_name
+                FROM a0 WHERE c_custkey % 17 = 0
+            ),
+            b1 AS (
+                SELECT n_nationkey AS nkey,
+                       CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_X'
+                            ELSE n_name END AS n_name
+                FROM nation
+            )
+            SELECT a1.c_custkey, a1.nkey, a1.c_name, b1.n_name
+            FROM a1 JOIN b1 USING (nkey)
+        """,
         "fuzzy_join_parts": """
             WITH l AS (
                 SELECT p_partkey AS lid,
