@@ -1733,6 +1733,101 @@ def streamjoin_probe(n: int) -> None:
     print(json.dumps({"n_per_side": n, "streamjoin_probe": res}))
 
 
+def joinview_probe(n: int) -> None:
+    """Join-view IVM crossover: an ``n``-row fact table joined to an
+    ``n/100``-row dim on a shared value, maintained through 3 CDC
+    epochs of ~1% fact churn + 0.5% dim churn, bucket-pruned repair
+    vs full rejoin+rewrite. The crossover number the other maintained
+    indexes (dedup/IVF/semantic) already have. Usage:
+    ``python bench_scale.py 20000000 joinview``."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.joinview import (
+        affected_join_values,
+        join_view_bootstrap,
+        join_view_repair,
+    )
+    from updater_spark.sources.store import TableStore
+
+    spark = get_spark("bench_scale_joinview")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_dim = max(n // 100, 1000)
+    buckets = 256
+    hot = max(n_dim // 200, 8)  # churn's join-value footprint (~0.5%)
+
+    def fact(epoch: int):
+        # churn concentrates in the HOT join-value slice (j < hot):
+        # those rows reshuffle among hot values each epoch and ~2.5%
+        # of them are deleted — uniform churn would touch every value
+        # and every bucket, where IVM (correctly) degrades to a full
+        # rewrite (measured crossover 0.37 on the uniform fixture)
+        f = (
+            spark.range(0, n, numPartitions=64)
+            .withColumnRenamed("id", "pk")
+            .withColumn("j0", F.pmod(F.xxhash64("pk"), F.lit(n_dim)))
+            .withColumn(
+                "j",
+                F.when(
+                    F.col("j0") < hot,
+                    F.pmod(F.xxhash64("pk", F.lit(epoch)), F.lit(hot)),
+                ).otherwise(F.col("j0")),
+            )
+            .withColumn("av", F.pmod(F.xxhash64("pk", F.lit(3)), F.lit(1000)))
+        )
+        return f.filter(
+            (F.col("j0") >= hot) | (F.col("pk") % 40 != epoch % 40)
+        ).drop("j0")
+
+    def dim(epoch: int):
+        return (
+            spark.range(0, n_dim, numPartitions=8)
+            .withColumnRenamed("id", "j")
+            .withColumn(
+                "bv",
+                F.when(
+                    (F.col("j") % 2000 == epoch % 2000) & (F.lit(epoch) > 0),
+                    F.lit(epoch),
+                ).otherwise(F.lit(0)),
+            )
+        )
+
+    root = tempfile.mkdtemp(prefix="joinview_probe_")
+    store = TableStore(spark, root)
+    res: dict = {}
+    t0 = time.time()
+    join_view_bootstrap(store, "v", fact(0), dim(0), "j", buckets=buckets)
+    res["bootstrap_sec"] = round(time.time() - t0, 3)
+    epochs = []
+    for e in (1, 2, 3):
+        a_new, b_new = fact(e), dim(e)
+        # the churn domain IS the hot slice (+ the dim rows this
+        # epoch renamed) — pre- and post-image values both live there
+        aff = spark.range(0, hot).select(F.col("id").alias("j")).unionByName(
+            affected_join_values(
+                post_images=b_new.filter(F.col("j") % 2000 == e % 2000),
+                pre_images=None,
+                on="j",
+            )
+        )
+        t0 = time.time()
+        nb = join_view_repair(store, "v", a_new, b_new, "j", aff, buckets=buckets)
+        epochs.append(
+            {"repair_sec": round(time.time() - t0, 3), "buckets_touched": nb}
+        )
+    res["epochs"] = epochs
+    t0 = time.time()
+    join_view_bootstrap(store, "v_rebuild", fact(3), dim(3), "j", buckets=buckets)
+    res["full_rejoin_sec"] = round(time.time() - t0, 3)
+    res["view_rows"] = store.read_partitioned("v").count()
+    res["rebuild_rows"] = store.read_partitioned("v_rebuild").count()
+    res["rows_match"] = res["view_rows"] == res["rebuild_rows"]
+    mean_repair = sum(e["repair_sec"] for e in epochs) / len(epochs)
+    res["crossover"] = round(res["full_rejoin_sec"] / mean_repair, 2)
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"n_rows": n, "joinview_probe": res}))
+
+
 def zorder_probe(n: int) -> None:
     """Layout pruning at scale: ``n`` events written plain / 1-D
     range-clustered on event_id / z-ordered on (user_id, event_id)
@@ -1834,5 +1929,7 @@ if __name__ == "__main__":
         streamjoin_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "zorder":
         zorder_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "joinview":
+        joinview_probe(_n)
     else:
         main(_n)
