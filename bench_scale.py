@@ -1754,7 +1754,12 @@ def joinview_probe(n: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     n_dim = max(n // 100, 1000)
     buckets = 256
-    hot = max(n_dim // 200, 8)  # churn's join-value footprint (~0.5%)
+    # churn's join-value footprint is ABSOLUTE (a set of hot
+    # entities), not proportional: a footprint that grows with n
+    # eventually hashes into every bucket and IVM rightly degrades
+    # to a rewrite (measured 254/256 buckets with hot = n_dim/200
+    # at 20M)
+    hot = 24
 
     def fact(epoch: int):
         # churn concentrates in the HOT join-value slice (j < hot):
@@ -1786,7 +1791,7 @@ def joinview_probe(n: int) -> None:
             .withColumn(
                 "bv",
                 F.when(
-                    (F.col("j") % 2000 == epoch % 2000) & (F.lit(epoch) > 0),
+                    (F.col("j") == hot + epoch) & (F.lit(epoch) > 0),
                     F.lit(epoch),
                 ).otherwise(F.lit(0)),
             )
@@ -1798,14 +1803,27 @@ def joinview_probe(n: int) -> None:
     t0 = time.time()
     join_view_bootstrap(store, "v", fact(0), dim(0), "j", buckets=buckets)
     res["bootstrap_sec"] = round(time.time() - t0, 3)
+    from updater_spark.operators.joinview import PART_COL, _bucket
+
     epochs = []
     for e in (1, 2, 3):
-        a_new, b_new = fact(e), dim(e)
+        # bases stored bucket-partitioned by the view's join bucket
+        # (the partitioned-CDC replica layout) so repair's scans are
+        # directory-pruned; the write cost is the CDC epoch's own
+        # business, reported separately
+        t0 = time.time()
+        store.write_partitioned(
+            f"fact_{e}",
+            fact(e).withColumn(PART_COL, _bucket(F.col("j"), buckets)),
+            PART_COL,
+        )
+        mat_sec = round(time.time() - t0, 3)
+        a_new, b_new = store.read_partitioned(f"fact_{e}"), dim(e)
         # the churn domain IS the hot slice (+ the dim rows this
         # epoch renamed) — pre- and post-image values both live there
         aff = spark.range(0, hot).select(F.col("id").alias("j")).unionByName(
             affected_join_values(
-                post_images=b_new.filter(F.col("j") % 2000 == e % 2000),
+                post_images=b_new.filter(F.col("j") == hot + e),
                 pre_images=None,
                 on="j",
             )
@@ -1813,11 +1831,22 @@ def joinview_probe(n: int) -> None:
         t0 = time.time()
         nb = join_view_repair(store, "v", a_new, b_new, "j", aff, buckets=buckets)
         epochs.append(
-            {"repair_sec": round(time.time() - t0, 3), "buckets_touched": nb}
+            {
+                "repair_sec": round(time.time() - t0, 3),
+                "buckets_touched": nb,
+                "base_materialize_sec": mat_sec,
+            }
         )
     res["epochs"] = epochs
     t0 = time.time()
-    join_view_bootstrap(store, "v_rebuild", fact(3), dim(3), "j", buckets=buckets)
+    join_view_bootstrap(
+        store,
+        "v_rebuild",
+        store.read_partitioned("fact_3").drop(PART_COL),
+        dim(3),
+        "j",
+        buckets=buckets,
+    )
     res["full_rejoin_sec"] = round(time.time() - t0, 3)
     res["view_rows"] = store.read_partitioned("v").count()
     res["rebuild_rows"] = store.read_partitioned("v_rebuild").count()

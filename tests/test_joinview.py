@@ -136,6 +136,28 @@ def test_emptied_bucket_dropped_and_noop_epoch(spark, tmp_path):
     )
 
 
+def test_prebucketed_base_path(spark, tmp_path):
+    """A base table already carrying the view's bucket column (the
+    partitioned-CDC replica layout) takes the directory-pruned path
+    and must produce the identical view."""
+    from updater_spark.operators.joinview import PART_COL, _bucket
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    a0, b0 = _a(spark, A0), _b(spark, B0)
+    join_view_bootstrap(store, "v", a0, b0, "j", buckets=B)
+    a1 = _a(spark, [r for r in A0 if r[0] != 1] + [(9, 20, "a9")])
+    store.write_partitioned(
+        "a_rep", a1.withColumn(PART_COL, _bucket(F.col("j"), B)), PART_COL
+    )
+    aff = affected_join_values(
+        a1.filter("pk = 9"), a0.filter("pk = 1"), "j"
+    )
+    join_view_repair(
+        store, "v", store.read_partitioned("a_rep"), b0, "j", aff, buckets=B
+    )
+    assert _state(store, "v") == _full(a1, b0)
+
+
 def test_preimages_are_load_bearing(spark, tmp_path):
     """Feeding only post-images misses the OLD slice of a moved join
     value — the view keeps a stale row. This pins WHY the API demands
