@@ -151,6 +151,29 @@ CHECKS = {
         "fixture build, not in this plan; verify_pairs is two hash "
         "equi-joins bounded by |candidate pairs|."
     ),
+    "nb_classifier": (
+        "training is ONE groupBy(token) with partial conditional sums; "
+        "scoring joins the model via BroadcastHashJoin (the gated small "
+        "side) and aggregates per doc — no CartesianProduct, no Python."
+    ),
+    "fuzzy_join_parts": (
+        "candidates come from hash equi-joins on (gram, position bucket) "
+        "— the |Δpos|≤k test is IN the join key; no CartesianProduct / "
+        "BroadcastNestedLoopJoin anywhere despite the similarity-join "
+        "semantics; levenshtein runs only on the verified pair set."
+    ),
+    "ivm_join_view": (
+        "the spliced view read is a plain partitioned scan; repair work "
+        "(bucket-pruned joins + dynamic partition overwrite) happens at "
+        "fixture build — this plan must show NO join wider than the "
+        "stored view itself."
+    ),
+    "zorder_scan": (
+        "both range predicates appear in PushedFilters (GreaterThanOr"
+        "Equal/LessThanOrEqual on user_id AND event_id) — footer-stat "
+        "pruning gets both dimensions; file-count evidence lives in "
+        "tests/test_zorder.py and the 20M probe."
+    ),
 }
 # Not string-audited here, each for the same reason: the query fn
 # materializes its result through a temp store, so the returned plan
@@ -174,6 +197,11 @@ def main(sf_dir: str) -> None:
     from updater_spark import get_spark
 
     spark = get_spark("plan_audit", master="local[8]", shuffle_partitions=8)
+    # long PushedFilters lists are truncated to 100 chars ("...") in
+    # plan strings, which silently read as "pushed filters: none" in
+    # the report (bit the zorder_scan entry: both range predicates
+    # WERE pushed but invisible)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     spark.sparkContext.setLogLevel("ERROR")
 
     out = [

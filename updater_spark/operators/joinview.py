@@ -32,8 +32,11 @@ MOVES a row's join value from j1 to j2 affects BOTH slices, and a
 DELETE affects the OLD value — so the caller must feed pre-image
 join values for updated/deleted rows alongside the post-image delta.
 CdcEngine already materializes exactly this: ``{t}__delta`` (post
-images) and the changelog's pre-images (J5, operators/merge.py), the
-same pre-image feed stats_repair uses for tribe moves
+images) and the changelog's pre-images (J5, operators/merge.py) —
+with ``changelog_mode="full"`` so DELETE pre-images are archived too
+(the updates-only default drops exactly the rows a view must
+un-splice); tests/test_joinview_cdc.py pins the end-to-end
+composition. Same pre-image feed stats_repair uses for tribe moves
 (``member_before``).
 """
 
