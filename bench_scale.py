@@ -1857,6 +1857,75 @@ def joinview_probe(n: int) -> None:
     print(json.dumps({"n_rows": n, "joinview_probe": res}))
 
 
+def fuzzyjoin_probe(n: int) -> None:
+    """Fuzzy join at healthy entropy: ``n`` random-ish 18-char
+    strings per side, 1% of right rows are 1-edit mutations of a
+    left row (char dropped), k=1/q=4 blocking. The driver fixture
+    (64-name corpus) measures the adversarial case; this one answers
+    the deploy question — near-linear candidates and full planted
+    recall when gram entropy is real. Usage:
+    ``python bench_scale.py 1000000 fuzzyjoin``."""
+    from updater_spark.operators.fuzzyjoin import fuzzy_join
+
+    spark = get_spark("bench_scale_fuzzyjoin")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rand_str(seed_col, nchars=18):
+        # 18 hex-ish chars from two md5 windows — high entropy,
+        # deterministic
+        return F.substring(F.md5(seed_col.cast("string").cast("binary")), 1, nchars)
+
+    left = (
+        spark.range(0, n, numPartitions=64)
+        .select(
+            F.col("id").alias("lid"), rand_str(F.col("id")).alias("a")
+        )
+        .persist()
+    )
+    right = (
+        spark.range(0, n, numPartitions=64)
+        .select(
+            (F.col("id") + 10_000_000).alias("rid"),
+            F.when(
+                F.col("id") % 100 == 0,
+                # planted near-dup: drop left string's first char
+                F.substring(F.md5(F.col("id").cast("string").cast("binary")), 2, 17),
+            )
+            .otherwise(
+                rand_str(F.col("id") + 7_777_777)
+            )
+            .alias("b"),
+        )
+        .persist()
+    )
+    n_planted = left.filter(F.col("lid") % 100 == 0).count()
+    right.count()
+    t0 = time.time()
+    out = fuzzy_join(left, right, "lid", "a", "rid", "b", max_dist=1, q=4)
+    pairs = out.persist()
+    n_pairs = pairs.count()
+    wall = round(time.time() - t0, 3)
+    found = pairs.filter(
+        (F.col("rid") - 10_000_000 == F.col("lid"))
+        & (F.col("lid") % 100 == 0)
+    ).count()
+    print(
+        json.dumps(
+            {
+                "n_per_side": n,
+                "fuzzyjoin_probe": {
+                    "wall_sec": wall,
+                    "pairs": n_pairs,
+                    "planted": n_planted,
+                    "planted_found": found,
+                    "recall": round(found / n_planted, 4),
+                    "rows_per_sec": int(2 * n / wall),
+                },
+            }
+        )
+    )
+
+
 def zorder_probe(n: int) -> None:
     """Layout pruning at scale: ``n`` events written plain / 1-D
     range-clustered on event_id / z-ordered on (user_id, event_id)
@@ -1960,5 +2029,7 @@ if __name__ == "__main__":
         zorder_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "joinview":
         joinview_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "fuzzyjoin":
+        fuzzyjoin_probe(_n)
     else:
         main(_n)

@@ -117,7 +117,12 @@ def fuzzy_join(
         # repeated gram while keeping an incompatible twin; at value
         # level the prefix theorem picks a shared VALUE and the
         # position filter then sees all its occurrences.
-        ranked = postings.join(df_tbl, "g").withColumn(
+        # broadcast the df table EXPLICITLY: it is bounded by the
+        # gram-value space (≤ alphabet^q), while the postings side
+        # sits under a posexplode whose size estimate is unreliable —
+        # left to itself the planner broadcast the 36M-row POSTINGS
+        # side at 2M strings/side and OOM'd the driver
+        ranked = postings.join(F.broadcast(df_tbl), "g").withColumn(
             "_rk",
             F.dense_rank().over(Window.partitionBy(idc).orderBy("_df", "g")),
         )
@@ -147,8 +152,12 @@ def fuzzy_join(
         .withColumn("_b", F.floor(F.col("_pos") / w))
         .withColumnsRenamed({"_pos": "_rpos", "_len": "_rlen"})
     )
+    # both posting sides sit downstream of posexplode, whose size
+    # estimates are unreliable enough for the planner to pick a
+    # corpus-sized broadcast (measured OOM at 2M rows/side, 8g
+    # driver) — pin the candidate join to a shuffle join as well
     cand = (
-        lp.join(rp, ["g", "_b"])
+        lp.join(rp.hint("shuffle_hash"), ["g", "_b"])
         .filter(
             (F.abs(F.col("_pos") - F.col("_rpos")) <= F.lit(max_dist))
             & (F.abs(F.col("_len") - F.col("_rlen")) <= F.lit(max_dist))
@@ -195,9 +204,13 @@ def fuzzy_join(
                 sl.join(sr, "_lb").select("_lid", "_rid")
             ).distinct()
 
+    # verify join-back: l/r are corpus-sized string tables by
+    # definition — pin them to shuffle joins so a near-threshold size
+    # estimate can't tempt AQE into broadcasting the corpus (measured:
+    # 2M rows × 18-char strings OOM'd an 8g driver's broadcast build)
     return (
-        cand.join(l, "_lid")
-        .join(r, "_rid")
+        cand.join(l.hint("shuffle_hash"), "_lid")
+        .join(r.hint("shuffle_hash"), "_rid")
         .filter(
             (
                 F.abs(F.length("_a") - F.length("_b")) <= F.lit(max_dist)
