@@ -3373,6 +3373,40 @@ def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_DIM, RP_K, RP_SEED = 64, 16, 23
+
+
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection
+    (operators/projection.py): embeddings shrink 64 → 16 dims through
+    a deterministic ±1 sign matrix (Achlioptas 2003), one scan-fused
+    aggregate per component — no shuffle, no UDF. Output: the 16
+    components + the squared-norm ratio (the JL distortion the
+    theorem bounds). The oracle embeds the IDENTICAL LCG-generated
+    sign literals (the minhash-coefficient discipline)."""
+    from updater_spark.operators.projection import rp_project
+
+    emb = demo.load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    p = rp_project(emb, "v", dim=RP_DIM, k=RP_K, seed=RP_SEED)
+    norm_v = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_p = F.aggregate(
+        F.transform(F.col("proj"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return p.select(
+        "vec_id",
+        *[F.round(F.col("proj")[j], 6).alias(f"p{j}") for j in range(RP_K)],
+        F.round(norm_p / norm_v, 4).alias("norm_ratio"),
+    )
+
+
 NB_LABELS = ["de", "en", "es", "fr", "zh"]
 
 
@@ -3461,6 +3495,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_scan": q_zorder_scan,
         "fuzzy_join_parts": q_fuzzy_join_parts,
         "ivm_join_view": q_ivm_join_view,
+        "embed_project": q_embed_project,
         "ann_index_retrain": q_ann_index_retrain,
         "semantic_dedup_lsm": q_semantic_dedup_lsm,
         "streaming_ann": q_streaming_ann,
@@ -3922,6 +3957,7 @@ def _generated_oracles() -> dict[str, str]:
 
     return {
         "dedup_minhash_lsh": minhash_sql,
+        "embed_project": _rp_sql(),
         "nb_classifier": _nb_sql(None),
         "nb_classifier_hashed": _nb_sql(12),
         "ivm_join_view": """
@@ -4013,6 +4049,34 @@ def _generated_oracles() -> dict[str, str]:
             "q.vec_id % 25 = 0", "q.vec_id % 40 IN (0, 17)"
         ),
     }
+
+
+def _rp_sql() -> str:
+    """DuckDB replay of rp_project with the identical sign literals."""
+    from updater_spark.operators.projection import rp_signs
+
+    signs = rp_signs(RP_DIM, RP_K, RP_SEED)
+    comps = ",\n                   ".join(
+        "list_inner_product(v, ["
+        + ", ".join(f"{float(s)}" for s in row)
+        + f"]) / sqrt({float(RP_K)}) AS q{j}"
+        for j, row in enumerate(signs)
+    )
+    p_cols = ", ".join(f"round(q{j}, 6) AS p{j}" for j in range(RP_K))
+    sq = " + ".join(f"q{j} * q{j}" for j in range(RP_K))
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        proj AS (
+            SELECT vec_id, v,
+                   {comps}
+            FROM vecs
+        )
+        SELECT vec_id, {p_cols},
+               round(({sq}) / list_inner_product(v, v), 4) AS norm_ratio
+        FROM proj
+    """
 
 
 def _nb_sql(hash_bits: int | None) -> str:
