@@ -3373,6 +3373,34 @@ def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import string as _string
+
+# longest-match exercise set: full corpus words AND their prefixes
+# ("scan" vs "sca", "merge" vs "mer") so the greedy preference is
+# observable, plus a-z for total coverage (the operator requires it)
+WP_VOCAB = [
+    "stream", "scan", "sca", "merge", "mer", "table", "tab", "spark",
+    "park", "row", "data", "filter", "fil", "ter", "custom", "er",
+    "win", "dow", "val", "ue", "qu", "ery", "batch", "bat", "join",
+    "group", "hash", "order", "ord",
+] + list(_string.ascii_lowercase)
+
+
+def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match subword tokenization
+    (operators/tokenizer.py): every document segmented against a
+    literal vocabulary by a pure-Catalyst runtime fold (no UDF — the
+    plan lint holds), emitting the full piece string and the piece
+    count. The oracle replays the segmentation with a recursive CTE
+    whose arg_max tie-break (padded length ‖ piece) equals the
+    struct (len, piece) array_max — byte-identical pieces, both
+    engines."""
+    from updater_spark.operators.tokenizer import wordpiece_tokenize
+
+    docs = demo.load(spark, sf_dir, "documents")
+    return wordpiece_tokenize(docs, "text", WP_VOCAB)
+
+
 RP_DIM, RP_K, RP_SEED = 64, 16, 23
 
 
@@ -3496,6 +3524,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_parts": q_fuzzy_join_parts,
         "ivm_join_view": q_ivm_join_view,
         "embed_project": q_embed_project,
+        "wordpiece_tokens": q_wordpiece_tokens,
         "ann_index_retrain": q_ann_index_retrain,
         "semantic_dedup_lsm": q_semantic_dedup_lsm,
         "streaming_ann": q_streaming_ann,
@@ -3958,6 +3987,7 @@ def _generated_oracles() -> dict[str, str]:
     return {
         "dedup_minhash_lsh": minhash_sql,
         "embed_project": _rp_sql(),
+        "wordpiece_tokens": _wp_sql(),
         "nb_classifier": _nb_sql(None),
         "nb_classifier_hashed": _nb_sql(12),
         "ivm_join_view": """
@@ -4049,6 +4079,61 @@ def _generated_oracles() -> dict[str, str]:
             "q.vec_id % 25 = 0", "q.vec_id % 40 IN (0, 17)"
         ),
     }
+
+
+def _wp_sql() -> str:
+    """Recursive-CTE replay of wordpiece_tokenize: same
+    normalization, truncation, and longest-match tie-break."""
+    vals = ", ".join(f"('{p}')" for p in WP_VOCAB)
+    return f"""
+        WITH RECURSIVE vocab(p) AS (VALUES {vals}),
+        norm AS (
+            SELECT doc_id,
+                   regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+            FROM documents
+        ),
+        words AS (
+            SELECT doc_id, wi, substr(w, 1, 32) AS w FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(t), ' +')) AS w,
+                       generate_subscripts(
+                           regexp_split_to_array(trim(t), ' +'), 1) AS wi
+                FROM norm)
+            WHERE w <> ''
+        ),
+        step AS (
+            SELECT doc_id, wi, w, 1 AS pos, ''::VARCHAR AS out,
+                   0 AS n
+            FROM words
+            UNION ALL
+            SELECT doc_id, wi, w, pos + length(best) AS pos,
+                   out || CASE WHEN out = '' THEN '' ELSE '|' END
+                       || best AS out,
+                   n + 1 AS n
+            FROM (
+                SELECT s.doc_id, s.wi, s.w, s.pos, s.out, s.n,
+                       arg_max(v.p,
+                               printf('%02d', length(v.p)) || v.p) AS best
+                FROM step s JOIN vocab v
+                  ON substr(s.w, s.pos, length(v.p)) = v.p
+                WHERE s.pos <= length(s.w)
+                GROUP BY s.doc_id, s.wi, s.w, s.pos, s.out, s.n
+            )
+        ),
+        per_word AS (
+            SELECT doc_id, wi, out, n FROM step WHERE pos > length(w)
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   string_agg(out, ' ' ORDER BY wi) AS pieces,
+                   CAST(SUM(n) AS BIGINT) AS n_pieces
+            FROM per_word GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.pieces, '') AS pieces,
+               COALESCE(p.n_pieces, 0) AS n_pieces
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
 
 
 def _rp_sql() -> str:
