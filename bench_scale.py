@@ -1926,6 +1926,75 @@ def fuzzyjoin_probe(n: int) -> None:
     )
 
 
+def wordpiece_probe(n: int) -> None:
+    """Tokenizer throughput: ``n`` synthetic docs (~12 words of 4-12
+    chars), greedy longest-match against a 55-piece vocabulary —
+    docs/s and pieces/s for the pure-Catalyst fold. Usage:
+    ``python bench_scale.py 2000000 wordpiece``."""
+    import string as _string
+
+    from updater_spark.operators.tokenizer import wordpiece_tokenize
+
+    spark = get_spark("bench_scale_wordpiece")
+    spark.sparkContext.setLogLevel("ERROR")
+    vocab = [
+        "stream", "scan", "sca", "merge", "mer", "table", "tab",
+        "spark", "park", "row", "data", "filter", "fil", "ter",
+        "custom", "er", "win", "dow", "val", "ue", "qu", "ery",
+        "batch", "bat", "join", "group", "hash", "order", "ord",
+    ] + list(_string.ascii_lowercase)
+    docs = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(12)),
+                    lambda i: F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("_"),
+                            i.cast("string"),
+                        ).cast("binary")
+                    ).substr(
+                        F.lit(1),
+                        (
+                            F.lit(4)
+                            + F.pmod(
+                                F.xxhash64(F.col("doc_id"), i, F.lit(3)),
+                                F.lit(9),
+                            )
+                        ).cast("int"),
+                    ),
+                ),
+                " ",
+            ),
+        )
+        .persist()
+    )
+    docs.count()
+    t0 = time.time()
+    out = wordpiece_tokenize(docs, "text", vocab)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_pieces").alias("pieces")
+    ).collect()[0]
+    wall = round(time.time() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "n_docs": n,
+                "wordpiece_probe": {
+                    "wall_sec": wall,
+                    "total_pieces": int(agg["pieces"]),
+                    "docs_per_sec": int(n / wall),
+                    "pieces_per_sec": int(agg["pieces"] / wall),
+                },
+            }
+        )
+    )
+
+
 def zorder_probe(n: int) -> None:
     """Layout pruning at scale: ``n`` events written plain / 1-D
     range-clustered on event_id / z-ordered on (user_id, event_id)
@@ -2031,5 +2100,7 @@ if __name__ == "__main__":
         joinview_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "fuzzyjoin":
         fuzzyjoin_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "wordpiece":
+        wordpiece_probe(_n)
     else:
         main(_n)

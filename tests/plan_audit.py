@@ -168,6 +168,17 @@ CHECKS = {
         "fixture build — this plan must show NO join wider than the "
         "stored view itself."
     ),
+    "embed_project": (
+        "zero Exchanges, zero joins — every projected component is a "
+        "scan-fused aggregate over zip_with against literal signs; "
+        "ReadSchema prunes to (vec_id, embedding)."
+    ),
+    "wordpiece_tokens": (
+        "zero Exchanges, zero joins, no Python — the longest-match "
+        "fold is a runtime aggregate over sequence(1, len(word)); the "
+        "literal vocabulary lives inside the projection, so the whole "
+        "tokenizer is one scan."
+    ),
     "zorder_scan": (
         "both range predicates appear in PushedFilters (GreaterThanOr"
         "Equal/LessThanOrEqual on user_id AND event_id) — footer-stat "
