@@ -2913,6 +2913,71 @@ def q_streaming_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drained_sessions(spark: SparkSession, sf_dir: str) -> str:
+    """Drain streaming session windows over the sampled event stream:
+    two TS-sliced drops + the flush sentinel (far-future event, user
+    -1) that closes every real session before AvailableNow stops —
+    append mode emits a session only once the watermark passes its
+    end."""
+    import tempfile
+
+    from updater_spark.streaming.session_stream import run_session_stream
+
+    key = sf_dir + "#sessions"
+    hit = _STREAM_JOIN_CACHE.get(key)
+    if hit and os.path.exists(hit):
+        return hit
+    ev = demo.load_events(spark, sf_dir).filter(F.col("user_id") % 5 == 0)
+    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    mid = b["mn"] + (b["mx"] - b["mn"]) / 2
+    root = tempfile.mkdtemp(prefix="sessionstream_")
+    src = os.path.join(root, "drops")
+    flush = (
+        spark.range(1)
+        .select(
+            F.lit(-9).cast("long").alias("event_id"),
+            (F.lit(b["mx"]) + F.expr("INTERVAL 4 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+        .select(*ev.columns)
+    )
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(src)
+    flush.coalesce(1).write.mode("append").parquet(src)
+    out = os.path.join(root, "sessions")
+    with _stream_confs(spark):
+        q = run_session_stream(
+            spark,
+            src,
+            ev.schema,
+            out,
+            os.path.join(root, "ckpt"),
+            gap_minutes=30,
+            watermark_delay="1 hour",
+        )
+        q.awaitTermination()
+    _STREAM_JOIN_CACHE[key] = out
+    return out
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization end-to-end
+    (streaming/session_stream.py): built-in session_window + watermark
+    over a real file-source stream; per-(user, session) aggregates
+    maintained in the state store, each session emitted exactly once
+    when its horizon closes (flush-row drain discipline). Boundary
+    semantics MEASURED and pinned (diff == gap merges; split is
+    strictly greater — agrees with batch sessionize); the oracle is
+    the gaps-and-islands SQL with end = last_ts + gap."""
+    pairs = spark.read.parquet(_drained_sessions(spark, sf_dir))
+    return pairs.filter(F.col("user_id") >= 0).select(
+        "user_id", "session_start_us", "session_end_us", "n_events", "sum_e6"
+    )
+
+
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join end-to-end
     (streaming/join_stream.py::stream_interval_join): requests (even
@@ -3520,6 +3585,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier_hashed": q_nb_classifier_hashed,
         "streaming_join": q_streaming_join,
         "streaming_join_outer": q_streaming_join_outer,
+        "streaming_sessions": q_streaming_sessions,
         "zorder_scan": q_zorder_scan,
         "fuzzy_join_parts": q_fuzzy_join_parts,
         "ivm_join_view": q_ivm_join_view,
@@ -4012,6 +4078,33 @@ def _generated_oracles() -> dict[str, str]:
             )
             SELECT a1.c_custkey, a1.nkey, a1.c_name, b1.n_name
             FROM a1 JOIN b1 USING (nkey)
+        """,
+        "streaming_sessions": """
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS us, value
+                FROM events WHERE user_id % 5 = 0
+            ),
+            flagged AS (
+                SELECT user_id, us, value,
+                       CASE WHEN lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ),
+            idx AS (
+                SELECT user_id, us, value,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   MIN(us) AS session_start_us,
+                   MAX(us) + 1800000000 AS session_end_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_e6
+            FROM idx GROUP BY user_id, sid
         """,
         "fuzzy_join_parts": """
             WITH l AS (
