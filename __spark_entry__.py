@@ -2236,7 +2236,9 @@ def q_streaming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nprobe=4,
             )
             sq.awaitTermination(600)
-        out = spark.read.parquet(os.path.join(root, "out"))
+        out = spark.read.parquet(os.path.join(root, "out")).drop(
+            "batch_id"  # idempotence partition key, not a result column
+        )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
@@ -4283,8 +4285,11 @@ def _nb_sql(hash_bits: int | None) -> str:
         f" / COUNT(*)) AS pr_{i}"
         for i, lbl in enumerate(NB_LABELS)
     )
+    # NULL tok = a NULL-text document kept by explode_outer: its
+    # likelihood contribution is pinned 0 (priors-only), both engines
     sum_cols = ",\n               ".join(
-        f"SUM(COALESCE(m.ll_{i}, ln(1.0 / (c2.n_{i} + 1.0 * c2.v)))) AS s_{i}"
+        f"SUM(CASE WHEN s.tok IS NULL THEN 0.0 ELSE "
+        f"COALESCE(m.ll_{i}, ln(1.0 / (c2.n_{i} + 1.0 * c2.v))) END) AS s_{i}"
         for i in range(k)
     )
     post_cols = ", ".join(f"s_{i} + pr_{i} AS post_{i}" for i in range(k))
@@ -4321,7 +4326,8 @@ def _nb_sql(hash_bits: int | None) -> str:
         prior AS (SELECT {pr_cols} FROM train),
         stok_raw AS (
             SELECT doc_id, lang,
-                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                   unnest(coalesce(regexp_split_to_array(trim(text), '\\s+'),
+                                   [NULL])) AS tok
             FROM test
         ),
         stok AS (SELECT doc_id, lang, {tok} AS tok FROM stok_raw),

@@ -136,6 +136,44 @@ def test_nb_empty_label_fails_loudly(spark):
         nb_train(train, "lang", "text", ["en", "fr", "xx"])
 
 
+def test_nb_null_text_doc_scores_priors_only(spark):
+    """A NULL-text document must NOT vanish from the scored output
+    (plain explode drops the row): it rides explode_outer as one
+    NULL-token row contributing 0 likelihood, so its posterior is
+    exactly the priors — pred = argmax prior, margin = prior gap."""
+    from pyspark.sql import types as T
+
+    train = spark.createDataFrame(TRAIN)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    test = spark.createDataFrame(
+        [(10, "en", "the dog and the fox"), (99, "en", None)], schema
+    )
+    for bits in (None, 10):
+        model, meta = nb_train(train, "lang", "text", LABELS, hash_bits=bits)
+        got = {
+            r["doc_id"]: (r["pred"], r["margin"])
+            for r in nb_score(test, model, meta, "doc_id", "text").collect()
+        }
+        assert set(got) == {10, 99}  # the NULL-text doc is present
+        pri = sorted(meta.priors.values())
+        want_pred = max(
+            LABELS, key=lambda l: (meta.priors[l], -LABELS.index(l))
+        )
+        assert got[99] == (want_pred, round(pri[-1] - pri[-2], 4))
+
+
+def test_nb_single_label_fails_loudly(spark):
+    train = spark.createDataFrame(TRAIN)
+    with pytest.raises(ValueError, match=">= 2 labels"):
+        nb_train(train, "lang", "text", ["en"])
+
+
 def test_nb_broadcast_gate(spark):
     """Small vocab → broadcast join; gate at 0 → shuffle join."""
     train = spark.createDataFrame(TRAIN)

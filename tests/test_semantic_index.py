@@ -484,6 +484,46 @@ def test_append_log_compaction_preserves_state(spark, corpus, tmp_store):
     assert idx.log_stats()["live_rows"] == len(before[1]) + extra.count()
 
 
+def test_compact_crash_window_keeps_updated_rows_live(
+    spark, corpus, tmp_store, monkeypatch
+):
+    """A crash between compact()'s rewrite and its tombstone-log drop
+    must not lose rows: the rewrite restamps live rows at the CURRENT
+    epoch seq, so the stale tombstones (all at seq <= current) no
+    longer outrank them under the ``seq >= tseq`` liveness rule. (A
+    seq-0 restamp would let every previously-updated id read as dead
+    — silent data loss in the crash window.) Retry then completes."""
+    df, cents = corpus
+    idx, _ = _lifecycle(
+        tmp_store, df, cents, "ccw", arrow=True, append_log=True
+    )
+    live_before = sorted(tuple(r) for r in idx.assignments().collect())
+    assert idx.log_stats()["tomb_rows"] > 0  # updates + removes logged
+
+    real_drop = tmp_store.drop_appendable
+
+    def boom(name):
+        raise RuntimeError("crash before log drop")
+
+    monkeypatch.setattr(tmp_store, "drop_appendable", boom)
+    with pytest.raises(RuntimeError, match="crash before log drop"):
+        idx.compact()
+    monkeypatch.setattr(tmp_store, "drop_appendable", real_drop)
+
+    # the crash window: rewrite landed, tombstones still present —
+    # every live row must still read as live
+    assert idx.log_stats()["tomb_rows"] > 0
+    assert (
+        sorted(tuple(r) for r in idx.assignments().collect()) == live_before
+    )
+    # retrying the compaction completes and preserves state
+    idx.compact()
+    assert idx.log_stats()["tomb_rows"] == 0
+    assert (
+        sorted(tuple(r) for r in idx.assignments().collect()) == live_before
+    )
+
+
 def test_append_log_crash_retry_is_safe(spark, corpus, tmp_store):
     """A crashed epoch (seq claimed, partial cell rows appended, no
     tombstones yet) must be fully repaired by replaying the epoch:

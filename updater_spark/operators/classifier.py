@@ -85,10 +85,18 @@ def _bucketize(c, hash_bits: int | None):
 
 
 def _exploded_tokens(
-    df: DataFrame, text_col: str, hash_bits: int | None, *lead_cols: str
+    df: DataFrame,
+    text_col: str,
+    hash_bits: int | None,
+    *lead_cols: str,
+    keep_empty: bool = False,
 ) -> DataFrame:
+    """``keep_empty=True`` uses ``explode_outer`` so a NULL-text
+    document survives as one NULL-token row — scoring keeps the doc
+    (priors-only) instead of silently dropping it from the output."""
+    exp = F.explode_outer if keep_empty else F.explode
     raw = df.select(
-        *[F.col(c) for c in lead_cols], F.explode(tokens(text_col)).alias("_t")
+        *[F.col(c) for c in lead_cols], exp(tokens(text_col)).alias("_t")
     )
     return raw.select(
         *[F.col(c) for c in lead_cols],
@@ -116,12 +124,21 @@ def nb_train(
     SQL oracle all agree on one deterministic order (collecting
     distinct labels would work but make column order data-dependent).
 
+    ``labels`` must name at least two classes: the argmax chain and
+    the margin (best − runner-up) are undefined for a single class —
+    fail loudly instead of crashing inside ``F.greatest``.
+
     ``min_df`` drops tokens whose TOTAL count across labels is below
     the cut *after* counting — totals and V are computed over the
     retained vocabulary, so the smoothing geometry is self-consistent
     and SQL-reproducible. ``hash_bits`` switches to hashed features
     (V fixed at ``2**hash_bits``; no vocabulary-count dependence).
     """
+    if len(labels) < 2:
+        raise ValueError(
+            f"nb_train needs >= 2 labels, got {list(labels)!r}: argmax "
+            "and margin (best - runner-up) are undefined for one class"
+        )
     toks = _exploded_tokens(
         df.select(F.col(label_col).alias("_lbl"), F.col(text_col)),
         text_col,
@@ -217,9 +234,17 @@ def nb_score(
     ``max_broadcast_vocab`` (hashed models always qualify); above the
     gate it falls back to a shuffle join on the token key rather than
     forcing a multi-GB broadcast.
+
+    Zero-token documents (NULL text — ``split`` of NULL is NULL and a
+    plain ``explode`` would drop the row) are KEPT: ``explode_outer``
+    carries them as one NULL-token row whose likelihood contribution
+    is pinned to 0, so they score priors-only instead of vanishing
+    from the output. Same single-shuffle plan — no extra join.
     """
     k = len(meta.labels)
-    doc_toks = _exploded_tokens(df, text_col, meta.hash_bits, id_col, *keep_cols)
+    doc_toks = _exploded_tokens(
+        df, text_col, meta.hash_bits, id_col, *keep_cols, keep_empty=True
+    )
 
     if meta.hash_bits is not None:
         rhs = F.broadcast(model)  # ≤ 2**bits rows by construction
@@ -231,7 +256,11 @@ def nb_score(
 
     posts = [
         (
-            F.sum(F.coalesce(F.col(f"ll_{i}"), F.lit(meta.oov[lbl])))
+            F.sum(
+                F.when(F.col("tok").isNull(), F.lit(0.0)).otherwise(
+                    F.coalesce(F.col(f"ll_{i}"), F.lit(meta.oov[lbl]))
+                )
+            )
             + F.lit(meta.priors[lbl])
         ).alias(f"post_{i}")
         for i, lbl in enumerate(meta.labels)

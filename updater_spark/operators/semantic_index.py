@@ -646,17 +646,22 @@ class SemanticIndex:
         """Fold the append log down: rewrite the cells table from the
         LIVE view (one full dynamic write — the cost every overwrite-
         mode epoch pays) and drop the tombstone log. Live rows are
-        re-stamped seq 0; the epoch counter keeps climbing, so every
-        future tombstone still outranks them. The live view is
-        eagerly materialized first — the overwrite deletes the very
-        files its plan would re-scan (and ``persist()`` would not
-        protect an empty result)."""
+        re-stamped at the CURRENT epoch seq, not 0: a crash between
+        the rewrite and ``drop_appendable`` leaves the old tombstones
+        (all at seq ≤ current) in place, and rows at the current seq
+        survive them under the ``seq >= tombstone_seq`` liveness rule
+        — restamping to 0 would let those stale tombstones silently
+        kill every previously-updated row. Future epochs tombstone at
+        seq+1 and still outrank. The live view is eagerly materialized
+        first — the overwrite deletes the very files its plan would
+        re-scan (and ``persist()`` would not protect an empty
+        result)."""
         if not self.append_log:
             return
         with self.store.locked(self._cells):
             live = (
                 self._stored()
-                .withColumn("seq", F.lit(0))
+                .withColumn("seq", F.lit(self._seq()))
                 .localCheckpoint(eager=True)
             )
             self.store.write_partitioned(
@@ -837,8 +842,13 @@ def apply_cdc_epoch(
         F.col(id_col).alias(index.id_col)
     )
     # remove() returns pairs owed by cells the deletes shrank through
-    # max_cell (ADVICE r5) — part of the epoch's candidate feed
-    owed = index.remove(deleted)
+    # max_cell (ADVICE r5) — part of the epoch's candidate feed.
+    # Materialize them EAGERLY before update() rewrites cell files:
+    # the lazy plan captures the pre-update file listing (overwrite
+    # mode deletes those files → FileNotFound) and its size filter
+    # would re-evaluate against post-delta cell sizes (a cell pushed
+    # back over max_cell silently drops its owed pairs).
+    owed = index.remove(deleted).localCheckpoint(eager=True)
     delta = store.read(f"{table}__delta").select(
         F.col(id_col).alias(index.id_col),
         F.col(vec_col).alias(index.vec_col),

@@ -5,7 +5,8 @@ The batch indexes (ann_index.py) cover the MAINTENANCE side of the
 ANN lifecycle; this is the SERVING side for workloads where queries
 arrive continuously (retrieval-augmented pipelines, online
 near-neighbor lookups against a curated corpus): ``readStream`` over
-query drops → ``foreachBatch`` → ``IvfIndex.search`` → append sink.
+query drops → ``foreachBatch`` → ``IvfIndex.search`` → idempotent
+partitioned sink.
 
 Why ``foreachBatch`` and not a stream-stream join: the search is a
 bounded-state, stateless-per-batch operation against a STATIC (or
@@ -13,8 +14,13 @@ slowly maintained) index — exactly the shape Structured Streaming
 documents for reusing batch-only operators inside a stream. Each
 micro-batch pays one probe-pruned index read (nprobe/k of the cell
 partitions, the ``ivf_topk`` story); no state store, so restarts
-replay only unconsumed source files (source + sink are the
-exactly-once pair).
+replay only unconsumed source files. foreachBatch itself is only
+at-least-once (a batch that fails after a partial sink write is
+replayed), so the sink writes each batch into its own ``batch_id=N``
+partition with dynamic partition overwrite — a replay rewrites
+exactly its own partition, making the replayed output idempotent and
+the source+sink pair effectively exactly-once, the mitigation the
+Structured Streaming docs prescribe for foreachBatch sinks.
 
 Scale: per-batch work is O(|batch queries| x probed-cell rows) GEMM
 inside the fused bucket engine — the corpus is never shuffled, and
@@ -48,18 +54,25 @@ def run_ann_search_stream(
     trigger_once: bool = True,
 ) -> StreamingQuery:
     """Search every arriving query vector against ``index`` (an
-    ``IvfIndex``), appending (query_id, neighbor_id, sim, rank) rows
-    to ``out_dir``. ``source_schema`` must name the index's
-    ``id_col``/``vec_col`` columns (e.g. ``"vec_id long, embedding
-    array<double>"``). ``trigger_once`` processes the backlog and
-    stops — the probe/test mode; pass False for a continuous
-    micro-batch trigger."""
+    ``IvfIndex``), writing (query_id, neighbor_id, sim, rank) rows
+    to ``out_dir`` partitioned by ``batch_id`` — each micro-batch
+    overwrites ONLY its own partition (dynamic overwrite), so a
+    replayed batch after a partial write leaves no duplicates.
+    Readers that want the plain result set ``drop("batch_id")``.
+    ``source_schema`` must name the index's ``id_col``/``vec_col``
+    columns (e.g. ``"vec_id long, embedding array<double>"``).
+    ``trigger_once`` processes the backlog and stops — the probe/test
+    mode; pass False for a continuous micro-batch trigger."""
+    from pyspark.sql import functions as F
 
     def search_batch(batch_df, batch_id: int) -> None:
         if not batch_df.isEmpty():
             (
                 index.search(batch_df, k=k, nprobe=nprobe)
-                .write.mode("append")
+                .withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(out_dir)
             )
 
