@@ -185,6 +185,111 @@ def q_cdc_full_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(F.broadcast(deletes), "c_custkey", "anti")
 
 
+def _schema_evolution_cycle(spark: SparkSession, sf_dir: str):
+    """Shared harness: bootstrap the narrow customer shape, then run
+    ONE schema-boundary epoch (adds c_nationkey, mutates c_acctbal for
+    c_custkey%7==0, deletes c_custkey%23==0) under the 'rebase'
+    policy. Returns (engine, spec, store root) with the store left in
+    the post-boundary state."""
+    import tempfile
+
+    from updater_spark.plans.cdc import CdcEngine
+    from updater_spark.schema import TableSpec
+    from updater_spark.sources.store import TableStore
+
+    customer = demo.load(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="cdc_evo_")
+    store = TableStore(spark, os.path.join(root, "store"))
+    eng = CdcEngine(
+        store, changelog_mode="full", schema_change_policy="rebase"
+    )
+    spec = TableSpec("customer", "c_custkey")
+
+    src1 = customer.select("c_custkey", "c_name", "c_acctbal")
+    eng.update(spec, src1)  # epoch 0 bootstrap (narrow schema)
+
+    src2 = customer.filter(F.col("c_custkey") % 23 != 0).select(
+        "c_custkey",
+        "c_name",
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 7 == 0, F.lit(100.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("c_acctbal"),
+        "c_nationkey",
+    )
+    stats = eng.update(spec, src2)  # epoch 1: the schema boundary
+    assert stats.extra["schema_change"]["added"] == ["c_nationkey"]
+    return eng, spec, root
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC schema evolution (plans/cdc.py): the source gains a column
+    between epochs — the reference's signature adaptability (it
+    re-reads information_schema every run, table.py:66-75). Under the
+    'rebase' policy the diff runs over the COMMON columns, so churn
+    stays proportional to the real mutations while the added column
+    backfills onto every surviving row through a narrow (pk, added)
+    join. Returns the post-boundary replica plus a `preimaged` flag
+    from the changelog — proving exactly the mutated rows (and only
+    them) paid changelog cost through the boundary."""
+    import shutil
+
+    eng, spec, root = _schema_evolution_cycle(spark, sf_dir)
+    try:
+        rep = eng.store.read("customer")
+        pre = (
+            eng.changelog("customer")
+            .filter(
+                (F.col("_epoch") == 1) & (F.col("_change_type") == "update")
+            )
+            .select("c_custkey")
+            .distinct()
+            .withColumn("preimaged", F.lit(1))
+        )
+        out = (
+            rep.join(pre, "c_custkey", "left")
+            .select(
+                "c_custkey",
+                "c_name",
+                F.round("c_acctbal", 2).alias("c_acctbal"),
+                "c_nationkey",
+                F.coalesce(F.col("preimaged"), F.lit(0)).alias("preimaged"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_cdc_schema_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog replay ACROSS the schema boundary (operators/
+    merge.py::changelog_replay + the basis-history mask): rewinding to
+    the pre-boundary epoch restores deleted rows and pre-mutation
+    values, and the later-added column reads NULL everywhere — for
+    logged rows because the pre-image never had it, and for untouched
+    rows because the basis history proves the column did not exist at
+    that epoch (without the mask their current values would leak into
+    history)."""
+    import shutil
+
+    eng, spec, root = _schema_evolution_cycle(spark, sf_dir)
+    try:
+        back = eng.replay(spec, as_of_epoch=0)
+        out = back.select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # queries — computed projections (P2-P4)
 # ---------------------------------------------------------------------------
@@ -3583,6 +3688,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first-50 set follows; r5 ∪ r6 driver rows again cover everything.
     return {
         # --- no hard driver row yet ---
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_schema_replay": q_cdc_schema_replay,
         "nb_classifier": q_nb_classifier,
         "nb_classifier_hashed": q_nb_classifier_hashed,
         "streaming_join": q_streaming_join,
@@ -4426,6 +4533,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.* FROM merged m
             WHERE m.c_custkey NOT IN (
                 SELECT id FROM diff WHERE change_type = 'delete')
+        """,
+        "cdc_schema_evolution": """
+            WITH src2 AS (
+                SELECT c_custkey, c_name,
+                       c_acctbal + CASE WHEN c_custkey % 7 = 0
+                                        THEN 100.0 ELSE 0.0 END AS bal,
+                       c_nationkey
+                FROM customer WHERE c_custkey % 23 <> 0
+            )
+            SELECT c_custkey, c_name,
+                   round(bal, 2) AS c_acctbal, c_nationkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0
+                        END AS preimaged
+            FROM src2
+        """,
+        "cdc_schema_replay": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+                   CAST(NULL AS INTEGER) AS c_nationkey
+            FROM customer
         """,
         "p2_scores": f"WITH players AS ({demo.PLAYER_SHAPED_SQL}) {score_sql}",
         "p4_name_normalize": """

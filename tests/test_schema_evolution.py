@@ -1,0 +1,235 @@
+"""CDC schema evolution: an epoch whose source column set differs
+from the cached fingerprint basis (the reference adapts implicitly by
+re-reading information_schema every run, /root/reference/src/
+table.py:66-75 — its column lists and CRC32 basis silently follow the
+DBA). Both policies must land the replica exactly on the new source;
+they differ in WHAT the epoch costs:
+
+- full_churn: everything reclassifies (upserts == |source|).
+- rebase:     churn stays proportional to real value changes; added
+              columns attach to all rows via a narrow backfill join.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from updater_spark.plans.cdc import CdcEngine
+from updater_spark.schema import TableSpec
+
+SPEC = TableSpec("acct", "id")
+
+
+def base_rows(n=40):
+    return [
+        Row(id=i, name=f"u{i}", bal=i * 10)
+        for i in range(1, n + 1)
+    ]
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _expect(spark, rows, cols):
+    return _sorted(spark.createDataFrame(rows).select(*cols))
+
+
+def _evolve_add(spark, mutate_ids, delete_ids, n=40):
+    """Epoch-2 source: adds `tier` (string) after `name`, mutates
+    `bal` for mutate_ids, drops delete_ids, inserts one new id."""
+    rows = [
+        Row(
+            id=r.id,
+            name=r.name,
+            tier="gold" if r.id % 3 == 0 else "basic",
+            bal=r.bal + (1000 if r.id in mutate_ids else 0),
+        )
+        for r in base_rows(n)
+        if r.id not in delete_ids
+    ]
+    rows.append(Row(id=n + 1, name=f"u{n + 1}", tier="new", bal=7))
+    return spark.createDataFrame(rows)
+
+
+@pytest.mark.parametrize("policy", ["full_churn", "rebase"])
+def test_added_column_epoch_lands_on_source(spark, tmp_store, policy):
+    eng = CdcEngine(tmp_store, schema_change_policy=policy)
+    eng.update(SPEC, spark.createDataFrame(base_rows()))
+
+    src2 = _evolve_add(spark, mutate_ids={5, 9}, delete_ids={3})
+    stats = eng.update(SPEC, src2)
+
+    assert stats.extra["schema_change"]["added"] == ["tier"]
+    assert stats.extra["schema_change"]["dropped"] == []
+    assert _sorted(tmp_store.read("acct")) == _sorted(src2)
+    assert tmp_store.read("acct").columns == src2.columns
+    assert stats.deletes == 1 and stats.deletes_applied
+
+    if policy == "full_churn":
+        # every surviving row reclassified: 39 survivors + 1 insert
+        assert stats.upserts == 40
+    else:
+        # rebase: only the 2 real mutations + 1 insert travel
+        assert stats.upserts == 3 and stats.updates == 2
+
+    # the NEXT epoch is normal incremental again (basis rotated)
+    src3 = src2.withColumn(
+        "bal", F.when(F.col("id") == 7, F.lit(999)).otherwise(F.col("bal"))
+    )
+    stats3 = eng.update(SPEC, src3)
+    assert stats3.extra == {} and stats3.upserts == 1 and stats3.updates == 1
+    assert _sorted(tmp_store.read("acct")) == _sorted(src3)
+
+
+@pytest.mark.parametrize("policy", ["full_churn", "rebase"])
+def test_dropped_column_epoch_lands_on_source(spark, tmp_store, policy):
+    eng = CdcEngine(tmp_store, schema_change_policy=policy)
+    eng.update(SPEC, spark.createDataFrame(base_rows()))
+
+    # drop `name`, mutate 3 rows' bal
+    src2 = spark.createDataFrame(
+        [
+            Row(id=r.id, bal=r.bal + (50 if r.id % 13 == 0 else 0))
+            for r in base_rows()
+        ]
+    )
+    stats = eng.update(SPEC, src2)
+    assert stats.extra["schema_change"]["dropped"] == ["name"]
+    assert tmp_store.read("acct").columns == ["id", "bal"]
+    assert _sorted(tmp_store.read("acct")) == _sorted(src2)
+    if policy == "rebase":
+        # replica-side hashes were rebased over the common columns:
+        # only the 3 genuinely-changed rows churned (ids 13, 26, 39)
+        assert stats.upserts == 3 and stats.updates == 3
+    else:
+        assert stats.upserts == 40
+
+
+def test_reorder_only_rebase_is_zero_churn(spark, tmp_store):
+    eng = CdcEngine(tmp_store, schema_change_policy="rebase")
+    eng.update(SPEC, spark.createDataFrame(base_rows()))
+    # same values, columns reordered — the concat fingerprint basis
+    # changes, but rebase diffs over the stored-order common columns
+    src2 = spark.createDataFrame(base_rows()).select("id", "bal", "name")
+    stats = eng.update(SPEC, src2)
+    assert stats.extra["schema_change"]["reordered"] is True
+    assert stats.upserts == 0 and stats.updates == 0 and stats.deletes == 0
+    assert tmp_store.read("acct").columns == ["id", "bal", "name"]
+    # and the next epoch (new order, one mutation) is plain incremental
+    src3 = src2.withColumn(
+        "bal", F.when(F.col("id") == 2, F.lit(-1)).otherwise(F.col("bal"))
+    )
+    stats3 = eng.update(SPEC, src3)
+    assert stats3.extra == {} and stats3.updates == 1
+
+
+def test_rebase_backfill_only_ships_narrow_columns(spark, tmp_store):
+    """The added-column backfill join must carry ONLY (pk, added...)
+    from the source onto the kept rows — assert the changelog stayed
+    proportional to real churn (no full-table pre-images)."""
+    eng = CdcEngine(tmp_store, schema_change_policy="rebase")
+    eng.update(SPEC, spark.createDataFrame(base_rows()))
+    src2 = _evolve_add(spark, mutate_ids={5}, delete_ids=set())
+    eng.update(SPEC, src2)
+    log = eng.changelog("acct")
+    assert log.count() == 1  # one pre-image: id 5 (OLD schema)
+    assert log.filter(F.col("id") == 5).count() == 1
+    assert "tier" not in [
+        c for c in log.columns if c != "_epoch"
+    ]  # pre-images stay in the epoch's old shape
+
+
+def test_partitioned_mode_schema_epoch_full_rewrite_then_prunes(
+    spark, tmp_store
+):
+    eng = CdcEngine(
+        tmp_store, schema_change_policy="rebase", partition_buckets=8
+    )
+    eng.update(SPEC, spark.createDataFrame(base_rows()))
+    src2 = _evolve_add(spark, mutate_ids={5, 9}, delete_ids={3})
+    eng.update(SPEC, src2)
+    got = tmp_store.spark.read.parquet(
+        tmp_store._ppath("acct")
+    ).drop(CdcEngine.BUCKET_COL)
+    assert sorted(tuple(r) for r in got.select(*src2.columns).collect()) == _sorted(src2)
+    # the table is still bucket-partitioned and the next epoch still
+    # does incremental pruned writes
+    src3 = src2.withColumn(
+        "bal", F.when(F.col("id") == 11, F.lit(0)).otherwise(F.col("bal"))
+    )
+    stats3 = eng.update(SPEC, src3)
+    assert stats3.extra == {} and stats3.updates == 1
+    got3 = tmp_store.spark.read.parquet(
+        tmp_store._ppath("acct")
+    ).drop(CdcEngine.BUCKET_COL)
+    assert (
+        sorted(tuple(r) for r in got3.select(*src3.columns).collect())
+        == _sorted(src3)
+    )
+
+
+def test_full_churn_guard_skipped_deletes_null_backfill(spark, tmp_store):
+    """With the delete guard tripped, surviving replica-only rows ride
+    through the boundary NULL-backfilled for the added column."""
+    eng = CdcEngine(tmp_store, delete_guard=1)  # any delete trips it
+    eng.update(SPEC, spark.createDataFrame(base_rows()))
+    src2 = _evolve_add(spark, mutate_ids=set(), delete_ids={3, 4})
+    stats = eng.update(SPEC, src2)
+    assert not stats.deletes_applied and stats.deletes == 2
+    rep = tmp_store.read("acct")
+    kept = rep.filter(F.col("id").isin(3, 4)).collect()
+    assert len(kept) == 2 and all(r["tier"] is None for r in kept)
+
+
+def test_replay_across_schema_boundary(spark, tmp_store):
+    """changelog_mode='full' replay to an epoch whose schema was
+    NARROWER: values are that epoch's, later-added columns read NULL."""
+    eng = CdcEngine(
+        tmp_store, changelog_mode="full", schema_change_policy="rebase"
+    )
+    eng.update(SPEC, spark.createDataFrame(base_rows()))  # epoch 0
+    # epoch 1: plain update (old schema), mutate id 5
+    src1 = spark.createDataFrame(
+        [
+            Row(id=r.id, name=r.name, bal=-5 if r.id == 5 else r.bal)
+            for r in base_rows()
+        ]
+    )
+    eng.update(SPEC, src1)
+    # epoch 2: schema-add boundary, mutate id 9, delete id 3
+    src2 = _evolve_add(spark, mutate_ids={9}, delete_ids={3})
+    eng.update(SPEC, src2)
+    # epoch 3: plain update in the NEW schema, mutate id 11
+    src3 = src2.withColumn(
+        "bal", F.when(F.col("id") == 11, F.lit(1)).otherwise(F.col("bal"))
+    )
+    eng.update(SPEC, src3)
+
+    # replay to epoch 1: epoch-1 values, `tier` NULL everywhere
+    back = eng.replay(SPEC, as_of_epoch=1)
+    want = {
+        r.id: (r.name, -5 if r.id == 5 else r.bal) for r in base_rows()
+    }
+    got = {r["id"]: (r["name"], r["bal"]) for r in back.collect()}
+    assert got == want
+    assert all(r["tier"] is None for r in back.collect())
+
+    # replay to epoch 2: post-boundary state (id 3 gone, tier filled)
+    back2 = eng.replay(SPEC, as_of_epoch=2)
+    assert sorted(
+        tuple(r) for r in back2.select(*src2.columns).collect()
+    ) == sorted(tuple(r) for r in src2.collect())
+
+
+def test_apply_delta_rejects_schema_change(spark, tmp_store):
+    eng = CdcEngine(tmp_store)
+    eng.update(SPEC, spark.createDataFrame(base_rows()))
+    batch = spark.createDataFrame([Row(id=1, name="u1", tier="x", bal=0)])
+    with pytest.raises(ValueError, match="schema change in delta feed"):
+        eng.apply_delta(SPEC, batch)
+
+
+def test_bad_policy_rejected(spark, tmp_store):
+    with pytest.raises(ValueError, match="schema_change_policy"):
+        CdcEngine(tmp_store, schema_change_policy="yolo")

@@ -136,6 +136,17 @@ def changelog_replay(
     (partial-aggregated map-side, one shuffle of changelog rows — tiny
     vs the replica), then a single keyed full-outer join against the
     replica; with a bucketed replica the join side needs no Exchange.
+
+    Schema evolution: the replica and the changelog may disagree on
+    columns when replaying across a schema-change epoch. The output
+    carries the UNION of both column sets: a column the changelog
+    never logged (added after every logged epoch) reads NULL from a
+    pre-image (it did not exist back then); a column the replica
+    dropped reads NULL for rows whose value comes from the current
+    replica (it no longer exists) and the logged value from
+    pre-images. Rewinding to an epoch whose schema was narrower thus
+    yields that epoch's values with later-added columns NULL — the
+    closest relational rendering of "the column wasn't there".
     """
     data_cols = [c for c in changelog.columns if c not in (epoch_col, change_type_col)]
     first = (
@@ -155,13 +166,30 @@ def changelog_replay(
         )
     )
     joined = replica.join(first, key, "full_outer")
+    rep_types = {f.name: f.dataType for f in replica.schema.fields}
+    log_types = {
+        f.name: f.dataType for f in changelog.schema.fields
+    }
+    all_cols = list(replica.columns) + [
+        c for c in data_cols if c not in replica.columns
+    ]
     out_cols = [F.col(key)]
-    for c in data_cols:
+    for c in all_cols:
         if c == key:
             continue
+        pre_val = (
+            F.col(f"_pre.{c}")
+            if c in data_cols
+            else F.lit(None).cast(rep_types[c])
+        )
+        cur_val = (
+            F.col(c)
+            if c in rep_types
+            else F.lit(None).cast(log_types[c])
+        )
         out_cols.append(
-            F.when(F.col("_pre").isNotNull(), F.col(f"_pre.{c}"))
-            .otherwise(F.col(c))
+            F.when(F.col("_pre").isNotNull(), pre_val)
+            .otherwise(cur_val)
             .alias(c)
         )
     return joined.filter(

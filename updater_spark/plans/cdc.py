@@ -47,7 +47,12 @@ from updater_spark.operators.merge import (
     semi_join_fetch,
 )
 from updater_spark.operators.aggregates import tribe_active, tribe_stats
-from updater_spark.schema import TableSpec, classify_df, stat_columns
+from updater_spark.schema import (
+    TableSpec,
+    align_to_schema,
+    classify_df,
+    stat_columns,
+)
 from updater_spark.sources.store import TableStore
 
 
@@ -90,6 +95,7 @@ class CdcEngine:
         compact_every: int | None = None,
         changelog_keep_epochs: int | None = None,
         changelog_mode: str = "updates",
+        schema_change_policy: str = "full_churn",
     ):
         """``partition_buckets=N`` switches the main table to hash-
         partitioned storage (``pmod(xxhash64(pk), N)``): incremental
@@ -118,13 +124,55 @@ class CdcEngine:
         delete pre-images and insert markers, each entry tagged with a
         ``_change_type`` column — the extra fidelity that makes any
         historical state reconstructible via ``replay()``. Pick the
-        mode when the table is created and keep it (the changelog is
-        append-only; mixing schemas mid-history is not supported)."""
+        mode when the table is created and keep it. (The changelog IS
+        allowed to widen across a schema-change epoch — files before
+        the boundary carry the old column set and ``read_appendable``
+        merges schemas, reading the missing columns as NULL.)
+
+        ``schema_change_policy`` governs an epoch whose source column
+        set differs from the fingerprint basis of the previous run
+        (the reference adapts implicitly by re-reading
+        ``information_schema`` every run, table.py:66-75 — its column
+        lists and CRC32 basis silently follow the DBA):
+
+        - ``"full_churn"`` (default, reference parity): fingerprint
+          over the NEW basis. Every surviving row's hash differs from
+          the cache, so the whole table reclassifies as updated — the
+          delta is the full source, pre-images of every old row land
+          in the changelog (OLD schema), and the replica is rewritten
+          in the new shape. Honest and simple; costs a bootstrap-sized
+          epoch. Exactly what the reference does: its cached hashes
+          were computed over the old column list, the new scan hashes
+          over the new one, every row "changed".
+        - ``"rebase"``: diff over the COMMON columns only (stored
+          basis order), so churn stays proportional to rows whose
+          surviving values actually changed. Added columns attach to
+          ALL rows from a narrow (pk, added...) source projection;
+          dropped columns are projected away; the fingerprint cache
+          rotates to the full new basis so the next epoch runs
+          normally. An add-only change reuses the existing cache
+          (common == old basis — no replica scan); a drop rebases the
+          replica-side hashes with one row-local replica scan, no
+          shuffle. The 100-TB path: a monthly DBA column-add costs one
+          narrow join + the unavoidable full-width rewrite, NOT a
+          full-churn changelog + delta.
+
+        Either way the epoch's ``UpdateStats.extra["schema_change"]``
+        records added/dropped/reordered so operators can see the
+        boundary, and in partitioned mode a schema-change epoch
+        rewrites ALL buckets (every surviving row changes shape — no
+        pruning is possible)."""
         if changelog_mode not in ("updates", "full"):
             raise ValueError(
                 f"changelog_mode must be 'updates' or 'full', got "
                 f"{changelog_mode!r}"
             )
+        if schema_change_policy not in ("full_churn", "rebase"):
+            raise ValueError(
+                f"schema_change_policy must be 'full_churn' or 'rebase',"
+                f" got {schema_change_policy!r}"
+            )
+        self.schema_change_policy = schema_change_policy
         self.changelog_mode = changelog_mode
         self.store = store
         self.algo = fingerprint_algo
@@ -155,6 +203,50 @@ class CdcEngine:
         if self.fingerprint_buckets:
             return self.store.exists_bucketed(self._fp_name(name))
         return self.store.exists(self._fp_name(name))
+
+    # -- fingerprint basis (schema-evolution detection) ----------------
+    def _write_basis(self, name: str, data_cols: list[str]) -> None:
+        """Record the ordered column list the cached fingerprints were
+        computed over. The reference never needs this — it re-reads
+        ``information_schema`` and implicitly re-bases every run; here
+        the basis sidecar is what lets ``update`` DETECT that the
+        source's columns moved and pick a defined policy instead of
+        crashing in ``unionByName`` or silently full-churning."""
+        import json
+
+        self.store.write_sidecar(
+            self._fp_name(name), "basis", json.dumps(data_cols)
+        )
+
+    def _read_basis(self, name: str) -> list[str] | None:
+        import json
+
+        raw = self.store.read_sidecar(self._fp_name(name), "basis")
+        return json.loads(raw) if raw else None
+
+    def _append_basis_history(
+        self, name: str, epoch: int, data_cols: list[str]
+    ) -> None:
+        """Epoch → column-set history (one tiny JSON sidecar). replay()
+        needs it to answer "did this column exist at epoch e?" — a row
+        untouched since the boundary has no pre-image, so without the
+        history its later-added columns would leak current values into
+        a pre-boundary reconstruction."""
+        import json
+
+        hist = self._read_basis_history(name) or []
+        hist = [h for h in hist if h["epoch"] != epoch]
+        hist.append({"epoch": epoch, "columns": data_cols})
+        hist.sort(key=lambda h: h["epoch"])
+        self.store.write_sidecar(
+            self._fp_name(name), "basis_history", json.dumps(hist)
+        )
+
+    def _read_basis_history(self, name: str) -> list[dict] | None:
+        import json
+
+        raw = self.store.read_sidecar(self._fp_name(name), "basis_history")
+        return json.loads(raw) if raw else None
 
     # -- changelog epochs + compaction ---------------------------------
     EPOCH_COL = "_epoch"
@@ -209,14 +301,25 @@ class CdcEngine:
         inserted or deleted after ``as_of_epoch`` cannot be rewound —
         entries are treated as update pre-images. Retention bounds the
         horizon: with ``changelog_keep_epochs=K`` only the last K
-        epochs are replayable."""
+        epochs are replayable.
+
+        Across a schema boundary: columns added after ``as_of_epoch``
+        read NULL in the replayed state — both for rows whose value
+        comes from a pre-boundary pre-image (the log never had the
+        column) and for rows untouched since the boundary (the basis
+        history proves the column did not exist then, so the current
+        replica's value is masked). A DROPPED column's values are
+        replayable only for rows with a logged pre-image; rows never
+        updated after the drop read NULL — the bytes are physically
+        gone from the replica, exactly the retention trade stated
+        above."""
         replica = self._read_main(spec.name)
         if self.current_epoch(spec.name) == 0:
             return replica  # no update has run; nothing to rewind
         log = self.changelog(spec.name)
         if self.CT_COL not in log.columns:
             log = log.withColumn(self.CT_COL, F.lit("update"))
-        return changelog_replay(
+        out = changelog_replay(
             replica,
             log,
             spec.primary_key,
@@ -224,6 +327,33 @@ class CdcEngine:
             epoch_col=self.EPOCH_COL,
             change_type_col=self.CT_COL,
         )
+        hist = self._read_basis_history(spec.name)
+        if hist:
+            eff = None
+            for h in hist:
+                if h["epoch"] <= as_of_epoch:
+                    eff = h
+            if eff is not None:
+                from updater_spark.schema import SCORE_PREFIX
+
+                eff_cols = set(eff["columns"])
+                types = {f.name: f.dataType for f in out.schema.fields}
+                out = out.select(
+                    *[
+                        F.lit(None).cast(types[c]).alias(c)
+                        if (
+                            c != spec.primary_key
+                            and c not in eff_cols
+                            and not (
+                                spec.has_scores
+                                and c.startswith(SCORE_PREFIX)
+                            )
+                        )
+                        else F.col(c)
+                        for c in out.columns
+                    ]
+                )
+        return out
 
     def compact_changelog(
         self,
@@ -289,6 +419,8 @@ class CdcEngine:
                 F.col(spec.primary_key).alias("id"), F.col("_fp").alias("hashed")
             ),
         )
+        self._write_basis(spec.name, data_cols)
+        self._append_basis_history(spec.name, 0, data_cols)
         total = self._read_main(spec.name).count()
         # Bootstrap writes straight to the main table; the delta equals
         # the full table (download.py:494 "" if table.is_empty).
@@ -308,9 +440,55 @@ class CdcEngine:
         cols = classify_df(spec, source) if spec.has_scores else None
         data_cols = cols.data_columns if cols else list(source.columns)
 
+        # Schema-evolution detection: the source's ordered data-column
+        # list vs the basis the cached fingerprints were computed over.
+        stored_basis = self._read_basis(spec.name)
+        if stored_basis is None:
+            # tables bootstrapped before the basis sidecar existed:
+            # the replica's data columns follow the last source's
+            # order, so they ARE the basis (schema-only read, no job)
+            stored_basis = classify_df(
+                spec, self._read_main(spec.name)
+            ).data_columns
+        evolution: dict | None = None
+        if stored_basis is not None and stored_basis != data_cols:
+            evolution = {
+                "added": [c for c in data_cols if c not in stored_basis],
+                "dropped": [c for c in stored_basis if c not in data_cols],
+                "policy": self.schema_change_policy,
+            }
+            evolution["reordered"] = (
+                not evolution["added"] and not evolution["dropped"]
+            )
+
         # S2: external scan → (id, hash); S1: cached replica hashes.
-        src_fp = fingerprint_table(source, spec.primary_key, data_cols, self.algo)
-        rep_fp = self._read_fp(spec.name)
+        if evolution and self.schema_change_policy == "rebase":
+            # diff over the COMMON columns (stored order): churn stays
+            # proportional to rows whose surviving values changed
+            common = [c for c in stored_basis if c in data_cols]
+            src_fp = fingerprint_table(
+                source, spec.primary_key, common, self.algo
+            )
+            if evolution["dropped"]:
+                # cached hashes cover the dropped columns — rebase the
+                # replica side with one row-local scan (projection
+                # only, no shuffle; the replica holds the same values
+                # the cache hashed)
+                rep_fp = fingerprint_table(
+                    self._read_main(spec.name),
+                    spec.primary_key,
+                    common,
+                    self.algo,
+                )
+            else:
+                # add-only: common == stored basis, the cache is
+                # already the right hash — no replica scan at all
+                rep_fp = self._read_fp(spec.name)
+        else:
+            src_fp = fingerprint_table(
+                source, spec.primary_key, data_cols, self.algo
+            )
+            rep_fp = self._read_fp(spec.name)
 
         # J1: the diff join. Materialized once (small output: changed
         # keys only) so the three consumers don't re-run the join.
@@ -387,7 +565,9 @@ class CdcEngine:
                     .withColumn(self.CT_COL, F.lit("insert"))
                 )
                 preimages = preimages.unionByName(ins_marker)
-            self._append_changelog(spec.name, preimages)
+            epoch = self._append_changelog(spec.name, preimages)
+            if evolution:
+                self._append_basis_history(spec.name, epoch, data_cols)
 
             self.store.write(f"{spec.name}__delta", delta)
             # the epoch's applied delete keys — empty when the guard
@@ -396,7 +576,54 @@ class CdcEngine:
                 f"{spec.name}__deleted",
                 delete_keys if apply_del else delete_keys.limit(0),
             )
-            if self.partition_buckets:
+            if evolution:
+                # a schema boundary re-shapes every surviving row, so
+                # bucket pruning is impossible — merge with alignment
+                # and rewrite the table (all buckets) in the new shape
+                merged = self._merge_evolved(
+                    spec,
+                    old,
+                    delta,
+                    delete_keys,
+                    apply_del,
+                    source,
+                    evolution,
+                    hint,
+                    del_hint,
+                )
+                if self.partition_buckets:
+                    # dynamic overwrite (NOT a static full overwrite):
+                    # the merged plan scans the very files being
+                    # replaced, and dynamic mode stages the new files
+                    # and swaps partitions only at commit — a static
+                    # overwrite deletes the root before the scan runs.
+                    # The bucket census is collected BEFORE the write
+                    # (the plan re-executes for it; the old files must
+                    # still exist).
+                    merged_b = merged.withColumn(
+                        self.BUCKET_COL, self._bucket_expr(spec.primary_key)
+                    )
+                    present = {
+                        r[0]
+                        for r in merged_b.select(self.BUCKET_COL)
+                        .distinct()
+                        .collect()
+                    }
+                    self.store.overwrite_partitions(
+                        spec.name, merged_b, self.BUCKET_COL
+                    )
+                    emptied = [
+                        b
+                        for b in range(self.partition_buckets)
+                        if b not in present
+                    ]
+                    if emptied:
+                        self.store.drop_partitions(
+                            spec.name, self.BUCKET_COL, emptied
+                        )
+                else:
+                    self.store.write(spec.name, merged)
+            elif self.partition_buckets:
                 self._write_incremental_partitioned(
                     spec,
                     old,
@@ -424,8 +651,20 @@ class CdcEngine:
             )
 
             # S9/S8: fingerprint rotation — overwrite with this run's
-            # source fingerprints (write-then-promote is atomic).
-            self._write_fp(spec.name, src_fp)
+            # source fingerprints (write-then-promote is atomic). After
+            # a rebase epoch the diff hashes covered only the common
+            # columns; the cache must rotate to the FULL new basis so
+            # the next epoch diffs normally.
+            if evolution and self.schema_change_policy == "rebase":
+                self._write_fp(
+                    spec.name,
+                    fingerprint_table(
+                        source, spec.primary_key, data_cols, self.algo
+                    ),
+                )
+            else:
+                self._write_fp(spec.name, src_fp)
+            self._write_basis(spec.name, data_cols)
 
             delta.unpersist()
             return UpdateStats(
@@ -436,9 +675,51 @@ class CdcEngine:
                 deletes=dres.delete_count,
                 deletes_applied=dres.applied,
                 total_rows=self._read_main(spec.name).count(),
+                extra={"schema_change": evolution} if evolution else {},
             )
         finally:
             diff.unpersist()
+
+    def _merge_evolved(
+        self,
+        spec: TableSpec,
+        old: DataFrame,
+        delta: DataFrame,
+        delete_keys: DataFrame,
+        apply_del: bool,
+        source: DataFrame,
+        evolution: dict,
+        hint: bool,
+        del_hint: bool,
+    ) -> DataFrame:
+        """Merge across a schema boundary: surviving old rows are
+        projected onto the delta's (new) schema — dropped columns go
+        away, added columns NULL-backfill — before the union, so the
+        replica's shape follows the source exactly as the reference's
+        does (its write set is re-read from ``information_schema``
+        every run, table.py:66-91).
+
+        Under ``"rebase"`` with added columns the survivors' new
+        values come from a narrow ``(pk, added...)`` source projection
+        joined onto the kept rows: every row must gain the value, but
+        only pk+added travel through the join — at 100 TB that is a
+        narrow-column shuffle against the replica, not a full-width
+        re-fetch. (Under ``"full_churn"`` there are no surviving
+        source rows — everything re-arrived through the delta — so
+        the backfill never fires.)"""
+        pk = spec.primary_key
+        kept = old.join(
+            _maybe_broadcast(delta.select(pk).distinct(), hint), pk, "anti"
+        )
+        if apply_del:
+            kept = kept.join(
+                _maybe_broadcast(delete_keys.distinct(), del_hint), pk, "anti"
+            )
+        added = [c for c in evolution["added"] if c not in old.columns]
+        if added and self.schema_change_policy == "rebase":
+            kept = kept.join(source.select(pk, *added), pk, "left")
+        kept = align_to_schema(kept, delta.schema)
+        return kept.unionByName(delta)
 
     def _write_incremental_partitioned(
         self,
@@ -545,6 +826,18 @@ class CdcEngine:
 
         cols = classify_df(spec, batch) if spec.has_scores else None
         data_cols = cols.data_columns if cols else list(batch.columns)
+
+        stored_basis = self._read_basis(spec.name)
+        if stored_basis is not None and stored_basis != data_cols:
+            # a delta feed carries only ARRIVING rows — there is no
+            # full snapshot to backfill added columns or re-base
+            # dropped ones from, so the boundary epoch must come
+            # through update(); fail loudly instead of unionByName
+            raise ValueError(
+                f"schema change in delta feed for {spec.name!r} "
+                f"(basis {stored_basis} -> {data_cols}); run a "
+                "full-snapshot update() for the boundary epoch"
+            )
 
         batch_fp = fingerprint_table(batch, spec.primary_key, data_cols, self.algo)
         rep_fp = self._read_fp(spec.name)

@@ -75,6 +75,27 @@ def classify_df(spec: TableSpec, df: DataFrame) -> ColumnSets:
     return spec.classify(list(df.columns))
 
 
+def align_to_schema(df: DataFrame, target_schema) -> DataFrame:
+    """Project ``df`` onto exactly ``target_schema``'s columns: columns
+    ``df`` lacks are NULL-backfilled at the target type, extra columns
+    are dropped, order matches the target. The schema-evolution
+    primitive: when a source gains or loses columns between CDC epochs
+    (the reference re-reads ``information_schema`` every run,
+    table.py:66-75, so its column set silently follows the DBA), the
+    surviving replica rows are re-shaped through this projection
+    before merging with the new-schema delta."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target_schema.fields
+        ]
+    )
+
+
 def stat_columns(tribe_stats_columns: list[str]) -> list[str]:
     """Discover aggregatable stat columns from the tribe_stats sink
     schema, skipping the bookkeeping columns (post_update.py:57-66)."""

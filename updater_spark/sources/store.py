@@ -420,7 +420,14 @@ class TableStore:
             return path
 
     def read_appendable(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._appendable_dir(name))
+        # mergeSchema: an append-only history may widen across a
+        # schema-evolution epoch (changelog pre-images gain columns);
+        # default inference would pin whichever file's footer it
+        # sampled and silently hide the later columns. Footer-merge
+        # cost is per-file metadata only — appendables are compacted.
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self._appendable_dir(name)
+        )
 
     def exists_appendable(self, name: str) -> bool:
         return os.path.exists(self._appendable_dir(name))
