@@ -3558,6 +3558,58 @@ WP_VOCAB = [
 ] + list(_string.ascii_lowercase)
 
 
+def _wp_vocab_8k() -> list[str]:
+    from updater_spark.operators.tokenizer import synthetic_vocab
+
+    return synthetic_vocab(8192)
+
+
+def q_wordpiece_tokens_8k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wordpiece_tokenize_arrow at a PRODUCTION-sized vocabulary (8192
+    pieces — the r6 verdict's declared ceiling for the pure-Catalyst
+    fold): per cursor the arrow twin probes a Python set once per
+    candidate length (O(max_piece_len) O(1)-probes) inside one
+    mapInPandas scan, no shuffle. Correctness twin: pytest pins the
+    arrow path byte-identical to the bucketed Catalyst fold at this
+    exact vocab; here the recursive-CTE oracle (equi-join candidate
+    form, hash-joinable at any vocab size) replays segmentation."""
+    from updater_spark.operators.tokenizer import wordpiece_tokenize_arrow
+
+    docs = demo.load(spark, sf_dir, "documents")
+    return wordpiece_tokenize_arrow(docs, "text", _wp_vocab_8k())
+
+
+# well-formed merge table over the corpus lexicon: every composite
+# piece (ta, tab, st, er, ord, ...) is created by an earlier merge
+# before any later merge references it — the property that makes the
+# operator's lowest-rank-leftmost single merge equal classic
+# replace-all BPE apply (pinned in tests/test_tokenizer.py)
+BPE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("s", "t"), ("st", "r"), ("e", "r"), ("o", "r"), ("or", "d"),
+    ("ord", "er"), ("r", "o"), ("ro", "w"), ("d", "a"), ("da", "ta"),
+    ("t", "h"), ("th", "e"), ("f", "a"), ("fa", "st"),
+]
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-ordered BPE apply (operators/tokenizer.py::bpe_tokenize,
+    Sennrich et al. 2016) — the other half of production tokenization
+    next to wordpiece's greedy longest match: every document's words
+    start as characters and repeatedly take the LOWEST-RANK adjacent
+    merge (leftmost first), a pure-Catalyst runtime fold against a
+    constant-folded literal rank map, zero UDFs, zero shuffles. The
+    oracle replays the merge loop with a recursive CTE whose
+    arg_min((rank, position)) equals the fold's struct array_min —
+    byte-identical pieces, both engines."""
+    from updater_spark.operators.tokenizer import bpe_tokenize
+
+    docs = demo.load(spark, sf_dir, "documents")
+    return bpe_tokenize(docs, "text", BPE_MERGES)
+
+
 def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match subword tokenization
     (operators/tokenizer.py): every document segmented against a
@@ -3700,6 +3752,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_join_view": q_ivm_join_view,
         "embed_project": q_embed_project,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "wordpiece_tokens_8k": q_wordpiece_tokens_8k,
+        "bpe_tokens": q_bpe_tokens,
         "ann_index_retrain": q_ann_index_retrain,
         "semantic_dedup_lsm": q_semantic_dedup_lsm,
         "streaming_ann": q_streaming_ann,
@@ -4162,7 +4216,9 @@ def _generated_oracles() -> dict[str, str]:
     return {
         "dedup_minhash_lsh": minhash_sql,
         "embed_project": _rp_sql(),
-        "wordpiece_tokens": _wp_sql(),
+        "wordpiece_tokens": _wp_sql(WP_VOCAB),
+        "wordpiece_tokens_8k": _wp_sql(_wp_vocab_8k()),
+        "bpe_tokens": _bpe_sql(BPE_MERGES),
         "nb_classifier": _nb_sql(None),
         "nb_classifier_hashed": _nb_sql(12),
         "ivm_join_view": """
@@ -4283,10 +4339,18 @@ def _generated_oracles() -> dict[str, str]:
     }
 
 
-def _wp_sql() -> str:
+def _wp_sql(vocab: list[str]) -> str:
     """Recursive-CTE replay of wordpiece_tokenize: same
-    normalization, truncation, and longest-match tie-break."""
-    vals = ", ".join(f"('{p}')" for p in WP_VOCAB)
+    normalization, truncation, and longest-match tie-break. The
+    cursor→vocab match is expressed as an EQUI-join on the candidate
+    substring (one row per candidate length from ``range``), so DuckDB
+    hash-joins it — a production-sized vocabulary (8k pieces) would
+    make the original `substr(w,pos,length(p)) = p` predicate a
+    nested-loop over |step|×|vocab|. A truncated tail substring can
+    equal a shorter piece at several candidate lengths; the arg_max
+    dedups those (same piece, same key)."""
+    vals = ", ".join(f"('{p}')" for p in vocab)
+    max_len = max(len(p) for p in vocab)
     return f"""
         WITH RECURSIVE vocab(p) AS (VALUES {vals}),
         norm AS (
@@ -4316,8 +4380,9 @@ def _wp_sql() -> str:
                 SELECT s.doc_id, s.wi, s.w, s.pos, s.out, s.n,
                        arg_max(v.p,
                                printf('%02d', length(v.p)) || v.p) AS best
-                FROM step s JOIN vocab v
-                  ON substr(s.w, s.pos, length(v.p)) = v.p
+                FROM step s, range(1, {max_len + 1}) c(l)
+                JOIN vocab v
+                  ON v.p = substr(s.w, s.pos, CAST(c.l AS INTEGER))
                 WHERE s.pos <= length(s.w)
                 GROUP BY s.doc_id, s.wi, s.w, s.pos, s.out, s.n
             )
@@ -4329,6 +4394,76 @@ def _wp_sql() -> str:
             SELECT doc_id,
                    string_agg(out, ' ' ORDER BY wi) AS pieces,
                    CAST(SUM(n) AS BIGINT) AS n_pieces
+            FROM per_word GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.pieces, '') AS pieces,
+               COALESCE(p.n_pieces, 0) AS n_pieces
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def _bpe_sql(merges: list[tuple[str, str]]) -> str:
+    """Recursive-CTE replay of bpe_tokenize: per word, start from
+    single characters and keep applying the lowest-rank leftmost
+    adjacent merge until none applies. Candidate pair positions come
+    from a CONSTANT range (a lateral range over the row's piece count
+    is unsupported); out-of-range list indexes read NULL and the
+    pair-key concat then never matches. Finished words fall out of
+    the recursion (the join finds no pair); arg_max(pieces, n) per
+    word recovers each word's final state."""
+    vals = ", ".join(
+        f"('{a} {b}', {r})" for r, (a, b) in enumerate(merges)
+    )
+    return f"""
+        WITH RECURSIVE merges(pair, rank) AS (VALUES {vals}),
+        norm AS (
+            SELECT doc_id,
+                   regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+            FROM documents
+        ),
+        words AS (
+            SELECT doc_id, wi, substr(w, 1, 32) AS w FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(t), ' +')) AS w,
+                       generate_subscripts(
+                           regexp_split_to_array(trim(t), ' +'), 1) AS wi
+                FROM norm)
+            WHERE w <> ''
+        ),
+        step AS (
+            SELECT doc_id, wi, 0 AS n,
+                   array_to_string(string_split(w, ''), '|') AS pieces
+            FROM words
+            UNION ALL
+            SELECT doc_id, wi, n + 1 AS n,
+                   array_to_string(list_concat(list_concat(
+                       string_split(pieces,'|')[1:bi-1],
+                       [string_split(pieces,'|')[bi]
+                        || string_split(pieces,'|')[bi+1]]),
+                       string_split(pieces,'|')[bi+2:]), '|') AS pieces
+            FROM (
+                SELECT s.doc_id, s.wi, s.n, s.pieces,
+                       CAST(arg_min(c.i, printf('%06d%06d', m.rank, c.i))
+                            AS INTEGER) AS bi
+                FROM step s, range(1, 32) c(i)
+                JOIN merges m
+                  ON m.pair =
+                     string_split(s.pieces,'|')[CAST(c.i AS INTEGER)]
+                     || ' ' ||
+                     string_split(s.pieces,'|')[CAST(c.i AS INTEGER) + 1]
+                GROUP BY s.doc_id, s.wi, s.n, s.pieces
+            )
+        ),
+        per_word AS (
+            SELECT doc_id, wi, arg_max(pieces, n) AS out
+            FROM step GROUP BY doc_id, wi
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   string_agg(out, ' ' ORDER BY wi) AS pieces,
+                   CAST(SUM(length(string_split(out, '|'))) AS BIGINT)
+                       AS n_pieces
             FROM per_word GROUP BY doc_id
         )
         SELECT d.doc_id,

@@ -1926,23 +1926,32 @@ def fuzzyjoin_probe(n: int) -> None:
     )
 
 
-def wordpiece_probe(n: int) -> None:
+def wordpiece_probe(n: int, vocab_size: int = 0) -> None:
     """Tokenizer throughput: ``n`` synthetic docs (~12 words of 4-12
-    chars), greedy longest-match against a 55-piece vocabulary —
-    docs/s and pieces/s for the pure-Catalyst fold. Usage:
-    ``python bench_scale.py 2000000 wordpiece``."""
+    chars), greedy longest-match — docs/s and pieces/s for BOTH the
+    bucketed pure-Catalyst fold and the arrow twin, at the demo
+    55-piece vocabulary or a synthetic production-sized one. Usage:
+    ``python bench_scale.py 2000000 wordpiece [vocab_size]`` (e.g.
+    8192 — the r6 verdict's declared Catalyst ceiling)."""
     import string as _string
 
-    from updater_spark.operators.tokenizer import wordpiece_tokenize
+    from updater_spark.operators.tokenizer import (
+        synthetic_vocab,
+        wordpiece_tokenize,
+        wordpiece_tokenize_arrow,
+    )
 
     spark = get_spark("bench_scale_wordpiece")
     spark.sparkContext.setLogLevel("ERROR")
-    vocab = [
-        "stream", "scan", "sca", "merge", "mer", "table", "tab",
-        "spark", "park", "row", "data", "filter", "fil", "ter",
-        "custom", "er", "win", "dow", "val", "ue", "qu", "ery",
-        "batch", "bat", "join", "group", "hash", "order", "ord",
-    ] + list(_string.ascii_lowercase)
+    if vocab_size:
+        vocab = synthetic_vocab(vocab_size)
+    else:
+        vocab = [
+            "stream", "scan", "sca", "merge", "mer", "table", "tab",
+            "spark", "park", "row", "data", "filter", "fil", "ter",
+            "custom", "er", "win", "dow", "val", "ue", "qu", "ery",
+            "batch", "bat", "join", "group", "hash", "order", "ord",
+        ] + list(_string.ascii_lowercase)
     docs = (
         spark.range(0, n, numPartitions=64)
         .withColumnRenamed("id", "doc_id")
@@ -1974,25 +1983,25 @@ def wordpiece_probe(n: int) -> None:
         .persist()
     )
     docs.count()
-    t0 = time.time()
-    out = wordpiece_tokenize(docs, "text", vocab)
-    agg = out.agg(
-        F.count(F.lit(1)).alias("docs"), F.sum("n_pieces").alias("pieces")
-    ).collect()[0]
-    wall = round(time.time() - t0, 3)
-    print(
-        json.dumps(
-            {
-                "n_docs": n,
-                "wordpiece_probe": {
-                    "wall_sec": wall,
-                    "total_pieces": int(agg["pieces"]),
-                    "docs_per_sec": int(n / wall),
-                    "pieces_per_sec": int(agg["pieces"] / wall),
-                },
-            }
-        )
-    )
+    report = {"n_docs": n, "vocab_size": len(vocab)}
+    for label, fn in (
+        ("catalyst", wordpiece_tokenize),
+        ("arrow", wordpiece_tokenize_arrow),
+    ):
+        t0 = time.time()
+        out = fn(docs, "text", vocab)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_pieces").alias("pieces"),
+        ).collect()[0]
+        wall = round(time.time() - t0, 3)
+        report[f"wordpiece_{label}"] = {
+            "wall_sec": wall,
+            "total_pieces": int(agg["pieces"]),
+            "docs_per_sec": int(n / wall),
+            "pieces_per_sec": int(agg["pieces"] / wall),
+        }
+    print(json.dumps(report))
 
 
 def zorder_probe(n: int) -> None:
@@ -2101,6 +2110,8 @@ if __name__ == "__main__":
     elif len(sys.argv) > 2 and sys.argv[2] == "fuzzyjoin":
         fuzzyjoin_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "wordpiece":
-        wordpiece_probe(_n)
+        wordpiece_probe(
+            _n, int(sys.argv[3]) if len(sys.argv) > 3 else 0
+        )
     else:
         main(_n)

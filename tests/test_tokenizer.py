@@ -7,7 +7,13 @@ import string
 import pytest
 from pyspark.sql import Row
 
-from updater_spark.operators.tokenizer import wordpiece_tokenize
+from updater_spark.operators.tokenizer import (
+    bpe_tokenize,
+    bpe_tokenize_arrow,
+    synthetic_vocab,
+    wordpiece_tokenize,
+    wordpiece_tokenize_arrow,
+)
 
 VOCAB = ["scan", "sca", "ring", "ri", "ng", "abc", "ab"] + list(
     string.ascii_lowercase
@@ -83,3 +89,178 @@ def test_vocab_validation(spark):
         wordpiece_tokenize(
             df, "text", list(string.ascii_lowercase) + ["a"]
         )
+    with pytest.raises(ValueError, match="cover a-z"):
+        wordpiece_tokenize_arrow(df, "text", ["ab", "b"])
+
+
+def test_arrow_twin_matches_catalyst_demo_vocab(spark):
+    rng = random.Random(11)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcginrs") for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(1, 8))
+        )
+        for _ in range(40)
+    ] + ["He7llo, W@rld!", "a" * 50, "123 !!!", ""]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    cat = sorted(
+        tuple(r) for r in wordpiece_tokenize(df, "text", VOCAB).collect()
+    )
+    arr = sorted(
+        tuple(r)
+        for r in wordpiece_tokenize_arrow(df, "text", VOCAB).collect()
+    )
+    assert cat == arr
+
+
+def test_arrow_twin_matches_catalyst_8k_vocab(spark):
+    """The r6 verdict's vocab-size ceiling: both paths must agree at a
+    production-sized (8k-piece) vocabulary — the bucketed Catalyst
+    fold stays correct and the arrow twin is the throughput path."""
+    vocab = synthetic_vocab(8192)
+    assert len(vocab) == 8192 and len(set(vocab)) == 8192
+    rng = random.Random(17)
+    texts = [
+        " ".join(
+            "".join(
+                rng.choice(string.ascii_lowercase)
+                for _ in range(rng.randint(1, 14))
+            )
+            for _ in range(rng.randint(1, 6))
+        )
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    cat = sorted(
+        tuple(r) for r in wordpiece_tokenize(df, "text", vocab).collect()
+    )
+    arr = sorted(
+        tuple(r)
+        for r in wordpiece_tokenize_arrow(df, "text", vocab).collect()
+    )
+    assert cat == arr
+    # and both match the Python reference on a few docs
+    for i in (0, 7, 29):
+        assert (texts[i] and cat[i][1:] == _py_tok(texts[i], vocab)) or not texts[i]
+
+
+# ---------------------------------------------------------------------------
+# BPE apply (merge-ordered)
+# ---------------------------------------------------------------------------
+
+MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "t"), ("f", "a"), ("fa", "st"), ("e", "r"),
+    ("o", "r"), ("or", "d"), ("ord", "er"),
+]
+
+
+def _py_bpe_classic(text, merges, max_word_len=32):
+    """Classic Sennrich apply: replace ALL occurrences of the
+    best-ranked present pair, repeat. On a well-formed merge table
+    (composite pieces only appear in later merges) this equals the
+    operator's iterated lowest-rank-leftmost single merge."""
+    rank = {m: r for r, m in enumerate(merges)}
+    norm = "".join(c for c in text.lower() if c in string.ascii_lowercase + " ")
+    out, n = [], 0
+    for w in norm.split():
+        ps = list(w[:max_word_len])
+        while len(ps) > 1:
+            pairs = {(ps[i], ps[i + 1]) for i in range(len(ps) - 1)}
+            ranked = [p for p in pairs if p in rank]
+            if not ranked:
+                break
+            a, b = min(ranked, key=lambda p: rank[p])
+            i, merged = 0, []
+            while i < len(ps):
+                if i < len(ps) - 1 and ps[i] == a and ps[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(ps[i])
+                    i += 1
+            ps = merged
+        out.append("|".join(ps))
+        n += len(ps)
+    return " ".join(out), n
+
+
+def _run_bpe(spark, texts, merges=MERGES, arrow=False, **kw):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    fn = bpe_tokenize_arrow if arrow else bpe_tokenize
+    return {
+        r.doc_id: (r.pieces, r.n_pieces)
+        for r in fn(df, "text", merges, **kw).collect()
+    }
+
+
+def test_bpe_merge_order_examples(spark):
+    got = _run_bpe(spark, ["table", "fast order", "xyz", ""])
+    # merges chain: t+a, ta+b, tab+l, tabl+e
+    assert got[0] == ("table", 1)
+    # fast via f+a then fa+st (st from s+t); order via or+d then ord+er
+    assert got[1] == ("fast order", 2)
+    assert got[2] == ("x|y|z", 3)  # no merge applies
+    assert got[3] == ("", 0)
+
+
+def test_bpe_rank_beats_length(spark):
+    """BPE is merge-ORDERED, not longest-match: with rank(a,b) <
+    rank(b,c), 'abc' merges to [ab, c] even though 'bc' is also a
+    learned pair — the semantic split from wordpiece."""
+    got = _run_bpe(spark, ["abc"], merges=[("a", "b"), ("b", "c")])
+    assert got[0] == ("ab|c", 2)
+    got2 = _run_bpe(spark, ["abc"], merges=[("b", "c"), ("a", "b")])
+    assert got2[0] == ("a|bc", 2)
+
+
+def test_bpe_matches_classic_apply_randomized(spark):
+    rng = random.Random(7)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abdefortsl") for _ in range(rng.randint(1, 14)))
+            for _ in range(rng.randint(1, 8))
+        )
+        for _ in range(60)
+    ] + ["T@ble! 123 order", "a" * 50]
+    got = _run_bpe(spark, texts)
+    for i, t in enumerate(texts):
+        assert got[i] == _py_bpe_classic(t, MERGES), t
+
+
+def test_bpe_arrow_twin_matches_catalyst(spark):
+    rng = random.Random(13)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abdefortsl") for _ in range(rng.randint(1, 14)))
+            for _ in range(rng.randint(1, 6))
+        )
+        for _ in range(40)
+    ] + ["", "order fast table"]
+    cat = _run_bpe(spark, texts)
+    arr = _run_bpe(spark, texts, arrow=True)
+    assert cat == arr
+
+
+def test_bpe_truncation(spark):
+    # 50 a's truncate to 32 before merging; (a,a) merges pairwise
+    got = _run_bpe(spark, ["a" * 50], merges=[("a", "a")])
+    # leftmost (a,a) repeatedly: aa aa ... -> but merged piece 'aa'
+    # never re-merges ('aa aa' not in merges), so 16 'aa' pieces
+    assert got[0] == ("|".join(["aa"] * 16), 16)
+
+
+def test_bpe_validation(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError, match="non-empty"):
+        bpe_tokenize(df, "text", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        bpe_tokenize(df, "text", [("a", "b"), ("a", "b")])
+    with pytest.raises(ValueError, match="empty merge operand"):
+        bpe_tokenize_arrow(df, "text", [("a", "")])

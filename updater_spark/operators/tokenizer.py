@@ -13,14 +13,25 @@ Spark shape: per word, ``aggregate(sequence(1, max_word_len), state,
 step)`` — a RUNTIME fold (the lambda is evaluated per element of the
 sequence value, NOT unrolled into the expression tree), where each
 step finds the longest vocabulary piece matching at the cursor via
-``array_max`` over a filtered literal piece array (struct (len,
-piece) ordering = longest first, lexicographically-largest
-tie-break). Cost: O(max_word_len × |vocab|) substring compares per
-word at scan speed, zero Python. The vocabulary is a broadcast-free
-LITERAL (tokenizer vocabularies are KBs, versioned with the job, and
-embedding them keeps the whole operator whole-stage-codegen'd — and
-lets the DuckDB oracle replay segmentation exactly, via a recursive
-CTE with an identical padded-length arg_max tie-break).
+``array_max`` over a filtered piece array (struct (len, piece)
+ordering = longest first, lexicographically-largest tie-break). The
+vocabulary is a broadcast-free LITERAL (tokenizer vocabularies are
+KBs, versioned with the job — and embedding them lets the DuckDB
+oracle replay segmentation exactly, via a recursive CTE with an
+identical padded-length arg_max tie-break), keyed by FIRST CHARACTER
+into a constant-folded literal map: each cursor probes a 26-key map
+once and filters only the matching bucket (~|vocab|/26 candidates),
+not the whole vocabulary — the r6 verdict's vocab-size ceiling, cut
+26×. Cost: O(max_word_len × |vocab|/26) substring compares per word
+at scan speed, zero Python; the folded map rides the plan as one
+referenced object, not inline codegen, so a big vocabulary does not
+blow the JIT method limit the way inline literal arrays do.
+
+At production vocabularies (8k-30k pieces) the per-cursor bucket is
+still hundreds of compares — ``wordpiece_tokenize_arrow`` is the
+deploy path there (the ``pq_adc_arrow`` discipline): one Arrow batch
+per task, an O(1) dict probe per candidate length, byte-identical
+output (pinned by tests and a shared driver oracle).
 
 Contract (both engines, pinned by the driver oracle):
 - text is normalized to ``[a-z ]`` first, so the single-char pieces
@@ -38,24 +49,65 @@ import string
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["wordpiece_tokenize"]
+__all__ = [
+    "wordpiece_tokenize",
+    "wordpiece_tokenize_arrow",
+    "bpe_tokenize",
+    "bpe_tokenize_arrow",
+    "synthetic_vocab",
+]
 
 
-def _tok_word(w: Column, vocab: list[str], max_word_len: int) -> Column:
-    """array<string> of pieces for one (normalized, truncated) word."""
-    pieces = F.array(
-        *[
-            F.struct(
-                F.lit(len(p)).alias("l"),
-                F.lit(p).alias("p"),
+def synthetic_vocab(size: int) -> list[str]:
+    """Deterministic production-sized demo vocabulary: all single
+    letters (the total-coverage requirement), all 676 bigrams, then
+    evenly-strided trigrams/4-grams up to ``size``. Purely a test/
+    bench artifact — real deployments pass their trained vocab — but
+    it exercises the same shape: dense short pieces, every first-char
+    bucket populated."""
+    import itertools
+
+    letters = list(string.ascii_lowercase)
+    out = list(letters)
+    out += ["".join(t) for t in itertools.product(letters, repeat=2)]
+    tri = ["".join(t) for t in itertools.product(letters, repeat=3)]
+    out += [g for i, g in enumerate(tri) if i % 7 < 3]
+    if len(out) < size:
+        quad = itertools.product(letters, repeat=4)
+        out += ["".join(t) for t in itertools.islice(quad, size - len(out))]
+    return out[:size]
+
+
+def _vocab_by_char(vocab: list[str]):
+    """First-char-keyed literal map: ``char -> array<struct<l,p>>``.
+    All-literal ``create_map`` is constant-folded to ONE map object
+    referenced by the plan; ``element_at`` then scans 26 keys instead
+    of the step filtering the whole vocabulary."""
+    buckets: dict[str, list[str]] = {}
+    for p in vocab:
+        buckets.setdefault(p[0], []).append(p)
+    entries = []
+    for ch, ps in buckets.items():
+        entries.append(F.lit(ch))
+        entries.append(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(len(p)).alias("l"), F.lit(p).alias("p")
+                    )
+                    for p in ps
+                ]
             )
-            for p in vocab
-        ]
-    )
+        )
+    return F.create_map(*entries)
+
+
+def _tok_word(w: Column, by_char: Column, max_word_len: int) -> Column:
+    """array<string> of pieces for one (normalized, truncated) word."""
 
     def step(acc, _i):
         matches = F.filter(
-            pieces,
+            F.element_at(by_char, w.substr(acc["pos"], F.lit(1))),
             lambda m: w.substr(acc["pos"], m["l"]) == m["p"],
         )
         best = F.array_max(matches)
@@ -99,6 +151,7 @@ def wordpiece_tokenize(
     if len(set(vocab)) != len(vocab):
         raise ValueError("vocab contains duplicates")
 
+    by_char = _vocab_by_char(vocab)
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
     words = F.filter(
         F.transform(
@@ -114,7 +167,7 @@ def wordpiece_tokenize(
         "_wp",
         F.transform(
             F.col("_words"),
-            lambda x: _tok_word(x, vocab, max_word_len),
+            lambda x: _tok_word(x, by_char, max_word_len),
         ),
     )
     return out.select(
@@ -129,4 +182,265 @@ def wordpiece_tokenize(
         )
         .cast("long")
         .alias("n_pieces"),
+    )
+
+
+def wordpiece_tokenize_arrow(
+    df: DataFrame,
+    text_col: str,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Arrow twin of ``wordpiece_tokenize`` — byte-identical output,
+    built for PRODUCTION vocabularies (8k-30k pieces) where even the
+    bucketed Catalyst fold pays hundreds of substring compares per
+    cursor. Here each cursor probes a Python set once per candidate
+    LENGTH, longest first — O(max_piece_len) O(1)-probes — inside one
+    ``mapInPandas`` pass (Arrow batches, no per-row Python). Greedy
+    longest-match is unambiguous (one exact substring per length), so
+    the Catalyst tie-break is vacuous and the two paths agree exactly.
+    Scale: the vocabulary ships once per task via closure (KBs-MBs);
+    work is a single scan, no shuffle, no joins."""
+    import re
+
+    missing = [c for c in string.ascii_lowercase if c not in vocab]
+    if missing:
+        raise ValueError(f"vocab must cover a-z; missing {missing}")
+    if len(set(vocab)) != len(vocab):
+        raise ValueError("vocab contains duplicates")
+
+    vs = frozenset(vocab)
+    max_len = max(len(p) for p in vocab)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def seg(batches):
+        import pandas as pd
+
+        strip = re.compile(r"[^a-z ]")
+        for pdf in batches:
+            pieces_out, n_out = [], []
+            for t in pdf[text_col]:
+                norm = strip.sub("", (t or "").lower())
+                total = 0
+                word_pieces = []
+                for wd in norm.split():
+                    wd = wd[:max_word_len]
+                    pos, n = 0, len(wd)
+                    ps = []
+                    while pos < n:
+                        for k in range(min(max_len, n - pos), 0, -1):
+                            cand = wd[pos : pos + k]
+                            if cand in vs:
+                                ps.append(cand)
+                                pos += k
+                                break
+                    word_pieces.append("|".join(ps))
+                    total += len(ps)
+                pieces_out.append(" ".join(word_pieces))
+                n_out.append(total)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pieces": pieces_out,
+                    "n_pieces": n_out,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        seg, schema=f"{id_col} {id_type}, pieces string, n_pieces long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE apply (merge-ordered) — the Sennrich et al. 2016 sibling
+# ---------------------------------------------------------------------------
+
+
+def _validate_merges(merges: list[tuple[str, str]]) -> None:
+    if not merges:
+        raise ValueError("merges must be non-empty")
+    seen = set()
+    for a, b in merges:
+        if not a or not b:
+            raise ValueError(f"empty merge operand in ({a!r}, {b!r})")
+        if (a, b) in seen:
+            raise ValueError(f"duplicate merge ({a!r}, {b!r})")
+        seen.add((a, b))
+
+
+def _merge_ranks(merges: list[tuple[str, str]]) -> Column:
+    """Literal ``'a b' -> rank`` map (space separator — normalized
+    pieces are [a-z]+ so the key is unambiguous), constant-folded to
+    one referenced object like the wordpiece vocab map."""
+    entries = []
+    for rank, (a, b) in enumerate(merges):
+        entries.append(F.lit(f"{a} {b}"))
+        entries.append(F.lit(rank))
+    return F.create_map(*entries)
+
+
+def _bpe_word(w: Column, ranks: Column, max_word_len: int) -> Column:
+    """array<string> BPE pieces for one (normalized, truncated) word:
+    start from single characters and repeatedly apply the LOWEST-rank
+    adjacent merge, leftmost occurrence first. One leftmost merge per
+    fold step is equivalent to the classic replace-all-occurrences
+    apply (after merging the leftmost occurrence, the same pair — if
+    still present — is still the minimum rank and merges next), and
+    each merge shrinks the array by one, so ``max_word_len - 1`` steps
+    always reach the fixed point."""
+
+    def step(acc, _i):
+        n = F.size(acc)
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(
+                        ranks,
+                        F.concat(
+                            F.element_at(acc, i),
+                            F.lit(" "),
+                            F.element_at(acc, i + 1),
+                        ),
+                    ).alias("r"),
+                    i.alias("i"),
+                ),
+            ),
+            lambda c: c["r"].isNotNull(),
+        )
+        best = F.array_min(cands)  # (rank, position): lowest, leftmost
+        merged = F.concat(
+            F.slice(acc, F.lit(1), best["i"] - 1),
+            F.array(
+                F.concat(
+                    F.element_at(acc, best["i"]),
+                    F.element_at(acc, best["i"] + 1),
+                )
+            ),
+            F.slice(acc, best["i"] + 2, n),
+        )
+        return F.when(n < 2, acc).otherwise(
+            F.when(F.size(cands) == 0, acc).otherwise(merged)
+        )
+
+    chars = F.filter(F.split(w, ""), lambda x: F.length(x) > 0)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(max(max_word_len - 1, 1))), chars, step
+    )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Merge-ordered BPE apply (Sennrich et al. 2016) as a
+    pure-Catalyst runtime fold — the other half of production
+    tokenization next to ``wordpiece_tokenize``'s greedy longest
+    match: WordPiece asks "what is the longest piece HERE", BPE asks
+    "which adjacent pair merges FIRST by training rank", and the two
+    segment the same word differently whenever a low-rank merge sits
+    right of a longer dictionary piece.
+
+    Output shape matches ``wordpiece_tokenize`` exactly: ``pieces``
+    (words ' '-joined, pieces '|'-joined) and ``n_pieces``. Same
+    normalization ([a-z ]) and ``max_word_len`` truncation — applied
+    to the DATA so the unbounded SQL-oracle recursion sees identical
+    words.
+
+    Cost: each fold step scans the current pieces for the best-ranked
+    pair via a constant-folded literal rank map — O(len² × map-probe)
+    per word, zero Python, no shuffle. The map probe is a linear scan
+    of |merges| (Catalyst ``GetMapValue``), so production merge
+    tables (30k+) belong on ``bpe_tokenize_arrow``, exactly the
+    wordpiece discipline."""
+    _validate_merges(merges)
+    ranks = _merge_ranks(merges)
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+    words = F.filter(
+        F.transform(
+            F.split(F.trim(norm), " +"),
+            lambda x: F.substring(x, 1, max_word_len),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    out = df.withColumn("_words", words).withColumn(
+        "_wp",
+        F.transform(
+            F.col("_words"), lambda x: _bpe_word(x, ranks, max_word_len)
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(F.col("_wp"), lambda a: F.array_join(a, "|")), " "
+        ).alias("pieces"),
+        F.aggregate(
+            F.transform(F.col("_wp"), F.size),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("n_pieces"),
+    )
+
+
+def bpe_tokenize_arrow(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Arrow twin of ``bpe_tokenize`` — byte-identical output with an
+    O(1) dict probe per adjacent pair, for production merge tables
+    where the literal map's linear ``GetMapValue`` scan dominates."""
+    import re
+
+    _validate_merges(merges)
+    rank_of = {f"{a} {b}": r for r, (a, b) in enumerate(merges)}
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def seg(batches):
+        import pandas as pd
+
+        strip = re.compile(r"[^a-z ]")
+        for pdf in batches:
+            pieces_out, n_out = [], []
+            for t in pdf[text_col]:
+                norm = strip.sub("", (t or "").lower())
+                total = 0
+                word_pieces = []
+                for wd in norm.split():
+                    ps = list(wd[:max_word_len])
+                    while len(ps) > 1:
+                        best_r, best_i = None, None
+                        for i in range(len(ps) - 1):
+                            r = rank_of.get(f"{ps[i]} {ps[i + 1]}")
+                            if r is not None and (
+                                best_r is None or r < best_r
+                            ):
+                                best_r, best_i = r, i
+                        if best_i is None:
+                            break
+                        ps[best_i : best_i + 2] = [
+                            ps[best_i] + ps[best_i + 1]
+                        ]
+                    word_pieces.append("|".join(ps))
+                    total += len(ps)
+                pieces_out.append(" ".join(word_pieces))
+                n_out.append(total)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pieces": pieces_out,
+                    "n_pieces": n_out,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        seg, schema=f"{id_col} {id_type}, pieces string, n_pieces long"
     )
