@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run() -> None:
+def run(only: list[str] | None = None) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
     from updater_spark import get_spark
@@ -37,6 +37,14 @@ def run() -> None:
             pass
 
     qs = entrymod.queries()
+    if only:
+        # single-query isolation (VERDICT r6 #4): measure one query in
+        # a fresh JVM with no 100+-query code-cache/GC history, to
+        # separate real regressions from bench-harness state
+        unknown = [q for q in only if q not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        qs = {name: qs[name] for name in only}
     timings: dict[str, float] = {}
     build_secs: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -67,6 +75,23 @@ def run() -> None:
             # a query that failed its noop write must not leave a
             # build-time entry implying it ran
             build_secs.pop(name, None)
+
+    if only:
+        # --only mode reports just the isolated timings, skipping the
+        # fixed-cost CDC cycle + hash-diff accounting
+        out = {
+            "metric": "isolated_queries_wall",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": timings,
+            "build_secs": build_secs,
+            "sf": sf,
+            "n_errors": len(errors),
+        }
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out, allow_nan=False))
+        return
 
     # Hash-diff throughput: rows fingerprinted+joined across both sides
     # of the lineitem-scale J1 per second (BASELINE.md: reference does
@@ -179,4 +204,8 @@ def run() -> None:
 
 
 if __name__ == "__main__":
-    run()
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--only":
+        run(only=argv[1:])
+    else:
+        run()

@@ -165,3 +165,42 @@ def test_cdc_epochs_match_one_shot(spark, sf_dir, tmp_store):
         .count()
         == 0
     )
+
+
+def test_occupancy_and_needs_retrain(spark, sf_dir, tmp_store):
+    """Bucket-skew telemetry (VERDICT r6 #8): the stats summarize the
+    band-bucket histogram distributed-side, capped_* counts buckets
+    past max_bucket (the silent-recall-loss signal), and the advisory
+    trips when identical docs pile into the same buckets."""
+    docs, copies = _corpus(spark, sf_dir)
+    idx = DedupIndex(tmp_store, "occ", max_bucket=200)
+    idx.bootstrap(docs, "doc_id", "text")
+    stats = idx.occupancy()
+    assert stats["n_buckets"] > 0
+    assert stats["total_rows"] == idx.signatures().count() * idx.bands
+    assert stats["max"] >= stats["p99"] >= stats["p50"] >= 1
+    assert stats["capped_buckets"] == 0  # near-unique docs: no pileup
+    assert idx.needs_retrain() is False
+
+    # pile 300 exact copies of one doc into the index: every band
+    # bucket they share blows past max_bucket -> capped fraction and
+    # imbalance both trip the advisory
+    one = docs.limit(1)
+    clones = (
+        one.crossJoin(spark.range(300).select(F.col("id").alias("_k")))
+        .select(
+            (F.col("doc_id") + 500_000 + F.col("_k")).alias("doc_id"),
+            "text",
+        )
+    )
+    idx.update(clones, "doc_id", "text")
+    hot = idx.occupancy()
+    assert hot["capped_buckets"] > 0
+    assert hot["capped_row_fraction"] > 0
+    assert hot["max"] >= 300
+    assert idx.needs_retrain() is True
+    # empty index edge: all-zero stats, advisory stays quiet
+    empty = DedupIndex(tmp_store, "occ_empty")
+    empty.bootstrap(docs.limit(0), "doc_id", "text")
+    z = empty.occupancy()
+    assert z["n_buckets"] == 0 and empty.needs_retrain() is False

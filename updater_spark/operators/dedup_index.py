@@ -150,6 +150,95 @@ class DedupIndex:
         )
         return new_old.unionByName(new_new).distinct()
 
+    def occupancy(self) -> dict:
+        """Bucket-skew telemetry — the MinHash twin of the ANN
+        indexes' ``occupancy()`` (VERDICT r6 #8): band-bucket drift is
+        the same failure mode as IVF cell drift, except the symptom is
+        silent RECALL loss, not probe cost — ``lsh_candidate_pairs``
+        skips buckets over ``max_bucket``, so as near-dup mass
+        concentrates (template boilerplate, crawl bursts) a growing
+        fraction of docs sits in buckets that can never pair.
+
+        Unlike the ANN indexes (k = codebook-size buckets, safe to
+        collect), the LSH bucket count scales with the CORPUS — so the
+        histogram is reduced DISTRIBUTED (groupBy sizes → one second
+        aggregate) and only a single summary row reaches the driver.
+
+        Returns ``{n_buckets, total_rows, mean, p50, p99, max,
+        imbalance, capped_buckets, capped_row_fraction}`` where
+        ``capped_*`` counts buckets past ``max_bucket`` and the
+        fraction of band rows living in them — THE recall-drift
+        signal."""
+        sizes = (
+            self.store.read(self._bands_name)
+            .groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        row = sizes.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n").alias("total"),
+            F.avg("n").alias("mean"),
+            F.expr("approx_percentile(n, 0.5)").alias("p50"),
+            F.expr("approx_percentile(n, 0.99)").alias("p99"),
+            F.max("n").alias("mx"),
+            F.sum(
+                F.when(F.col("n") > self.max_bucket, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("capped"),
+            F.sum(
+                F.when(F.col("n") > self.max_bucket, F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("capped_rows"),
+        ).collect()[0]
+        n_buckets = int(row["n_buckets"] or 0)
+        if not n_buckets:
+            return {
+                "n_buckets": 0,
+                "total_rows": 0,
+                "mean": 0.0,
+                "p50": 0,
+                "p99": 0,
+                "max": 0,
+                "imbalance": 0.0,
+                "capped_buckets": 0,
+                "capped_row_fraction": 0.0,
+            }
+        total = int(row["total"])
+        mean = float(row["mean"])
+        return {
+            "n_buckets": n_buckets,
+            "total_rows": total,
+            "mean": round(mean, 2),
+            "p50": int(row["p50"]),
+            "p99": int(row["p99"]),
+            "max": int(row["mx"]),
+            "imbalance": round(int(row["mx"]) / mean, 2) if mean else 0.0,
+            "capped_buckets": int(row["capped"]),
+            "capped_row_fraction": round(int(row["capped_rows"]) / total, 4)
+            if total
+            else 0.0,
+        }
+
+    def needs_retrain(
+        self,
+        max_capped_fraction: float = 0.05,
+        max_imbalance: float = 8.0,
+    ) -> bool:
+        """Advisory, same contract as ``ann_index.needs_retrain``: True
+        when the capped-bucket row fraction (docs that can no longer
+        pair — direct recall loss) or the bucket imbalance crosses its
+        threshold. The actuator is a re-band/re-sign ``bootstrap()``
+        with adjusted parameters (more bands → smaller buckets, or a
+        raised ``max_bucket`` with its measured pairing cost); nothing
+        here mutates the index."""
+        stats = self.occupancy()
+        return bool(stats["n_buckets"]) and (
+            stats["capped_row_fraction"] > max_capped_fraction
+            or stats["imbalance"] > max_imbalance
+        )
+
     def remove(self, ids: DataFrame) -> None:
         """Drop documents (e.g. CDC deletes) from the index state."""
         ids = ids.toDF("id")
