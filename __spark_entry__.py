@@ -3732,69 +3732,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
-    # the FIRST 50 registered queries. Round-6 rotation (VERDICT r5
-    # ask #2): queries with NO hard driver row lead — streaming_semantic
-    # (registered past the window in r5) and streaming_semantic_arrow
-    # (new this round) — then the block whose last hard row is r4 (the
-    # oldest), through the semantic-stream code they sit near. The r5
-    # first-50 set follows; r5 ∪ r6 driver rows again cover everything.
+    # the FIRST 50 registered queries. Round-7 rotation (VERDICT r6
+    # ask #3): lead with queries whose CODE changed after their last
+    # hard driver row — the four new r7 queries, the r7-reworked
+    # paths (bucketed wordpiece fold, rewritten changelog_replay,
+    # NB zero-token scoring, idempotent streaming-ANN sink, semantic
+    # compact/owed-pairs fixes, the schema-evolution CdcEngine rework
+    # behind cdc_dedup_incremental/streaming_cdc), then the block
+    # whose last hard row is r4 (fell past both the r5 and r6
+    # windows). Freshest r6-row queries close the list; r6 ∪ r7 then
+    # covers everything with no row older than its code.
     return {
-        # --- no hard driver row yet ---
+        # --- new in r7 ---
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_schema_replay": q_cdc_schema_replay,
+        "bpe_tokens": q_bpe_tokens,
+        "wordpiece_tokens_8k": q_wordpiece_tokens_8k,
+        # --- code changed in r7 after their last hard row ---
+        "wordpiece_tokens": q_wordpiece_tokens,
+        "changelog_replay": q_changelog_replay,
         "nb_classifier": q_nb_classifier,
         "nb_classifier_hashed": q_nb_classifier_hashed,
-        "streaming_join": q_streaming_join,
-        "streaming_join_outer": q_streaming_join_outer,
-        "streaming_sessions": q_streaming_sessions,
-        "zorder_scan": q_zorder_scan,
-        "fuzzy_join_parts": q_fuzzy_join_parts,
-        "ivm_join_view": q_ivm_join_view,
-        "embed_project": q_embed_project,
-        "wordpiece_tokens": q_wordpiece_tokens,
-        "wordpiece_tokens_8k": q_wordpiece_tokens_8k,
-        "bpe_tokens": q_bpe_tokens,
-        "ann_index_retrain": q_ann_index_retrain,
-        "semantic_dedup_lsm": q_semantic_dedup_lsm,
         "streaming_ann": q_streaming_ann,
-        "streaming_semantic": q_streaming_semantic,
-        "streaming_semantic_arrow": q_streaming_semantic_arrow,
-        # --- last hard driver row r4: the r6 re-check set ---
-        "sample_stratified": q_sample_stratified,
-        "mixture_resample": q_mixture_resample,
-        "asof_join_events": q_asof_join_events,
-        "dedup_clusters": q_dedup_clusters,
-        "text_repetition": q_text_repetition,
-        "pii_redact": q_pii_redact,
-        "dedup_incremental": q_dedup_incremental,
-        "decontam_ngram": q_decontam_ngram,
-        "decontam_bloom": q_decontam_bloom,
-        "text_chunks": q_text_chunks,
-        "leakage_safe_split": q_leakage_safe_split,
-        "events_json_agg": q_events_json_agg,
-        "revenue_cube": q_revenue_cube,
-        "scores_unpivot": q_scores_unpivot,
-        "corpus_quantiles": q_corpus_quantiles,
-        "changelog_replay": q_changelog_replay,
-        "shuffle_order": q_shuffle_order,
-        "pivot_events": q_pivot_events,
-        "events_running": q_events_running,
-        "corpus_top_terms": q_corpus_top_terms,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "quality_filter": q_quality_filter,
-        "skew_salted_join": q_skew_salted_join,
-        "interval_join_events": q_interval_join_events,
-        "rollup_multires": q_rollup_multires,
-        "streaming_rollup": q_streaming_rollup,
-        "rollup_cdc_repair": q_rollup_cdc_repair,
-        "tribe_stats_repair": q_tribe_stats_repair,
-        "clustered_scan": q_clustered_scan,
-        "events_distinct_users": q_events_distinct_users,
-        "shard_export": q_shard_export,
+        "semantic_dedup_lsm": q_semantic_dedup_lsm,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "semantic_dedup_incremental_arrow": q_semantic_dedup_incremental_arrow,
         "cdc_dedup_incremental": q_cdc_dedup_incremental,
-        "text_boilerplate": q_text_boilerplate,
-        "text_unigram_logprob": q_text_unigram_logprob,
-        "pq_codes": q_pq_codes,
+        "streaming_cdc": q_streaming_cdc,
+        # --- last hard driver row r4 (missed the r5 AND r6 windows) ---
         "pq_adc_topk": q_pq_adc_topk,
         "pq_adc_arrow": q_pq_adc_arrow,
         "dup_spans": q_dup_spans,
@@ -3810,11 +3775,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_diff_classify": q_j1_diff_classify,
         "j2_semi_join_fetch": q_j2_semi_join_fetch,
         "s5_merge_upsert": q_s5_merge_upsert,
-        # --- hard row r5 (CORRECTNESS_r05) ---
+        # --- last hard driver row r5 ---
         "semantic_dedup_arrow": q_semantic_dedup_arrow,
         "semantic_dedup_t95": q_semantic_dedup_t95,
-        "semantic_dedup_incremental": q_semantic_dedup_incremental,
-        "semantic_dedup_incremental_arrow": q_semantic_dedup_incremental_arrow,
         "s7_apply_deletes": q_s7_apply_deletes,
         "j5_changelog": q_j5_changelog,
         "cdc_full_cycle": q_cdc_full_cycle,
@@ -3857,10 +3820,53 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "rollup_revenue": q_rollup_revenue,
         "set_ops": q_set_ops,
-        "streaming_cdc": q_streaming_cdc,
         "dataset_split": q_dataset_split,
         "pack_chunks": q_pack_chunks,
         "pack_greedy": q_pack_greedy,
+        # --- hard row r6 (CORRECTNESS_r06), code unchanged since ---
+        "streaming_join": q_streaming_join,
+        "streaming_join_outer": q_streaming_join_outer,
+        "streaming_sessions": q_streaming_sessions,
+        "zorder_scan": q_zorder_scan,
+        "fuzzy_join_parts": q_fuzzy_join_parts,
+        "ivm_join_view": q_ivm_join_view,
+        "embed_project": q_embed_project,
+        "ann_index_retrain": q_ann_index_retrain,
+        "streaming_semantic": q_streaming_semantic,
+        "streaming_semantic_arrow": q_streaming_semantic_arrow,
+        "sample_stratified": q_sample_stratified,
+        "mixture_resample": q_mixture_resample,
+        "asof_join_events": q_asof_join_events,
+        "dedup_clusters": q_dedup_clusters,
+        "text_repetition": q_text_repetition,
+        "pii_redact": q_pii_redact,
+        "dedup_incremental": q_dedup_incremental,
+        "decontam_ngram": q_decontam_ngram,
+        "decontam_bloom": q_decontam_bloom,
+        "text_chunks": q_text_chunks,
+        "leakage_safe_split": q_leakage_safe_split,
+        "events_json_agg": q_events_json_agg,
+        "revenue_cube": q_revenue_cube,
+        "scores_unpivot": q_scores_unpivot,
+        "corpus_quantiles": q_corpus_quantiles,
+        "shuffle_order": q_shuffle_order,
+        "pivot_events": q_pivot_events,
+        "events_running": q_events_running,
+        "corpus_top_terms": q_corpus_top_terms,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "quality_filter": q_quality_filter,
+        "skew_salted_join": q_skew_salted_join,
+        "interval_join_events": q_interval_join_events,
+        "rollup_multires": q_rollup_multires,
+        "streaming_rollup": q_streaming_rollup,
+        "rollup_cdc_repair": q_rollup_cdc_repair,
+        "tribe_stats_repair": q_tribe_stats_repair,
+        "clustered_scan": q_clustered_scan,
+        "events_distinct_users": q_events_distinct_users,
+        "shard_export": q_shard_export,
+        "text_boilerplate": q_text_boilerplate,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "pq_codes": q_pq_codes,
     }
 
 

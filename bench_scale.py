@@ -1857,14 +1857,16 @@ def joinview_probe(n: int) -> None:
     print(json.dumps({"n_rows": n, "joinview_probe": res}))
 
 
-def fuzzyjoin_probe(n: int) -> None:
+def fuzzyjoin_probe(n: int, q: int = 4) -> None:
     """Fuzzy join at healthy entropy: ``n`` random-ish 18-char
     strings per side, 1% of right rows are 1-edit mutations of a
-    left row (char dropped), k=1/q=4 blocking. The driver fixture
-    (64-name corpus) measures the adversarial case; this one answers
-    the deploy question — near-linear candidates and full planted
-    recall when gram entropy is real. Usage:
-    ``python bench_scale.py 1000000 fuzzyjoin``."""
+    left row (char dropped), k=1 blocking at gram size ``q``. The
+    driver fixture (64-name corpus) measures the adversarial case;
+    this one answers the deploy question — candidate density follows
+    |alphabet|^q (hex strings: q=4 → 65k gram values and quadratic
+    bucket growth, q=5 → 1M values; measured 2.8× end-to-end at 1M,
+    identical verified pairs). Usage:
+    ``python bench_scale.py 2000000 fuzzyjoin [q]``."""
     from updater_spark.operators.fuzzyjoin import fuzzy_join
 
     spark = get_spark("bench_scale_fuzzyjoin")
@@ -1901,7 +1903,7 @@ def fuzzyjoin_probe(n: int) -> None:
     n_planted = left.filter(F.col("lid") % 100 == 0).count()
     right.count()
     t0 = time.time()
-    out = fuzzy_join(left, right, "lid", "a", "rid", "b", max_dist=1, q=4)
+    out = fuzzy_join(left, right, "lid", "a", "rid", "b", max_dist=1, q=q)
     pairs = out.persist()
     n_pairs = pairs.count()
     wall = round(time.time() - t0, 3)
@@ -1913,6 +1915,7 @@ def fuzzyjoin_probe(n: int) -> None:
         json.dumps(
             {
                 "n_per_side": n,
+                "q": q,
                 "fuzzyjoin_probe": {
                     "wall_sec": wall,
                     "pairs": n_pairs,
@@ -2108,7 +2111,7 @@ if __name__ == "__main__":
     elif len(sys.argv) > 2 and sys.argv[2] == "joinview":
         joinview_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "fuzzyjoin":
-        fuzzyjoin_probe(_n)
+        fuzzyjoin_probe(_n, int(sys.argv[3]) if len(sys.argv) > 3 else 4)
     elif len(sys.argv) > 2 and sys.argv[2] == "wordpiece":
         wordpiece_probe(
             _n, int(sys.argv[3]) if len(sys.argv) > 3 else 0
