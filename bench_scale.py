@@ -2007,6 +2007,84 @@ def wordpiece_probe(n: int, vocab_size: int = 0) -> None:
     print(json.dumps(report))
 
 
+def schemaevo_probe(n: int) -> None:
+    """Schema-evolution epoch cost at scale: an ``n``-row table
+    bootstrapped, then ONE boundary epoch (source adds a column,
+    0.5% of rows genuinely mutate, 0.1% delete) under both policies.
+    The 100 TB claim under test: ``rebase`` keeps the CHURN-SCALED
+    costs (diff delta, changelog pre-images, fetch) proportional to
+    real mutations while paying only the unavoidable full-width
+    rewrite; ``full_churn`` (reference parity) reclassifies every
+    row — bootstrap-sized delta, changelog, and fetch. Usage:
+    ``python bench_scale.py 20000000 schemaevo``."""
+    import shutil
+    import tempfile
+
+    from updater_spark.plans.cdc import CdcEngine
+    from updater_spark.schema import TableSpec
+    from updater_spark.sources.store import TableStore
+
+    spark = get_spark("bench_scale_schemaevo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = (
+        spark.range(0, n, numPartitions=64)
+        .select(
+            F.col("id"),
+            F.md5(F.col("id").cast("string").cast("binary")).alias("name"),
+            (F.col("id") % 9973).cast("long").alias("bal"),
+        )
+        .persist()
+    )
+    base.count()
+    src2 = (
+        base.filter(F.col("id") % 1000 != 7)  # 0.1% deletes
+        .select(
+            "id",
+            "name",
+            F.when(F.col("id") % 200 == 0, F.col("bal") + 1)
+            .otherwise(F.col("bal"))
+            .alias("bal"),  # 0.5% mutations
+            (F.col("id") % 5).cast("long").alias("tier"),  # added column
+        )
+        .persist()
+    )
+    src2.count()
+
+    report = {"n_rows": n}
+    for policy in ("rebase", "full_churn"):
+        root = tempfile.mkdtemp(prefix=f"schemaevo_{policy}_")
+        try:
+            eng = CdcEngine(
+                TableStore(spark, root),
+                schema_change_policy=policy,
+                delete_guard=n,
+            )
+            spec = TableSpec("t", "id")
+            t0 = time.time()
+            eng.update(spec, base)
+            boot = round(time.time() - t0, 3)
+            t0 = time.time()
+            stats = eng.update(spec, src2)
+            wall = round(time.time() - t0, 3)
+            log_rows = eng.changelog("t").count()
+            report[policy] = {
+                "bootstrap_sec": boot,
+                "boundary_epoch_sec": wall,
+                "upserts": stats.upserts,
+                "deletes": stats.deletes,
+                "changelog_rows": log_rows,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    r, fc = report["rebase"], report["full_churn"]
+    report["delta_ratio"] = round(fc["upserts"] / max(r["upserts"], 1), 1)
+    report["wall_ratio"] = round(
+        fc["boundary_epoch_sec"] / r["boundary_epoch_sec"], 2
+    )
+    print(json.dumps(report))
+
+
 def zorder_probe(n: int) -> None:
     """Layout pruning at scale: ``n`` events written plain / 1-D
     range-clustered on event_id / z-ordered on (user_id, event_id)
@@ -2110,6 +2188,8 @@ if __name__ == "__main__":
         zorder_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "joinview":
         joinview_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "schemaevo":
+        schemaevo_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "fuzzyjoin":
         fuzzyjoin_probe(_n, int(sys.argv[3]) if len(sys.argv) > 3 else 4)
     elif len(sys.argv) > 2 and sys.argv[2] == "wordpiece":

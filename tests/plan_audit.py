@@ -185,6 +185,19 @@ CHECKS = {
         "pruning gets both dimensions; file-count evidence lives in "
         "tests/test_zorder.py and the 20M probe."
     ),
+    "bpe_tokens": (
+        "zero Exchanges, zero joins, no Python — the merge loop is a "
+        "runtime fold whose per-step best-pair search probes a "
+        "constant-folded literal rank map; the whole tokenizer is one "
+        "scan, exactly the wordpiece shape."
+    ),
+    "wordpiece_tokens_8k": (
+        "one MapInPandas over one scan, zero Exchanges, zero joins — "
+        "the 8k-piece vocabulary ships in the task closure and every "
+        "cursor is an O(1) set probe; this is the declared arrow "
+        "deploy path past the Catalyst fold's vocab ceiling "
+        "(PROBES_r7: 3.1M vs 114k pieces/s at 8k pieces)."
+    ),
 }
 # Not string-audited here, each for the same reason: the query fn
 # materializes its result through a temp store, so the returned plan
@@ -196,7 +209,14 @@ CHECKS = {
 #   and tests/test_ann_index.py;
 # - streaming_rollup / rollup_cdc_repair: partition-pruned day
 #   overwrites asserted by mtime in tests/test_rollup_stream.py and
-#   tests/test_rollup.py (only touched day directories rewrite).
+#   tests/test_rollup.py (only touched day directories rewrite);
+# - cdc_schema_evolution / cdc_schema_replay: the epoch runs inside
+#   the query fn against a temp store (returned plan is a collect'd
+#   LocalTableScan); the interesting physical claims — rebase churn
+#   proportional to real mutations, narrow (pk, added) backfill join,
+#   boundary rewrite via dynamic overwrite — are pinned in
+#   tests/test_schema_evolution.py (changelog row counts, bucket
+#   layout preserved, next-epoch pruned writes).
 
 JOIN_RE = re.compile(r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)\b")
 TYPE_RE = re.compile(r"\b(FullOuter|LeftSemi|LeftAnti|LeftOuter|RightOuter|Inner|Cross)\b")

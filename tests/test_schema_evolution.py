@@ -233,3 +233,98 @@ def test_apply_delta_rejects_schema_change(spark, tmp_store):
 def test_bad_policy_rejected(spark, tmp_store):
     with pytest.raises(ValueError, match="schema_change_policy"):
         CdcEngine(tmp_store, schema_change_policy="yolo")
+
+
+def test_has_scores_table_evolution_recomputes_and_keeps_scores(
+    spark, tmp_store, sf_dir
+):
+    """A score-bearing table crossing the boundary: computed score_
+    columns are NOT part of the fingerprint basis (classify_df), the
+    delta re-derives them, and surviving rows keep theirs through the
+    alignment — replica data ≡ source, score columns present and
+    finite for mutated AND kept rows."""
+    from updater_spark import demo
+    from updater_spark.functions.scores import apply_score_overall, apply_scores
+    from updater_spark.schema import TableSpec
+
+    players = demo.player_shaped(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ).limit(200)
+    spec = TableSpec("player_evo", "id", has_scores=True)
+    eng = CdcEngine(tmp_store, schema_change_policy="rebase")
+    eng.update(spec, players)
+    base_cols = players.columns
+
+    # boundary: add a non-score data column + mutate a stat that feeds
+    # score_stats for ids % 11 == 0
+    src2 = players.select(
+        *base_cols,
+        (F.col("id") % 3).cast("long").alias("region_tag"),
+    ).withColumn(
+        "cheese_gathered",
+        F.when(
+            F.col("id") % 11 == 0, F.col("cheese_gathered") + 500
+        ).otherwise(F.col("cheese_gathered")),
+    )
+    stats = eng.update(spec, src2)
+    assert stats.extra["schema_change"]["added"] == ["region_tag"]
+    assert 0 < stats.upserts < 200  # churn stayed proportional
+
+    rep = tmp_store.read("player_evo")
+    assert "region_tag" in rep.columns and "score_stats" in rep.columns
+    # replica data columns == source (modulo computed columns)
+    want = sorted(tuple(r) for r in src2.select(*src2.columns).collect())
+    got = sorted(tuple(r) for r in rep.select(*src2.columns).collect())
+    assert got == want
+    # scores: mutated rows carry RE-DERIVED scores, kept rows carry
+    # their originals — both equal a fresh computation on src2
+    fresh = apply_score_overall(apply_scores(src2))
+    want_scores = sorted(
+        tuple(r)
+        for r in fresh.select("id", "score_stats", "score_overall").collect()
+    )
+    got_scores = sorted(
+        tuple(r)
+        for r in rep.select("id", "score_stats", "score_overall").collect()
+    )
+    assert got_scores == want_scores
+
+
+def test_dedup_index_consistent_across_boundary_epoch(
+    spark, tmp_store, sf_dir
+):
+    """Composition: a downstream incremental dedup index fed by
+    apply_cdc_epoch stays replica-consistent across a schema-change
+    epoch. Under rebase with an untouched text column, the boundary
+    delta carries ONLY real churn — the index does not re-sign the
+    corpus just because a metadata column appeared."""
+    from updater_spark.operators.dedup_index import (
+        DedupIndex,
+        apply_cdc_epoch,
+    )
+    from updater_spark.schema import TableSpec
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .limit(120)
+    )
+    spec = TableSpec("docs_evo", "doc_id")
+    eng = CdcEngine(tmp_store, schema_change_policy="rebase")
+    eng.update(spec, docs)
+    idx = DedupIndex(tmp_store, "devo")
+    apply_cdc_epoch(idx, tmp_store, "docs_evo", "doc_id", "text").count()
+    sigs_before = idx.signatures().count()
+
+    # boundary epoch: add a quality column, touch NO text, delete 3
+    src2 = docs.filter(F.col("doc_id") % 40 != 0).withColumn(
+        "quality", (F.col("doc_id") % 5).cast("long")
+    )
+    stats = eng.update(spec, src2)
+    assert stats.extra["schema_change"]["added"] == ["quality"]
+    n_del = stats.deletes
+    assert stats.upserts == 0 and n_del > 0  # no text churned
+    apply_cdc_epoch(idx, tmp_store, "docs_evo", "doc_id", "text").count()
+    # the index mirrors the replica exactly: only the deletes left
+    assert idx.signatures().count() == sigs_before - n_del
+    assert idx.signatures().count() == tmp_store.read("docs_evo").count()
