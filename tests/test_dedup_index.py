@@ -1,6 +1,7 @@
 """Incremental dedup index: cross-run pair parity with the one-shot
 scan, re-ingest replacement, deletes."""
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -204,3 +205,58 @@ def test_occupancy_and_needs_retrain(spark, sf_dir, tmp_store):
     empty.bootstrap(docs.limit(0), "doc_id", "text")
     z = empty.occupancy()
     assert z["n_buckets"] == 0 and empty.needs_retrain() is False
+
+
+def test_reband_equals_fresh_bootstrap(spark, sf_dir, tmp_store):
+    """reband() from STORED signatures must land on exactly the state
+    (band table + one-shot candidates) of a fresh index built at the
+    new parameters — and it must not touch document text (the sigs
+    are the only input)."""
+    docs, copies = _corpus(spark, sf_dir)
+    corpus = docs.unionByName(copies)
+
+    idx = DedupIndex(tmp_store, "rb", num_hashes=64, bands=16)
+    idx.bootstrap(corpus, "doc_id", "text")
+    pairs = _pairs_set(idx.reband(bands=8))
+    assert idx.bands == 8
+
+    fresh = DedupIndex(tmp_store, "rb_fresh", num_hashes=64, bands=8)
+    want = _pairs_set(fresh.bootstrap(corpus, "doc_id", "text"))
+    assert pairs == want and len(want) > 0
+    got_bands = sorted(
+        tuple(r) for r in tmp_store.read("rb_bands").collect()
+    )
+    want_bands = sorted(
+        tuple(r) for r in tmp_store.read("rb_fresh_bands").collect()
+    )
+    assert got_bands == want_bands
+    # subsequent incremental updates run under the new banding
+    extra = docs.limit(5).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    p2 = idx.update(extra, "doc_id", "text")
+    assert p2.count() >= 5  # the re-texted copies pair with originals
+
+    with pytest.raises(ValueError, match="must divide"):
+        idx.reband(bands=7)
+
+
+def test_maybe_reband_measure_act(spark, sf_dir, tmp_store):
+    docs, _ = _corpus(spark, sf_dir)
+    idx = DedupIndex(tmp_store, "mrb", max_bucket=200)
+    idx.bootstrap(docs, "doc_id", "text")
+    quiet = idx.maybe_reband(bands=8)
+    assert quiet["rebanded"] is False and idx.bands == 16
+
+    one = docs.limit(1)
+    clones = (
+        one.crossJoin(spark.range(300).select(F.col("id").alias("_k")))
+        .select(
+            (F.col("doc_id") + 500_000 + F.col("_k")).alias("doc_id"),
+            "text",
+        )
+    )
+    idx.update(clones, "doc_id", "text")
+    acted = idx.maybe_reband(max_bucket=400)
+    assert acted["rebanded"] is True and idx.max_bucket == 400
+    assert "pairs" in acted and acted["pairs"].count() > 0

@@ -239,6 +239,70 @@ class DedupIndex:
             or stats["imbalance"] > max_imbalance
         )
 
+    def reband(
+        self, bands: int | None = None, max_bucket: int | None = None
+    ) -> DataFrame:
+        """The ``needs_retrain`` ACTUATOR — the DedupIndex twin of the
+        ANN indexes' ``retrain``: rebuild the band table from the
+        STORED signatures with new banding parameters. Signatures are
+        band-independent, so this is one scan over the sigs table —
+        no re-sign, no access to document text (the property that
+        makes it cheap at 100 TB: O(corpus) narrow rows rewritten,
+        zero shingling/hashing work).
+
+        Knobs and their physics: FEWER ``bands`` → longer band rows →
+        stricter collisions → smaller buckets (the fix when
+        ``capped_row_fraction`` tripped on a hot near-dup corpus) at
+        lower recall; MORE bands → higher recall at bigger buckets.
+        Exact clones collide in every band regardless — those belong
+        to exact dedup, which is why ``max_bucket`` (also adjustable
+        here) remains the guard.
+
+        Returns the FULL one-shot candidate set of the stored corpus
+        under the NEW banding — which REPLACES the consumer's
+        accumulated pair feed, exactly ``SemanticIndex.retrain``'s
+        contract: banding moved, so previously-emitted candidates are
+        neither a subset nor a superset of what the new parameters
+        would emit."""
+        if bands is not None:
+            if self.num_hashes % bands != 0:
+                raise ValueError(
+                    f"bands={bands} must divide num_hashes="
+                    f"{self.num_hashes}"
+                )
+            self.bands = bands
+        if max_bucket is not None:
+            self.max_bucket = max_bucket
+        self.store.write(
+            self._bands_name, band_hashes(self.signatures(), self.bands)
+        )
+        return lsh_candidate_pairs(
+            self.signatures(), self.bands, self.max_bucket
+        )
+
+    def maybe_reband(
+        self,
+        bands: int | None = None,
+        max_bucket: int | None = None,
+        max_capped_fraction: float = 0.05,
+        max_imbalance: float = 8.0,
+    ) -> dict:
+        """Measure → act: reband only when the advisory trips (same
+        shape as ``SemanticIndex.maybe_compact``/``maybe_retrain``).
+        Returns the pre-act stats plus ``{"rebanded": bool}``; when it
+        acted, the caller must REPLACE its pair feed with
+        ``self.reband``'s return — so the acted branch also carries
+        ``"pairs"`` (the new one-shot candidate plan)."""
+        stats = self.occupancy()
+        trip = bool(stats["n_buckets"]) and (
+            stats["capped_row_fraction"] > max_capped_fraction
+            or stats["imbalance"] > max_imbalance
+        )
+        if not trip:
+            return {"rebanded": False, **stats}
+        pairs = self.reband(bands=bands, max_bucket=max_bucket)
+        return {"rebanded": True, "pairs": pairs, **stats}
+
     def remove(self, ids: DataFrame) -> None:
         """Drop documents (e.g. CDC deletes) from the index state."""
         ids = ids.toDF("id")
