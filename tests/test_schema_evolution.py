@@ -328,3 +328,59 @@ def test_dedup_index_consistent_across_boundary_epoch(
     # the index mirrors the replica exactly: only the deletes left
     assert idx.signatures().count() == sigs_before - n_del
     assert idx.signatures().count() == tmp_store.read("docs_evo").count()
+
+
+def test_simultaneous_add_and_drop_rebase(spark, tmp_store):
+    """Both directions in one epoch: drop `name`, add `tier` — the
+    diff runs over the surviving common columns (id, bal), the
+    replica-side hashes rebase (cached ones cover the dropped col),
+    and the backfill attaches `tier` to every surviving row."""
+    eng = CdcEngine(tmp_store, schema_change_policy="rebase")
+    eng.update(SPEC, spark.createDataFrame(base_rows()))
+    src2 = spark.createDataFrame(
+        [
+            Row(
+                id=r.id,
+                bal=r.bal + (50 if r.id % 13 == 0 else 0),
+                tier="g" if r.id % 2 == 0 else "b",
+            )
+            for r in base_rows()
+        ]
+    )
+    stats = eng.update(SPEC, src2)
+    ev = stats.extra["schema_change"]
+    assert ev["added"] == ["tier"] and ev["dropped"] == ["name"]
+    assert stats.upserts == 3  # ids 13, 26, 39 — bal churn only
+    assert tmp_store.read("acct").columns == ["id", "bal", "tier"]
+    assert _sorted(tmp_store.read("acct")) == _sorted(src2)
+    # next epoch plain incremental under the new basis
+    src3 = src2.withColumn(
+        "tier", F.when(F.col("id") == 6, F.lit("x")).otherwise(F.col("tier"))
+    )
+    stats3 = eng.update(SPEC, src3)
+    assert stats3.extra == {} and stats3.updates == 1
+    assert _sorted(tmp_store.read("acct")) == _sorted(src3)
+
+
+def test_evolution_with_bucketed_fingerprint_cache(spark, tmp_store):
+    """The double-buffered bucketed hash cache composes with the
+    boundary epoch: basis sidecars live next to the logical fp table
+    name, rotation lands in the other buffer, next epoch diffs
+    shuffle-free again."""
+    eng = CdcEngine(
+        tmp_store, schema_change_policy="rebase", fingerprint_buckets=4
+    )
+    eng.update(SPEC, spark.createDataFrame(base_rows()))
+    src2 = _evolve_add(spark, mutate_ids={5}, delete_ids=set())
+    stats = eng.update(SPEC, src2)
+    assert stats.extra["schema_change"]["added"] == ["tier"]
+    assert stats.upserts == 2 and stats.updates == 1
+    assert _sorted(tmp_store.read("acct")) == _sorted(src2)
+    src3 = src2.withColumn(
+        "bal", F.when(F.col("id") == 8, F.lit(1)).otherwise(F.col("bal"))
+    )
+    stats3 = eng.update(SPEC, src3)
+    assert stats3.extra == {} and stats3.updates == 1
+    assert _sorted(tmp_store.read("acct")) == _sorted(src3)
+    for buf in (0, 1):
+        spark.sql(f"DROP TABLE IF EXISTS acct__fingerprints__buf{buf}")
