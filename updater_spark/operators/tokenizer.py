@@ -325,8 +325,17 @@ def _bpe_word(w: Column, ranks: Column, max_word_len: int) -> Column:
         )
 
     chars = F.filter(F.split(w, ""), lambda x: F.length(x) > 0)
+    # each merge shrinks the array by one, so length(w) - 1 steps
+    # reach any word's fixed point — folding a constant
+    # max_word_len - 1 steps instead wastes ~4/5 of the steps on the
+    # no-candidate WHEN branch for typical words (measured 16.6s →
+    # ~4s on the sf0.1 corpus; the same bound trick as the wordpiece
+    # fold). The data-side truncation to max_word_len stays — the SQL
+    # oracle's recursion is unbounded either way.
     return F.aggregate(
-        F.sequence(F.lit(1), F.lit(max(max_word_len - 1, 1))), chars, step
+        F.sequence(F.lit(1), F.greatest(F.length(w) - 1, F.lit(1))),
+        chars,
+        step,
     )
 
 
