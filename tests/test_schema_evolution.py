@@ -384,3 +384,32 @@ def test_evolution_with_bucketed_fingerprint_cache(spark, tmp_store):
     assert _sorted(tmp_store.read("acct")) == _sorted(src3)
     for buf in (0, 1):
         spark.sql(f"DROP TABLE IF EXISTS acct__fingerprints__buf{buf}")
+
+
+def test_full_churn_hash_coincident_survivor_still_backfills(
+    spark, tmp_store
+):
+    """full_churn reclassifies by HASH over the rendered fingerprint
+    concat — a row whose rendering COINCIDES across the two bases
+    (drop `name`, add `tier` with the same value: 'id'||'x' both
+    ways, the degenerate class MySQL's CRC32(CONCAT_WS) shares) rides
+    the kept path instead of the delta. It must still gain the
+    source's added-column value through the backfill join, not a
+    NULL, and lose the dropped column."""
+    eng = CdcEngine(tmp_store)  # full_churn default
+    eng.update(
+        SPEC,
+        spark.createDataFrame(
+            [Row(id=1, name="x"), Row(id=2, name="y")]
+        ),
+    )
+    src2 = spark.createDataFrame(
+        [Row(id=1, tier="x"), Row(id=2, tier="z")]
+    )
+    stats = eng.update(SPEC, src2)
+    ev = stats.extra["schema_change"]
+    assert ev["added"] == ["tier"] and ev["dropped"] == ["name"]
+    # id 1 coincided (concat '1x' under both bases) -> kept path;
+    # id 2 differed -> delta
+    assert stats.updates == 1 and stats.upserts == 1
+    assert _sorted(tmp_store.read("acct")) == _sorted(src2)

@@ -699,14 +699,20 @@ class CdcEngine:
         does (its write set is re-read from ``information_schema``
         every run, table.py:66-91).
 
-        Under ``"rebase"`` with added columns the survivors' new
-        values come from a narrow ``(pk, added...)`` source projection
-        joined onto the kept rows: every row must gain the value, but
-        only pk+added travel through the join — at 100 TB that is a
-        narrow-column shuffle against the replica, not a full-width
-        re-fetch. (Under ``"full_churn"`` there are no surviving
-        source rows — everything re-arrived through the delta — so
-        the backfill never fires.)"""
+        With added columns the survivors' new values come from a
+        narrow ``(pk, added...)`` source projection joined onto the
+        kept rows: every row must gain the value, but only pk+added
+        travel through the join — at 100 TB that is a narrow-column
+        shuffle against the replica, not a full-width re-fetch. The
+        backfill runs under BOTH policies: under ``"full_churn"``
+        kept is normally empty (everything re-arrived through the
+        delta), but a surviving row whose rendered fingerprint concat
+        COINCIDES across the two bases (e.g. column sets ``[a]`` vs
+        ``[b]`` with equal values — the same degenerate class MySQL's
+        ``CRC32(CONCAT_WS)`` has) rides the kept path and must still
+        gain the source's value, not a NULL; guard-skipped
+        replica-only rows are not in the source and read NULL from
+        the left join either way."""
         pk = spec.primary_key
         kept = old.join(
             _maybe_broadcast(delta.select(pk).distinct(), hint), pk, "anti"
@@ -716,7 +722,7 @@ class CdcEngine:
                 _maybe_broadcast(delete_keys.distinct(), del_hint), pk, "anti"
             )
         added = [c for c in evolution["added"] if c not in old.columns]
-        if added and self.schema_change_policy == "rebase":
+        if added:
             kept = kept.join(source.select(pk, *added), pk, "left")
         kept = align_to_schema(kept, delta.schema)
         return kept.unionByName(delta)
