@@ -2573,6 +2573,33 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_text(docs, chunk_tokens=64, stride=48)
 
 
+def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination (operators/decontam.py::
+    semantic_contamination): every corpus embedding's max cosine
+    against a small benchmark set — one mapInPandas GEMM per Arrow
+    batch against closure-shipped benchmark unit vectors, zero
+    shuffles, exact max. Catches the paraphrase-level leaks the
+    13-gram probe cannot (rephrased eval rows share no long n-gram
+    but embed adjacent — Yang et al. 2023). Planted near-copies of
+    half the benchmark (direction-preserving rescale, cos = 1.0)
+    must flag; the oracle replays the max-cosine scan as a plain
+    cross-join aggregate."""
+    from updater_spark.operators.decontam import semantic_contamination
+
+    emb = demo.load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bench = emb.filter(F.col("vec_id") % 37 == 3)
+    planted = bench.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.01).alias("v"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 37 != 3).unionByName(planted)
+    return semantic_contamination(
+        corpus, bench, "vec_id", "v", threshold=0.95
+    )
+
+
 def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination — identical output to
     q_decontam_ngram (shares its oracle) through a different scale
@@ -3748,6 +3775,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_replay": q_cdc_schema_replay,
         "bpe_tokens": q_bpe_tokens,
         "wordpiece_tokens_8k": q_wordpiece_tokens_8k,
+        "decontam_semantic": q_decontam_semantic,
         # --- code changed in r7 after their last hard row ---
         "wordpiece_tokens": q_wordpiece_tokens,
         "changelog_replay": q_changelog_replay,
@@ -6125,6 +6153,35 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
                    COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
             FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        "decontam_semantic": """
+            WITH bench AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id % 37 = 3
+            ),
+            planted AS (
+                SELECT vec_id + 1000000 AS vec_id,
+                       list_transform(v, x -> x * 1.01) AS v
+                FROM bench WHERE vec_id % 2 = 1
+            ),
+            corpus AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id % 37 <> 3
+                UNION ALL
+                SELECT * FROM planted
+            ),
+            sims AS (
+                SELECT c.vec_id,
+                       round(max(
+                           list_inner_product(c.v, b.v)
+                           / (sqrt(list_inner_product(c.v, c.v))
+                              * sqrt(list_inner_product(b.v, b.v)))
+                       ), 4) AS max_sim
+                FROM corpus c CROSS JOIN bench b
+                GROUP BY c.vec_id
+            )
+            SELECT vec_id, max_sim, max_sim >= 0.95 AS contaminated
+            FROM sims
         """,
         "corpus_quantiles": """
             SELECT source,

@@ -1991,19 +1991,110 @@ def wordpiece_probe(n: int, vocab_size: int = 0) -> None:
         ("catalyst", wordpiece_tokenize),
         ("arrow", wordpiece_tokenize_arrow),
     ):
-        t0 = time.time()
-        out = fn(docs, "text", vocab)
-        agg = out.agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum("n_pieces").alias("pieces"),
-        ).collect()[0]
-        wall = round(time.time() - t0, 3)
-        report[f"wordpiece_{label}"] = {
-            "wall_sec": wall,
-            "total_pieces": int(agg["pieces"]),
-            "docs_per_sec": int(n / wall),
-            "pieces_per_sec": int(agg["pieces"] / wall),
-        }
+        _measure_tok(report, docs, n, label, fn, vocab)
+    print(json.dumps(report))
+
+
+def _measure_tok(report, docs, n, label, fn, table) -> None:
+    t0 = time.time()
+    out = fn(docs, "text", table)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_pieces").alias("pieces"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 3)
+    report[label] = {
+        "wall_sec": wall,
+        "total_pieces": int(agg["pieces"]),
+        "docs_per_sec": int(n / wall),
+        "pieces_per_sec": int(agg["pieces"] / wall),
+    }
+
+
+def bpe_probe(n: int, n_merges: int = 0) -> None:
+    """Merge-ordered BPE throughput on the same synthetic corpus as
+    the wordpiece probe: both engines against the 25-merge demo table
+    or a synthetic ``n_merges``-sized one (ranked 2-gram..4-gram
+    chains — the well-formed-table shape). The Catalyst fold's pair
+    search probes a literal rank map linearly (|merges| per probe),
+    so the arrow twin is the deploy path at production merge tables —
+    this probe measures where that crossover sits. Usage:
+    ``python bench_scale.py 500000 bpe [n_merges]``."""
+    from updater_spark.operators.tokenizer import (
+        bpe_tokenize,
+        bpe_tokenize_arrow,
+    )
+
+    spark = get_spark("bench_scale_bpe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if n_merges:
+        # hex corpus: after [a-z ] normalization words are a-f only —
+        # generate level-by-level chains over that alphabet (all
+        # letter pairs, then (pair, letter), then (triple, letter)…)
+        # so every composite's creating merge precedes its uses
+        # (well-formed table) and merges actually FIRE on the corpus
+        import itertools
+
+        letters = list("abcdef")
+        merges, level = [], ["".join(p) for p in itertools.product(letters, repeat=1)]
+        while len(merges) < n_merges:
+            nxt = []
+            for a in level:
+                for b in letters:
+                    merges.append((a, b))
+                    nxt.append(a + b)
+                    if len(merges) >= n_merges:
+                        break
+                if len(merges) >= n_merges:
+                    break
+            level = nxt
+    else:
+        merges = [
+            ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+            ("s", "c"), ("sc", "a"), ("sca", "n"), ("v", "a"),
+            ("va", "l"), ("val", "u"), ("valu", "e"), ("s", "t"),
+            ("st", "r"), ("e", "r"), ("o", "r"), ("or", "d"),
+            ("ord", "er"), ("r", "o"), ("ro", "w"), ("d", "a"),
+            ("da", "ta"), ("t", "h"), ("th", "e"), ("f", "a"),
+            ("fa", "st"),
+        ]
+    docs = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(12)),
+                    lambda i: F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("_"),
+                            i.cast("string"),
+                        ).cast("binary")
+                    ).substr(
+                        F.lit(1),
+                        (
+                            F.lit(4)
+                            + F.pmod(
+                                F.xxhash64(F.col("doc_id"), i, F.lit(3)),
+                                F.lit(9),
+                            )
+                        ).cast("int"),
+                    ),
+                ),
+                " ",
+            ),
+        )
+        .persist()
+    )
+    docs.count()
+    report = {"n_docs": n, "n_merges": len(merges)}
+    for label, fn in (
+        ("bpe_catalyst", bpe_tokenize),
+        ("bpe_arrow", bpe_tokenize_arrow),
+    ):
+        _measure_tok(report, docs, n, label, fn, merges)
     print(json.dumps(report))
 
 
@@ -2192,6 +2283,8 @@ if __name__ == "__main__":
         schemaevo_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "fuzzyjoin":
         fuzzyjoin_probe(_n, int(sys.argv[3]) if len(sys.argv) > 3 else 4)
+    elif len(sys.argv) > 2 and sys.argv[2] == "bpe":
+        bpe_probe(_n, int(sys.argv[3]) if len(sys.argv) > 3 else 0)
     elif len(sys.argv) > 2 and sys.argv[2] == "wordpiece":
         wordpiece_probe(
             _n, int(sys.argv[3]) if len(sys.argv) > 3 else 0

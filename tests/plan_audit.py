@@ -185,6 +185,12 @@ CHECKS = {
         "pruning gets both dimensions; file-count evidence lives in "
         "tests/test_zorder.py and the 20M probe."
     ),
+    "decontam_semantic": (
+        "one MapInPandas over one corpus scan, zero Exchanges, zero "
+        "joins — the benchmark's unit vectors ride the task closure "
+        "(max_benchmark-guarded) and each Arrow batch pays one "
+        "|batch|×|benchmark| GEMM; embarrassingly parallel at 100 TB."
+    ),
     "bpe_tokens": (
         "zero Exchanges, zero joins, no Python — the merge loop is a "
         "runtime fold whose per-step best-pair search probes a "

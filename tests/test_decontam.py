@@ -1,6 +1,7 @@
 """Decontamination + grouped quantiles vs Python oracles."""
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from updater_spark.operators.decontam import contamination, decontaminate
 
@@ -141,3 +142,83 @@ def test_bloom_parameter_validation(spark):
         contamination_bloom(
             corpus, bench, "doc_id", "text", n=2, num_probes=0
         )
+
+
+def test_semantic_contamination_flags_and_values(spark):
+    import math
+
+    import numpy as np
+    import pytest
+
+    from updater_spark.operators.decontam import semantic_contamination
+
+    rng = np.random.RandomState(11)
+    bench_vecs = rng.randn(6, 8)
+    far_vecs = rng.randn(10, 8) * 0.5 - 3.0  # shifted cluster
+    bench = spark.createDataFrame(
+        [Row(vec_id=i, v=[float(x) for x in bench_vecs[i]]) for i in range(6)]
+    )
+    corpus_rows = (
+        # exact rescales of bench rows: cos == 1.0 -> contaminated
+        [
+            Row(vec_id=100 + i, v=[float(x) * 2.5 for x in bench_vecs[i]])
+            for i in range(3)
+        ]
+        # tiny direction nudge: still >= 0.95
+        + [
+            Row(
+                vec_id=200,
+                v=[float(x) + 0.01 for x in bench_vecs[3]],
+            )
+        ]
+        + [
+            Row(vec_id=300 + i, v=[float(x) for x in far_vecs[i]])
+            for i in range(10)
+        ]
+    )
+    corpus = spark.createDataFrame(corpus_rows)
+    got = {
+        r["vec_id"]: (r["max_sim"], r["contaminated"])
+        for r in semantic_contamination(
+            corpus, bench, "vec_id", "v", threshold=0.95
+        ).collect()
+    }
+    assert len(got) == len(corpus_rows)
+    for i in range(3):
+        assert got[100 + i] == (1.0, True)
+    assert got[200][1] is True
+
+    # numpy reference for every value
+    bn = bench_vecs / np.linalg.norm(bench_vecs, axis=1, keepdims=True)
+    for r in corpus_rows:
+        c = np.asarray(r.v)
+        c = c / np.linalg.norm(c)
+        want = round(float((c @ bn.T).max()), 4)
+        assert math.isclose(got[r.vec_id][0], want, abs_tol=1e-9)
+        assert got[r.vec_id][1] == (want >= 0.95)
+
+
+def test_semantic_contamination_guards(spark):
+    import pytest
+
+    from updater_spark.operators.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame([Row(vec_id=1, v=[1.0, 0.0])])
+    big_bench = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("v"),
+    )
+    with pytest.raises(ValueError, match="max_benchmark"):
+        semantic_contamination(
+            corpus, big_bench, "vec_id", "v", max_benchmark=5
+        )
+    with pytest.raises(ValueError, match="empty"):
+        semantic_contamination(
+            corpus, big_bench.limit(0), "vec_id", "v"
+        )
+    # zero vectors must not NaN out the scan
+    zc = spark.createDataFrame([Row(vec_id=9, v=[0.0, 0.0])])
+    row = semantic_contamination(
+        zc, big_bench.limit(3), "vec_id", "v"
+    ).collect()[0]
+    assert row["max_sim"] == 0.0 and row["contaminated"] is False

@@ -232,3 +232,78 @@ def contamination_bloom(
         "n_hit_grams",
         (F.col("n_hit_grams") > 0).alias("contaminated"),
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bench_vec_col: str | None = None,
+    threshold: float = 0.95,
+    max_benchmark: int = 100_000,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-level contamination: flag corpus documents whose
+    embedding sits within cosine ``threshold`` of ANY benchmark
+    embedding — the paraphrase-level leak the n-gram ``contamination``
+    probe cannot see (a rephrased eval question shares no 13-gram
+    with its source but embeds next to it; Yang et al. 2023,
+    "Rethinking Benchmark and Contamination for Language Models with
+    Rephrased Samples"). The two probes compose: n-gram catches
+    verbatim inclusion cheaply, this catches the rewrites.
+
+    Returns ``(id_col, max_sim, contaminated)`` for every corpus doc:
+    the rounded max cosine against the benchmark set and the flag.
+
+    Scale shape (same stance as the n-gram probe): eval suites are
+    SMALL by construction, so the benchmark's unit vectors ride the
+    task closure (guarded by ``max_benchmark`` — the delete-guard
+    discipline, loud instead of silently collecting a corpus) and the
+    corpus is never shuffled: one ``mapInPandas`` scan, one
+    |batch|×|benchmark| GEMM per Arrow batch (the
+    ``streaming/semantic_stream.arrow_cell_assign`` shape), exact max
+    — no index, no recall trade. At 100 TB this is embarrassingly
+    parallel: zero exchanges, benchmark bytes shipped once per task.
+    """
+    import numpy as np
+
+    bench_vec_col = bench_vec_col or vec_col
+    rows = (
+        benchmark.select(bench_vec_col).limit(max_benchmark + 1).collect()
+    )
+    if len(rows) > max_benchmark:
+        raise ValueError(
+            f"benchmark exceeds max_benchmark={max_benchmark}; a "
+            "benchmark this large would broadcast like a corpus — "
+            "raise the guard only if the closure size is acceptable"
+        )
+    if not rows:
+        raise ValueError("benchmark is empty; nothing to probe against")
+    bench = np.asarray([r[0] for r in rows], dtype=np.float64)
+    bn = np.linalg.norm(bench, axis=1, keepdims=True)
+    bench = bench / np.where(bn == 0.0, 1.0, bn)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(c, axis=1, keepdims=True)
+            c = c / np.where(cn == 0.0, 1.0, cn)
+            mx = np.round((c @ bench.T).max(axis=1), round_digits)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "max_sim": mx,
+                    "contaminated": mx >= threshold,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        probe,
+        schema=f"{id_col} {id_type}, max_sim double, contaminated boolean",
+    )
