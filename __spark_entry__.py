@@ -2350,6 +2350,50 @@ def q_streaming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN search (operators/ann_index.py::IvfIndex.search
+    with a metadata predicate) — the constraint every vector store
+    offers: exact top-k among rows matching `vec_id % 3 == 1`, ranked
+    only within the probed cells. Pre-filtering applies INSIDE the
+    probe-pruned partition scan (never a corpus shuffle); the probe
+    set still comes from the unfiltered centroid geometry, so the
+    oracle is the standard IVF replay with the predicate on the
+    candidate side."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.ann_index import IvfIndex
+    from updater_spark.sources.store import TableStore
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent_rows = (
+        base.filter(F.col("vec_id") % 31 == 5)
+        .orderBy("vec_id")
+        .limit(32)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    root = tempfile.mkdtemp(prefix="ann_filtered_")
+    try:
+        idx = IvfIndex(TableStore(spark, os.path.join(root, "store")), "emb")
+        idx.bootstrap(base, centroids)
+        queries_df = base.filter(F.col("vec_id") % 25 == 0)
+        out = idx.search(
+            queries_df,
+            k=5,
+            nprobe=4,
+            where=F.col("vec_id") % 3 == 1,
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_semantic_dedup_lsm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic_dedup_incremental's epochs through the APPEND-LOG
     maintenance layout (``SemanticIndex(append_log=True)``, arrow
@@ -3776,6 +3820,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "wordpiece_tokens_8k": q_wordpiece_tokens_8k,
         "decontam_semantic": q_decontam_semantic,
+        "ann_ivf_filtered": q_ann_ivf_filtered,
         # --- code changed in r7 after their last hard row ---
         "wordpiece_tokens": q_wordpiece_tokens,
         "changelog_replay": q_changelog_replay,
@@ -4359,6 +4404,12 @@ def _generated_oracles() -> dict[str, str]:
         "ann_lsh_topk": ann_lsh_sql,
         "ann_lsh_multiprobe": ann_lsh_mp_sql,
         "ann_ivf_topk": ann_ivf_sql,
+        # filtered search: identical IVF replay with the metadata
+        # predicate on the CANDIDATE side only (probes unfiltered)
+        "ann_ivf_filtered": ann_ivf_sql.replace(
+            "WHERE p.query_id <> a.vec_id",
+            "WHERE p.query_id <> a.vec_id AND a.vec_id % 3 = 1",
+        ),
         # the stored-index search must land on the identical result
         "ann_ivf_indexed": ann_ivf_sql,
         "ann_index_maintained": ann_maint_sql,

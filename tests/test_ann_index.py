@@ -284,3 +284,34 @@ def test_occupancy_telemetry_and_retrain_trigger(spark, corpus, tmp_store):
     ividx.bootstrap(df, cents)
     sv = ividx.occupancy()
     assert sv["total_rows"] == 120 and sv["n_cells"] == s0["n_cells"]
+
+
+def test_filtered_search_equals_index_over_filtered_corpus(
+    spark, corpus, tmp_store
+):
+    """Pre-filtered search must equal searching an index built over
+    the PRE-FILTERED corpus: cell assignment is per-row (same
+    centroids → same cell for every surviving row), so the filter
+    commutes with indexing — `where` and `allowed` are just cheaper
+    ways to get there, applied inside the probe-pruned scan."""
+    df, vecs = corpus
+    cents = _cents(vecs, range(0, 40, 5))
+    pred = F.col("vec_id") % 3 == 1
+
+    idx = IvfIndex(tmp_store, "flt")
+    idx.bootstrap(df, cents)
+    ref = IvfIndex(tmp_store, "flt_ref")
+    ref.bootstrap(df.filter(pred), cents)
+
+    qs = df.filter(F.col("vec_id") % 20 == 0)
+    want = _sorted(ref.search(qs, k=4, nprobe=3))
+    assert len(want) > 0
+    got_where = _sorted(idx.search(qs, k=4, nprobe=3, where=pred))
+    assert got_where == want
+    allowed = df.filter(pred).select("vec_id")
+    got_allowed = _sorted(idx.search(qs, k=4, nprobe=3, allowed=allowed))
+    assert got_allowed == want
+    # every neighbor satisfies the predicate
+    assert all(nb % 3 == 1 for _, nb, _s, _r in got_where)
+    # unfiltered search differs (the filter is load-bearing)
+    assert _sorted(idx.search(qs, k=4, nprobe=3)) != want

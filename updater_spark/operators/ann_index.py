@@ -393,7 +393,14 @@ class IvfIndex:
         )
 
     # -- search --------------------------------------------------------
-    def search(self, queries: DataFrame, k: int = 5, nprobe: int = 4) -> DataFrame:
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+        where=None,
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
         """Top-k over the stored index. Centroids come FROM the index
         (self-describing) — caller cannot desynchronize them. The
         partitioned cell read carries no column metadata, so the
@@ -402,9 +409,34 @@ class IvfIndex:
         cells table's identity SIDECAR must match the promoted
         codebook (``_check_identity``) — the pair of checks catches
         both a caller-side stale codebook and a codebook/cells restore
-        or crashed-bootstrap skew."""
+        or crashed-bootstrap skew.
+
+        FILTERED search (the metadata-constraint every vector store
+        offers): ``where`` is a Column predicate over the index's own
+        columns, ``allowed`` a DataFrame of permitted ids (the shape
+        for predicates living on an external metadata table — the
+        caller evaluates them there and passes the id set). Both
+        restrict the CANDIDATE rows before ranking — pre-filtering,
+        so the result is the exact top-k among matching rows *within
+        the probed cells*: the probe set still comes from the
+        unfiltered centroid geometry, so a highly selective filter
+        can leave fewer than k matches in ``nprobe`` cells — raise
+        ``nprobe`` for selective filters (the standard IVF
+        filtered-search recall trade). Cost shape is unchanged: the
+        predicate/semi-join applies inside the probe-pruned
+        partition scan, never a corpus shuffle."""
         self._check_identity()
         stored = self.store.read_partitioned(self._cells)
+        if where is not None:
+            stored = stored.filter(where)
+        if allowed is not None:
+            stored = stored.join(
+                allowed.select(
+                    F.col(allowed.columns[0]).alias(self.id_col)
+                ).distinct(),
+                self.id_col,
+                "semi",
+            )
         return ivf_topk(
             stored,
             queries,
