@@ -206,6 +206,10 @@ def run(only: list[str] | None = None) -> None:
 if __name__ == "__main__":
     argv = sys.argv[1:]
     if argv and argv[0] == "--only":
+        if not argv[1:]:
+            # an empty list would fall through to the FULL run — the
+            # opposite of the requested isolation
+            raise SystemExit("--only requires at least one query name")
         run(only=argv[1:])
     else:
         run()

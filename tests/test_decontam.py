@@ -222,3 +222,23 @@ def test_semantic_contamination_guards(spark):
         zc, big_bench.limit(3), "vec_id", "v"
     ).collect()[0]
     assert row["max_sim"] == 0.0 and row["contaminated"] is False
+
+
+def test_semantic_contamination_names_bad_vectors(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    from updater_spark.operators.decontam import semantic_contamination
+
+    bench = spark.createDataFrame([Row(vec_id=1, v=[1.0, 0.0])])
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None), (12, [1.0, 0.0, 5.0])], schema
+    )
+    with pytest.raises(Exception, match="NULL or wrong-dimension"):
+        semantic_contamination(corpus, bench, "vec_id", "v").collect()

@@ -260,3 +260,27 @@ def test_maybe_reband_measure_act(spark, sf_dir, tmp_store):
     acted = idx.maybe_reband(max_bucket=400)
     assert acted["rebanded"] is True and idx.max_bucket == 400
     assert "pairs" in acted and acted["pairs"].count() > 0
+
+
+def test_param_identity_guard(spark, sf_dir, tmp_store):
+    """An instance constructed with parameters that differ from the
+    stored state's (e.g. after a reband, or just a config drift) must
+    fail loudly — probing 4-hash band slices against an 8-hash band
+    table silently finds nothing, the exact recall loss the telemetry
+    exists to catch."""
+    docs, _ = _corpus(spark, sf_dir)
+    idx = DedupIndex(tmp_store, "pg", num_hashes=64, bands=16)
+    idx.bootstrap(docs, "doc_id", "text")
+    idx.reband(bands=8)
+
+    stale = DedupIndex(tmp_store, "pg", num_hashes=64, bands=16)
+    extra = docs.limit(3).select(
+        (F.col("doc_id") + 77_000).alias("doc_id"), "text"
+    )
+    with pytest.raises(ValueError, match="construct DedupIndex"):
+        stale.update(extra, "doc_id", "text")
+    with pytest.raises(ValueError, match="construct DedupIndex"):
+        stale.occupancy()
+    # matching construction proceeds
+    fresh = DedupIndex(tmp_store, "pg", num_hashes=64, bands=8)
+    assert fresh.update(extra, "doc_id", "text").count() >= 0

@@ -413,3 +413,76 @@ def test_full_churn_hash_coincident_survivor_still_backfills(
     # id 2 differed -> delta
     assert stats.updates == 1 and stats.upserts == 1
     assert _sorted(tmp_store.read("acct")) == _sorted(src2)
+
+
+def test_drop_rebase_with_normalize_col_falls_back_to_full_churn(
+    spark, tmp_store
+):
+    """normalize_name_col rewrites a data column at WRITE time, so a
+    drop-rebase's replica-side re-hash would mismatch every
+    un-suffixed source row — churn-proportionality silently becoming
+    a bootstrap-sized delta. The engine must detect the combination,
+    fall back to honest full churn, and say so in the stats."""
+    spec = TableSpec("named", "id", normalize_name_col="name")
+    eng = CdcEngine(tmp_store, schema_change_policy="rebase")
+    # names WITHOUT '#': the replica stores name || '#0000'
+    rows = [Row(id=i, name=f"u{i}", bal=i) for i in range(1, 21)]
+    eng.update(spec, spark.createDataFrame(rows))
+    rep_names = {
+        r["name"] for r in tmp_store.read("named").collect()
+    }
+    assert all(n.endswith("#0000") for n in rep_names)
+
+    # boundary epoch: DROP bal (the normalize col survives)
+    src2 = spark.createDataFrame([Row(id=r.id, name=r.name) for r in rows])
+    stats = eng.update(spec, src2)
+    ev = stats.extra["schema_change"]
+    assert ev["dropped"] == ["bal"]
+    assert "normalize_name_col" in ev.get("policy_fallback", "")
+    assert stats.upserts == 20  # honest full churn, not silent
+    # the replica still lands exactly on the (normalized) source
+    got = {
+        r["id"]: r["name"] for r in tmp_store.read("named").collect()
+    }
+    assert got == {r.id: f"u{r.id}#0000" for r in rows}
+    # add-only rebase on the SAME spec needs no fallback: the cached
+    # hashes (raw source values) are reused untouched
+    src3 = spark.createDataFrame(
+        [Row(id=r.id, name=f"{r.name}#0000", tier=1) for r in rows]
+    )
+    stats3 = eng.update(spec, src3)
+    ev3 = stats3.extra["schema_change"]
+    assert ev3["added"] == ["tier"] and "policy_fallback" not in ev3
+
+
+def test_replay_mask_survives_pre_sidecar_tables(spark, tmp_store):
+    """Tables bootstrapped before the basis sidecar existed: the
+    history must be seeded from the replica-inferred basis at the
+    next update, or replay() to a pre-boundary epoch leaks the
+    added column's CURRENT values for rows untouched since."""
+    import os
+
+    eng = CdcEngine(
+        tmp_store, changelog_mode="full", schema_change_policy="rebase"
+    )
+    eng.update(SPEC, spark.createDataFrame(base_rows()))
+    # simulate a pre-upgrade table: drop both sidecars
+    d = tmp_store._dir("acct__fingerprints")
+    for k in ("basis", "basis_history"):
+        os.remove(os.path.join(d, f"_META_{k}"))
+
+    # epoch 1: plain update (seeds the history from the replica)
+    src1 = spark.createDataFrame(
+        [
+            Row(id=r.id, name=r.name, bal=-1 if r.id == 5 else r.bal)
+            for r in base_rows()
+        ]
+    )
+    eng.update(SPEC, src1)
+    # epoch 2: the boundary (adds tier)
+    eng.update(SPEC, _evolve_add(spark, mutate_ids={9}, delete_ids=set()))
+
+    back = eng.replay(SPEC, as_of_epoch=1)
+    assert all(r["tier"] is None for r in back.collect())
+    got = {r["id"]: r["bal"] for r in back.collect()}
+    assert got[5] == -1 and got[9] == 90  # epoch-1 values

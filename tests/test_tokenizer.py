@@ -101,18 +101,23 @@ def test_arrow_twin_matches_catalyst_demo_vocab(spark):
             for _ in range(rng.randint(1, 8))
         )
         for _ in range(40)
-    ] + ["He7llo, W@rld!", "a" * 50, "123 !!!", ""]
+    ] + ["He7llo, W@rld!", "a" * 50, "123 !!!", "", None]
     df = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
     )
     cat = sorted(
-        tuple(r) for r in wordpiece_tokenize(df, "text", VOCAB).collect()
+        tuple(r)
+        for r in wordpiece_tokenize(df, "text", VOCAB).collect()
     )
     arr = sorted(
         tuple(r)
         for r in wordpiece_tokenize_arrow(df, "text", VOCAB).collect()
     )
     assert cat == arr
+    # NULL text propagates as (NULL, NULL) on BOTH paths — not a
+    # coerced empty document
+    null_rows = [t for t in cat if t[1] is None]
+    assert len(null_rows) == 1 and null_rows[0][2] is None
 
 
 def test_arrow_twin_matches_catalyst_8k_vocab(spark):
@@ -242,10 +247,11 @@ def test_bpe_arrow_twin_matches_catalyst(spark):
             for _ in range(rng.randint(1, 6))
         )
         for _ in range(40)
-    ] + ["", "order fast table"]
+    ] + ["", "order fast table", None]
     cat = _run_bpe(spark, texts)
     arr = _run_bpe(spark, texts, arrow=True)
     assert cat == arr
+    assert cat[len(texts) - 1] == (None, None)  # NULL text propagates
 
 
 def test_bpe_truncation(spark):

@@ -285,13 +285,29 @@ def semantic_contamination(
     bench = bench / np.where(bn == 0.0, 1.0, bn)
     id_type = corpus.schema[id_col].dataType.simpleString()
 
+    dim = bench.shape[1]
+
     def probe(batches):
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
-            c = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            vals = pdf[vec_col].tolist()
+            bad = [
+                pdf[id_col].iloc[i]
+                for i, v in enumerate(vals)
+                if v is None or len(v) != dim
+            ]
+            if bad:
+                # a raw numpy ragged-array TypeError would fail the
+                # stage namelessly — name the offending ids instead
+                raise ValueError(
+                    f"NULL or wrong-dimension {vec_col!r} (expected "
+                    f"{dim}) for ids {bad[:5]}"
+                    + ("..." if len(bad) > 5 else "")
+                )
+            c = np.asarray(vals, dtype=np.float64)
             cn = np.linalg.norm(c, axis=1, keepdims=True)
             c = c / np.where(cn == 0.0, 1.0, cn)
             mx = np.round((c @ bench.T).max(axis=1), round_digits)

@@ -62,6 +62,8 @@ class DedupIndex:
         self.seed = seed
         self.max_bucket = max_bucket
 
+    PARAM_KEYS = ("num_hashes", "bands", "shingle_n", "seed", "max_bucket")
+
     @property
     def _sigs_name(self) -> str:
         return f"{self.name}_sigs"
@@ -72,6 +74,38 @@ class DedupIndex:
 
     def exists(self) -> bool:
         return self.store.exists(self._sigs_name)
+
+    # -- parameter identity (the IvfIndex codebook-identity stance) ----
+    def _write_params(self) -> None:
+        import json
+
+        self.store.write_sidecar(
+            self._sigs_name,
+            "params",
+            json.dumps({k: getattr(self, k) for k in self.PARAM_KEYS}),
+        )
+
+    def _check_params(self) -> None:
+        """The stored state is signed/banded with ONE parameter set; an
+        instance constructed with different parameters would probe
+        8-hash band slices against a 16-band table and silently find
+        nothing (the exact recall loss the occupancy telemetry exists
+        to catch) — refuse loudly instead. ``reband`` updates the
+        sidecar when it legitimately changes the banding; legacy
+        indexes without the sidecar skip the check."""
+        import json
+
+        raw = self.store.read_sidecar(self._sigs_name, "params")
+        if raw is None:
+            return
+        stored = json.loads(raw)
+        mine = {k: getattr(self, k) for k in self.PARAM_KEYS}
+        if stored != mine:
+            raise ValueError(
+                f"dedup index {self.name!r} state was built with "
+                f"{stored}, this instance has {mine}; construct "
+                "DedupIndex with the stored parameters (or reband())"
+            )
 
     def signatures(self) -> DataFrame:
         return self.store.read(self._sigs_name)
@@ -91,6 +125,7 @@ class DedupIndex:
         self.store.write(
             self._bands_name, band_hashes(self.signatures(), self.bands)
         )
+        self._write_params()
         return lsh_candidate_pairs(
             self.signatures(), self.bands, self.max_bucket
         )
@@ -105,6 +140,7 @@ class DedupIndex:
         own stale buckets."""
         if not self.exists():
             return self.bootstrap(delta, id_col, text_col)
+        self._check_params()
         delta_sigs = self._sign(delta, id_col, text_col)
         delta_ids = delta.select(F.col(id_col).alias("id")).distinct()
 
@@ -169,6 +205,7 @@ class DedupIndex:
         ``capped_*`` counts buckets past ``max_bucket`` and the
         fraction of band rows living in them — THE recall-drift
         signal."""
+        self._check_params()
         sizes = (
             self.store.read(self._bands_name)
             .groupBy("band", "band_hash")
@@ -221,6 +258,17 @@ class DedupIndex:
             else 0.0,
         }
 
+    @staticmethod
+    def _trips(
+        stats: dict, max_capped_fraction: float, max_imbalance: float
+    ) -> bool:
+        """The ONE advisory predicate ``needs_retrain`` and
+        ``maybe_reband`` share — a threshold change cannot diverge."""
+        return bool(stats["n_buckets"]) and (
+            stats["capped_row_fraction"] > max_capped_fraction
+            or stats["imbalance"] > max_imbalance
+        )
+
     def needs_retrain(
         self,
         max_capped_fraction: float = 0.05,
@@ -229,14 +277,11 @@ class DedupIndex:
         """Advisory, same contract as ``ann_index.needs_retrain``: True
         when the capped-bucket row fraction (docs that can no longer
         pair — direct recall loss) or the bucket imbalance crosses its
-        threshold. The actuator is a re-band/re-sign ``bootstrap()``
-        with adjusted parameters (more bands → smaller buckets, or a
-        raised ``max_bucket`` with its measured pairing cost); nothing
-        here mutates the index."""
-        stats = self.occupancy()
-        return bool(stats["n_buckets"]) and (
-            stats["capped_row_fraction"] > max_capped_fraction
-            or stats["imbalance"] > max_imbalance
+        threshold. The actuator is ``reband``/``maybe_reband`` (or a
+        full re-sign ``bootstrap()`` when ``num_hashes`` itself must
+        change); nothing here mutates the index."""
+        return self._trips(
+            self.occupancy(), max_capped_fraction, max_imbalance
         )
 
     def reband(
@@ -263,7 +308,11 @@ class DedupIndex:
         accumulated pair feed, exactly ``SemanticIndex.retrain``'s
         contract: banding moved, so previously-emitted candidates are
         neither a subset nor a superset of what the new parameters
-        would emit."""
+        would emit. The new parameters are persisted in the index's
+        params sidecar — a later instance constructed with the OLD
+        parameters fails loudly instead of silently probing mismatched
+        band slices."""
+        self._check_params()  # this instance must match current state
         if bands is not None:
             if self.num_hashes % bands != 0:
                 raise ValueError(
@@ -276,6 +325,7 @@ class DedupIndex:
         self.store.write(
             self._bands_name, band_hashes(self.signatures(), self.bands)
         )
+        self._write_params()
         return lsh_candidate_pairs(
             self.signatures(), self.bands, self.max_bucket
         )
@@ -294,17 +344,14 @@ class DedupIndex:
         ``self.reband``'s return — so the acted branch also carries
         ``"pairs"`` (the new one-shot candidate plan)."""
         stats = self.occupancy()
-        trip = bool(stats["n_buckets"]) and (
-            stats["capped_row_fraction"] > max_capped_fraction
-            or stats["imbalance"] > max_imbalance
-        )
-        if not trip:
+        if not self._trips(stats, max_capped_fraction, max_imbalance):
             return {"rebanded": False, **stats}
         pairs = self.reband(bands=bands, max_bucket=max_bucket)
         return {"rebanded": True, "pairs": pairs, **stats}
 
     def remove(self, ids: DataFrame) -> None:
         """Drop documents (e.g. CDC deletes) from the index state."""
+        self._check_params()
         ids = ids.toDF("id")
         self.store.write(
             self._sigs_name, self.signatures().join(ids, "id", "anti")

@@ -221,7 +221,14 @@ def wordpiece_tokenize_arrow(
         for pdf in batches:
             pieces_out, n_out = [], []
             for t in pdf[text_col]:
-                norm = strip.sub("", (t or "").lower())
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    # byte-identical to the Catalyst fold: NULL text
+                    # propagates (regexp_replace(NULL) is NULL), it
+                    # does not coerce to an empty document
+                    pieces_out.append(None)
+                    n_out.append(None)
+                    continue
+                norm = strip.sub("", t.lower())
                 total = 0
                 word_pieces = []
                 for wd in norm.split():
@@ -243,7 +250,7 @@ def wordpiece_tokenize_arrow(
                 {
                     id_col: pdf[id_col],
                     "pieces": pieces_out,
-                    "n_pieces": n_out,
+                    "n_pieces": pd.array(n_out, dtype="Int64"),
                 }
             )
 
@@ -420,7 +427,12 @@ def bpe_tokenize_arrow(
         for pdf in batches:
             pieces_out, n_out = [], []
             for t in pdf[text_col]:
-                norm = strip.sub("", (t or "").lower())
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    # NULL propagates, matching the Catalyst fold
+                    pieces_out.append(None)
+                    n_out.append(None)
+                    continue
+                norm = strip.sub("", t.lower())
                 total = 0
                 word_pieces = []
                 for wd in norm.split():
@@ -446,7 +458,7 @@ def bpe_tokenize_arrow(
                 {
                     id_col: pdf[id_col],
                     "pieces": pieces_out,
-                    "n_pieces": n_out,
+                    "n_pieces": pd.array(n_out, dtype="Int64"),
                 }
             )
 

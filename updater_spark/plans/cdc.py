@@ -450,6 +450,11 @@ class CdcEngine:
             stored_basis = classify_df(
                 spec, self._read_main(spec.name)
             ).data_columns
+            # seed the history too, or replay()'s added-column mask
+            # has no pre-boundary entry to anchor on and would leak
+            # current values into pre-upgrade reconstructions
+            if self._read_basis_history(spec.name) is None:
+                self._append_basis_history(spec.name, 0, stored_basis)
         evolution: dict | None = None
         if stored_basis is not None and stored_basis != data_cols:
             evolution = {
@@ -461,8 +466,31 @@ class CdcEngine:
                 not evolution["added"] and not evolution["dropped"]
             )
 
+        # A drop-rebase recomputes replica-side hashes from the STORED
+        # rows — valid only when the replica holds the raw values the
+        # cache hashed. normalize_name_col rewrites a data column at
+        # write time (name || '#0000'), so those hashes would mismatch
+        # every un-suffixed source row and the "churn-proportional"
+        # promise would silently become a bootstrap-sized delta. Fall
+        # back to honest full churn for that epoch and say so.
+        rebase = evolution is not None and (
+            self.schema_change_policy == "rebase"
+        )
+        if (
+            rebase
+            and evolution["dropped"]
+            and spec.normalize_name_col is not None
+        ):
+            rebase = False
+            evolution["policy_fallback"] = (
+                "full_churn: dropped-column rebase needs raw replica "
+                f"values, but normalize_name_col="
+                f"{spec.normalize_name_col!r} rewrites them at write "
+                "time"
+            )
+
         # S2: external scan → (id, hash); S1: cached replica hashes.
-        if evolution and self.schema_change_policy == "rebase":
+        if rebase:
             # diff over the COMMON columns (stored order): churn stays
             # proportional to rows whose surviving values changed
             common = [c for c in stored_basis if c in data_cols]
@@ -473,7 +501,8 @@ class CdcEngine:
                 # cached hashes cover the dropped columns — rebase the
                 # replica side with one row-local scan (projection
                 # only, no shuffle; the replica holds the same values
-                # the cache hashed)
+                # the cache hashed — guaranteed by the normalize
+                # fallback above)
                 rep_fp = fingerprint_table(
                     self._read_main(spec.name),
                     spec.primary_key,
@@ -655,7 +684,7 @@ class CdcEngine:
             # a rebase epoch the diff hashes covered only the common
             # columns; the cache must rotate to the FULL new basis so
             # the next epoch diffs normally.
-            if evolution and self.schema_change_policy == "rebase":
+            if rebase:
                 self._write_fp(
                     spec.name,
                     fingerprint_table(

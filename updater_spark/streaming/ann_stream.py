@@ -19,8 +19,15 @@ at-least-once (a batch that fails after a partial sink write is
 replayed), so the sink writes each batch into its own ``batch_id=N``
 partition with dynamic partition overwrite — a replay rewrites
 exactly its own partition, making the replayed output idempotent and
-the source+sink pair effectively exactly-once, the mitigation the
-Structured Streaming docs prescribe for foreachBatch sinks.
+the source+sink pair effectively exactly-once FOR A GIVEN CHECKPOINT
+(the mitigation the Structured Streaming docs prescribe for
+foreachBatch sinks). The guarantee is scoped to batch-id stability:
+if the checkpoint itself is lost and recreated against a sink that
+already holds a multi-batch history, the restart renumbers batches
+(the whole backlog can become one batch 0) and stale higher-numbered
+partitions survive the overwrite — recovering from a LOST checkpoint
+requires clearing the sink (or a new out_dir), same as every
+batch-id-keyed foreachBatch sink.
 
 Scale: per-batch work is O(|batch queries| x probed-cell rows) GEMM
 inside the fused bucket engine — the corpus is never shuffled, and
