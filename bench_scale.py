@@ -2098,6 +2098,81 @@ def bpe_probe(n: int, n_merges: int = 0) -> None:
     print(json.dumps(report))
 
 
+def semdecon_probe(n: int, n_bench: int = 10_000) -> None:
+    """Embedding-level decontamination throughput: ``n`` synthetic
+    32-dim corpus vectors probed against a ``n_bench`` benchmark with
+    1% planted rescaled copies. The claim under test: one mapInPandas
+    GEMM per Arrow batch, zero exchanges — wall should scale linearly
+    in n × n_bench flops at BLAS speed, recall of planted copies 1.0.
+    Usage: ``python bench_scale.py 2000000 semdecon [n_bench]``."""
+    from updater_spark.operators.decontam import semantic_contamination
+
+    spark = get_spark("bench_scale_semdecon")
+    spark.sparkContext.setLogLevel("ERROR")
+    dim = 32
+
+    def vec(seed_col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(seed_col, j), F.lit(2001)) - 1000.0
+            )
+            / 1000.0,
+        )
+
+    bench = (
+        spark.range(0, n_bench)
+        .select(F.col("id").alias("vec_id"), vec(F.col("id") + 5_000_000_000).alias("v"))
+        .persist()
+    )
+    corpus = (
+        spark.range(0, n, numPartitions=64)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.when(
+                F.col("id") % 100 == 0,
+                # planted: rescaled copy of a benchmark vector
+                F.transform(
+                    vec(F.pmod(F.col("id"), F.lit(n_bench)) + 5_000_000_000),
+                    lambda x: x * 1.7,
+                ),
+            )
+            .otherwise(vec(F.col("id")))
+            .alias("v"),
+        )
+        .persist()
+    )
+    n_planted = corpus.filter(F.col("vec_id") % 100 == 0).count()
+    bench.count()
+    t0 = time.time()
+    out = semantic_contamination(
+        corpus, bench, "vec_id", "v", threshold=0.999
+    ).persist()
+    flagged = out.filter("contaminated").count()
+    wall = round(time.time() - t0, 3)
+    planted_hit = out.filter(
+        (F.col("vec_id") % 100 == 0) & F.col("contaminated")
+    ).count()
+    print(
+        json.dumps(
+            {
+                "n_corpus": n,
+                "n_bench": n_bench,
+                "semdecon_probe": {
+                    "wall_sec": wall,
+                    "flagged": flagged,
+                    "planted": n_planted,
+                    "planted_recall": round(planted_hit / n_planted, 4),
+                    "docs_per_sec": int(n / wall),
+                    "gflops": round(
+                        2 * n * n_bench * dim / wall / 1e9, 1
+                    ),
+                },
+            }
+        )
+    )
+
+
 def schemaevo_probe(n: int) -> None:
     """Schema-evolution epoch cost at scale: an ``n``-row table
     bootstrapped, then ONE boundary epoch (source adds a column,
@@ -2281,6 +2356,10 @@ if __name__ == "__main__":
         joinview_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "schemaevo":
         schemaevo_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "semdecon":
+        semdecon_probe(
+            _n, int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
+        )
     elif len(sys.argv) > 2 and sys.argv[2] == "fuzzyjoin":
         fuzzyjoin_probe(_n, int(sys.argv[3]) if len(sys.argv) > 3 else 4)
     elif len(sys.argv) > 2 and sys.argv[2] == "bpe":
