@@ -315,3 +315,29 @@ def test_filtered_search_equals_index_over_filtered_corpus(
     assert all(nb % 3 == 1 for _, nb, _s, _r in got_where)
     # unfiltered search differs (the filter is load-bearing)
     assert _sorted(idx.search(qs, k=4, nprobe=3)) != want
+
+
+def test_ivfpq_filtered_search_equals_index_over_filtered_corpus(
+    spark, corpus, tmp_store
+):
+    """Same commutation property for the compressed index: cell
+    assignment and PQ codes are per-row, so filtering commutes with
+    indexing — `where`/`allowed` equal an IvfPqIndex built over the
+    pre-filtered corpus."""
+    df, vecs = corpus
+    cent_idxs = list(range(0, 40, 5))
+    cents = _cents(vecs, cent_idxs)
+    books = _books(vecs, cent_idxs, range(1, 65, 4))
+    pred = F.col("vec_id") % 3 == 1
+
+    idx = IvfPqIndex(tmp_store, "pqflt")
+    idx.bootstrap(df, cents, books)
+    ref = IvfPqIndex(tmp_store, "pqflt_ref")
+    ref.bootstrap(df.filter(pred), cents, books)
+
+    qs = df.filter(F.col("vec_id") % 20 == 0)
+    want = _sorted(ref.search(qs, k=4, nprobe=3))
+    assert len(want) > 0
+    assert _sorted(idx.search(qs, k=4, nprobe=3, where=pred)) == want
+    allowed = df.filter(pred).select("vec_id")
+    assert _sorted(idx.search(qs, k=4, nprobe=3, allowed=allowed)) == want

@@ -744,7 +744,12 @@ class IvfPqIndex:
 
     # -- search --------------------------------------------------------
     def search(
-        self, queries: DataFrame, k: int = 5, nprobe: int = 8
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 8,
+        where=None,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """ADC top-k over the stored codes. Quantizer comes FROM the
         index; its stored identity re-arms ``ivfpq_topk``'s staleness
@@ -753,10 +758,26 @@ class IvfPqIndex:
         OWN sidecar record against the promoted quantizer — the
         independent check that actually detects __cells/__quantizer
         skew (e.g. a bootstrap crash between the two writes), which
-        the quantizer-internal hash cannot see (ADVICE r4)."""
+        the quantizer-internal hash cannot see (ADVICE r4).
+
+        ``where``/``allowed``: metadata-filtered search, the same
+        pre-filter contract as ``IvfIndex.search`` — candidates
+        restrict inside the probe-pruned scan, the probe set stays
+        unfiltered, selective filters may under-fill k within
+        ``nprobe`` cells (raise nprobe)."""
         self._check_identity()
         cents, books, ident = self._quantizer_state()
         stored = self.store.read_partitioned(self._cells)
+        if where is not None:
+            stored = stored.filter(where)
+        if allowed is not None:
+            stored = stored.join(
+                allowed.select(
+                    F.col(allowed.columns[0]).alias(self.id_col)
+                ).distinct(),
+                self.id_col,
+                "semi",
+            )
         return ivfpq_topk(
             stored,
             cents,
