@@ -341,3 +341,25 @@ def test_ivfpq_filtered_search_equals_index_over_filtered_corpus(
     assert _sorted(idx.search(qs, k=4, nprobe=3, where=pred)) == want
     allowed = df.filter(pred).select("vec_id")
     assert _sorted(idx.search(qs, k=4, nprobe=3, allowed=allowed)) == want
+
+
+def test_filtered_search_still_prunes_partitions(spark, corpus, tmp_store):
+    """The metadata filter must COMPOSE with probe pruning, not defeat
+    it: the plan keeps a non-empty PartitionFilters on the bucket
+    column while the predicate rides as a data filter."""
+    import re
+
+    df, vecs = corpus
+    cents = _cents(vecs, range(0, 40, 5))
+    idx = IvfIndex(tmp_store, "fltprune")
+    idx.bootstrap(df, cents)
+    out = idx.search(
+        df.filter("vec_id % 20 = 0"),
+        k=3,
+        nprobe=2,
+        where=F.col("vec_id") % 3 == 1,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "bucket" in m.group(1)
+    assert out.count() > 0
