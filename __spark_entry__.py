@@ -3681,6 +3681,18 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize(docs, "text", BPE_MERGES)
 
 
+def q_bpe_tokens_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE arrow twin under the driver gate: one mapInPandas scan
+    with O(1) dict probes per adjacent pair — the production path once
+    merge tables outgrow the Catalyst fold's linear rank-map scan
+    (measured 3x apart at 512 merges, PROBES_r7). Byte-identical to
+    bpe_tokenize by contract, so it shares the recursive-CTE oracle."""
+    from updater_spark.operators.tokenizer import bpe_tokenize_arrow
+
+    docs = demo.load(spark, sf_dir, "documents")
+    return bpe_tokenize_arrow(docs, "text", BPE_MERGES)
+
+
 def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match subword tokenization
     (operators/tokenizer.py): every document segmented against a
@@ -3821,6 +3833,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokens_8k": q_wordpiece_tokens_8k,
         "decontam_semantic": q_decontam_semantic,
         "ann_ivf_filtered": q_ann_ivf_filtered,
+        "bpe_tokens_arrow": q_bpe_tokens_arrow,
         # --- code changed in r7 after their last hard row ---
         "wordpiece_tokens": q_wordpiece_tokens,
         "changelog_replay": q_changelog_replay,
@@ -4298,6 +4311,7 @@ def _generated_oracles() -> dict[str, str]:
         "wordpiece_tokens": _wp_sql(WP_VOCAB),
         "wordpiece_tokens_8k": _wp_sql(_wp_vocab_8k()),
         "bpe_tokens": _bpe_sql(BPE_MERGES),
+        "bpe_tokens_arrow": _bpe_sql(BPE_MERGES),
         "nb_classifier": _nb_sql(None),
         "nb_classifier_hashed": _nb_sql(12),
         "ivm_join_view": """

@@ -486,3 +486,34 @@ def test_replay_mask_survives_pre_sidecar_tables(spark, tmp_store):
     assert all(r["tier"] is None for r in back.collect())
     got = {r["id"]: r["bal"] for r in back.collect()}
     assert got[5] == -1 and got[9] == 90  # epoch-1 values
+
+
+def test_partitioned_full_changelog_replay_across_boundary(
+    spark, tmp_store
+):
+    """Composition: bucket-partitioned replica + changelog_mode='full'
+    + a rebase boundary epoch — replay to the pre-boundary epoch must
+    restore deleted rows, rewind mutations, and mask the added column,
+    reading through the partitioned layout."""
+    eng = CdcEngine(
+        tmp_store,
+        changelog_mode="full",
+        schema_change_policy="rebase",
+        partition_buckets=8,
+    )
+    eng.update(SPEC, spark.createDataFrame(base_rows()))  # epoch 0
+    src1 = spark.createDataFrame(
+        [
+            Row(id=r.id, name=r.name, bal=-9 if r.id == 4 else r.bal)
+            for r in base_rows()
+        ]
+    )
+    eng.update(SPEC, src1)  # epoch 1 (narrow schema)
+    eng.update(SPEC, _evolve_add(spark, mutate_ids={9}, delete_ids={3}))
+
+    back = eng.replay(SPEC, as_of_epoch=1)
+    got = {r["id"]: (r["name"], r["bal"], r["tier"]) for r in back.collect()}
+    assert set(got) == {r.id for r in base_rows()}  # id 3 restored
+    assert got[4] == ("u4", -9, None)
+    assert got[9] == ("u9", 90, None)
+    assert all(v[2] is None for v in got.values())
