@@ -2248,6 +2248,59 @@ def schemaevo_probe(n: int) -> None:
     report["wall_ratio"] = round(
         fc["boundary_epoch_sec"] / r["boundary_epoch_sec"], 2
     )
+
+    # partitioned layout: a normal epoch prunes its writes; the
+    # boundary epoch CANNOT (every surviving row changes shape) and
+    # rewrites all buckets; the epoch after is pruned again — the
+    # claim quantified in the production layout, not just pytest-level
+    root = tempfile.mkdtemp(prefix="schemaevo_part_")
+    try:
+        eng = CdcEngine(
+            TableStore(spark, root),
+            schema_change_policy="rebase",
+            partition_buckets=64,
+            delete_guard=n,
+        )
+        spec = TableSpec("t", "id")
+        eng.update(spec, base)
+        normal1 = base.withColumn(
+            "bal",
+            F.when(F.col("id") % 400 == 1, F.col("bal") + 1).otherwise(
+                F.col("bal")
+            ),
+        )
+        t0 = time.time()
+        eng.update(spec, normal1)
+        t_normal = round(time.time() - t0, 3)
+        src2b = normal1.filter(F.col("id") % 1000 != 7).select(
+            "id",
+            "name",
+            F.when(F.col("id") % 200 == 0, F.col("bal") + 1)
+            .otherwise(F.col("bal"))
+            .alias("bal"),
+            (F.col("id") % 5).cast("long").alias("tier"),
+        )
+        t0 = time.time()
+        stats_b = eng.update(spec, src2b)
+        t_boundary = round(time.time() - t0, 3)
+        src3b = src2b.withColumn(
+            "bal",
+            F.when(F.col("id") % 400 == 3, F.col("bal") + 1).otherwise(
+                F.col("bal")
+            ),
+        )
+        t0 = time.time()
+        eng.update(spec, src3b)
+        t_after = round(time.time() - t0, 3)
+        report["partitioned_rebase"] = {
+            "buckets": 64,
+            "normal_epoch_sec": t_normal,
+            "boundary_epoch_sec": t_boundary,
+            "post_boundary_epoch_sec": t_after,
+            "boundary_upserts": stats_b.upserts,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(report))
 
 
