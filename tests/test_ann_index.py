@@ -363,3 +363,52 @@ def test_filtered_search_still_prunes_partitions(spark, corpus, tmp_store):
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "bucket" in m.group(1)
     assert out.count() > 0
+
+
+def test_filtered_search_allowed_column_resolution(
+    spark, corpus, tmp_store
+):
+    """`allowed=` used to take columns[0] positionally: a multi-column
+    metadata frame would semi-join on the wrong column and silently
+    return wrong/empty results (ADVICE r7). Now: a column named id_col
+    is selected by NAME wherever it sits; anything else multi-column
+    raises."""
+    import pytest
+
+    from updater_spark.operators.ann_index import IvfPqIndex
+
+    df, vecs = corpus
+    cents = _cents(vecs, range(0, 40, 5))
+    pred = F.col("vec_id") % 3 == 1
+
+    idx = IvfIndex(tmp_store, "flt_res")
+    idx.bootstrap(df, cents)
+    qs = df.filter(F.col("vec_id") % 20 == 0)
+    want = _sorted(idx.search(qs, k=4, nprobe=3, where=pred))
+    assert len(want) > 0
+
+    # metadata frame with id_col NOT first: resolved by name
+    meta = df.filter(pred).select(
+        F.lit("m").alias("tag"), F.col("vec_id"), F.lit(1).alias("x")
+    )
+    assert _sorted(idx.search(qs, k=4, nprobe=3, allowed=meta)) == want
+
+    # multi-column frame without id_col: loud, not silently wrong
+    bad = df.filter(pred).select(
+        F.col("vec_id").alias("other_id"), F.lit(1).alias("x")
+    )
+    with pytest.raises(ValueError, match="single-column"):
+        idx.search(qs, k=4, nprobe=3, allowed=bad)
+
+    # single unnamed column still works (taken as the id set)
+    one = df.filter(pred).select(F.col("vec_id").alias("anything"))
+    assert _sorted(idx.search(qs, k=4, nprobe=3, allowed=one)) == want
+
+    # same contract on the compressed index
+    books = _books(vecs, list(range(0, 40, 5)), range(1, 65, 4))
+    pidx = IvfPqIndex(tmp_store, "pqflt_res")
+    pidx.bootstrap(df, cents, books)
+    pwant = _sorted(pidx.search(qs, k=4, nprobe=3, where=pred))
+    assert _sorted(pidx.search(qs, k=4, nprobe=3, allowed=meta)) == pwant
+    with pytest.raises(ValueError, match="single-column"):
+        pidx.search(qs, k=4, nprobe=3, allowed=bad)

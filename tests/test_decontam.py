@@ -242,3 +242,33 @@ def test_semantic_contamination_names_bad_vectors(spark):
     )
     with pytest.raises(Exception, match="NULL or wrong-dimension"):
         semantic_contamination(corpus, bench, "vec_id", "v").collect()
+
+
+def test_semantic_contamination_names_bad_benchmark_vectors(spark):
+    """The BENCHMARK side gets the same validation as the corpus: a
+    NULL or ragged-dimension benchmark embedding used to make
+    np.asarray build an object array and np.linalg.norm die with an
+    opaque driver-side TypeError (ADVICE r7) — now the offending row
+    indices are named before the matrix is built."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from updater_spark.operators.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame([Row(vec_id=1, v=[1.0, 0.0])])
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    bench_null = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])], schema
+    )
+    with pytest.raises(ValueError, match="benchmark rows \\[1\\]"):
+        semantic_contamination(corpus, bench_null, "vec_id", "v")
+    bench_ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 3.0])], schema
+    )
+    with pytest.raises(ValueError, match="wrong-dimension"):
+        semantic_contamination(corpus, bench_ragged, "vec_id", "v")

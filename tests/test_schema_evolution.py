@@ -386,16 +386,15 @@ def test_evolution_with_bucketed_fingerprint_cache(spark, tmp_store):
         spark.sql(f"DROP TABLE IF EXISTS acct__fingerprints__buf{buf}")
 
 
-def test_full_churn_hash_coincident_survivor_still_backfills(
+def test_full_churn_never_trusts_cross_basis_hash_coincidence(
     spark, tmp_store
 ):
-    """full_churn reclassifies by HASH over the rendered fingerprint
-    concat — a row whose rendering COINCIDES across the two bases
-    (drop `name`, add `tier` with the same value: 'id'||'x' both
-    ways, the degenerate class MySQL's CRC32(CONCAT_WS) shares) rides
-    the kept path instead of the delta. It must still gain the
-    source's added-column value through the backfill join, not a
-    NULL, and lose the dropped column."""
+    """A row whose rendered fingerprint concat COINCIDES across the
+    two bases (drop `name`, add `tier` with the same value: 'id'||'x'
+    both ways) must NOT be skipped: cross-basis hash equality is a
+    meaningless coincidence, and a hypothesis run proved trusting it
+    loses a common-column change (r8). full_churn now means literally
+    every surviving row reclassifies as update."""
     eng = CdcEngine(tmp_store)  # full_churn default
     eng.update(
         SPEC,
@@ -409,10 +408,27 @@ def test_full_churn_hash_coincident_survivor_still_backfills(
     stats = eng.update(SPEC, src2)
     ev = stats.extra["schema_change"]
     assert ev["added"] == ["tier"] and ev["dropped"] == ["name"]
-    # id 1 coincided (concat '1x' under both bases) -> kept path;
-    # id 2 differed -> delta
-    assert stats.updates == 1 and stats.upserts == 1
+    # id 1's rendering coincides ('1x' under both bases) but still
+    # travels through the delta — honest full churn
+    assert stats.updates == 2 and stats.upserts == 2
     assert _sorted(tmp_store.read("acct")) == _sorted(src2)
+
+
+def test_full_churn_coincident_common_column_change_lands(
+    spark, tmp_store
+):
+    """The exact falsifying example hypothesis found: [name] -> value
+    0, then [name, counter] epoch, then [extra, name] with name=1 —
+    id 1's renderings coincide ('101' both ways) while the COMMON
+    column `name` changed 0→1. The replica must land on the source."""
+    eng = CdcEngine(tmp_store)  # full_churn default
+    eng.update(SPEC, spark.createDataFrame([Row(id=1, name=0)]))
+    eng.update(
+        SPEC, spark.createDataFrame([Row(id=1, name=0, counter=1)])
+    )
+    src3 = spark.createDataFrame([Row(id=1, extra=0, name=1)])
+    eng.update(SPEC, src3)
+    assert _sorted(tmp_store.read("acct")) == _sorted(src3)
 
 
 def test_drop_rebase_with_normalize_col_falls_back_to_full_churn(
@@ -439,6 +455,8 @@ def test_drop_rebase_with_normalize_col_falls_back_to_full_churn(
     ev = stats.extra["schema_change"]
     assert ev["dropped"] == ["bal"]
     assert "normalize_name_col" in ev.get("policy_fallback", "")
+    # the recorded policy is the EFFECTIVE one, not the configured one
+    assert ev["policy"] == "full_churn"
     assert stats.upserts == 20  # honest full churn, not silent
     # the replica still lands exactly on the (normalized) source
     got = {
@@ -517,3 +535,84 @@ def test_partitioned_full_changelog_replay_across_boundary(
     assert got[4] == ("u4", -9, None)
     assert got[9] == ("u9", 90, None)
     assert all(v[2] is None for v in got.values())
+
+
+@pytest.mark.parametrize("policy", ["full_churn", "rebase"])
+def test_type_change_epoch_lands_on_source(spark, tmp_store, policy):
+    """A column TYPE change with unchanged names (int bal -> double
+    bal) used to bypass the name-based basis diff entirely: the
+    fingerprint rendering shifted silently (full churn with no stats
+    flag) and the merge hit unionByName coercion with none of the loud
+    boundary handling adds/drops get (ADVICE r7). Now it is a recorded
+    schema boundary; rebase cannot reuse retyped hashes, so the
+    effective policy is full_churn either way — and the stats say so."""
+    eng = CdcEngine(tmp_store, schema_change_policy=policy)
+    eng.update(SPEC, spark.createDataFrame(base_rows()))
+
+    src2 = spark.createDataFrame(
+        [
+            Row(
+                id=r.id,
+                name=r.name,
+                bal=float(r.bal) + (0.5 if r.id % 11 == 0 else 0.0),
+            )
+            for r in base_rows()
+        ]
+    )
+    stats = eng.update(SPEC, src2)
+    ev = stats.extra["schema_change"]
+    assert ev["added"] == [] and ev["dropped"] == []
+    assert [c for c, _, _ in ev["type_changed"]] == ["bal"]
+    _, old_t, new_t = ev["type_changed"][0]
+    assert old_t == "bigint" and new_t == "double"
+    assert ev["policy"] == "full_churn"
+    if policy == "rebase":
+        assert "type change" in ev["policy_fallback"]
+    # replica lands exactly on the retyped source
+    rep = tmp_store.read("acct")
+    assert dict(rep.dtypes)["bal"] == "double"
+    assert _sorted(rep) == _sorted(src2)
+    # the NEXT epoch is normal incremental again (basis + types rotated)
+    src3 = src2.withColumn(
+        "bal", F.when(F.col("id") == 2, F.lit(123.25)).otherwise(F.col("bal"))
+    )
+    stats3 = eng.update(SPEC, src3)
+    assert stats3.extra == {} and stats3.upserts == 1
+    assert _sorted(tmp_store.read("acct")) == _sorted(src3)
+
+
+def test_type_change_on_legacy_sidecar_is_skipped(spark, tmp_store):
+    """Sidecars written before type recording hold a bare column list;
+    type drift cannot be detected for them (no stored types), but the
+    first post-upgrade epoch must rewrite the sidecar WITH types so
+    detection arms from then on."""
+    import json
+
+    eng = CdcEngine(tmp_store, schema_change_policy="rebase")
+    eng.update(SPEC, spark.createDataFrame(base_rows()))
+    # rewrite the sidecar in the legacy bare-list format
+    legacy = json.dumps(["id", "name", "bal"])
+    tmp_store.write_sidecar("acct__fingerprints", "basis", legacy)
+    assert eng._read_basis("acct") == ["id", "name", "bal"]
+    assert eng._read_basis_types("acct") is None
+
+    # a same-schema epoch runs clean (no evolution) and re-arms types
+    src2 = spark.createDataFrame(
+        [
+            Row(id=r.id, name=r.name, bal=r.bal + (1 if r.id == 6 else 0))
+            for r in base_rows()
+        ]
+    )
+    stats = eng.update(SPEC, src2)
+    assert stats.extra == {} and stats.upserts == 1
+    assert eng._read_basis_types("acct") == {
+        "id": "bigint",
+        "name": "string",
+        "bal": "bigint",
+    }
+    # ...so a retype NOW is detected
+    src3 = spark.createDataFrame(
+        [Row(id=r.id, name=r.name, bal=float(r.bal)) for r in base_rows()]
+    )
+    stats3 = eng.update(SPEC, src3)
+    assert "type_changed" in stats3.extra["schema_change"]

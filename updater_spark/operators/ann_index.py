@@ -46,6 +46,28 @@ from updater_spark.operators.similarity import (
 from updater_spark.sources.store import TableStore
 
 
+def _resolve_allowed(allowed: DataFrame, id_col: str) -> DataFrame:
+    """Normalize a filtered-search ``allowed`` frame to a single
+    ``id_col`` column. A multi-column metadata DataFrame silently
+    semi-joined on its first column would produce wrong (or empty)
+    results with no error, so: when a column named ``id_col`` exists,
+    select it by NAME; otherwise the frame must be exactly one column
+    (taken as the id set whatever it is called) — anything else is a
+    caller bug and raises (ADVICE r7)."""
+    if id_col in allowed.columns:
+        return allowed.select(id_col).distinct()
+    if len(allowed.columns) != 1:
+        raise ValueError(
+            "allowed= must be a single-column id frame or contain a "
+            f"column named {id_col!r}; got columns {allowed.columns} — "
+            "a positional guess over a metadata frame would semi-join "
+            "on the wrong column and silently return wrong results"
+        )
+    return allowed.select(
+        F.col(allowed.columns[0]).alias(id_col)
+    ).distinct()
+
+
 def cell_maintenance_stats(
     idx: DataFrame,
     touched_ids: DataFrame,
@@ -431,11 +453,7 @@ class IvfIndex:
             stored = stored.filter(where)
         if allowed is not None:
             stored = stored.join(
-                allowed.select(
-                    F.col(allowed.columns[0]).alias(self.id_col)
-                ).distinct(),
-                self.id_col,
-                "semi",
+                _resolve_allowed(allowed, self.id_col), self.id_col, "semi"
             )
         return ivf_topk(
             stored,
@@ -772,11 +790,7 @@ class IvfPqIndex:
             stored = stored.filter(where)
         if allowed is not None:
             stored = stored.join(
-                allowed.select(
-                    F.col(allowed.columns[0]).alias(self.id_col)
-                ).distinct(),
-                self.id_col,
-                "semi",
+                _resolve_allowed(allowed, self.id_col), self.id_col, "semi"
             )
         return ivfpq_topk(
             stored,

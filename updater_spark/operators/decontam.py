@@ -280,7 +280,24 @@ def semantic_contamination(
         )
     if not rows:
         raise ValueError("benchmark is empty; nothing to probe against")
-    bench = np.asarray([r[0] for r in rows], dtype=np.float64)
+    # mirror the corpus-side validation on the collected benchmark:
+    # a NULL or ragged-dimension row would make np.asarray build an
+    # object array and np.linalg.norm die with an opaque driver-side
+    # TypeError — name the offending row indices instead (ADVICE r7)
+    vecs = [r[0] for r in rows]
+    bdim = next((len(v) for v in vecs if v is not None), None)
+    bad = [
+        i
+        for i, v in enumerate(vecs)
+        if v is None or len(v) != bdim
+    ]
+    if bad:
+        raise ValueError(
+            f"NULL or wrong-dimension {bench_vec_col!r} (expected "
+            f"{bdim}) in benchmark rows {bad[:5]}"
+            + ("..." if len(bad) > 5 else "")
+        )
+    bench = np.asarray(vecs, dtype=np.float64)
     bn = np.linalg.norm(bench, axis=1, keepdims=True)
     bench = bench / np.where(bn == 0.0, 1.0, bn)
     id_type = corpus.schema[id_col].dataType.simpleString()

@@ -36,6 +36,7 @@ def snapshot_diff(
     replica_fp: DataFrame,
     key: str = "id",
     hash_col: str = "hashed",
+    assume_changed: bool = False,
 ) -> DataFrame:
     """Classify each key into insert/update/delete/unchanged.
 
@@ -43,6 +44,13 @@ def snapshot_diff(
     the internal (previous) one — mirrors download.py:189-336:
     equal hash → unchanged (dropped downstream), unequal → update,
     source-only → insert, replica-only → delete.
+
+    ``assume_changed=True``: keys present on BOTH sides classify as
+    update even when the hashes match. Used for full-churn schema
+    boundaries, where the two hash sets were rendered over DIFFERENT
+    column bases — equality there is a meaningless coincidence (e.g.
+    ``[name]``→'x' vs ``[tier]``→'x' concat identically), and trusting
+    it would silently skip a row whose common-column values changed.
 
     Returns ``(key, change_type, new_hash)``; ``new_hash`` is NULL for
     deletes.
@@ -55,7 +63,7 @@ def snapshot_diff(
         F.when(F.col("_rep_hash").isNull(), F.lit(INSERT))
         .when(F.col("_src_hash").isNull(), F.lit(DELETE))
         .when(F.col("_src_hash") != F.col("_rep_hash"), F.lit(UPDATE))
-        .otherwise(F.lit(UNCHANGED))
+        .otherwise(F.lit(UPDATE if assume_changed else UNCHANGED))
         .alias("change_type"),
         F.col("_src_hash").alias("new_hash"),
     )

@@ -205,24 +205,60 @@ class CdcEngine:
         return self.store.exists(self._fp_name(name))
 
     # -- fingerprint basis (schema-evolution detection) ----------------
-    def _write_basis(self, name: str, data_cols: list[str]) -> None:
+    def _write_basis(
+        self,
+        name: str,
+        data_cols: list[str],
+        types: dict[str, str] | None = None,
+    ) -> None:
         """Record the ordered column list the cached fingerprints were
-        computed over. The reference never needs this — it re-reads
-        ``information_schema`` and implicitly re-bases every run; here
-        the basis sidecar is what lets ``update`` DETECT that the
-        source's columns moved and pick a defined policy instead of
-        crashing in ``unionByName`` or silently full-churning."""
+        computed over, plus each column's Spark type string. The
+        reference never needs this — it re-reads ``information_schema``
+        and implicitly re-bases every run; here the basis sidecar is
+        what lets ``update`` DETECT that the source's columns moved and
+        pick a defined policy instead of crashing in ``unionByName`` or
+        silently full-churning. Types matter too: an in-place column
+        TYPE change (same names) also shifts the fingerprint rendering
+        ('1' vs '1.0'), so it must be detected like an add/drop rather
+        than silently reclassifying every row (ADVICE r7)."""
         import json
 
         self.store.write_sidecar(
-            self._fp_name(name), "basis", json.dumps(data_cols)
+            self._fp_name(name),
+            "basis",
+            json.dumps({"columns": data_cols, "types": types or {}}),
         )
 
     def _read_basis(self, name: str) -> list[str] | None:
         import json
 
         raw = self.store.read_sidecar(self._fp_name(name), "basis")
-        return json.loads(raw) if raw else None
+        if not raw:
+            return None
+        parsed = json.loads(raw)
+        # legacy (pre-r8) sidecars stored a bare column list
+        return parsed["columns"] if isinstance(parsed, dict) else parsed
+
+    def _read_basis_types(self, name: str) -> dict[str, str] | None:
+        """Column → Spark type string from the basis sidecar, or None
+        for legacy sidecars that predate type recording (their first
+        post-upgrade epoch rewrites the sidecar with types)."""
+        import json
+
+        raw = self.store.read_sidecar(self._fp_name(name), "basis")
+        if not raw:
+            return None
+        parsed = json.loads(raw)
+        if isinstance(parsed, dict) and parsed.get("types"):
+            return parsed["types"]
+        return None
+
+    @staticmethod
+    def _basis_types(df: DataFrame, cols: list[str]) -> dict[str, str]:
+        """Spark type strings for ``cols`` from ``df``'s schema —
+        schema-only, no job."""
+        by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        return {c: by_name[c] for c in cols if c in by_name}
 
     def _append_basis_history(
         self, name: str, epoch: int, data_cols: list[str]
@@ -419,7 +455,9 @@ class CdcEngine:
                 F.col(spec.primary_key).alias("id"), F.col("_fp").alias("hashed")
             ),
         )
-        self._write_basis(spec.name, data_cols)
+        self._write_basis(
+            spec.name, data_cols, self._basis_types(source, data_cols)
+        )
         self._append_basis_history(spec.name, 0, data_cols)
         total = self._read_main(spec.name).count()
         # Bootstrap writes straight to the main table; the delta equals
@@ -466,6 +504,40 @@ class CdcEngine:
                 not evolution["added"] and not evolution["dropped"]
             )
 
+        # TYPE drift with unchanged names bypasses the name diff above
+        # but shifts the fingerprint rendering just the same ('1' vs
+        # '1.0') — and the cached hashes for a retyped column are
+        # unusable, so rebase cannot reuse them either. Detect it from
+        # the (name, type) basis sidecar and run the epoch as a loud
+        # schema boundary with honest full churn (ADVICE r7). Legacy
+        # sidecars predate type recording → None → skip (their first
+        # post-upgrade epoch rewrites the sidecar with types).
+        stored_types = self._read_basis_types(spec.name)
+        src_types = self._basis_types(source, data_cols)
+        if stored_types is not None:
+            type_changed = [
+                (c, stored_types[c], src_types[c])
+                for c in data_cols
+                if c in stored_types and src_types.get(c) != stored_types[c]
+            ]
+            if type_changed:
+                if evolution is None:
+                    evolution = {
+                        "added": [],
+                        "dropped": [],
+                        "reordered": False,
+                        "policy": self.schema_change_policy,
+                    }
+                evolution["type_changed"] = type_changed
+                if self.schema_change_policy == "rebase":
+                    evolution["policy"] = "full_churn"
+                    evolution["policy_fallback"] = (
+                        "full_churn: column type change "
+                        f"{type_changed} re-renders every cached "
+                        "fingerprint — there is no common-column hash "
+                        "to rebase onto"
+                    )
+
         # A drop-rebase recomputes replica-side hashes from the STORED
         # rows — valid only when the replica holds the raw values the
         # cache hashed. normalize_name_col rewrites a data column at
@@ -473,8 +545,10 @@ class CdcEngine:
         # every un-suffixed source row and the "churn-proportional"
         # promise would silently become a bootstrap-sized delta. Fall
         # back to honest full churn for that epoch and say so.
-        rebase = evolution is not None and (
-            self.schema_change_policy == "rebase"
+        rebase = (
+            evolution is not None
+            and self.schema_change_policy == "rebase"
+            and not evolution.get("type_changed")
         )
         if (
             rebase
@@ -482,6 +556,10 @@ class CdcEngine:
             and spec.normalize_name_col is not None
         ):
             rebase = False
+            # record the EFFECTIVE policy, not the configured one —
+            # consumers reading only evolution['policy'] must see what
+            # actually ran (ADVICE r7); policy_fallback keeps the why
+            evolution["policy"] = "full_churn"
             evolution["policy_fallback"] = (
                 "full_churn: dropped-column rebase needs raw replica "
                 f"values, but normalize_name_col="
@@ -521,7 +599,17 @@ class CdcEngine:
 
         # J1: the diff join. Materialized once (small output: changed
         # keys only) so the three consumers don't re-run the join.
-        diff = snapshot_diff(src_fp, rep_fp).persist()
+        # At a full-churn schema boundary the cached hashes were
+        # rendered over a DIFFERENT basis than src_fp — cross-basis
+        # hash equality is a meaningless coincidence ('1x' from [name]
+        # vs [tier]), and trusting it silently skips rows whose common
+        # columns changed. assume_changed makes "everything
+        # reclassifies" literal: every surviving key is an update.
+        diff = snapshot_diff(
+            src_fp,
+            rep_fp,
+            assume_changed=(evolution is not None and not rebase),
+        ).persist()
         try:
             parts = split_diff(diff)
 
@@ -693,7 +781,7 @@ class CdcEngine:
                 )
             else:
                 self._write_fp(spec.name, src_fp)
-            self._write_basis(spec.name, data_cols)
+            self._write_basis(spec.name, data_cols, src_types)
 
             delta.unpersist()
             return UpdateStats(
@@ -733,15 +821,13 @@ class CdcEngine:
         kept rows: every row must gain the value, but only pk+added
         travel through the join — at 100 TB that is a narrow-column
         shuffle against the replica, not a full-width re-fetch. The
-        backfill runs under BOTH policies: under ``"full_churn"``
-        kept is normally empty (everything re-arrived through the
-        delta), but a surviving row whose rendered fingerprint concat
-        COINCIDES across the two bases (e.g. column sets ``[a]`` vs
-        ``[b]`` with equal values — the same degenerate class MySQL's
-        ``CRC32(CONCAT_WS)`` has) rides the kept path and must still
-        gain the source's value, not a NULL; guard-skipped
-        replica-only rows are not in the source and read NULL from
-        the left join either way."""
+        backfill is load-bearing under ``"rebase"`` (unchanged rows
+        stay on the kept path by design); under ``"full_churn"``
+        every surviving source row re-arrives through the delta
+        (``snapshot_diff(assume_changed=True)`` — cross-basis hash
+        coincidences are never trusted), so kept holds only
+        guard-skipped replica-only rows, which are not in the source
+        and correctly read NULL from the left join."""
         pk = spec.primary_key
         kept = old.join(
             _maybe_broadcast(delta.select(pk).distinct(), hint), pk, "anti"
