@@ -3813,6 +3813,155 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py) over the
+    customer↔supplier trade graph: forward edges customer→supplier for
+    every distinct order line, reverse edges only for high-quantity
+    lines (l_quantity > 25) — an asymmetric graph with cycles AND
+    dangling nodes (suppliers with no high-quantity sales), so the
+    dangling-mass redistribution is load-bearing. 5 iterations,
+    d=0.85, rounded to 8 digits at the end only. The oracle is the
+    same recurrence unrolled as chained CTEs."""
+    orders = demo.load(spark, sf_dir, "orders")
+    lineitem = demo.load(spark, sf_dir, "lineitem")
+    ol = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.col("o_custkey").cast("long").alias("c"),
+        (F.col("l_suppkey") + F.lit(1_000_000)).cast("long").alias("s"),
+        "l_quantity",
+    )
+    fwd = ol.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    rev = ol.filter(F.col("l_quantity") > 25).select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    )
+    from updater_spark.operators.graph import pagerank
+
+    return pagerank(
+        fwd.unionByName(rev), iterations=5, round_digits=8
+    ).select(F.col("node").cast("long").alias("node"), "pr")
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """The PageRank recurrence unrolled as chained CTEs — one
+    (dangling, contrib, rank) trio per iteration, exactly the Spark
+    loop's math in DuckDB."""
+    d = damping
+    ctes = [
+        """e AS (
+            SELECT DISTINCT o.o_custkey AS src,
+                   l.l_suppkey + 1000000 AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            UNION
+            SELECT DISTINCT l.l_suppkey + 1000000 AS src,
+                   o.o_custkey AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_quantity > 25
+        )""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        """outdeg AS (
+            SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+            FROM e GROUP BY src
+        )""",
+        "pr0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    for t in range(iterations):
+        ctes.append(
+            f"""dang{t} AS (
+            SELECT COALESCE(SUM(p.pr), 0.0) AS m FROM pr{t} p
+            LEFT JOIN outdeg o ON p.node = o.src WHERE o.src IS NULL
+        )"""
+        )
+        ctes.append(
+            f"""pr{t + 1} AS (
+            SELECT nd.node,
+                   (1.0 - {d})/(SELECT n FROM nn)
+                   + {d} * (COALESCE(c.contrib, 0.0)
+                            + (SELECT m FROM dang{t})/(SELECT n FROM nn))
+                   AS pr
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.pr / o.deg) AS contrib
+                FROM e JOIN outdeg o ON e.src = o.src
+                       JOIN pr{t} p ON e.src = p.node
+                GROUP BY e.dst
+            ) c ON nd.node = c.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(pr, 8) AS pr FROM pr{iterations}"
+    )
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven WordPiece vocabulary construction
+    (operators/tokenizer.py::wordpiece_vocab): frequency-ranked piece
+    selection over documents — word-initial pieces plain,
+    word-internal pieces ##-prefixed, top-800 by (count DESC, piece
+    ASC). The built vocab is what wordpiece_tokenize consumes; this is
+    the missing train half of the tokenizer lifecycle."""
+    docs = demo.load(spark, sf_dir, "documents")
+    from updater_spark.operators.tokenizer import wordpiece_vocab
+
+    return wordpiece_vocab(
+        docs, "text", vocab_size=800, max_piece_len=6, max_word_len=16
+    )
+
+
+def q_cdc_type_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC TYPE evolution (plans/cdc.py, ADVICE r7): the source
+    re-types a column between epochs with unchanged names (bigint
+    c_acctbal → double — a DBA INT→DECIMAL migration). The basis
+    sidecar's (name, type) pairs detect it; rebase cannot reuse
+    retyped hashes, so the epoch runs as an honest full-churn schema
+    boundary with the EFFECTIVE policy recorded. Returns the
+    post-boundary replica; the asserts pin the stats contract."""
+    import shutil
+    import tempfile
+
+    from updater_spark.plans.cdc import CdcEngine
+    from updater_spark.schema import TableSpec
+    from updater_spark.sources.store import TableStore
+
+    customer = demo.load(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="cdc_type_")
+    try:
+        store = TableStore(spark, os.path.join(root, "store"))
+        eng = CdcEngine(store, schema_change_policy="rebase")
+        spec = TableSpec("customer", "c_custkey")
+
+        src1 = customer.select(
+            "c_custkey", "c_name", F.col("c_acctbal").cast("bigint").alias("c_acctbal")
+        )
+        eng.update(spec, src1)  # epoch 0: integer balances
+
+        src2 = customer.filter(F.col("c_custkey") % 23 != 0).select(
+            "c_custkey",
+            "c_name",
+            (
+                F.col("c_acctbal")
+                + F.when(
+                    F.col("c_custkey") % 7 == 0, F.lit(100.0)
+                ).otherwise(F.lit(0.0))
+            ).alias("c_acctbal"),
+        )
+        stats = eng.update(spec, src2)  # epoch 1: the type boundary
+        ev = stats.extra["schema_change"]
+        assert [c for c, _, _ in ev["type_changed"]] == ["c_acctbal"]
+        assert ev["policy"] == "full_churn" and "type change" in ev[
+            "policy_fallback"
+        ]
+        out = eng.store.read("customer").select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-7 rotation (VERDICT r6
@@ -3826,6 +3975,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # windows). Freshest r6-row queries close the list; r6 ∪ r7 then
     # covers everything with no row older than its code.
     return {
+        # --- new in r8 ---
+        "graph_pagerank": q_graph_pagerank,
+        "vocab_build": q_vocab_build,
+        "cdc_type_evolution": q_cdc_type_evolution,
         # --- new in r7 ---
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_schema_replay": q_cdc_schema_replay,
@@ -4786,6 +4939,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
                    CAST(NULL AS INTEGER) AS c_nationkey
             FROM customer
+        """,
+        "cdc_type_evolution": """
+            SELECT c_custkey, c_name,
+                   round(c_acctbal + CASE WHEN c_custkey % 7 = 0
+                                          THEN 100.0 ELSE 0.0 END,
+                         2) AS c_acctbal
+            FROM customer WHERE c_custkey % 23 <> 0
+        """,
+        "graph_pagerank": _pagerank_sql(iterations=5, damping=0.85),
+        "vocab_build": """
+            WITH words AS (
+                SELECT substr(w, 1, 16) AS w FROM (
+                    SELECT unnest(string_split_regex(trim(
+                               regexp_replace(lower(text), '[^a-z ]',
+                                              '', 'g')), ' +')) AS w
+                    FROM documents) t
+                WHERE length(w) > 0
+            ),
+            pieces AS (
+                SELECT CASE WHEN i = 0 THEN substr(w, 1, CAST(j AS INT))
+                            ELSE '##' || substr(w, CAST(i AS INT) + 1,
+                                                CAST(j AS INT)) END AS piece
+                FROM words, range(0, 16) r1(i), range(1, 7) r2(j)
+                WHERE i < length(w) AND j <= least(6, length(w) - i)
+            )
+            SELECT piece, COUNT(*) AS cnt FROM pieces GROUP BY piece
+            ORDER BY cnt DESC, piece ASC LIMIT 800
         """,
         "p2_scores": f"WITH players AS ({demo.PLAYER_SHAPED_SQL}) {score_sql}",
         "p4_name_normalize": """

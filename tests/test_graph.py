@@ -1,0 +1,81 @@
+"""PageRank: the Spark loop must match a pure-Python evaluation of
+the same recurrence exactly (modulo end-rounding), including dangling
+mass, duplicate-edge collapse, and self-loops."""
+
+import pytest
+from pyspark.sql import Row
+
+from updater_spark.operators.graph import degree_stats, pagerank
+
+
+def _py_pagerank(edge_set, iterations=5, d=0.85):
+    nodes = sorted({u for u, _ in edge_set} | {v for _, v in edge_set})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edge_set:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dangling = sum(p for v, p in pr.items() if v not in outdeg)
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in edge_set:
+            contrib[v] += pr[u] / outdeg[u]
+        pr = {
+            v: (1 - d) / n + d * (contrib[v] + dangling / n)
+            for v in nodes
+        }
+    return pr
+
+
+EDGES = [
+    (1, 2), (2, 3), (3, 1),          # a cycle
+    (1, 3), (4, 1),                  # extra links
+    (5, 5),                          # self-loop
+    (3, 6),                          # 6 is dangling (no out-edges)
+    (4, 1),                          # duplicate edge (collapses)
+    (7, 2), (7, 3), (7, 6),
+]
+
+
+def test_pagerank_matches_reference_recurrence(spark):
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in EDGES])
+    got = {r["node"]: r["pr"] for r in pagerank(df, iterations=5).collect()}
+    want = _py_pagerank(set(EDGES), iterations=5)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == round(want[v], 6), (v, got[v], want[v])
+    # probability mass is conserved (within end-rounding)
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    # star into a sink: without dangling redistribution the sink's
+    # mass would leak out of the system each round
+    edges = [(i, 99) for i in range(1, 6)]
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in edges])
+    got = {r["node"]: r["pr"] for r in pagerank(df, iterations=3).collect()}
+    want = _py_pagerank(set(edges), iterations=3)
+    for v in want:
+        assert got[v] == round(want[v], 6)
+    assert got[99] > got[1]
+
+
+def test_pagerank_single_iteration_and_validation(spark):
+    df = spark.createDataFrame([Row(src=1, dst=2)])
+    got = {r["node"]: r["pr"] for r in pagerank(df, iterations=1).collect()}
+    want = _py_pagerank({(1, 2)}, iterations=1)
+    assert got == {v: round(p, 6) for v, p in want.items()}
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=0)
+
+
+def test_degree_stats(spark):
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in EDGES])
+    got = {
+        r["node"]: (r["out_deg"], r["in_deg"])
+        for r in degree_stats(df).collect()
+    }
+    assert got[6] == (0, 2)   # dangling, two in-links
+    assert got[7] == (3, 0)   # pure source
+    assert got[5] == (1, 1)   # self-loop counts both ways
+    assert got[1] == (2, 2)   # duplicate (4,1) collapsed

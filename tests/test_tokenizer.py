@@ -270,3 +270,72 @@ def test_bpe_validation(spark):
         bpe_tokenize(df, "text", [("a", "b"), ("a", "b")])
     with pytest.raises(ValueError, match="empty merge operand"):
         bpe_tokenize_arrow(df, "text", [("a", "")])
+
+
+def test_wordpiece_vocab_counts_and_ranking(spark):
+    """Piece counting matches a hand-computed expansion; ranking is
+    (count DESC, piece ASC) with a deterministic cut."""
+    from collections import Counter
+
+    from updater_spark.operators.tokenizer import wordpiece_vocab
+
+    texts = ["aba ab!", "Ba  aba", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def py_pieces(text, max_piece=6, max_word=16):
+        import re
+
+        norm = re.sub("[^a-z ]", "", text.lower())
+        out = []
+        for w in [x for x in re.split(" +", norm.strip()) if x]:
+            w = w[:max_word]
+            for i in range(len(w)):
+                for j in range(1, min(max_piece, len(w) - i) + 1):
+                    out.append(
+                        w[i : i + j] if i == 0 else "##" + w[i : i + j]
+                    )
+        return out
+
+    want = Counter()
+    for t in texts:
+        want.update(py_pieces(t))
+
+    got = {
+        r["piece"]: r["cnt"]
+        for r in wordpiece_vocab(df, "text", vocab_size=10_000).collect()
+    }
+    assert got == dict(want)
+
+    # the cut keeps the top-V of the (cnt DESC, piece ASC) total order
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    top3 = wordpiece_vocab(df, "text", vocab_size=3).collect()
+    assert [(r["piece"], r["cnt"]) for r in sorted(
+        top3, key=lambda r: (-r["cnt"], r["piece"])
+    )] == ranked[:3]
+
+    # min_count prunes singletons; built vocab feeds the tokenizer
+    got_mc = {
+        r["piece"]
+        for r in wordpiece_vocab(
+            df, "text", vocab_size=10_000, min_count=2
+        ).collect()
+    }
+    assert got_mc == {p for p, c in want.items() if c >= 2}
+
+
+def test_wordpiece_vocab_respects_length_caps(spark):
+    from updater_spark.operators.tokenizer import wordpiece_vocab
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh")], "doc_id long, text string"
+    )
+    got = {
+        r["piece"]
+        for r in wordpiece_vocab(
+            df, "text", vocab_size=10_000, max_piece_len=2, max_word_len=3
+        ).collect()
+    }
+    # word truncated to 'abc'; pieces of len<=2 only
+    assert got == {"a", "ab", "##b", "##bc", "##c"}

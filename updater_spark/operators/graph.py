@@ -1,0 +1,159 @@
+"""Graph centrality over an edge list — fixed-iteration PageRank.
+
+A large-scale training-data pipeline ranks documents by link-graph
+authority (the original web-quality signal: Brin & Page 1998; used
+today to pick crawl frontiers and to weight corpus sampling — e.g.
+Common Crawl's harmonic-centrality ordering). The reference engine
+has no graph operator (its sibling of "derived global signal" is the
+tribe_stats rollup, /root/reference/src/download.py:607-637); this is
+extension surface, same family as ``operators/clusters.py``'s
+connected components.
+
+Spark-first shape (per iteration):
+
+- ``contrib``: one equi-join of the rank vector onto the edge list on
+  ``src`` + one ``groupBy(dst).sum`` — the classic two-shuffle
+  PageRank step. The EDGE LIST is the big side and is hash-partitioned
+  on ``src`` ONCE up front (``repartition(src)`` + persist); the rank
+  vector (|V| rows, two columns) re-shuffles each round, which is the
+  cheap side. At 100 TB the edges never move after the initial
+  partitioning — the same "partition the static side once" discipline
+  as ``clusters.connected_components``.
+- dangling mass (nodes with no out-edges) is a 1-row aggregate
+  collected per iteration — a k-row-bounded collect (k=1), never a
+  corpus collect.
+- lineage is truncated each round with ``localCheckpoint`` (same
+  rationale as clusters.py: a DataFrame loop otherwise grows a plan
+  linear in rounds and Catalyst analysis time blows up).
+
+Fixed ``iterations`` (not convergence-tested) keeps the operator
+deterministic and ORACLE-expressible: the DuckDB twin is the same
+recurrence unrolled as chained CTEs. Rank values are rounded only at
+the very end (``round_digits``) — intermediate rounding would
+compound across iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Recurrence (the standard formulation with dangling-mass
+    redistribution):
+
+        pr_0(v)   = 1/N
+        pr_t+1(v) = (1-d)/N
+                    + d * ( Σ_{(u,v)∈E} pr_t(u)/outdeg(u)
+                            + dangling_t / N )
+        dangling_t = Σ_{u: outdeg(u)=0} pr_t(u)
+
+    Duplicate edges are collapsed (a repeated link is one link — the
+    crawl-graph convention); self-loops are kept (they are valid
+    out-edges). Returns ``(node, pr)`` with ``pr`` rounded to
+    ``round_digits`` at the end only.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        # the static big side: partition once on the join key, keep hot
+        .repartition("src")
+        .persist()
+    )
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        n = nodes.count()  # also materializes the persists
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+        pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+        prev = None
+        for _ in range(iterations):
+            pr = pr.localCheckpoint(eager=True)
+            if prev is not None:
+                prev.unpersist()
+            prev = pr
+            # 1-row bounded collect: the dangling mass this round
+            dangling = (
+                pr.join(outdeg, pr["node"] == outdeg["src"], "anti")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+            contrib = (
+                e.join(outdeg, "src")
+                .join(
+                    pr.select(F.col("node").alias("src"), "pr"), "src"
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
+            )
+            pr = nodes.join(contrib, "node", "left").select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.lit(dangling / n)
+                    )
+                ).alias("pr"),
+            )
+        out = pr.select(
+            "node", F.round(F.col("pr"), round_digits).alias("pr")
+        )
+        # materialize before releasing the cached inputs
+        out = out.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        return out
+    finally:
+        e.unpersist()
+        try:
+            nodes.unpersist()
+        except Exception:
+            pass
+
+
+def degree_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node (out_deg, in_deg) over the distinct edge set — the
+    companion diagnostic (skew in either degree predicts PageRank
+    shuffle skew; a super-hub's in-edges all land in one reduce key,
+    the same failure mode ``operators/skew.py`` salts)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    outd = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ind = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        outd.join(ind, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )

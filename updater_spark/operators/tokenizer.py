@@ -55,6 +55,7 @@ __all__ = [
     "bpe_tokenize",
     "bpe_tokenize_arrow",
     "synthetic_vocab",
+    "wordpiece_vocab",
 ]
 
 
@@ -76,6 +77,76 @@ def synthetic_vocab(size: int) -> list[str]:
         quad = itertools.product(letters, repeat=4)
         out += ["".join(t) for t in itertools.islice(quad, size - len(out))]
     return out[:size]
+
+
+def wordpiece_vocab(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 1000,
+    max_piece_len: int = 6,
+    max_word_len: int = 16,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-driven vocabulary CONSTRUCTION — the missing first half
+    of the tokenizer lifecycle (``wordpiece_tokenize``/``bpe_tokenize``
+    apply a vocab; this builds one). Frequency-ranked piece selection:
+    for every corpus word occurrence, emit every substring piece up to
+    ``max_piece_len`` — word-initial pieces plain, word-internal
+    pieces ``##``-prefixed (the WordPiece continuation convention, Wu
+    et al. 2016; frequency ranking is the standard seed vocabulary
+    before likelihood refinement) — count them corpus-wide and keep
+    the top ``vocab_size`` by ``(count DESC, piece ASC)`` (a total
+    order, so the selected SET is deterministic).
+
+    Normalization matches ``wordpiece_tokenize`` exactly (lowercase,
+    strip to ``[a-z ]``, words truncated to ``max_word_len``), so the
+    built vocab feeds straight into it.
+
+    Scale shape: the piece expansion is a per-row ``flatten(transform(
+    sequence…))`` — NARROW, no shuffle, ≤ max_word_len×max_piece_len
+    pieces per word at scan speed; the count is one two-level
+    ``groupBy(piece)`` partial agg; top-V is ``TakeOrderedAndProject``
+    (per-partition heaps, V rows to the driver — never a full sort).
+    Zero UDFs, exact DuckDB oracle.
+
+    Returns ``(piece, cnt)``, the selected vocabulary."""
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+    words = F.filter(
+        F.transform(
+            F.split(F.trim(norm), " +"),
+            lambda x: F.substring(x, 1, max_word_len),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    w = df.select(F.explode(words).alias("w"))
+    pieces = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.length("w") - F.lit(1)),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.length("w") - i),
+                ),
+                lambda j: F.when(
+                    i == F.lit(0), F.col("w").substr(F.lit(1), j)
+                ).otherwise(
+                    F.concat(
+                        F.lit("##"), F.col("w").substr(i + F.lit(1), j)
+                    )
+                ),
+            ),
+        )
+    )
+    return (
+        w.select(F.explode(pieces).alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(vocab_size)
+    )
 
 
 def _vocab_by_char(vocab: list[str]):
