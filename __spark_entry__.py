@@ -3848,7 +3848,7 @@ def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
     loop's math in DuckDB."""
     d = damping
     ctes = [
-        """e AS (
+        """e AS MATERIALIZED (
             SELECT DISTINCT o.o_custkey AS src,
                    l.l_suppkey + 1000000 AS dst
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -3858,23 +3858,25 @@ def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             WHERE l.l_quantity > 25
         )""",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e"
+        " UNION SELECT dst FROM e)",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
-        """outdeg AS (
+        """outdeg AS MATERIALIZED (
             SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
             FROM e GROUP BY src
         )""",
-        "pr0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS pr FROM nodes)",
+        "pr0 AS MATERIALIZED (SELECT node,"
+        " 1.0/(SELECT n FROM nn) AS pr FROM nodes)",
     ]
     for t in range(iterations):
         ctes.append(
-            f"""dang{t} AS (
+            f"""dang{t} AS MATERIALIZED (
             SELECT COALESCE(SUM(p.pr), 0.0) AS m FROM pr{t} p
             LEFT JOIN outdeg o ON p.node = o.src WHERE o.src IS NULL
         )"""
         )
         ctes.append(
-            f"""pr{t + 1} AS (
+            f"""pr{t + 1} AS MATERIALIZED (
             SELECT nd.node,
                    (1.0 - {d})/(SELECT n FROM nn)
                    + {d} * (COALESCE(c.contrib, 0.0)
@@ -3908,6 +3910,76 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_vocab(
         docs, "text", vocab_size=800, max_piece_len=6, max_word_len=16
     )
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING (operators/tokenizer.py::bpe_train): learn
+    the first 16 ranked merges from the documents corpus — the train
+    half of what bpe_tokens/bpe_tokens_arrow apply. Exact oracle: the
+    trainer recurrence unrolled — per round a pair-count CTE, a
+    LIMIT-1 best pair with the same (cnt DESC, a, b) tie-break, and a
+    list_reduce fold applying the merge."""
+    docs = demo.load(spark, sf_dir, "documents")
+    from updater_spark.operators.tokenizer import bpe_train
+
+    return bpe_train(docs, "text", n_merges=16)
+
+
+def _bpe_train_sql(n_merges: int = 16, max_word_len: int = 16) -> str:
+    """The BPE trainer unrolled as chained CTEs (the _pagerank_sql
+    discipline): s{t} is the tokenized word-frequency table after t
+    merges, b{t} the round's best pair (empty when no pairs remain —
+    the UNION ALL then contributes no row, matching the Spark
+    early-stop)."""
+    ctes = [
+        f"""wf AS MATERIALIZED (
+            SELECT w, COUNT(*) AS freq FROM (
+                SELECT substr(w, 1, {max_word_len}) AS w FROM (
+                    SELECT unnest(string_split_regex(trim(
+                        regexp_replace(lower(text), '[^a-z ]', '', 'g')),
+                        ' +')) AS w
+                    FROM documents) t
+                WHERE length(w) > 0)
+            GROUP BY w
+        )""",
+        """s0 AS MATERIALIZED (
+            SELECT list_transform(range(1, length(w) + 1),
+                                  i -> substr(w, CAST(i AS INT), 1)) AS toks,
+                   freq
+            FROM wf
+        )""",
+    ]
+    for t in range(n_merges):
+        ctes.append(
+            f"""b{t} AS MATERIALIZED (
+            SELECT a, b FROM (
+                SELECT toks[i] AS a, toks[i + 1] AS b, SUM(freq) AS cnt
+                FROM (SELECT toks, freq,
+                             unnest(range(1, len(toks))) AS i
+                      FROM s{t} WHERE len(toks) > 1)
+                GROUP BY a, b)
+            ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+        )"""
+        )
+        ctes.append(
+            f"""s{t + 1} AS MATERIALIZED (
+            SELECT CASE WHEN bb.a IS NULL THEN toks
+                   ELSE list_reduce(list_transform(toks, tk -> [tk]),
+                        (acc, x) -> CASE WHEN len(acc) > 0
+                                          AND acc[-1] = bb.a
+                                          AND x[1] = bb.b
+                                    THEN list_concat(acc[:-2],
+                                                     [bb.a || bb.b])
+                                    ELSE list_concat(acc, x) END)
+                   END AS toks, freq
+            FROM s{t} LEFT JOIN b{t} bb ON TRUE
+        )"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS merge_rank, a, b FROM b{t}"
+        for t in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
 
 
 def q_cdc_type_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3978,6 +4050,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r8 ---
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
+        "bpe_train": q_bpe_train,
         "cdc_type_evolution": q_cdc_type_evolution,
         # --- new in r7 ---
         "cdc_schema_evolution": q_cdc_schema_evolution,
@@ -4948,6 +5021,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer WHERE c_custkey % 23 <> 0
         """,
         "graph_pagerank": _pagerank_sql(iterations=5, damping=0.85),
+        "bpe_train": _bpe_train_sql(n_merges=16),
         "vocab_build": """
             WITH words AS (
                 SELECT substr(w, 1, 16) AS w FROM (

@@ -339,3 +339,98 @@ def test_wordpiece_vocab_respects_length_caps(spark):
     }
     # word truncated to 'abc'; pieces of len<=2 only
     assert got == {"a", "ab", "##b", "##bc", "##c"}
+
+
+def _py_bpe_train(texts, n_merges, max_word_len=16):
+    """Pure-Python Sennrich trainer: word-freq table, chars, iterate
+    (count pairs weighted by freq, merge best with (cnt DESC, a, b)
+    tie-break, leftmost non-overlapping apply)."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        norm = re.sub("[^a-z ]", "", t.lower())
+        for w in [x for x in re.split(" +", norm.strip()) if x]:
+            wf[w[:max_word_len]] += 1
+    state = {w: [c for c in w] for w in wf}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, toks in state.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += wf[w]
+        if not pairs:
+            break
+        (a, b), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b))
+        for w, toks in state.items():
+            out = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            state[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    from updater_spark.operators.tokenizer import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats eat the rats",
+        "a tattered hat on that cat",
+        "",
+        "THE CAT!!",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["a"], r["b"])
+        for r in sorted(
+            bpe_train(df, "text", n_merges=12).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+    want = _py_bpe_train(texts, 12)
+    assert got == want
+
+
+def test_bpe_train_early_stop_and_feeds_apply(spark):
+    from updater_spark.operators.tokenizer import bpe_tokenize, bpe_train
+
+    # tiny corpus: merges exhaust before n_merges
+    texts = ["ab ab", "ab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = sorted(
+        bpe_train(df, "text", n_merges=10).collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    want = _py_bpe_train(texts, 10)
+    assert [(r["merge_rank"], r["a"], r["b"]) for r in rows] == want
+    assert len(rows) < 10  # early-stopped: 'ab' fully merges in 1 step
+    # the learned merges feed straight into the apply operator
+    merges = [(r["a"], r["b"]) for r in rows]
+    out = bpe_tokenize(df, "text", merges).collect()
+    assert all(r["n_pieces"] >= 1 for r in out)
+
+
+def test_bpe_train_tiebreak_is_total(spark):
+    from updater_spark.operators.tokenizer import bpe_train
+
+    # 'xy' and 'yx' pairs tie at count 2 -> (a ASC, b ASC) picks (x,y)
+    texts = ["xy xy yx yx"]
+    df = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    rows = sorted(
+        bpe_train(df, "text", n_merges=2).collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    assert (rows[0]["a"], rows[0]["b"]) == ("x", "y")
+    assert [(r["merge_rank"], r["a"], r["b"]) for r in rows] == _py_bpe_train(
+        texts, 2
+    )

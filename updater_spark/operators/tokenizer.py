@@ -56,6 +56,7 @@ __all__ = [
     "bpe_tokenize_arrow",
     "synthetic_vocab",
     "wordpiece_vocab",
+    "bpe_train",
 ]
 
 
@@ -146,6 +147,125 @@ def wordpiece_vocab(
         .filter(F.col("cnt") >= min_count)
         .orderBy(F.col("cnt").desc(), F.col("piece").asc())
         .limit(vocab_size)
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 20,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """BPE merge TRAINING (Sennrich et al. 2016) — learns the ranked
+    merge list that ``bpe_tokenize`` applies, completing the tokenizer
+    lifecycle (``wordpiece_vocab`` ranks pieces by frequency; this
+    learns the merge ORDER GPT-family tokenizers actually ship).
+
+    Classic algorithm on the word-frequency table: start from
+    characters; each round, count adjacent token pairs weighted by
+    word frequency, merge the most frequent pair everywhere
+    (leftmost-first, non-overlapping), repeat ``n_merges`` times.
+    Tie-break is total: ``(count DESC, a ASC, b ASC)``.
+
+    Spark shape per round (the industrial trainer shape — all BPE
+    trainers iterate; the win is running each round distributed):
+
+    - pair counting: one narrow per-word pair expansion + one
+      ``groupBy(a, b)`` partial agg over the word-frequency table —
+      which is |distinct normalized words| rows, already thousands of
+      times smaller than the corpus (the only corpus-sized job is the
+      initial word count);
+    - best pair: a 1-row bounded collect (``TakeOrdered`` heap);
+    - merge application: a pure-Catalyst ``aggregate`` fold over each
+      token array — narrow, no shuffle;
+    - lineage truncated per round (``localCheckpoint``, the
+      clusters.py rationale).
+
+    Early-stops when no adjacent pairs remain (every word fully
+    merged). Normalization matches the other tokenizer ops. Returns
+    ``(merge_rank, a, b)`` — feedable straight into ``bpe_tokenize``
+    as ``[(a, b), ...]`` in rank order. The DuckDB oracle is the same
+    recurrence unrolled (pair-count CTE + LIMIT 1 best + a
+    ``list_reduce`` fold per round)."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+    words = F.filter(
+        F.transform(
+            F.split(F.trim(norm), " +"),
+            lambda x: F.substring(x, 1, max_word_len),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    wf = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    state = wf.select(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("toks"),
+        "freq",
+    )
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str]] = []
+    prev = None
+    for rank in range(n_merges):
+        state = state.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        prev = state
+        # sequence(1, n) DESCENDS when n < 1 — guard single-token words
+        pair_idx = F.when(
+            F.size("toks") > 1,
+            F.sequence(F.lit(1), F.size("toks") - F.lit(1)),
+        ).otherwise(F.array().cast("array<int>"))
+        best = (
+            state.select(
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at("toks", i).alias("a"),
+                            F.element_at("toks", i + F.lit(1)).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((rank, a, b))
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
+        state = state.select(
+            F.aggregate(
+                "toks",
+                F.array().cast("array<string>"),
+                lambda acc, t: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (t == lb),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                        F.array(lm),
+                    ),
+                ).otherwise(F.concat(acc, F.array(t))),
+            ).alias("toks"),
+            "freq",
+        )
+    if prev is not None:
+        prev.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, a string, b string"
     )
 
 
