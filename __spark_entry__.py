@@ -4036,76 +4036,57 @@ def q_cdc_type_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
-    # the FIRST 50 registered queries. Round-7 rotation (VERDICT r6
-    # ask #3): lead with queries whose CODE changed after their last
-    # hard driver row — the four new r7 queries, the r7-reworked
-    # paths (bucketed wordpiece fold, rewritten changelog_replay,
-    # NB zero-token scoring, idempotent streaming-ANN sink, semantic
-    # compact/owed-pairs fixes, the schema-evolution CdcEngine rework
-    # behind cdc_dedup_incremental/streaming_cdc), then the block
-    # whose last hard row is r4 (fell past both the r5 and r6
-    # windows). Freshest r6-row queries close the list; r6 ∪ r7 then
-    # covers everything with no row older than its code.
+    # the FIRST 50 registered queries. Round-8 rotation: the window is
+    # exactly the queries whose result could have moved this round —
+    # the 4 new r8 queries plus everything whose CODE PATH changed in
+    # r8 (the cdc.py/diff.py boundary-diff rework, tokenizer.py,
+    # ann_index.py filtered search, decontam.py validation) — then the
+    # stalest r5-row queries fill the window. r5-row leftovers lead the
+    # tail for the r9 rotation; fresh unchanged r6/r7 rows close it.
     return {
-        # --- new in r8 ---
+        # --- r8 window: new this round (no driver row yet) ---
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
         "cdc_type_evolution": q_cdc_type_evolution,
-        # --- new in r7 ---
+        # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_schema_replay": q_cdc_schema_replay,
-        "bpe_tokens": q_bpe_tokens,
-        "wordpiece_tokens_8k": q_wordpiece_tokens_8k,
-        "decontam_semantic": q_decontam_semantic,
-        "ann_ivf_filtered": q_ann_ivf_filtered,
-        "bpe_tokens_arrow": q_bpe_tokens_arrow,
-        # --- code changed in r7 after their last hard row ---
-        "wordpiece_tokens": q_wordpiece_tokens,
         "changelog_replay": q_changelog_replay,
-        "nb_classifier": q_nb_classifier,
-        "nb_classifier_hashed": q_nb_classifier_hashed,
-        "streaming_ann": q_streaming_ann,
-        "semantic_dedup_lsm": q_semantic_dedup_lsm,
-        "semantic_dedup_incremental": q_semantic_dedup_incremental,
-        "semantic_dedup_incremental_arrow": q_semantic_dedup_incremental_arrow,
         "cdc_dedup_incremental": q_cdc_dedup_incremental,
         "streaming_cdc": q_streaming_cdc,
-        # --- last hard driver row r4 (missed the r5 AND r6 windows) ---
-        "pq_adc_topk": q_pq_adc_topk,
-        "pq_adc_arrow": q_pq_adc_arrow,
-        "dup_spans": q_dup_spans,
-        "dedup_strip_spans": q_dedup_strip_spans,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_capped": q_semantic_dedup_capped,
-        "ann_ivfpq_maintained": q_ann_ivfpq_maintained,
-        "pipeline_e2e": q_pipeline_e2e,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_ivfpq_refined": q_ann_ivfpq_refined,
-        "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
-        "s2_fingerprint": q_s2_fingerprint,
         "j1_diff_classify": q_j1_diff_classify,
+        "j1_diff_large": q_j1_diff_large,
         "j2_semi_join_fetch": q_j2_semi_join_fetch,
         "s5_merge_upsert": q_s5_merge_upsert,
-        # --- last hard driver row r5 ---
-        "semantic_dedup_arrow": q_semantic_dedup_arrow,
-        "semantic_dedup_t95": q_semantic_dedup_t95,
         "s7_apply_deletes": q_s7_apply_deletes,
         "j5_changelog": q_j5_changelog,
         "cdc_full_cycle": q_cdc_full_cycle,
-        "p2_scores": q_p2_scores,
-        "p4_name_normalize": q_p4_name_normalize,
-        "j3_tribe_active": q_j3_tribe_active,
+        "pipeline_e2e": q_pipeline_e2e,
+        "rollup_cdc_repair": q_rollup_cdc_repair,
+        "tribe_stats_repair": q_tribe_stats_repair,
+        "ivm_join_view": q_ivm_join_view,
+        "dedup_incremental": q_dedup_incremental,
         "a3_tribe_stats_incremental": q_a3_tribe_stats_incremental,
-        "a3_tribe_stats_bootstrap": q_a3_tribe_stats_bootstrap,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "a2_events_hourly": q_a2_events_hourly,
-        "j1_diff_large": q_j1_diff_large,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_lsh_verified": q_dedup_lsh_verified,
-        "dedup_simhash": q_dedup_simhash,
+        "s2_fingerprint": q_s2_fingerprint,
+        # --- r8 window: tokenizer.py changed this round (wordpiece_vocab/bpe_train additions) ---
+        "bpe_tokens": q_bpe_tokens,
+        "bpe_tokens_arrow": q_bpe_tokens_arrow,
+        "wordpiece_tokens": q_wordpiece_tokens,
+        "wordpiece_tokens_8k": q_wordpiece_tokens_8k,
+        # --- r8 window: ann_index.py changed this round (_resolve_allowed) ---
+        "ann_ivf_filtered": q_ann_ivf_filtered,
+        "ann_index_maintained": q_ann_index_maintained,
+        "ann_index_retrain": q_ann_index_retrain,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
+        "ann_ivfpq_maintained": q_ann_ivfpq_maintained,
+        "streaming_ann": q_streaming_ann,
+        # --- r8 window: decontam.py changed this round (benchmark-vector validation) ---
+        "decontam_semantic": q_decontam_semantic,
+        "decontam_ngram": q_decontam_ngram,
+        "decontam_bloom": q_decontam_bloom,
+        # --- r8 window: stalest hard rows (r5) fill the remaining slots ---
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -4116,11 +4097,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
-        "ann_index_maintained": q_ann_index_maintained,
         "streaming_first_seen": q_streaming_first_seen,
+        # --- last hard row r5 (next rotation's lead) ---
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "multimodal_decode_stub": q_multimodal_decode_stub,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
@@ -4135,15 +4115,39 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "pack_chunks": q_pack_chunks,
         "pack_greedy": q_pack_greedy,
-        # --- hard row r6 (CORRECTNESS_r06), code unchanged since ---
+        # --- fresh r6/r7 rows, code unchanged ---
+        "nb_classifier": q_nb_classifier,
+        "nb_classifier_hashed": q_nb_classifier_hashed,
+        "semantic_dedup_lsm": q_semantic_dedup_lsm,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "semantic_dedup_incremental_arrow": q_semantic_dedup_incremental_arrow,
+        "pq_adc_topk": q_pq_adc_topk,
+        "pq_adc_arrow": q_pq_adc_arrow,
+        "dup_spans": q_dup_spans,
+        "dedup_strip_spans": q_dedup_strip_spans,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_capped": q_semantic_dedup_capped,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_refined": q_ann_ivfpq_refined,
+        "semantic_dedup_arrow": q_semantic_dedup_arrow,
+        "semantic_dedup_t95": q_semantic_dedup_t95,
+        "p2_scores": q_p2_scores,
+        "p4_name_normalize": q_p4_name_normalize,
+        "j3_tribe_active": q_j3_tribe_active,
+        "a3_tribe_stats_bootstrap": q_a3_tribe_stats_bootstrap,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "a2_events_hourly": q_a2_events_hourly,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_lsh_verified": q_dedup_lsh_verified,
+        "dedup_simhash": q_dedup_simhash,
         "streaming_join": q_streaming_join,
         "streaming_join_outer": q_streaming_join_outer,
         "streaming_sessions": q_streaming_sessions,
         "zorder_scan": q_zorder_scan,
         "fuzzy_join_parts": q_fuzzy_join_parts,
-        "ivm_join_view": q_ivm_join_view,
         "embed_project": q_embed_project,
-        "ann_index_retrain": q_ann_index_retrain,
         "streaming_semantic": q_streaming_semantic,
         "streaming_semantic_arrow": q_streaming_semantic_arrow,
         "sample_stratified": q_sample_stratified,
@@ -4152,9 +4156,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "text_repetition": q_text_repetition,
         "pii_redact": q_pii_redact,
-        "dedup_incremental": q_dedup_incremental,
-        "decontam_ngram": q_decontam_ngram,
-        "decontam_bloom": q_decontam_bloom,
         "text_chunks": q_text_chunks,
         "leakage_safe_split": q_leakage_safe_split,
         "events_json_agg": q_events_json_agg,
@@ -4171,8 +4172,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": q_interval_join_events,
         "rollup_multires": q_rollup_multires,
         "streaming_rollup": q_streaming_rollup,
-        "rollup_cdc_repair": q_rollup_cdc_repair,
-        "tribe_stats_repair": q_tribe_stats_repair,
         "clustered_scan": q_clustered_scan,
         "events_distinct_users": q_events_distinct_users,
         "shard_export": q_shard_export,
