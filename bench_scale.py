@@ -2373,6 +2373,141 @@ def zorder_probe(n: int) -> None:
     )
 
 
+def pagerank_probe(n: int) -> None:
+    """PageRank at scale: ``n`` synthetic edges over |V| = n/10 nodes
+    with a deliberate super-hub (1% of all edges point at node 0 —
+    the in-degree skew every real link graph has). Measures the
+    broadcast-rank path (|V| under the gate) against the shuffle
+    fallback (gate forced to 0) at the SAME size — the question at
+    100 TB is how much the map-side contrib join buys per iteration,
+    and whether the hub's single-reduce-key contribution sum becomes
+    the straggler. Usage: ``python bench_scale.py 20000000 pagerank``."""
+    from updater_spark.operators.graph import pagerank
+
+    spark = get_spark("bench_scale_pagerank")
+    spark.sparkContext.setLogLevel("ERROR")
+    v = max(n // 10, 100)
+    edges = (
+        spark.range(0, n, numPartitions=64)
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(v)).alias("src"),
+            F.when(F.col("id") % 100 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(v)))
+            .alias("dst"),
+        )
+        .persist()
+    )
+    n_edges = edges.count()
+    # one throwaway run first: the cold JVM pays ~2x on whichever
+    # variant goes first (measured — a cold-first comparison inverted
+    # the verdict), so both measured runs below are warm
+    pagerank(edges, iterations=2, broadcast_node_limit=0).count()
+    res: dict = {}
+    for label, limit in (("broadcast", 2_000_000_000), ("shuffle", 0)):
+        t0 = time.time()
+        pr = pagerank(
+            edges, iterations=5, round_digits=9,
+            broadcast_node_limit=limit,
+        )
+        mass, hub = pr.agg(
+            F.sum("pr"), F.max(F.when(F.col("node") == 0, F.col("pr")))
+        ).collect()[0]
+        wall = round(time.time() - t0, 2)
+        res[label] = {
+            "wall_sec": wall,
+            "edges_per_sec_per_iter": int(n_edges * 5 / wall),
+            "mass": round(float(mass), 6),
+            "hub_pr": round(float(hub), 6),
+        }
+    edges.unpersist()
+    res["broadcast_speedup"] = round(
+        res["shuffle"]["wall_sec"] / res["broadcast"]["wall_sec"], 2
+    )
+    print(json.dumps({"n_edges": n_edges, "pagerank_probe": res}))
+
+
+def bpetrain_probe(n: int, n_merges: int = 30) -> None:
+    """BPE training at scale: ``n`` synthetic docs (~20 words each
+    from a ~40k-form Zipf-ish word distribution). The industrial
+    question: after the ONE corpus-sized word count, every round runs
+    on the |distinct words| frequency table — report that compression
+    ratio and the per-round cost. Usage:
+    ``python bench_scale.py 5000000 bpetrain [n_merges]``."""
+    from updater_spark.operators.tokenizer import bpe_train
+
+    spark = get_spark("bench_scale_bpetrain")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # word id per slot: square of a uniform draw concentrates mass on
+    # low ids (Zipf-ish); the word itself is 3-6 letters derived from
+    # the id, so equal ids collide into the same form
+    def _word(i):
+        # u^2 over [0,1) scaled to 40k ids: quadratic head-heavy skew
+        # with the full id range reachable
+        wid = (
+            F.pow(
+                F.pmod(F.xxhash64("doc_id", i), F.lit(100_000))
+                / F.lit(100_000.0),
+                F.lit(2),
+            )
+            * F.lit(40_000)
+        ).cast("long")
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2) + F.pmod(wid, F.lit(4))),
+                lambda k: F.char(
+                    F.lit(97) + F.pmod(F.xxhash64(wid, k), F.lit(26))
+                ),
+            ),
+            "",
+        )
+
+    docs = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(20)), lambda i: _word(i)
+                ),
+                " ",
+            ),
+        )
+        .persist()
+    )
+    n_docs = docs.count()
+    t0 = time.time()
+    merges = bpe_train(docs, "text", n_merges=n_merges)
+    got = merges.collect()
+    wall = round(time.time() - t0, 2)
+    n_words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
+        )
+        .agg(F.countDistinct("w"))
+        .collect()[0][0]
+    )
+    docs.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "bpetrain_probe": {
+                    "n_merges_learned": len(got),
+                    "wall_sec": wall,
+                    "sec_per_round": round(wall / max(len(got), 1), 2),
+                    "distinct_words": n_words,
+                    "corpus_to_state_ratio": round(
+                        n_docs * 20 / max(n_words, 1), 1
+                    ),
+                    "docs_per_sec": int(n_docs / wall),
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
@@ -2420,6 +2555,12 @@ if __name__ == "__main__":
     elif len(sys.argv) > 2 and sys.argv[2] == "wordpiece":
         wordpiece_probe(
             _n, int(sys.argv[3]) if len(sys.argv) > 3 else 0
+        )
+    elif len(sys.argv) > 2 and sys.argv[2] == "pagerank":
+        pagerank_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "bpetrain":
+        bpetrain_probe(
+            _n, int(sys.argv[3]) if len(sys.argv) > 3 else 30
         )
     else:
         main(_n)

@@ -46,6 +46,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     round_digits: int = 6,
+    broadcast_node_limit: int = 500_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -62,7 +63,20 @@ def pagerank(
     crawl-graph convention); self-loops are kept (they are valid
     out-edges). Returns ``(node, pr)`` with ``pr`` rounded to
     ``round_digits`` at the end only.
-    """
+
+    When the measured node count is under ``broadcast_node_limit``
+    the rank vector and degree table broadcast into every iteration's
+    joins — the persisted edge list then NEVER re-shuffles (map-side
+    contrib join; the only exchange left is the 2-column partial-agg
+    of contributions). Above the limit the joins fall back to shuffles
+    against the once-partitioned edges: since the edges keep their
+    ``src`` hash partitioning, the fallback only ever moves the
+    rank-vector side, which beats re-broadcasting it per iteration
+    once |V| is large (measured crossover on local[32], warm,
+    ``bench_scale.py pagerank``: broadcast 1.09× at 200k nodes,
+    0.79× at 2M — hence the 500k default). The gate is a measured
+    count, not a guess (the broadcast-gating discipline from
+    plans/cdc.py)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     e = (
@@ -70,9 +84,13 @@ def pagerank(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        # the static big side: partition once on the join key, keep hot
+        # ONE exchange: hash-partition on the join key, then dedupe —
+        # HashPartitioning(src) already co-locates equal (src, dst)
+        # rows, so the planner satisfies the dedup's clustering
+        # requirement without a second shuffle (distinct-then-
+        # repartition would shuffle twice)
         .repartition("src")
+        .dropDuplicates(["src", "dst"])
         .persist()
     )
     try:
@@ -83,7 +101,16 @@ def pagerank(
             .persist()
         )
         n = nodes.count()  # also materializes the persists
-        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        small = n < broadcast_node_limit
+
+        def _bc(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if small else df
+
+        outdeg = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
 
         pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
         prev = None
@@ -94,19 +121,22 @@ def pagerank(
             prev = pr
             # 1-row bounded collect: the dangling mass this round
             dangling = (
-                pr.join(outdeg, pr["node"] == outdeg["src"], "anti")
+                pr.join(
+                    _bc(outdeg), pr["node"] == outdeg["src"], "anti"
+                )
                 .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
                 .collect()[0][0]
             )
             contrib = (
-                e.join(outdeg, "src")
+                e.join(_bc(outdeg), "src")
                 .join(
-                    pr.select(F.col("node").alias("src"), "pr"), "src"
+                    _bc(pr.select(F.col("node").alias("src"), "pr")),
+                    "src",
                 )
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
             )
-            pr = nodes.join(contrib, "node", "left").select(
+            pr = nodes.join(_bc(contrib), "node", "left").select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
