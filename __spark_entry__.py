@@ -3982,6 +3982,22 @@ def _bpe_train_sql(n_merges: int = 16, max_word_len: int = 16) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + unions
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval (operators/text.py::bm25_topk) — queries
+    derived from the corpus itself (every doc_id % 101 == 0 document's
+    text, so both engines build the identical query set); ranking over
+    the rounded score with a doc-id tie-break, the cross-engine-total
+    order."""
+    docs = demo.load(spark, sf_dir, "documents")
+    from updater_spark.operators.text import bm25_topk
+
+    queries = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.substring("text", 1, 60).alias("qtext"),
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
 def q_cdc_type_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC TYPE evolution (plans/cdc.py, ADVICE r7): the source
     re-types a column between epochs with unchanged names (bigint
@@ -4049,6 +4065,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
         "cdc_type_evolution": q_cdc_type_evolution,
+        "bm25_search": q_bm25_search,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_schema_replay": q_cdc_schema_replay,
@@ -4099,8 +4116,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
-        "streaming_first_seen": q_streaming_first_seen,
         # --- last hard row r5 (next rotation's lead) ---
+        "streaming_first_seen": q_streaming_first_seen,
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "multimodal_decode_stub": q_multimodal_decode_stub,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
@@ -5011,6 +5028,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
                    CAST(NULL AS INTEGER) AS c_nationkey
             FROM customer
+        """,
+        "bm25_search": """
+            WITH tok AS (
+                SELECT doc_id, lower(t) AS term
+                FROM documents,
+                     unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS u(t)
+                WHERE t <> ''
+            ),
+            posting AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            stats AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                FROM dl
+            ),
+            qterms AS (
+                SELECT DISTINCT doc_id AS qid, lower(t) AS term
+                FROM documents,
+                     unnest(regexp_split_to_array(
+                         substr(text, 1, 60), '[^A-Za-z]+')) AS u(t)
+                WHERE doc_id % 101 = 0 AND t <> ''
+            ),
+            dfreq AS (
+                SELECT term, COUNT(*) AS df FROM posting GROUP BY 1
+            ),
+            scored AS (
+                SELECT q.qid, p.doc_id,
+                       round(SUM(
+                           ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                           * p.tf * 2.2
+                           / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                       ), 4) AS score
+                FROM qterms q
+                JOIN dfreq f USING (term)
+                JOIN posting p USING (term)
+                JOIN dl d ON p.doc_id = d.doc_id
+                CROSS JOIN stats s
+                GROUP BY q.qid, p.doc_id
+            )
+            SELECT qid, rank, doc_id, score FROM (
+                SELECT qid, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY score DESC, doc_id ASC
+                       ) AS rank
+                FROM scored
+            ) WHERE rank <= 5
         """,
         "cdc_type_evolution": """
             SELECT c_custkey, c_name,

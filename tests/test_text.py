@@ -290,3 +290,68 @@ def test_unigram_logprob_hand_computed(spark):
     assert abs(out[2]["avg_logprob"] - round(exp2, 4)) < 1e-9
     # rare-token doc scores lower than common-token doc
     assert out[2]["avg_logprob"] < out[1]["avg_logprob"]
+
+
+def test_bm25_topk_matches_reference(spark):
+    """BM25 scores and ranking match a pure-Python evaluation of the
+    Robertson formula, including the rounded-score/doc-id total order
+    and the query-as-term-SET convention (duplicate query terms count
+    once)."""
+    import math
+    import re
+    from collections import Counter
+
+    from updater_spark.operators.text import bm25_topk
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the lazy dog sleeps all day the dog",
+        3: "quick foxes and quick dogs",
+        4: "a completely unrelated document about spark",
+        5: "dog dog dog dog",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame(
+        [(100, "quick dog quick"), (200, "spark")],
+        "qid long, qtext string",
+    )
+    got = {
+        (r["qid"], r["rank"]): (r["doc_id"], r["score"])
+        for r in bm25_topk(df, qs, k=3).collect()
+    }
+
+    def toks(t):
+        return [w.lower() for w in re.split("[^A-Za-z]+", t) if w]
+
+    tf = {i: Counter(toks(t)) for i, t in texts.items()}
+    dl = {i: sum(c.values()) for i, c in tf.items()}
+    n = len(texts)
+    avgdl = sum(dl.values()) / n
+    dfreq = Counter(t for c in tf.values() for t in c)
+    k1, b = 1.2, 0.75
+
+    def score(qid_terms, i):
+        s = 0.0
+        for t in qid_terms:
+            if t not in tf[i]:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            f = tf[i][t]
+            s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dl[i] / avgdl))
+        return round(s, 4)
+
+    for qid, qt in ((100, {"quick", "dog"}), (200, {"spark"})):
+        want = sorted(
+            (
+                (score(qt, i), i)
+                for i in texts
+                if any(t in tf[i] for t in qt)
+            ),
+            key=lambda si: (-si[0], si[1]),
+        )[:3]
+        for rank, (s, i) in enumerate(want, 1):
+            assert got[(qid, rank)] == (i, s), (qid, rank, got.get((qid, rank)), (i, s))
+    # no row for docs that match nothing
+    assert all(qid in (100, 200) for qid, _ in got)

@@ -289,6 +289,93 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 4,
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson & Zaragoza 2009) — the lexical
+    search primitive training-data pipelines use for hard-negative
+    mining, retrieval-augmented filtering, and query-based corpus
+    slicing; the sparse sibling of the ANN operators.
+
+    ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``; per matched term
+    ``idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``, summed per
+    (query, doc). Query text is tokenized like documents and treated
+    as a term SET. Ranking is over the ROUNDED score with a doc-id
+    tie-break — a total order both engines reproduce (the
+    ``tfidf_top_terms`` determinism discipline; raw float sums differ
+    in addend order across engines, rounded ones don't at few-term
+    query sizes).
+
+    Scale shape: postings/doc-length/df are the classic three
+    aggregates over the exploded term stream (all partial-combine
+    map-side, shuffles carry vocab- or doc-sized rows, never the
+    token stream); the query set joins the postings on ``term`` —
+    query sets are small by construction, so AQE broadcasts them —
+    and the per-query top-k window partitions by query. The one
+    scalar collected is (N, avgdl).
+
+    Returns ``(qid, rank, doc_id, score)``."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(_ascii_terms(text_col)).alias("term")
+    )
+    posting = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, avgdl = dl.agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).collect()[0]
+    avgdl = avgdl / n_docs
+    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(_ascii_terms(qtext_col)).alias("term"),
+    ).distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
+            )
+        )
+    )
+    scored = (
+        qterms.join(dfreq, "term")
+        .join(posting, "term")
+        .join(dl, id_col)
+        .groupBy("qid", id_col)
+        .agg(F.round(F.sum(idf * tf_part), round_digits).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", id_col, "score")
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
