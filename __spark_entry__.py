@@ -3842,10 +3842,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").cast("long").alias("node"), "pr")
 
 
-def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+def _pagerank_sql(
+    iterations: int = 5,
+    damping: float = 0.85,
+    seed_pred: str | None = None,
+) -> str:
     """The PageRank recurrence unrolled as chained CTEs — one
     (dangling, contrib, rank) trio per iteration, exactly the Spark
-    loop's math in DuckDB."""
+    loop's math in DuckDB. ``seed_pred`` (a SQL predicate over
+    ``node``) switches to the personalized variant: the teleport
+    base is uniform over matching nodes, zero elsewhere."""
     d = damping
     ctes = [
         """e AS MATERIALIZED (
@@ -3865,9 +3871,28 @@ def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
             SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
             FROM e GROUP BY src
         )""",
-        "pr0 AS MATERIALIZED (SELECT node,"
-        " 1.0/(SELECT n FROM nn) AS pr FROM nodes)",
     ]
+    if seed_pred is None:
+        ctes.append(
+            "base AS MATERIALIZED (SELECT node,"
+            " 1.0/(SELECT n FROM nn) AS b FROM nodes)"
+        )
+    else:
+        ctes.append(
+            f"""ss AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM nodes
+            WHERE {seed_pred}
+        )"""
+        )
+        ctes.append(
+            f"""base AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN {seed_pred} THEN 1.0/(SELECT s FROM ss)
+                        ELSE 0.0 END AS b
+            FROM nodes
+        )"""
+        )
+    ctes.append("pr0 AS MATERIALIZED (SELECT node, b AS pr FROM base)")
     for t in range(iterations):
         ctes.append(
             f"""dang{t} AS MATERIALIZED (
@@ -3878,11 +3903,11 @@ def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
         ctes.append(
             f"""pr{t + 1} AS MATERIALIZED (
             SELECT nd.node,
-                   (1.0 - {d})/(SELECT n FROM nn)
+                   (1.0 - {d}) * nd.b
                    + {d} * (COALESCE(c.contrib, 0.0)
-                            + (SELECT m FROM dang{t})/(SELECT n FROM nn))
+                            + (SELECT m FROM dang{t}) * nd.b)
                    AS pr
-            FROM nodes nd LEFT JOIN (
+            FROM base nd LEFT JOIN (
                 SELECT e.dst AS node, SUM(p.pr / o.deg) AS contrib
                 FROM e JOIN outdeg o ON e.src = o.src
                        JOIN pr{t} p ON e.src = p.node
@@ -3894,6 +3919,51 @@ def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT node, ROUND(pr, 8) AS pr FROM pr{iterations}"
+    )
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (operators/graph.py::pagerank(seeds=)):
+    teleport uniform over a trusted seed set (customers with
+    c_custkey % 97 == 0) — the WebText-style seed-expansion curation
+    signal; rank concentrates in the seeds' neighborhood. Same trade
+    graph and unrolled-CTE oracle as graph_pagerank, with the seed
+    predicate swapped into the base distribution."""
+    orders = demo.load(spark, sf_dir, "orders")
+    lineitem = demo.load(spark, sf_dir, "lineitem")
+    customer = demo.load(spark, sf_dir, "customer")
+    ol = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.col("o_custkey").cast("long").alias("c"),
+        (F.col("l_suppkey") + F.lit(1_000_000)).cast("long").alias("s"),
+        "l_quantity",
+    )
+    fwd = ol.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    rev = ol.filter(F.col("l_quantity") > 25).select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    )
+    seeds = customer.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    from updater_spark.operators.graph import pagerank
+
+    return pagerank(
+        fwd.unionByName(rev), iterations=5, round_digits=8, seeds=seeds
+    ).select(F.col("node").cast("long").alias("node"), "pr")
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py::
+    weighted_sample, Efraimidis-Spirakis A-Res): top-50 documents by
+    ln(u)/w with w = n_chars and the portable md5 uniform — the
+    training-mixture primitive that picks k DISTINCT rows with
+    probability proportional to a per-row quality weight."""
+    docs = demo.load(spark, sf_dir, "documents")
+    from updater_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(docs, 50, "n_chars").select(
+        "doc_id", "n_chars", "_key"
     )
 
 
@@ -4066,6 +4136,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "cdc_type_evolution": q_cdc_type_evolution,
         "bm25_search": q_bm25_search,
+        "graph_ppr": q_graph_ppr,
+        "sample_weighted": q_sample_weighted,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_schema_replay": q_cdc_schema_replay,
@@ -4114,9 +4186,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # --- last hard row r5 (next rotation's lead) ---
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
-        # --- last hard row r5 (next rotation's lead) ---
         "streaming_first_seen": q_streaming_first_seen,
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "multimodal_decode_stub": q_multimodal_decode_stub,
@@ -5086,6 +5158,21 @@ def oracle_sql() -> dict[str, str]:
             FROM customer WHERE c_custkey % 23 <> 0
         """,
         "graph_pagerank": _pagerank_sql(iterations=5, damping=0.85),
+        "graph_ppr": _pagerank_sql(
+            iterations=5,
+            damping=0.85,
+            seed_pred="node % 97 = 0 AND node < 1000000",
+        ),
+        "sample_weighted": """
+            SELECT doc_id, n_chars, _key FROM (
+                SELECT doc_id, n_chars,
+                       round(ln(('0x' || substr(md5(doc_id::VARCHAR
+                                 || 'wsample-v1'), 1, 8))::UBIGINT
+                             / 4294967296.0)
+                             / CAST(n_chars AS DOUBLE), 9) AS _key
+                FROM documents WHERE n_chars > 0
+            ) ORDER BY _key DESC, doc_id ASC LIMIT 50
+        """,
         "bpe_train": _bpe_train_sql(n_merges=16),
         "vocab_build": """
             WITH words AS (

@@ -79,3 +79,69 @@ def test_degree_stats(spark):
     assert got[7] == (3, 0)   # pure source
     assert got[5] == (1, 1)   # self-loop counts both ways
     assert got[1] == (2, 2)   # duplicate (4,1) collapsed
+
+
+def _py_ppr(edge_set, seeds, iterations=5, d=0.85):
+    nodes = sorted({u for u, _ in edge_set} | {v for _, v in edge_set})
+    seeds = [v for v in nodes if v in seeds]
+    base = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    outdeg = {}
+    for u, _ in edge_set:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    pr = dict(base)
+    for _ in range(iterations):
+        dangling = sum(p for v, p in pr.items() if v not in outdeg)
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in edge_set:
+            contrib[v] += pr[u] / outdeg[u]
+        pr = {
+            v: (1 - d) * base[v] + d * (contrib[v] + dangling * base[v])
+            for v in nodes
+        }
+    return pr
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in EDGES])
+    seeds = spark.createDataFrame([Row(id=1), Row(id=7), Row(id=999)])
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iterations=4, seeds=seeds).collect()
+    }
+    want = _py_ppr(set(EDGES), {1, 7}, iterations=4)  # 999 not in graph
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == round(want[v], 6), (v, got[v], want[v])
+    # rank concentrates near the seeds: their out-neighborhood beats
+    # nodes unreachable from any seed
+    assert got[2] > 0 and got[3] > 0   # reached from seeds 1 and 7
+    assert got[5] == 0.0               # self-loop island, unreachable
+    # mass conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+    # guards
+    import pytest
+
+    with pytest.raises(ValueError, match="single-column"):
+        pagerank(df, seeds=seeds.select(F.lit(1).alias("a"), "id"))
+    with pytest.raises(ValueError, match="no seed id"):
+        pagerank(df, seeds=spark.createDataFrame([Row(id=12345)]))
+
+
+def test_personalized_uniform_seed_set_equals_classic(spark):
+    """Seeding with ALL nodes reproduces classic PageRank exactly —
+    the base-distribution generalization is conservative."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in EDGES])
+    all_nodes = df.select(F.col("src").alias("id")).union(
+        df.select(F.col("dst"))
+    ).distinct()
+    classic = {r["node"]: r["pr"] for r in pagerank(df, iterations=3).collect()}
+    seeded = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iterations=3, seeds=all_nodes).collect()
+    }
+    assert classic == seeded

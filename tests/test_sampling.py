@@ -154,3 +154,51 @@ def test_deterministic_shuffle_positions(spark, docs):
 
     skewed = deterministic_shuffle(docs.repartition(7), id_col="doc_id")
     assert {r["doc_id"]: r["pos"] for r in skewed.collect()} == expected
+
+
+def test_weighted_sample_matches_reference_and_favors_weight(spark):
+    """Exact selection match vs a Python evaluation of the same
+    A-Res keys (same md5 uniform, same rounding); heavier rows are
+    sampled more often across disjoint salts."""
+    import hashlib
+    import math
+
+    from updater_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i % 10 == 0 else 1.0) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def py_key(i, salt):
+        u = int(
+            hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:8], 16
+        ) / float(1 << 32)
+        return round(math.log(u) / dict(rows)[i], 9)
+
+    got = weighted_sample(df, 20, "w", salt="s1").collect()
+    want = sorted(
+        ((py_key(i, "s1"), i) for i, _ in rows),
+        key=lambda kv: (-kv[0], kv[1]),
+    )[:20]
+    assert [(r["_key"], r["doc_id"]) for r in got] == want
+
+    # inclusion tracks weight: heavy ids (10x weight, 10% of rows)
+    # take well over half the sample on average across salts
+    heavy = 0
+    for s in range(8):
+        picked = weighted_sample(df, 20, "w", salt=f"t{s}").collect()
+        heavy += sum(1 for r in picked if r["doc_id"] % 10 == 0)
+    assert heavy / (8 * 20) > 0.4
+
+    # deterministic: same salt, same sample, any partitioning
+    again = weighted_sample(df.repartition(7), 20, "w", salt="s1").collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in got
+    )
+
+    # zero/negative weights are never selected
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 1.0)], "doc_id long, w double"
+    )
+    assert [
+        r["doc_id"] for r in weighted_sample(df2, 3, "w").collect()
+    ] == [3]

@@ -47,6 +47,7 @@ def pagerank(
     damping: float = 0.85,
     round_digits: int = 6,
     broadcast_node_limit: int = 500_000,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -63,6 +64,16 @@ def pagerank(
     crawl-graph convention); self-loops are kept (they are valid
     out-edges). Returns ``(node, pr)`` with ``pr`` rounded to
     ``round_digits`` at the end only.
+
+    PERSONALIZED PageRank: pass ``seeds`` (a single-column DataFrame
+    of node ids) and the teleport distribution becomes uniform over
+    the seed set instead of all nodes — ``base(v) = 1/|S|`` for seeds,
+    0 elsewhere; both the ``(1−d)`` restart mass and the dangling mass
+    redistribute per ``base``. This is seed-set corpus expansion (the
+    WebText-style "documents close to a trusted set" curation signal):
+    rank concentrates in the seeds' neighborhood instead of global
+    authority. Seeds not present in the graph are ignored; an empty
+    intersection raises.
 
     When the measured node count is under ``broadcast_node_limit``
     the rank vector and degree table broadcast into every iteration's
@@ -112,7 +123,39 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
 
-        pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+        # teleport distribution: uniform (classic) or seed-uniform
+        # (personalized); base rides the nodes frame through every
+        # iteration's final select
+        if seeds is None:
+            nodes_b = nodes.select(
+                "node", F.lit(1.0 / n).alias("base")
+            ).localCheckpoint(eager=True)
+        else:
+            if len(seeds.columns) != 1:
+                raise ValueError(
+                    f"seeds must be a single-column id frame; got "
+                    f"{seeds.columns}"
+                )
+            seed_ids = seeds.select(
+                F.col(seeds.columns[0]).alias("node")
+            ).distinct()
+            in_graph = nodes.join(seed_ids, "node", "semi")
+            s = in_graph.count()
+            if s == 0:
+                raise ValueError(
+                    "no seed id is present in the graph — the teleport "
+                    "distribution would be empty"
+                )
+            nodes_b = nodes.join(
+                in_graph.withColumn("_s", F.lit(1)), "node", "left"
+            ).select(
+                "node",
+                F.when(F.col("_s").isNotNull(), F.lit(1.0 / s))
+                .otherwise(F.lit(0.0))
+                .alias("base"),
+            ).localCheckpoint(eager=True)
+
+        pr = nodes_b.select("node", F.col("base").alias("pr"))
         prev = None
         for _ in range(iterations):
             pr = pr.localCheckpoint(eager=True)
@@ -136,14 +179,14 @@ def pagerank(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
             )
-            pr = nodes.join(_bc(contrib), "node", "left").select(
+            pr = nodes_b.join(_bc(contrib), "node", "left").select(
                 "node",
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(1.0 - damping) * F.col("base")
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.lit(dangling / n)
+                        + F.lit(dangling) * F.col("base")
                     )
                 ).alias("pr"),
             )

@@ -97,6 +97,48 @@ def stratified_sample(
     return df.filter(hash_unit(id_col, salt) < thr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, A-Res): key_i = ln(u_i)/w_i with the
+    portable md5 uniform, keep the k LARGEST keys. Inclusion
+    probability is proportional to weight without replacement — the
+    training-mixture construction primitive (``mixture_resample``
+    reweights BETWEEN strata with replacement; this picks k distinct
+    rows BY per-row weight, e.g. a quality score).
+
+    Deterministic: u depends only on (id, salt), so the sample is
+    reproducible and stable across partitionings. The ranking key is
+    ROUNDED (then id-tie-broken) so the selected SET is a total order
+    both engines reproduce (the bm25 discipline — raw ln/division can
+    differ in the last ulp across libm implementations).
+
+    Scale shape: one narrow key computation + ``TakeOrdered`` top-k
+    (per-partition heaps, k rows to the driver side of the sort — no
+    full sort, no shuffle of the corpus). Zero-or-negative weights are
+    excluded (their inclusion probability is 0).
+
+    Returns the sampled rows with their ``_key`` column attached."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    key = F.round(
+        F.log(hash_unit(id_col, salt)) / F.col(weight_col).cast("double"),
+        round_digits,
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_key", key)
+        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
