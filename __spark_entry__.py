@@ -3953,6 +3953,79 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").cast("long").alias("node"), "pr")
 
 
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (operators/graph.py::
+    label_propagation) over the customer↔supplier trade graph — the
+    density signal completing the graph trio (pagerank = centrality,
+    dedup_clusters' connected components = reachability). 3 rounds,
+    min-label tie-break; the oracle unrolls the vote/argmax recurrence
+    as chained CTEs."""
+    orders = demo.load(spark, sf_dir, "orders")
+    lineitem = demo.load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000))
+            .cast("long")
+            .alias("dst"),
+        )
+    )
+    from updater_spark.operators.graph import label_propagation
+
+    return label_propagation(edges, iterations=3).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def _lpa_sql(iterations: int = 3) -> str:
+    """Label propagation unrolled as chained CTEs — per round a
+    neighbor-vote aggregate and a row_number argmax with the same
+    (count DESC, label ASC) tie-break as the Spark window."""
+    ctes = [
+        """sym AS MATERIALIZED (
+            SELECT DISTINCT a, b FROM (
+                SELECT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+                FROM orders o JOIN lineitem l
+                     ON o.o_orderkey = l.l_orderkey
+                UNION ALL
+                SELECT l.l_suppkey + 1000000 AS a, o.o_custkey AS b
+                FROM orders o JOIN lineitem l
+                     ON o.o_orderkey = l.l_orderkey
+            ) WHERE a <> b
+        )""",
+        """lab0 AS MATERIALIZED (
+            SELECT DISTINCT a AS node, a AS label FROM sym
+        )""",
+    ]
+    for t in range(iterations):
+        ctes.append(
+            f"""v{t} AS MATERIALIZED (
+            SELECT s.a AS node, l.label, COUNT(*) AS n
+            FROM sym s JOIN lab{t} l ON s.b = l.node
+            GROUP BY s.a, l.label
+        )"""
+        )
+        ctes.append(
+            f"""lab{t + 1} AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (
+                           PARTITION BY node
+                           ORDER BY n DESC, label ASC
+                       ) AS r
+                FROM v{t}
+            ) WHERE r = 1
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM lab{iterations}"
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py::
     weighted_sample, Efraimidis-Spirakis A-Res): top-50 documents by
@@ -4137,6 +4210,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_type_evolution": q_cdc_type_evolution,
         "bm25_search": q_bm25_search,
         "graph_ppr": q_graph_ppr,
+        "graph_communities": q_graph_communities,
         "sample_weighted": q_sample_weighted,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
         "cdc_schema_evolution": q_cdc_schema_evolution,
@@ -4185,8 +4259,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_arrow": q_sim_topk_arrow,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "ann_ivf_topk": q_ann_ivf_topk,
         # --- last hard row r5 (next rotation's lead) ---
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "streaming_first_seen": q_streaming_first_seen,
@@ -5163,6 +5237,7 @@ def oracle_sql() -> dict[str, str]:
             damping=0.85,
             seed_pred="node % 97 = 0 AND node < 1000000",
         ),
+        "graph_communities": _lpa_sql(iterations=3),
         "sample_weighted": """
             SELECT doc_id, n_chars, _key FROM (
                 SELECT doc_id, n_chars,

@@ -145,3 +145,57 @@ def test_personalized_uniform_seed_set_equals_classic(spark):
         for r in pagerank(df, iterations=3, seeds=all_nodes).collect()
     }
     assert classic == seeded
+
+
+def _py_lpa(edge_set, iterations):
+    sym = set()
+    for u, v in edge_set:
+        if u != v:
+            sym.add((u, v))
+            sym.add((v, u))
+    nodes = sorted({a for a, _ in sym})
+    lab = {v: v for v in nodes}
+    for _ in range(iterations):
+        new = {}
+        for v in nodes:
+            counts = {}
+            for a, b in sym:
+                if a == v:
+                    counts[lab[b]] = counts.get(lab[b], 0) + 1
+            new[v] = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_reference(spark):
+    from updater_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge: ONE connected
+    # component, but LPA keeps the dense sides apart
+    edges = [
+        (1, 2), (2, 3), (1, 3),
+        (10, 11), (11, 12), (10, 12),
+        (3, 10),            # the bridge
+        (5, 5),             # self-loop-only node: absent from output
+    ]
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in edges])
+    for it in (1, 3, 5):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=it).collect()
+        }
+        assert got == _py_lpa(set(edges), it), it
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=5).collect()
+    }
+    # dense sides stay separate communities despite the bridge
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
+    assert 5 not in got
+
+    import pytest
+
+    with pytest.raises(ValueError, match="iterations"):
+        label_propagation(df, iterations=0)

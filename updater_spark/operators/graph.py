@@ -206,6 +206,87 @@ def pagerank(
             pass
 
 
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, made deterministic): every node starts labeled with
+    its own id; each round, every node adopts the label most frequent
+    among its neighbors (edges treated as undirected), breaking count
+    ties by MINIMUM label; an isolated convention-free update order is
+    what makes classic LPA nondeterministic — synchronous rounds + the
+    total (count DESC, label ASC) tie-break make this run
+    reproducible AND oracle-expressible (the unrolled-CTE discipline
+    of ``pagerank``). Fixed ``iterations`` (communities in near-clique
+    graphs settle in 2-4 rounds; synchronous LPA can 2-cycle on
+    bipartite structures, which a fixed cutoff simply truncates).
+
+    The graph trio this completes: ``pagerank`` (centrality, this
+    module), ``clusters.connected_components`` (reachability),
+    label propagation (density — a bridge edge joins two components
+    into one CC but LPA keeps the dense sides apart).
+
+    Spark shape per round: one join of the label vector onto the
+    symmetrized edge list + one two-key groupBy + one per-node argmax
+    window — the edge list is hash-partitioned on ``a`` once and
+    persisted; lineage truncated per round. Returns ``(node, label)``.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    half = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    sym = (
+        half.union(
+            half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))  # self-loops don't vote
+        .repartition("a")
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    try:
+        nodes = sym.select(F.col("a").alias("node")).distinct().persist()
+        nodes.count()
+        from pyspark.sql import Window
+
+        lab = nodes.select("node", F.col("node").alias("label"))
+        prev = None
+        for _ in range(iterations):
+            lab = lab.localCheckpoint(eager=True)
+            if prev is not None:
+                prev.unpersist()
+            prev = lab
+            votes = (
+                sym.join(
+                    lab.select(F.col("node").alias("b"), "label"), "b"
+                )
+                .groupBy(F.col("a").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            w = Window.partitionBy("node").orderBy(
+                F.col("n").desc(), F.col("label").asc()
+            )
+            lab = (
+                votes.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select("node", "label")
+            )
+        out = lab.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        return out
+    finally:
+        sym.unpersist()
+        try:
+            nodes.unpersist()
+        except Exception:
+            pass
+
+
 def degree_stats(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:
