@@ -4141,6 +4141,20 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=5)
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filter (operators/text.py::
+    bigram_logprob): add-k bigram LM trained on the lang='en' slice
+    (the trusted-subset recipe), scoring EVERY document — unseen
+    bigrams/contexts degrade smoothly via the smoothing mass. The
+    first-order sequence signal unigram_logprob cannot see."""
+    docs = demo.load(spark, sf_dir, "documents")
+    from updater_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(
+        docs, train_filter=F.col("lang") == "en", add_k=0.5
+    )
+
+
 def q_cdc_type_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC TYPE evolution (plans/cdc.py, ADVICE r7): the source
     re-types a column between epochs with unchanged names (bigint
@@ -4212,6 +4226,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "graph_communities": q_graph_communities,
         "sample_weighted": q_sample_weighted,
+        "text_bigram_lm": q_text_bigram_lm,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_schema_replay": q_cdc_schema_replay,
@@ -4258,8 +4273,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_topk_arrow": q_sim_topk_arrow,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         # --- last hard row r5 (next rotation's lead) ---
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -5238,6 +5253,47 @@ def oracle_sql() -> dict[str, str]:
             seed_pred="node % 97 = 0 AND node < 1000000",
         ),
         "graph_communities": _lpa_sql(iterations=3),
+        "text_bigram_lm": """
+            WITH toked AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            doc_bg AS MATERIALIZED (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks))) AS i
+                      FROM toked WHERE len(toks) >= 2)
+            ),
+            train_bg AS MATERIALIZED (
+                SELECT toks[i] AS w1, toks[i + 1] AS w2
+                FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                      FROM toked WHERE lang = 'en' AND len(toks) >= 2)
+            ),
+            pair AS (SELECT w1, w2, COUNT(*) AS c12
+                     FROM train_bg GROUP BY 1, 2),
+            ctx AS (SELECT w1, COUNT(*) AS c1 FROM train_bg GROUP BY 1),
+            vv AS (
+                SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v FROM (
+                    SELECT unnest(toks) AS t FROM toked WHERE lang = 'en'
+                ) WHERE t <> ''
+            ),
+            scored AS (
+                SELECT b.doc_id, COUNT(*) AS n_bigrams,
+                       round(AVG(ln(
+                           (COALESCE(p.c12, 0) + 0.5)
+                           / (COALESCE(c.c1, 0)
+                              + 0.5 * (SELECT v FROM vv)))), 4)
+                           AS avg_logprob
+                FROM doc_bg b
+                LEFT JOIN pair p ON b.w1 = p.w1 AND b.w2 = p.w2
+                LEFT JOIN ctx c ON b.w1 = c.w1
+                GROUP BY b.doc_id
+            )
+            SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   s.avg_logprob
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
         "sample_weighted": """
             SELECT doc_id, n_chars, _key FROM (
                 SELECT doc_id, n_chars,

@@ -355,3 +355,74 @@ def test_bm25_topk_matches_reference(spark):
             assert got[(qid, rank)] == (i, s), (qid, rank, got.get((qid, rank)), (i, s))
     # no row for docs that match nothing
     assert all(qid in (100, 200) for qid, _ in got)
+
+
+def test_bigram_logprob_matches_reference(spark):
+    """Add-k bigram model vs a pure-Python evaluation: train/score
+    split, unseen-bigram and unseen-context smoothing, short-doc
+    NULLs, and the scrambled-vs-fluent separation the unigram model
+    cannot see."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from updater_spark.operators.text import bigram_logprob
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    scrambled = "mat the on dog sat rug the the and cat on sat the"
+    texts = {
+        1: fluent,
+        2: fluent,
+        3: scrambled,          # same words, broken sequence
+        4: "completely new words here",  # unseen bigrams + contexts
+        5: "one",              # < 2 tokens -> NULL
+        6: "",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    train_pred = F.col("doc_id") <= 2
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_logprob(
+            df, train_filter=train_pred, add_k=0.5
+        ).collect()
+    }
+
+    train_toks = [texts[1].split(), texts[2].split()]
+    pair = Counter(
+        (w[i], w[i + 1]) for w in train_toks for i in range(len(w) - 1)
+    )
+    ctx = Counter(w[i] for w in train_toks for i in range(len(w) - 1))
+    v = len({t for w in train_toks for t in w})
+    k = 0.5
+
+    def score(text):
+        w = text.split()
+        if len(w) < 2:
+            return (0, None)
+        lps = [
+            math.log(
+                (pair.get((w[i], w[i + 1]), 0) + k)
+                / (ctx.get(w[i], 0) + k * v)
+            )
+            for i in range(len(w) - 1)
+        ]
+        return (len(lps), round(sum(lps) / len(lps), 4))
+
+    for i, t in texts.items():
+        assert got[i] == score(t), (i, got[i], score(t))
+    # fluent >> scrambled under the bigram model
+    assert got[1][1] > got[3][1]
+    # unseen context + unseen bigram degrades to exactly ln(1/V)
+    import math as _m
+
+    assert got[4][1] == round(_m.log(1.0 / v), 4)
+    assert got[5] == (0, None) and got[6] == (0, None)
+
+    # empty train set is loud
+    import pytest
+
+    with pytest.raises(ValueError, match="no tokens"):
+        bigram_logprob(df, train_filter=F.col("doc_id") == 6)

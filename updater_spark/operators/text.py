@@ -518,6 +518,104 @@ def strip_boilerplate(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_filter=None,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-probability — the first-order LM
+    the CCNet-style perplexity quality filter actually wants
+    (``unigram_logprob`` is its zeroth-order sibling: rare-WORD soup
+    scores low there; scrambled-but-common-word soup only a
+    sequence model catches). Add-k smoothed:
+
+        P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V)
+
+    with V = |train vocabulary| and c(w1,·) the bigram-context count,
+    so held-out bigrams get principled mass. ``train_filter`` (a
+    Column predicate) trains the counts on a SUBSET (e.g. a trusted
+    high-quality slice — the CCNet recipe trains on Wikipedia) and
+    scores every document, unseen bigrams degrading smoothly to
+    k/(c+kV) and unseen contexts to 1/V; None trains on the whole
+    corpus (the self-perplexity signal).
+
+    Scale shape: two partial-combining aggregates over the exploded
+    bigram stream (pair counts, context counts — shuffles carry the
+    bigram vocabulary, never the token stream), two left joins back
+    (vocab-sized right sides, AQE broadcasts when small), one per-doc
+    agg. V — one bigint — folds on the driver as a literal (the
+    unigram_logprob stance: no scalar-subquery cartesian in the
+    plan). Docs with < 2 tokens return ``n_bigrams = 0`` and a NULL
+    score.
+
+    Returns ``(id, n_bigrams, avg_logprob)`` rounded to 4 decimals
+    (cross-engine float-sum tolerance)."""
+    train = df.filter(train_filter) if train_filter is not None else df
+
+    def _bigrams(frame: DataFrame, *keep):
+        t = frame.select(*keep, tokens(text_col).alias("_toks"))
+        pairs = F.when(
+            F.size("_toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - F.lit(1)),
+                lambda i: F.struct(
+                    F.element_at("_toks", i).alias("w1"),
+                    F.element_at("_toks", i + F.lit(1)).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        return t.select(*keep, F.explode(pairs).alias("_bg")).select(
+            *keep, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+        )
+
+    train_bg = _bigrams(train)
+    pair_cnt = train_bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c12")
+    )
+    ctx_cnt = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    # tokens('') is [''] (the split-on-empty quirk) — the empty token
+    # never forms a bigram (arrays of one) so it must not inflate V
+    v = (
+        train.select(F.explode(tokens(text_col)).alias("_tok"))
+        .filter(F.col("_tok") != "")
+        .agg(F.countDistinct("_tok"))
+        .first()[0]
+    )
+    if not v:
+        raise ValueError("train set has no tokens; nothing to model")
+
+    doc_bg = _bigrams(df, F.col(id_col))
+    logp = F.log(
+        (F.coalesce(F.col("_c12"), F.lit(0)) + F.lit(add_k))
+        / (
+            F.coalesce(F.col("_c1"), F.lit(0))
+            + F.lit(add_k) * F.lit(float(v))
+        )
+    )
+    scored = (
+        doc_bg.join(pair_cnt, ["w1", "w2"], "left")
+        .join(ctx_cnt, "w1", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logprob"),
+        )
+    )
+    # docs with < 2 tokens emit no bigram rows — reattach with NULLs
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
