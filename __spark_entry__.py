@@ -4026,6 +4026,83 @@ def _lpa_sql(iterations: int = 3) -> str:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py::triangle_count,
+    degree-ordered orientation — Latapy 2008 / Suri-Vassilvitskii
+    WWW'11) over the co-supplier graph: suppliers linked when they
+    both ship a high-quantity line (l_quantity > 46) in the SAME
+    order. The local-clustering signal (triangle-rich = dense organic
+    neighborhood, triangle-poor = spam farm); the oracle is the same
+    orientation + wedge-close scheme in plain SQL."""
+    lineitem = demo.load(spark, sf_dir, "lineitem")
+    f = (
+        lineitem.filter(F.col("l_quantity") > 46)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = (
+        f.alias("x")
+        .join(
+            f.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .select(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+    )
+    from updater_spark.operators.graph import triangle_count
+
+    return triangle_count(pairs).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("triangles").cast("long").alias("triangles"),
+    )
+
+
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (operators/
+    quality.py::check_constraints, the Deequ idea — Schelter et al.
+    VLDB'18): ten checks over lineitem spanning every metric family —
+    fused single-scan row metrics, shared two-level group metrics,
+    and a referential orphan-ratio check against orders. The oracle
+    recomputes each metric as a scalar SQL aggregate."""
+    lineitem = demo.load(spark, sf_dir, "lineitem")
+    orders = demo.load(spark, sf_dir, "orders")
+    from updater_spark.operators.quality import Check, check_constraints
+
+    checks = [
+        Check("n_rows", "row_count", op=">=", threshold=1.0),
+        Check("qty_complete", "completeness", column="l_quantity",
+              op=">=", threshold=1.0),
+        Check("qty_min", "min", column="l_quantity", op=">=",
+              threshold=1.0),
+        Check("disc_max", "max", column="l_discount", op="<=",
+              threshold=0.5),
+        Check("price_mean", "mean", column="l_extendedprice"),
+        Check("flag_domain", "match_ratio",
+              predicate="l_returnflag IN ('A', 'N', 'R')",
+              op=">=", threshold=1.0),
+        Check("okey_unique", "uniqueness", column="l_orderkey"),
+        Check("supp_distinctness", "distinctness", column="l_suppkey"),
+        Check("part_card", "count_distinct", column="l_partkey",
+              op=">=", threshold=1.0),
+        Check("fk_orders", "referential", column="l_orderkey",
+              op="==", threshold=0.0),
+    ]
+    res = check_constraints(
+        lineitem, checks, parents={"fk_orders": (orders, "o_orderkey")}
+    )
+    return res.select(
+        "check",
+        "metric",
+        "column",
+        F.round("value", 6).alias("value"),
+        "threshold",
+        "passed",
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py::
     weighted_sample, Efraimidis-Spirakis A-Res): top-50 documents by
@@ -4225,6 +4302,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "graph_ppr": q_graph_ppr,
         "graph_communities": q_graph_communities,
+        "graph_triangles": q_graph_triangles,
+        "quality_checks": q_quality_checks,
         "sample_weighted": q_sample_weighted,
         "text_bigram_lm": q_text_bigram_lm,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
@@ -5253,6 +5332,141 @@ def oracle_sql() -> dict[str, str]:
             seed_pred="node % 97 = 0 AND node < 1000000",
         ),
         "graph_communities": _lpa_sql(iterations=3),
+        "graph_triangles": """
+            WITH f AS (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem WHERE l_quantity > 46
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT
+                       least(x.l_suppkey, y.l_suppkey) AS a,
+                       greatest(x.l_suppkey, y.l_suppkey) AS b
+                FROM f x JOIN f y
+                     ON x.l_orderkey = y.l_orderkey
+                    AND x.l_suppkey < y.l_suppkey
+            ),
+            nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+            deg AS MATERIALIZED (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT a AS node FROM und
+                    UNION ALL SELECT b FROM und
+                ) GROUP BY node
+            ),
+            oriented AS MATERIALIZED (
+                SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b)
+                            THEN u.a ELSE u.b END AS src,
+                       CASE WHEN (da.deg, u.a) < (db.deg, u.b)
+                            THEN u.b ELSE u.a END AS dst
+                FROM und u
+                JOIN deg da ON u.a = da.node
+                JOIN deg db ON u.b = db.node
+            ),
+            od AS MATERIALIZED (
+                SELECT o.src, o.dst, d.deg AS ddst
+                FROM oriented o JOIN deg d ON o.dst = d.node
+            ),
+            tri AS (
+                SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+                FROM od e1 JOIN od e2 ON e1.src = e2.src
+                WHERE (e1.ddst, e1.dst) < (e2.ddst, e2.dst)
+                  AND EXISTS (
+                      SELECT 1 FROM oriented o
+                      WHERE o.src = e1.dst AND o.dst = e2.dst
+                  )
+            ),
+            per AS (
+                SELECT node, COUNT(*) AS triangles FROM (
+                    SELECT u AS node FROM tri
+                    UNION ALL SELECT v FROM tri
+                    UNION ALL SELECT w FROM tri
+                ) GROUP BY node
+            )
+            SELECT n.node,
+                   CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles
+            FROM nodes n LEFT JOIN per p ON n.node = p.node
+        """,
+        "quality_checks": """
+            WITH rowm AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+                       CAST(COUNT(l_quantity) AS DOUBLE)
+                           / COUNT(*) AS qty_complete,
+                       CAST(MIN(l_quantity) AS DOUBLE) AS qty_min,
+                       CAST(MAX(l_discount) AS DOUBLE) AS disc_max,
+                       CAST(AVG(l_extendedprice) AS DOUBLE) AS price_mean,
+                       CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R')
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                           / COUNT(*) AS flag_domain
+                FROM lineitem
+            ),
+            ok AS (
+                SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+                WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey
+            ),
+            okey AS (
+                SELECT CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                            AS DOUBLE) / COUNT(*) AS uniq
+                FROM ok
+            ),
+            supp AS (
+                SELECT CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE)
+                           / COUNT(l_suppkey) AS distinctness
+                FROM lineitem WHERE l_suppkey IS NOT NULL
+            ),
+            part AS (
+                SELECT CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS card
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ),
+            fk AS (
+                SELECT CAST(SUM(CASE WHEN o.o_orderkey IS NULL
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                           / COUNT(*) AS orphan
+                FROM lineitem li
+                LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                       ON li.l_orderkey = o.o_orderkey
+                WHERE li.l_orderkey IS NOT NULL
+            )
+            SELECT 'n_rows' AS "check", 'row_count' AS metric,
+                   '*' AS "column", round(n_rows, 6) AS value,
+                   CAST(1.0 AS DOUBLE) AS threshold, n_rows >= 1.0 AS passed
+            FROM rowm
+            UNION ALL
+            SELECT 'qty_complete', 'completeness', 'l_quantity',
+                   round(qty_complete, 6), CAST(1.0 AS DOUBLE), qty_complete >= 1.0
+            FROM rowm
+            UNION ALL
+            SELECT 'qty_min', 'min', 'l_quantity',
+                   round(qty_min, 6), CAST(1.0 AS DOUBLE), qty_min >= 1.0
+            FROM rowm
+            UNION ALL
+            SELECT 'disc_max', 'max', 'l_discount',
+                   round(disc_max, 6), CAST(0.5 AS DOUBLE), disc_max <= 0.5
+            FROM rowm
+            UNION ALL
+            SELECT 'price_mean', 'mean', 'l_extendedprice',
+                   round(price_mean, 6), CAST(NULL AS DOUBLE), NULL
+            FROM rowm
+            UNION ALL
+            SELECT 'flag_domain', 'match_ratio',
+                   'l_returnflag IN (''A'', ''N'', ''R'')',
+                   round(flag_domain, 6), CAST(1.0 AS DOUBLE), flag_domain >= 1.0
+            FROM rowm
+            UNION ALL
+            SELECT 'okey_unique', 'uniqueness', 'l_orderkey',
+                   round(uniq, 6), CAST(NULL AS DOUBLE), NULL
+            FROM okey
+            UNION ALL
+            SELECT 'supp_distinctness', 'distinctness', 'l_suppkey',
+                   round(distinctness, 6), CAST(NULL AS DOUBLE), NULL
+            FROM supp
+            UNION ALL
+            SELECT 'part_card', 'count_distinct', 'l_partkey',
+                   round(card, 6), CAST(1.0 AS DOUBLE), card >= 1.0
+            FROM part
+            UNION ALL
+            SELECT 'fk_orders', 'referential', 'l_orderkey',
+                   round(orphan, 6), CAST(0.0 AS DOUBLE), orphan = 0.0
+            FROM fk
+        """,
         "text_bigram_lm": """
             WITH toked AS MATERIALIZED (
                 SELECT doc_id, lang,

@@ -2426,6 +2426,105 @@ def pagerank_probe(n: int) -> None:
     print(json.dumps({"n_edges": n_edges, "pagerank_probe": res}))
 
 
+def triangles_probe(n: int) -> None:
+    """Triangle counting at scale: ``n`` synthetic edges over
+    |V| = n/10 nodes with the SAME 1%-super-hub skew as the pagerank
+    probe — the adversarial case for triangle counting, because a
+    naive neighbor-pairing scheme generates C(hub_deg, 2) wedges at
+    the hub (~2e10 at 20M edges: unrunnable). The probe reports the
+    quantity that proves the degree orientation neutralizes the hub:
+    max RAW degree vs max ORIENTED out-degree (bounded ~O(sqrt(m)))
+    and the total wedge count actually generated. Usage:
+    ``python bench_scale.py 20000000 triangles``."""
+    from updater_spark.operators.graph import triangle_count
+
+    spark = get_spark("bench_scale_triangles")
+    spark.sparkContext.setLogLevel("ERROR")
+    v = max(n // 10, 100)
+    edges = (
+        spark.range(0, n, numPartitions=64)
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(v)).alias("src"),
+            F.when(F.col("id") % 100 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(v)))
+            .alias("dst"),
+        )
+        .persist()
+    )
+    n_edges = edges.count()
+    t0 = time.time()
+    tri = triangle_count(edges)
+    total3, nodes_out = tri.agg(
+        F.sum("triangles"), F.count(F.lit(1))
+    ).collect()[0]
+    wall = round(time.time() - t0, 2)
+
+    # the orientation evidence, recomputed the same way the operator
+    # orients (degree, id): raw hub degree vs oriented out-degree
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    m = und.count()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wd = (
+        und.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("da")),
+            "a",
+        ).join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("db")),
+            "b",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    odeg = (
+        wd.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src")
+        )
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("odeg"))
+    )
+    max_raw, = deg.agg(F.max("deg")).collect()[0]
+    max_o, wedges = odeg.agg(
+        F.max("odeg"), F.sum(F.col("odeg") * (F.col("odeg") - 1) / 2)
+    ).collect()[0]
+    und.unpersist()
+    edges.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_edges_raw": n_edges,
+                "triangles_probe": {
+                    "n_edges_distinct": m,
+                    "wall_sec": wall,
+                    "edges_per_sec": int(m / wall),
+                    "triangles": int(total3 // 3),
+                    "nodes": int(nodes_out),
+                    "max_raw_degree": int(max_raw),
+                    "max_oriented_outdeg": int(max_o),
+                    "sqrt_m": int(m ** 0.5),
+                    "wedges_generated": int(wedges),
+                    "hub_wedges_if_naive": int(
+                        max_raw * (max_raw - 1) // 2
+                    ),
+                },
+            }
+        )
+    )
+
+
 def bpetrain_probe(n: int, n_merges: int = 30) -> None:
     """BPE training at scale: ``n`` synthetic docs (~20 words each
     from a ~40k-form Zipf-ish word distribution). The industrial
@@ -2558,6 +2657,8 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 2 and sys.argv[2] == "pagerank":
         pagerank_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "triangles":
+        triangles_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "bpetrain":
         bpetrain_probe(
             _n, int(sys.argv[3]) if len(sys.argv) > 3 else 30

@@ -199,3 +199,66 @@ def test_label_propagation_matches_reference(spark):
 
     with pytest.raises(ValueError, match="iterations"):
         label_propagation(df, iterations=0)
+
+
+def _py_triangles(edge_list):
+    und = set()
+    for u, v in edge_list:
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {v: 0 for v in adj}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            counts[c] += 1
+    # every triangle was credited once per edge to its third vertex
+    # -> each vertex of each triangle credited exactly once... no:
+    # triangle (x,y,z) has 3 edges; the edge (x,y) credits z, (x,z)
+    # credits y, (y,z) credits x -> each vertex exactly once. Correct.
+    return counts
+
+
+def test_triangle_count_matches_reference(spark):
+    from updater_spark.operators.graph import triangle_count
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),          # a triangle
+        (3, 4), (4, 5), (5, 3),          # second triangle sharing node 3
+        (2, 1),                          # reverse duplicate (collapses)
+        (6, 6),                          # self-loop: dropped entirely
+        (5, 6), (6, 7),                  # a path: no triangles
+        (1, 4),                          # closes (1,3,4)
+    ]
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in edges])
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(df).collect()
+    }
+    want = _py_triangles(edges)
+    assert got == want
+    # sanity on the known structure
+    assert got[3] == 3 and got[7] == 0
+    # global triangle count: per-node credits sum to 3x the triangles
+    assert sum(got.values()) % 3 == 0
+
+
+def test_triangle_count_clique_and_hub(spark):
+    from updater_spark.operators.graph import triangle_count
+
+    # K5 (every node in C(4,2)=6 triangles) plus a hub star that adds
+    # NO triangles but gives the hub the highest degree — exercises
+    # the degree orientation around a hub
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(100, k) for k in range(200, 230)]
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in edges])
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(df).collect()
+    }
+    want = _py_triangles(edges)
+    assert got == want
+    assert all(got[i] == 6 for i in range(5))
+    assert got[100] == 0 and got[200] == 0

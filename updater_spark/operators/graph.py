@@ -287,6 +287,118 @@ def label_propagation(
             pass
 
 
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over the undirected distinct edge set
+    (self-loops dropped) — the local clustering signal (a node in many
+    triangles sits in a dense community; spam link-farms are
+    triangle-poor, organic link neighborhoods triangle-rich — the
+    classic web-spam feature, Becchetti et al. 2008).
+
+    Algorithm: DEGREE-ORDERED ORIENTATION (the "compact-forward" /
+    node-iterator++ scheme, Latapy 2008; the MapReduce formulation is
+    Suri & Vassilvitskii WWW'11): rank nodes by the total order
+    ``(degree, id)`` and orient every undirected edge from the
+    lower-ranked to the higher-ranked endpoint. Every triangle then
+    has EXACTLY ONE wedge ``u→v, u→w`` with ``rank(v) < rank(w)``
+    closed by the oriented edge ``v→w`` — counted once, no
+    per-triangle dedup pass. The orientation is the scale lever: the
+    oriented out-degree is bounded by O(sqrt(m)) on any graph (and by
+    the core number on real graphs), so the wedge generation —
+    Σ C(outdeg, 2), the term that explodes around hub nodes in a
+    naive neighbor-pair scheme — stays polynomial even with
+    power-law hubs. The rank is NEVER materialized as a global
+    row_number (that would be a single-reducer sort); the comparison
+    ``(deg_u, u) < (deg_v, v)`` is evaluated inline in each join.
+
+    Spark shape: one degree aggregate, the orientation select, one
+    self-equi-join on the wedge apex (hash partition on ``src``), and
+    one equi-join on the closing edge pair — all hash equi-joins with
+    the rank inequality as a residual filter, never a cartesian.
+    Returns ``(node, triangles)`` with zero rows for triangle-free
+    nodes included."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient low-rank -> high-rank; carry the dst endpoint's (deg, id)
+    # so the wedge pairing below needs no further join
+    wd = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = wd.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    ).repartition("src").persist()
+    try:
+        oriented.count()
+        e1 = oriented.select(
+            "src",
+            F.col("dst").alias("v"),
+            F.col("ddst").alias("dv"),
+        )
+        e2 = oriented.select(
+            "src",
+            F.col("dst").alias("w"),
+            F.col("ddst").alias("dw"),
+        )
+        # wedges with rank(v) < rank(w): equi-join on the apex, the
+        # rank inequality is a residual filter on the matched rows
+        wedges = e1.join(e2, "src").filter(
+            (F.col("dv") < F.col("dw"))
+            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+        )
+        # at most ONE oriented (v, w) edge can close a given wedge, so
+        # a semi join counts each triangle exactly once and ships no
+        # right-side columns
+        tri = wedges.join(
+            oriented.select(
+                F.col("src").alias("v"), F.col("dst").alias("w")
+            ),
+            ["v", "w"],
+            "semi",
+        ).select(F.col("src").alias("u"), "v", "w")
+        per_node = (
+            tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("triangles"))
+        )
+        out = nodes.join(per_node, "node", "left").select(
+            "node",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        oriented.unpersist()
+
+
 def degree_stats(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:
