@@ -4103,6 +4103,46 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (operators/anomaly.py::
+    rolling_zscore, the 3-sigma SPC rule): each event's value scored
+    against the mean/stddev of the SAME user's previous 20 events
+    (strictly preceding frame — no self-contamination), 10-point
+    warm-up, |z| >= 2.5 flags. One shuffle on user_id, then pure
+    codegen window aggregates; the oracle is the identical frame in
+    DuckDB window SQL. Returns only flagged + scored rows to keep the
+    result focused (warm-up rows carry no verdict and are excluded)."""
+    events = demo.load(spark, sf_dir, "events")
+    from updater_spark.operators.anomaly import rolling_zscore
+
+    res = rolling_zscore(
+        events,
+        "user_id",
+        "ts",
+        "value",
+        order_cols=["event_id"],
+        window=20,
+        min_periods=10,
+        threshold=2.5,
+    )
+    # +1e-9 before rounding: Spark rounds the SHORTEST decimal
+    # rendering of a double (45.75375 -> .7538) while DuckDB rounds
+    # the true binary value (45.753749999... -> .7537); the nudge
+    # breaks exact rounding-boundary ties identically in both engines
+    # and is invisible (1e-9 << the 5e-5 boundary gap) elsewhere
+    def _r4(c: str) -> F.Column:
+        return F.round(F.col(c) + F.lit(1e-9), 4).alias(c)
+
+    return res.filter(F.col("is_anomaly").isNotNull()).select(
+        "event_id",
+        "user_id",
+        _r4("roll_mean"),
+        _r4("roll_std"),
+        _r4("zscore"),
+        "is_anomaly",
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py::
     weighted_sample, Efraimidis-Spirakis A-Res): top-50 documents by
@@ -4304,6 +4344,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "graph_triangles": q_graph_triangles,
         "quality_checks": q_quality_checks,
+        "events_anomaly": q_events_anomaly,
         "sample_weighted": q_sample_weighted,
         "text_bigram_lm": q_text_bigram_lm,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
@@ -5466,6 +5507,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'fk_orders', 'referential', 'l_orderkey',
                    round(orphan, 6), CAST(0.0 AS DOUBLE), orphan = 0.0
             FROM fk
+        """,
+        "events_anomaly": """
+            WITH scored AS (
+                SELECT event_id, user_id, value,
+                       COUNT(value) OVER w AS n_prev,
+                       AVG(value) OVER w AS m,
+                       STDDEV_SAMP(value) OVER w AS s
+                FROM events
+                WINDOW w AS (
+                    PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+                )
+            )
+            SELECT event_id, user_id,
+                   round(m + 1e-9, 4) AS roll_mean,
+                   round(s + 1e-9, 4) AS roll_std,
+                   CASE WHEN s > 0
+                        THEN round((value - m) / s + 1e-9, 4)
+                        END AS zscore,
+                   CASE WHEN s = 0 THEN value <> m
+                        ELSE abs((value - m) / s) >= 2.5
+                        END AS is_anomaly
+            FROM scored
+            WHERE n_prev >= 10
         """,
         "text_bigram_lm": """
             WITH toked AS MATERIALIZED (
