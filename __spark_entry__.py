@@ -4143,6 +4143,156 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA (operators/projection.py::pca_fit/pca_project): top-2
+    principal components of the embeddings corpus via ONE Arrow
+    moment pass (n, Σx, Σxxᵀ) + driver-side fixed-iteration power
+    iteration with deflation — deterministic and oracle-expressible,
+    unlike LAPACK eigh (pinned equal to eigh in pytest). Every vector
+    projected onto the sign-canonicalized components. The oracle
+    unrolls the same recurrence as CTEs over the (i, j, cov) matrix:
+    matvec = join + groupBy, normalize = scalar subquery, deflation =
+    rank-1 update."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    from updater_spark.operators.projection import pca_fit, pca_project
+
+    model = pca_fit(
+        emb.select(F.col("embedding").cast("array<double>").alias("v")),
+        "v",
+        k=2,
+        dim=64,
+        power_iterations=10,
+    )
+    proj = pca_project(
+        emb.withColumn("v", F.col("embedding").cast("array<double>")),
+        "v",
+        model,
+    )
+    return proj.select(
+        "vec_id",
+        F.round(F.col("pc1") + F.lit(1e-9), 4).alias("pc1"),
+        F.round(F.col("pc2") + F.lit(1e-9), 4).alias("pc2"),
+    )
+
+
+def _pca_sql(dim: int = 64, k: int = 2, iters: int = 10) -> str:
+    """The pca_fit/pca_project pipeline unrolled in SQL: covariance
+    from (gram, mean) moments, then per component ``iters`` rounds of
+    v <- Cv / |Cv| from the max-variance axis, eigenvalue vᵀCv,
+    canonical sign flip, rank-1 deflation, and the centered dot
+    projection. The +1e-9 pre-round nudge matches the Spark side
+    (shortest-decimal vs binary-value rounding of exact ties)."""
+    ctes = [
+        """v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        )""",
+        f"pos AS MATERIALIZED (SELECT unnest(generate_series(1, {dim}))"
+        " AS i)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v)",
+        """mu AS MATERIALIZED (
+            SELECT p.i, SUM(v.e[p.i]) / (SELECT n FROM nn) AS m
+            FROM v CROSS JOIN pos p GROUP BY p.i
+        )""",
+        """gram AS MATERIALIZED (
+            SELECT pi.i AS i, pj.i AS j,
+                   SUM(v.e[pi.i] * v.e[pj.i]) AS g
+            FROM v CROSS JOIN pos pi CROSS JOIN pos pj
+            GROUP BY pi.i, pj.i
+        )""",
+        """c0 AS MATERIALIZED (
+            SELECT g.i, g.j,
+                   (g.g - (SELECT n FROM nn) * mi.m * mj.m)
+                       / ((SELECT n FROM nn) - 1) AS c
+            FROM gram g
+            JOIN mu mi ON g.i = mi.i
+            JOIN mu mj ON g.j = mj.i
+        )""",
+    ]
+    for comp in range(k):
+        cm = f"c{comp}"
+        ctes.append(
+            f"""s{comp} AS (
+            SELECT i FROM {cm} WHERE i = j ORDER BY c DESC, i LIMIT 1
+        )"""
+        )
+        ctes.append(
+            f"""v{comp}_0 AS (
+            SELECT i, CASE WHEN i = (SELECT i FROM s{comp})
+                           THEN 1.0 ELSE 0.0 END AS x
+            FROM pos
+        )"""
+        )
+        for t in range(1, iters + 1):
+            ctes.append(
+                f"""w{comp}_{t} AS MATERIALIZED (
+                SELECT m.i, SUM(m.c * vv.x) AS w
+                FROM {cm} m JOIN v{comp}_{t - 1} vv ON m.j = vv.i
+                GROUP BY m.i
+            )"""
+            )
+            ctes.append(
+                f"""v{comp}_{t} AS MATERIALIZED (
+                SELECT i, w / (SELECT sqrt(SUM(w * w))
+                               FROM w{comp}_{t}) AS x
+                FROM w{comp}_{t}
+            )"""
+            )
+        vt = f"v{comp}_{iters}"
+        ctes.append(
+            f"""lam{comp} AS (
+            SELECT SUM(m.c * v1.x * v2.x) AS l
+            FROM {cm} m
+            JOIN {vt} v1 ON m.i = v1.i
+            JOIN {vt} v2 ON m.j = v2.i
+        )"""
+        )
+        ctes.append(
+            f"""comp{comp} AS MATERIALIZED (
+            SELECT i, x * (SELECT CASE WHEN (
+                       SELECT x FROM {vt}
+                       ORDER BY abs(x) DESC, i LIMIT 1
+                   ) < 0 THEN -1.0 ELSE 1.0 END) AS x
+            FROM {vt}
+        )"""
+        )
+        if comp + 1 < k:
+            ctes.append(
+                f"""c{comp + 1} AS MATERIALIZED (
+                SELECT m.i, m.j,
+                       m.c - (SELECT l FROM lam{comp}) * v1.x * v2.x
+                           AS c
+                FROM {cm} m
+                JOIN comp{comp} v1 ON m.i = v1.i
+                JOIN comp{comp} v2 ON m.j = v2.i
+            )"""
+            )
+    proj_terms = ",\n                   ".join(
+        f"SUM((v.e[p.i] - mu.m) * cc{j}.x) AS p{j + 1}"
+        for j in range(k)
+    )
+    proj_joins = "\n            ".join(
+        f"JOIN comp{j} cc{j} ON p.i = cc{j}.i" for j in range(k)
+    )
+    out_cols = ", ".join(
+        f"round(p{j + 1} + 1e-9, 4) AS pc{j + 1}" for j in range(k)
+    )
+    ctes.append(
+        f"""proj AS (
+            SELECT v.vec_id,
+                   {proj_terms}
+            FROM v CROSS JOIN pos p
+            JOIN mu ON p.i = mu.i
+            {proj_joins}
+            GROUP BY v.vec_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, {out_cols} FROM proj"
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py::
     weighted_sample, Efraimidis-Spirakis A-Res): top-50 documents by
@@ -4345,6 +4495,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "quality_checks": q_quality_checks,
         "events_anomaly": q_events_anomaly,
+        "embed_pca": q_embed_pca,
         "sample_weighted": q_sample_weighted,
         "text_bigram_lm": q_text_bigram_lm,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
@@ -5533,6 +5684,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             WHERE n_prev >= 10
         """,
+        "embed_pca": _pca_sql(dim=64, k=2, iters=10),
         "text_bigram_lm": """
             WITH toked AS MATERIALIZED (
                 SELECT doc_id, lang,

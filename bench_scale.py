@@ -2525,6 +2525,68 @@ def triangles_probe(n: int) -> None:
     )
 
 
+def pca_probe(n: int, dim: int = 64) -> None:
+    """PCA moment pass at scale: ``n`` synthetic ``dim``-d vectors
+    with planted anisotropy (components 0/1 carry 6x/3x the variance).
+    The 100 TB question is the cost of the ONE corpus pass — the
+    Arrow (n, Σx, Σxxᵀ) partial aggregate — and that the driver-side
+    state stays d²+d+1 doubles regardless of n. Checks the recovered
+    top-2 axes against the planted ones. Usage:
+    ``python bench_scale.py 10000000 pca``."""
+    import numpy as np
+
+    from updater_spark.operators.projection import pca_fit
+
+    spark = get_spark("bench_scale_pca")
+    spark.sparkContext.setLogLevel("ERROR")
+    # synthetic anisotropic cloud in pure Catalyst: iid unit noise per
+    # component, then components 0 and 1 scaled up
+    comps = []
+    for j in range(dim):
+        u = (
+            F.pmod(F.xxhash64("id", F.lit(j)), F.lit(1_000_000))
+            / F.lit(1_000_000.0)
+        )
+        # sum of two shifted uniforms ~ triangular: cheap, symmetric
+        u2 = (
+            F.pmod(F.xxhash64("id", F.lit(j + dim)), F.lit(1_000_000))
+            / F.lit(1_000_000.0)
+        )
+        g = u + u2 - F.lit(1.0)
+        scale = 6.0 if j == 0 else (3.0 if j == 1 else 1.0)
+        comps.append(g * F.lit(scale))
+    vecs = (
+        spark.range(0, n, numPartitions=64)
+        .select(F.array(*comps).alias("v"))
+        .persist()
+    )
+    n_rows = vecs.count()
+    t0 = time.time()
+    model = pca_fit(vecs, "v", k=2, dim=dim, power_iterations=12)
+    wall = round(time.time() - t0, 2)
+    c1 = np.array(model["components"][0])
+    c2 = np.array(model["components"][1])
+    vecs.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_vectors": n_rows,
+                "pca_probe": {
+                    "dim": dim,
+                    "wall_sec": wall,
+                    "vectors_per_sec": int(n_rows / wall),
+                    "driver_state_doubles": dim * dim + dim + 1,
+                    "axis0_recovered": round(float(abs(c1[0])), 4),
+                    "axis1_recovered": round(float(abs(c2[1])), 4),
+                    "eigenvalues": [
+                        round(e, 3) for e in model["eigenvalues"]
+                    ],
+                },
+            }
+        )
+    )
+
+
 def bpetrain_probe(n: int, n_merges: int = 30) -> None:
     """BPE training at scale: ``n`` synthetic docs (~20 words each
     from a ~40k-form Zipf-ish word distribution). The industrial
@@ -2659,6 +2721,8 @@ if __name__ == "__main__":
         pagerank_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "triangles":
         triangles_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "pca":
+        pca_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "bpetrain":
         bpetrain_probe(
             _n, int(sys.argv[3]) if len(sys.argv) > 3 else 30
