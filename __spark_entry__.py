@@ -4293,6 +4293,53 @@ def _pca_sql(dim: int = 64, k: int = 2, iters: int = 10) -> str:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/funnel.py::funnel_counts): view ->
+    click -> purchase per user with a 7-day conversion window —
+    greedy earliest-match chaining, strictly-after ordering (one
+    event can never satisfy two steps). The oracle chains the same
+    MIN-after-MIN CTEs."""
+    events = demo.load(spark, sf_dir, "events")
+    from updater_spark.operators.funnel import funnel_counts
+
+    res = funnel_counts(
+        events,
+        "user_id",
+        "ts",
+        [
+            ("view", "event_type = 'view'"),
+            ("click", "event_type = 'click'"),
+            ("purchase", "event_type = 'purchase'"),
+        ],
+        within="7 days",
+    )
+    return res.select(
+        "step",
+        "name",
+        "reached",
+        F.round("conversion", 6).alias("conversion"),
+        F.round("step_conversion", 6).alias("step_conversion"),
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (operators/funnel.py::
+    cohort_retention): users cohorted by first-touch DAY, activity
+    counted per (cohort, days_since) — two aggregates and one join on
+    the key. Oracle is the literal SQL translation."""
+    events = demo.load(spark, sf_dir, "events")
+    from updater_spark.operators.funnel import cohort_retention
+
+    res = cohort_retention(events, "user_id", "ts", "day")
+    return res.select(
+        "cohort",
+        "periods_since",
+        "n_active",
+        "n_cohort",
+        F.round("retention", 6).alias("retention"),
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py::
     weighted_sample, Efraimidis-Spirakis A-Res): top-50 documents by
@@ -4496,6 +4543,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_checks": q_quality_checks,
         "events_anomaly": q_events_anomaly,
         "embed_pca": q_embed_pca,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "sample_weighted": q_sample_weighted,
         "text_bigram_lm": q_text_bigram_lm,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
@@ -5685,6 +5734,77 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_prev >= 10
         """,
         "embed_pca": _pca_sql(dim=64, k=2, iters=10),
+        "events_funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click'
+                  AND e.ts > s1.t1
+                  AND e.ts <= s1.t1 + INTERVAL 7 DAY
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase'
+                  AND e.ts > s2.t2
+                  AND e.ts <= s1.t1 + INTERVAL 7 DAY
+                GROUP BY e.user_id
+            ),
+            c AS (
+                SELECT (SELECT COUNT(*) FROM s1) AS c1,
+                       (SELECT COUNT(*) FROM s2) AS c2,
+                       (SELECT COUNT(*) FROM s3) AS c3
+            )
+            SELECT 1 AS step, 'view' AS name, c1 AS reached,
+                   round(CAST(c1 AS DOUBLE) / c1, 6) AS conversion,
+                   round(CAST(c1 AS DOUBLE) / c1, 6) AS step_conversion
+            FROM c
+            UNION ALL
+            SELECT 2, 'click', c2,
+                   round(CAST(c2 AS DOUBLE) / c1, 6),
+                   round(CAST(c2 AS DOUBLE) / c1, 6)
+            FROM c
+            UNION ALL
+            SELECT 3, 'purchase', c3,
+                   round(CAST(c3 AS DOUBLE) / c1, 6),
+                   round(CAST(c3 AS DOUBLE) / c2, 6)
+            FROM c
+        """,
+        "events_retention": """
+            WITH activity AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS p
+                FROM events
+            ),
+            first AS (
+                SELECT user_id, MIN(p) AS cohort
+                FROM activity GROUP BY user_id
+            ),
+            sizes AS (
+                SELECT cohort, COUNT(*) AS n_cohort
+                FROM first GROUP BY cohort
+            ),
+            joined AS (
+                SELECT f.cohort,
+                       CAST(date_diff('day', f.cohort, a.p) AS BIGINT)
+                           AS periods_since
+                FROM activity a JOIN first f ON a.user_id = f.user_id
+            )
+            SELECT j.cohort, j.periods_since,
+                   COUNT(*) AS n_active,
+                   s.n_cohort,
+                   round(CAST(COUNT(*) AS DOUBLE) / s.n_cohort, 6)
+                       AS retention
+            FROM joined j JOIN sizes s ON j.cohort = s.cohort
+            GROUP BY j.cohort, j.periods_since, s.n_cohort
+        """,
         "text_bigram_lm": """
             WITH toked AS MATERIALIZED (
                 SELECT doc_id, lang,

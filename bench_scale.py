@@ -2555,18 +2555,18 @@ def pca_probe(n: int, dim: int = 64) -> None:
         g = u + u2 - F.lit(1.0)
         scale = 6.0 if j == 0 else (3.0 if j == 1 else 1.0)
         comps.append(g * F.lit(scale))
-    vecs = (
-        spark.range(0, n, numPartitions=64)
-        .select(F.array(*comps).alias("v"))
-        .persist()
+    # NOT persisted: 10M x 64 doubles as deserialized rows blow the
+    # heap, and the honest cost of the one-pass design includes
+    # producing the vectors once — generation is scan-speed Catalyst
+    vecs = spark.range(0, n, numPartitions=64).select(
+        F.array(*comps).alias("v")
     )
-    n_rows = vecs.count()
+    n_rows = n
     t0 = time.time()
     model = pca_fit(vecs, "v", k=2, dim=dim, power_iterations=12)
     wall = round(time.time() - t0, 2)
     c1 = np.array(model["components"][0])
     c2 = np.array(model["components"][1])
-    vecs.unpersist()
     print(
         json.dumps(
             {

@@ -1,0 +1,165 @@
+"""Funnel and cohort-retention semantics pinned by hand-built event
+timelines: greedy strictly-after chaining, conversion windows,
+same-instant ties NOT chaining, cohort first-touch assignment and
+calendar-period indexing."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from updater_spark.operators.funnel import (
+    cohort_retention,
+    funnel_counts,
+    funnel_steps,
+)
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+STEPS = [
+    ("view", "etype = 'view'"),
+    ("click", "etype = 'click'"),
+    ("buy", "etype = 'buy'"),
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # u1 completes the funnel in order
+        Row(u=1, ts=_ts(1, 9), etype="view"),
+        Row(u=1, ts=_ts(1, 10), etype="click"),
+        Row(u=1, ts=_ts(2, 11), etype="buy"),
+        # u2: click BEFORE view -> that click can't count; a later
+        # click chains
+        Row(u=2, ts=_ts(1, 8), etype="click"),
+        Row(u=2, ts=_ts(1, 9), etype="view"),
+        Row(u=2, ts=_ts(1, 12), etype="click"),
+        # u3: view only
+        Row(u=3, ts=_ts(3, 9), etype="view"),
+        # u4: same-instant view+click -> strictly-after rule blocks
+        # the chain
+        Row(u=4, ts=_ts(1, 9), etype="view"),
+        Row(u=4, ts=_ts(1, 9), etype="click"),
+        # u5: full funnel but buy lands outside a 1-day window
+        Row(u=5, ts=_ts(1, 9), etype="view"),
+        Row(u=5, ts=_ts(1, 10), etype="click"),
+        Row(u=5, ts=_ts(5, 9), etype="buy"),
+        # u6: never views -> absent from output
+        Row(u=6, ts=_ts(1, 9), etype="buy"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_greedy_strictly_after_chain(spark, events):
+    got = {
+        r["u"]: r
+        for r in funnel_steps(events, "u", "ts", STEPS).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1]["stage"] == 3
+    assert got[1]["t_buy"] == _ts(2, 11)
+    # u2's pre-view click ignored; later click picked
+    assert got[2]["stage"] == 2
+    assert got[2]["t_click"] == _ts(1, 12)
+    assert got[3]["stage"] == 1 and got[3]["t_click"] is None
+    # same-instant tie does not chain
+    assert got[4]["stage"] == 1
+    assert got[5]["stage"] == 3
+
+
+def test_conversion_window(spark, events):
+    got = {
+        r["u"]: r
+        for r in funnel_steps(
+            events, "u", "ts", STEPS, within="1 days"
+        ).collect()
+    }
+    # u5's buy at day 5 falls outside the 1-day window from view
+    assert got[5]["stage"] == 2
+    # u1's buy at day 2 11:00 is outside 1 day of day-1 09:00 too
+    assert got[1]["stage"] == 2
+    got48 = {
+        r["u"]: r
+        for r in funnel_steps(
+            events, "u", "ts", STEPS, within="48 hours"
+        ).collect()
+    }
+    assert got48[1]["stage"] == 3 and got48[5]["stage"] == 2
+
+
+def test_funnel_counts(spark, events):
+    rows = {
+        r["name"]: r
+        for r in funnel_counts(events, "u", "ts", STEPS).collect()
+    }
+    assert rows["view"]["reached"] == 5
+    assert rows["click"]["reached"] == 3
+    assert rows["buy"]["reached"] == 2
+    assert rows["view"]["conversion"] == 1.0
+    assert rows["buy"]["conversion"] == pytest.approx(2 / 5)
+    assert rows["buy"]["step_conversion"] == pytest.approx(2 / 3)
+
+
+def test_funnel_validation(spark, events):
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_steps(events, "u", "ts", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel_steps(
+            events, "u", "ts", [("a", "1=1"), ("a", "1=1")]
+        )
+
+
+def test_cohort_retention_day(spark):
+    rows = [
+        # cohort Jan 1: u1 active day 0, 1, 3; u2 active day 0 only
+        Row(u=1, ts=_ts(1, 9)),
+        Row(u=1, ts=_ts(1, 23)),  # same day: one activity
+        Row(u=1, ts=_ts(2, 1)),
+        Row(u=1, ts=_ts(4, 5)),
+        Row(u=2, ts=_ts(1, 5)),
+        # cohort Jan 2: u3 active day 0 and 2
+        Row(u=3, ts=_ts(2, 8)),
+        Row(u=3, ts=_ts(4, 8)),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["cohort"].day, r["periods_since"]): r
+        for r in cohort_retention(df, "u", "ts", "day").collect()
+    }
+    assert got[(1, 0)]["n_cohort"] == 2
+    assert got[(1, 0)]["n_active"] == 2
+    assert got[(1, 0)]["retention"] == 1.0
+    assert got[(1, 1)]["n_active"] == 1
+    assert got[(1, 1)]["retention"] == 0.5
+    assert got[(1, 3)]["n_active"] == 1
+    assert (1, 2) not in got  # nobody from Jan-1 cohort active Jan 3
+    assert got[(2, 0)]["n_cohort"] == 1
+    assert got[(2, 2)]["n_active"] == 1
+    with pytest.raises(ValueError, match="period"):
+        cohort_retention(df, "u", "ts", "year")
+
+
+def test_cohort_retention_week_and_hour(spark):
+    rows = [
+        Row(u=1, ts=_ts(1, 9)),    # Mon Jan 1
+        Row(u=1, ts=_ts(10, 9)),   # Wed Jan 10 -> week index 1
+        Row(u=2, ts=_ts(1, 9, 30)),
+        Row(u=2, ts=_ts(1, 11)),   # hour index 2
+    ]
+    df = spark.createDataFrame(rows)
+    wk = {
+        (r["cohort"].day, r["periods_since"])
+        for r in cohort_retention(df, "u", "ts", "week").collect()
+    }
+    assert (1, 0) in wk and (1, 1) in wk
+    hr = {
+        r["periods_since"]
+        for r in cohort_retention(
+            df.filter(df.u == 2), "u", "ts", "hour"
+        ).collect()
+    }
+    assert hr == {0, 2}

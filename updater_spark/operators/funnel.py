@@ -1,0 +1,205 @@
+"""Ordered funnel analysis and cohort retention over event streams —
+the two workhorse product-analytics queries (every events warehouse
+ships them: Amplitude/Mixpanel-style funnels, the classic triangle
+retention matrix). The reference engine's event surface is a grouped
+hourly count (/root/reference/src/download.py:607-637 family); these
+add the ORDER-aware and FIRST-TOUCH-aware layers on top.
+
+Spark-first shapes:
+
+- ``funnel_steps``: the greedy earliest-match chain — step i+1's
+  timestamp is the MIN event time satisfying its predicate strictly
+  after step i's timestamp, per key. That is k−1 self-joins, each a
+  hash equi-join on the key; after the first shuffle every subsequent
+  join reuses the same hash partitioning (no re-shuffle — the
+  exchange-reuse discipline), and each step's aggregate shrinks the
+  frame to one row per surviving key, so the chain gets CHEAPER per
+  step, not more expensive. No window sort over whole histories, no
+  per-key UDF state.
+- ``cohort_retention``: two aggregates — first-touch per key (the
+  cohort), then distinct (key, period) activity joined back and
+  counted per (cohort, periods_since). The join's right side is one
+  row per key (broadcastable when the key space is small; hash join
+  co-partitioned on key otherwise).
+
+Both are exactly SQL-expressible, so their oracles are literal
+translations, not approximations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PERIODS = {"day": "DD", "week": "WEEK", "month": "MM", "hour": "HH"}
+
+
+def funnel_steps(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    steps: list[tuple[str, str]],
+    within: str | None = None,
+) -> DataFrame:
+    """Per-key greedy funnel: for ``steps = [(name, predicate), ...]``
+    compute ``t_<name>`` = the earliest event time matching predicate
+    ``i`` STRICTLY AFTER the key's step-``i−1`` time (first step:
+    earliest match overall). Returns one row per key that completed
+    step 1, with NULL times from the first uncompleted step on, plus
+    ``stage`` = number of completed steps. ``within`` (an INTERVAL
+    literal, e.g. ``'7 days'``) additionally requires every later
+    step to land within that interval of step 1 — the conversion-
+    window convention.
+
+    Strictly-after ordering means a single event can never satisfy
+    two consecutive steps (the standard funnel rule, and what makes
+    the greedy chain well-defined under duplicate timestamps: ties
+    between DIFFERENT steps' events at the same instant do not
+    chain)."""
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    names = [n for n, _ in steps]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate step names: {names}")
+
+    key = F.col(key_col)
+    first_name, first_pred = steps[0]
+    cur = (
+        df.filter(F.expr(first_pred))
+        .groupBy(key.alias("_k"))
+        .agg(F.min(F.col(time_col)).alias(f"t_{first_name}"))
+    )
+    prev_t = f"t_{first_name}"
+    for name, pred in steps[1:]:
+        nxt = (
+            df.filter(F.expr(pred))
+            .select(key.alias("_k"), F.col(time_col).alias("_t"))
+            .join(cur, "_k")
+            .filter(F.col("_t") > F.col(prev_t))
+        )
+        if within is not None:
+            nxt = nxt.filter(
+                F.col("_t")
+                <= F.col(f"t_{steps[0][0]}")
+                + F.expr(f"INTERVAL {within}")
+            )
+        agg = nxt.groupBy("_k").agg(F.min("_t").alias(f"t_{name}"))
+        cur = cur.join(agg, "_k", "left")
+        prev_t = f"t_{name}"
+    stage = sum(
+        [
+            F.when(F.col(f"t_{n}").isNotNull(), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+            for n in names
+        ],
+        F.lit(0),
+    )
+    return cur.withColumnRenamed("_k", key_col).withColumn(
+        "stage", stage
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    steps: list[tuple[str, str]],
+    within: str | None = None,
+) -> DataFrame:
+    """The funnel summary: for each step, how many keys reached AT
+    LEAST that stage, plus the step-over-step and overall conversion
+    ratios. k rows out — the chart every funnel UI draws."""
+    per_key = funnel_steps(df, key_col, time_col, steps, within)
+    names = [n for n, _ in steps]
+    agg = per_key.agg(
+        *[
+            F.sum(
+                F.when(F.col("stage") >= i + 1, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(f"_c{i}")
+            for i in range(len(names))
+        ]
+    )
+    structs = [
+        F.struct(
+            F.lit(i + 1).alias("step"),
+            F.lit(n).alias("name"),
+            F.col(f"_c{i}").alias("reached"),
+            (
+                F.col(f"_c{i}")
+                / F.when(F.col("_c0") > 0, F.col("_c0")).cast("double")
+            ).alias("conversion"),
+            (
+                F.col(f"_c{i}")
+                / F.when(
+                    F.col(f"_c{max(i - 1, 0)}") > 0,
+                    F.col(f"_c{max(i - 1, 0)}"),
+                ).cast("double")
+            ).alias("step_conversion"),
+        )
+        for i, n in enumerate(names)
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("_r")).select(
+        "_r.*"
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    period: str = "day",
+) -> DataFrame:
+    """The retention triangle: cohort keys by their FIRST-touch
+    period, then count how many of each cohort were active again n
+    periods later. Returns ``(cohort, periods_since, n_active,
+    n_cohort, retention)`` — ``periods_since = 0`` rows carry the
+    cohort sizes (retention 1.0 by construction).
+
+    ``period``: hour | day | week | month (calendar truncation;
+    ``periods_since`` counts CALENDAR periods between the truncated
+    stamps, the product-analytics convention)."""
+    if period not in _PERIODS:
+        raise ValueError(f"period must be one of {sorted(_PERIODS)}")
+    trunc = F.date_trunc(period, F.col(time_col))
+    activity = (
+        df.select(
+            F.col(key_col).alias("_k"), trunc.alias("_p")
+        ).distinct()
+    )
+    first = activity.groupBy("_k").agg(F.min("_p").alias("_cohort"))
+    if period == "hour":
+        diff = (
+            F.unix_timestamp("_p") - F.unix_timestamp("_cohort")
+        ) / F.lit(3600)
+    elif period == "day":
+        diff = F.datediff(F.col("_p"), F.col("_cohort"))
+    elif period == "week":
+        diff = F.datediff(F.col("_p"), F.col("_cohort")) / F.lit(7)
+    else:  # month
+        diff = F.months_between(F.col("_p"), F.col("_cohort"))
+    joined = activity.join(first, "_k").select(
+        "_k",
+        "_cohort",
+        diff.cast("long").alias("periods_since"),
+    )
+    sizes = first.groupBy("_cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    out = (
+        joined.groupBy("_cohort", "periods_since")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort"),
+            "periods_since",
+            "n_active",
+            "n_cohort",
+            (F.col("n_active") / F.col("n_cohort")).alias("retention"),
+        )
+    )
+    return out
