@@ -4340,6 +4340,28 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily grid with LOCF (operators/timeseries.py::
+    gapfill — the time_bucket_gapfill + locf hypertable pair): daily
+    avg(value) per user, every day between each user's first and last
+    active day emitted, silent days carrying the previous value with
+    gap_filled = true. Oracle: generate_series grid + last_value
+    IGNORE NULLS in DuckDB."""
+    events = demo.load(spark, sf_dir, "events")
+    from updater_spark.operators.timeseries import gapfill
+
+    res = gapfill(
+        events, "user_id", "ts", "value", "1 day", agg="avg",
+        fill="ffill",
+    )
+    return res.select(
+        "user_id",
+        "bucket",
+        F.round(F.col("avg_value") + F.lit(1e-9), 4).alias("avg_value"),
+        "gap_filled",
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py::
     weighted_sample, Efraimidis-Spirakis A-Res): top-50 documents by
@@ -4545,6 +4567,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca": q_embed_pca,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_gapfill": q_events_gapfill,
         "sample_weighted": q_sample_weighted,
         "text_bigram_lm": q_text_bigram_lm,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
@@ -5804,6 +5827,48 @@ def oracle_sql() -> dict[str, str]:
                        AS retention
             FROM joined j JOIN sizes s ON j.cohort = s.cohort
             GROUP BY j.cohort, j.periods_since, s.n_cohort
+        """,
+        "events_gapfill": """
+            WITH sparse AS (
+                SELECT user_id,
+                       to_timestamp(
+                           CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                           * 86400
+                       ) AS b,
+                       AVG(value) AS v
+                FROM events
+                GROUP BY user_id,
+                         CAST(floor(epoch(ts) / 86400) AS BIGINT)
+            ),
+            spans AS (
+                SELECT user_id, MIN(b) AS lo, MAX(b) AS hi
+                FROM sparse GROUP BY user_id
+            ),
+            grid AS (
+                SELECT s.user_id,
+                       unnest(generate_series(
+                           s.lo, s.hi, INTERVAL 1 DAY
+                       )) AS b
+                FROM spans s
+            ),
+            dense AS (
+                SELECT g.user_id, g.b, sp.v,
+                       sp.v IS NULL AS gap_filled
+                FROM grid g
+                LEFT JOIN sparse sp
+                       ON g.user_id = sp.user_id AND g.b = sp.b
+            )
+            SELECT user_id,
+                   CAST(b AS TIMESTAMP) AS bucket,
+                   round(
+                       last_value(v IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW
+                       ) + 1e-9, 4
+                   ) AS avg_value,
+                   gap_filled
+            FROM dense
         """,
         "text_bigram_lm": """
             WITH toked AS MATERIALIZED (

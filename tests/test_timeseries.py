@@ -1,0 +1,104 @@
+"""Gap-fill / forward-fill semantics pinned: epoch-aligned buckets,
+per-key span grids, LOCF vs null vs zero fills, leading NULLs never
+invented, last-in-bucket aggregation."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from updater_spark.operators.timeseries import forward_fill, gapfill
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_forward_fill(spark):
+    rows = [
+        Row(k="a", t=1, id=1, v=None),   # leading NULL stays NULL
+        Row(k="a", t=2, id=2, v=5.0),
+        Row(k="a", t=3, id=3, v=None),
+        Row(k="a", t=4, id=4, v=None),
+        Row(k="a", t=5, id=5, v=7.0),
+        Row(k="b", t=1, id=6, v=None),   # other key: no leak from a
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["k"], r["t"]): r["v"]
+        for r in forward_fill(
+            df, "k", "t", ["v"], order_cols=["id"]
+        ).collect()
+    }
+    assert got[("a", 1)] is None
+    assert got[("a", 3)] == 5.0 and got[("a", 4)] == 5.0
+    assert got[("a", 5)] == 7.0
+    assert got[("b", 1)] is None
+    with pytest.raises(ValueError, match="value_cols"):
+        forward_fill(df, "k", "t", [])
+
+
+def test_gapfill_ffill_and_flags(spark):
+    rows = [
+        Row(k=1, ts=_ts(1, 3), v=10.0),
+        Row(k=1, ts=_ts(1, 9), v=20.0),   # same day: avg 15
+        Row(k=1, ts=_ts(4, 1), v=40.0),   # days 2,3 silent
+        Row(k=2, ts=_ts(2, 1), v=1.0),    # single-bucket key
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["k"], r["bucket"].day): (r["avg_v"], r["gap_filled"])
+        for r in gapfill(df, "k", "ts", "v", "1 day").collect()
+    }
+    assert got[(1, 1)] == (15.0, False)
+    assert got[(1, 2)] == (15.0, True)    # LOCF carries day 1 forward
+    assert got[(1, 3)] == (15.0, True)
+    assert got[(1, 4)] == (40.0, False)
+    assert got[(2, 2)] == (1.0, False)
+    assert len(got) == 5  # no grid beyond each key's span
+
+
+def test_gapfill_null_zero_and_last(spark):
+    rows = [
+        Row(k=1, ts=_ts(1, 3), v=10.0),
+        Row(k=1, ts=_ts(1, 9), v=20.0),
+        Row(k=1, ts=_ts(3, 1), v=40.0),
+    ]
+    df = spark.createDataFrame(rows)
+    nulls = {
+        r["bucket"].day: r["avg_v"]
+        for r in gapfill(df, "k", "ts", "v", "1 day", fill="null").collect()
+    }
+    assert nulls[2] is None
+    zeros = {
+        r["bucket"].day: r["avg_v"]
+        for r in gapfill(df, "k", "ts", "v", "1 day", fill="zero").collect()
+    }
+    assert zeros[2] == 0.0
+    # agg='last': value at the max timestamp within the bucket
+    last = {
+        r["bucket"].day: r["last_v"]
+        for r in gapfill(df, "k", "ts", "v", "1 day", agg="last").collect()
+    }
+    assert last[1] == 20.0
+    with pytest.raises(ValueError, match="fill"):
+        gapfill(df, "k", "ts", "v", "1 day", fill="interp")
+    with pytest.raises(ValueError, match="agg"):
+        gapfill(df, "k", "ts", "v", "1 day", agg="median")
+
+
+def test_gapfill_subday_buckets_epoch_aligned(spark):
+    rows = [
+        Row(k=1, ts=dt.datetime(2024, 1, 1, 0, 7), v=1.0),
+        Row(k=1, ts=dt.datetime(2024, 1, 1, 0, 52), v=3.0),
+    ]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        (r["bucket"].minute, r["avg_v"], r["gap_filled"])
+        for r in gapfill(df, "k", "ts", "v", "15 minutes").collect()
+    )
+    # buckets :00, :15, :30, :45 — epoch-aligned, gaps filled
+    assert [m for m, _, _ in got] == [0, 15, 30, 45]
+    assert got[0] == (0, 1.0, False)
+    assert got[1] == (15, 1.0, True)
+    assert got[3] == (45, 3.0, False)

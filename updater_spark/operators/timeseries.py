@@ -1,0 +1,146 @@
+"""Time-series densification: forward-fill and bucket gap-fill — the
+hypertable signature pair (TimescaleDB's ``time_bucket_gapfill`` +
+``locf``, InfluxDB's ``fill(previous)``). Telemetry pipelines need a
+DENSE per-key grid before windowed models or charting; raw event
+tables are sparse exactly where the interesting silence is (a sensor
+that stopped reporting is invisible in a groupBy of what it sent).
+
+Spark-first shapes:
+
+- ``forward_fill``: ``last(value, ignorenulls=True)`` over an
+  unbounded-preceding per-key window — ONE shuffle on the key, no
+  UDF, no iteration; whole-stage codegen end to end.
+- ``gapfill``: aggregate per (key, bucket), derive each key's
+  [first, last] bucket span in the same aggregate pass, explode a
+  ``sequence(first, last, interval)`` to the dense grid, left-join
+  the sparse aggregates back (co-partitioned on the key), then
+  forward-fill. The grid explosion is bounded by span/step per key —
+  the honest cost of densification; a key silent for a year at 1s
+  buckets makes 31M rows, so the bucket width is a REQUIRED argument,
+  never defaulted.
+
+Both are exactly SQL-expressible (DuckDB window frames support
+``IGNORE NULLS``; ``generate_series`` builds the grid), so the
+oracles are literal translations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_FILLS = {"ffill", "null", "zero"}
+_AGGS = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": lambda c: F.count(c),
+    "last": None,  # handled via max_by on time
+}
+
+
+def forward_fill(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_cols: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Replace NULLs in ``value_cols`` with the key's most recent
+    non-NULL value (ordered by ``time_col`` then ``order_cols`` —
+    pass a unique tiebreaker when stamps can collide). Leading NULLs
+    (no prior observation) stay NULL — no value is invented."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    order = [F.col(time_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return out
+
+
+def gapfill(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    bucket: str,
+    agg: str = "avg",
+    fill: str = "ffill",
+) -> DataFrame:
+    """Dense per-key time grid: bucket ``time_col`` by the INTERVAL
+    literal ``bucket`` (e.g. ``'1 day'``, ``'15 minutes'``),
+    aggregate ``value_col`` per (key, bucket) with ``agg`` (avg | sum
+    | min | max | count | last — last = value at the max time in the
+    bucket), then emit EVERY bucket between each key's first and last
+    active bucket, filling silent buckets per ``fill``:
+
+    - ``ffill`` — carry the previous bucket's aggregate forward
+      (LOCF); ``gap_filled`` marks synthesized rows
+    - ``null`` — keep the gap visible as NULL
+    - ``zero`` — 0.0 (the counting convention)
+
+    Buckets are epoch-aligned: ``floor(epoch / step) * step``, the
+    time_bucket convention (calendar months are NOT supported — use
+    a calendar truncation + cohort-style indexing for that)."""
+    if fill not in _FILLS:
+        raise ValueError(f"fill must be one of {sorted(_FILLS)}")
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}")
+    step = F.expr(f"INTERVAL {bucket}")
+    step_secs = F.unix_timestamp(
+        F.lit("1970-01-01 00:00:00").cast("timestamp") + step
+    )
+    ts = F.col(time_col)
+    bucketed = F.timestamp_seconds(
+        (F.unix_timestamp(ts) / step_secs).cast("long") * step_secs
+    )
+    if agg == "last":
+        val = F.expr(f"max_by({value_col}, {time_col})")
+    else:
+        val = _AGGS[agg](F.col(value_col))
+    sparse = (
+        df.select(
+            F.col(key_col).alias("_k"), bucketed.alias("_b"), value_col,
+            time_col,
+        )
+        .groupBy("_k", "_b")
+        .agg(val.cast("double").alias("_v"))
+    )
+    spans = sparse.groupBy("_k").agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = spans.select(
+        "_k",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), step)
+        ).alias("_b"),
+    )
+    dense = grid.join(sparse, ["_k", "_b"], "left").withColumn(
+        "gap_filled", F.col("_v").isNull()
+    )
+    if fill == "ffill":
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        dense = dense.withColumn(
+            "_v", F.last(F.col("_v"), ignorenulls=True).over(w)
+        )
+    elif fill == "zero":
+        dense = dense.withColumn("_v", F.coalesce("_v", F.lit(0.0)))
+    return dense.select(
+        F.col("_k").alias(key_col),
+        F.col("_b").alias("bucket"),
+        F.col("_v").alias(f"{agg}_{value_col}"),
+        "gap_filled",
+    )
