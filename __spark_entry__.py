@@ -4362,6 +4362,29 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (operators/anomaly.py::cusum,
+    Page 1954): per-user drift accumulation against the series
+    mean/std, via the closed form s_t = p_t − min(0, min prefix p) —
+    two cumulative window aggregates per side instead of the
+    recurrence. Oracle: the same prefix-sum/prefix-min windows in
+    DuckDB."""
+    events = demo.load(spark, sf_dir, "events")
+    from updater_spark.operators.anomaly import cusum
+
+    res = cusum(
+        events, "user_id", "ts", "value",
+        order_cols=["event_id"], slack_k=0.5, h=4.0,
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("cusum_pos") + F.lit(1e-9), 4).alias("cusum_pos"),
+        F.round(F.col("cusum_neg") + F.lit(1e-9), 4).alias("cusum_neg"),
+        "cusum_alarm",
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py::
     weighted_sample, Efraimidis-Spirakis A-Res): top-50 documents by
@@ -4568,6 +4591,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_gapfill": q_events_gapfill,
+        "events_cusum": q_events_cusum,
         "sample_weighted": q_sample_weighted,
         "text_bigram_lm": q_text_bigram_lm,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
@@ -5827,6 +5851,46 @@ def oracle_sql() -> dict[str, str]:
                        AS retention
             FROM joined j JOIN sizes s ON j.cohort = s.cohort
             GROUP BY j.cohort, j.periods_since, s.n_cohort
+        """,
+        "events_cusum": """
+            WITH stats AS (
+                SELECT user_id,
+                       AVG(value) AS mu,
+                       STDDEV_SAMP(value) AS sd
+                FROM events GROUP BY user_id
+            ),
+            z AS (
+                SELECT e.event_id, e.user_id, e.ts,
+                       CASE WHEN s.sd > 0
+                            THEN (e.value - s.mu) / s.sd END AS z
+                FROM events e JOIN stats s ON e.user_id = s.user_id
+            ),
+            pref AS (
+                SELECT event_id, user_id, ts,
+                       SUM(z - 0.5) OVER w AS p,
+                       SUM(-z - 0.5) OVER w AS q
+                FROM z
+                WINDOW w AS (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                )
+            ),
+            run AS (
+                SELECT event_id, user_id,
+                       p - LEAST(0.0, MIN(p) OVER w) AS sp,
+                       q - LEAST(0.0, MIN(q) OVER w) AS sn
+                FROM pref
+                WINDOW w AS (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                )
+            )
+            SELECT event_id, user_id,
+                   round(sp + 1e-9, 4) AS cusum_pos,
+                   round(sn + 1e-9, 4) AS cusum_neg,
+                   CASE WHEN sp IS NOT NULL
+                        THEN sp > 4.0 OR sn > 4.0 END AS cusum_alarm
+            FROM run
         """,
         "events_gapfill": """
             WITH sparse AS (

@@ -104,3 +104,61 @@ def test_validation(spark):
         rolling_zscore(df, "k", "t", "v", window=0)
     with pytest.raises(ValueError, match="min_periods"):
         rolling_zscore(df, "k", "t", "v", min_periods=1)
+
+
+def _py_cusum(series, k=0.5, h=5.0):
+    m = sum(series) / len(series)
+    var = sum((x - m) ** 2 for x in series) / (len(series) - 1)
+    s = math.sqrt(var)
+    sp = sn = 0.0
+    out = []
+    for x in series:
+        z = (x - m) / s
+        sp = max(0.0, sp + z - k)
+        sn = max(0.0, sn - z - k)
+        out.append((sp, sn, sp > h or sn > h))
+    return out
+
+
+def test_cusum_matches_textbook_recurrence(spark):
+    from updater_spark.operators.anomaly import cusum
+
+    # a level shift of +1.2 sigma from index 12 on: no single point
+    # is a 3-sigma outlier, but the drift accumulates
+    base = [10.0, 10.4, 9.8, 10.1, 9.9, 10.2, 10.0, 9.7,
+            10.3, 10.0, 9.9, 10.1]
+    shifted = [v + 0.5 for v in
+               [10.2, 10.4, 10.3, 10.5, 10.2, 10.6, 10.4, 10.3]]
+    series = base + shifted
+    rows = [Row(k="a", t=i, id=i, v=v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows)
+    got = (
+        cusum(df, "k", "t", "v", order_cols=["id"], slack_k=0.5, h=3.0)
+        .orderBy("t")
+        .collect()
+    )
+    want = _py_cusum(series, k=0.5, h=3.0)
+    for g, (sp, sn, alarm) in zip(got, want):
+        assert g["cusum_pos"] == pytest.approx(sp, abs=1e-9)
+        assert g["cusum_neg"] == pytest.approx(sn, abs=1e-9)
+        assert g["cusum_alarm"] == alarm
+    # the sustained shift is alarmed, and never in the early
+    # in-control run (the offline global mean straddles the shift, so
+    # the negative side legitimately trips near the boundary — what
+    # the python reference also says)
+    assert any(r["cusum_alarm"] for r in got)
+    first_alarm = min(r["t"] for r in got if r["cusum_alarm"])
+    assert first_alarm >= 8
+
+
+def test_cusum_flat_series_and_validation(spark):
+    from updater_spark.operators.anomaly import cusum
+
+    df = spark.createDataFrame(
+        [Row(k="a", t=i, id=i, v=5.0) for i in range(4)]
+    )
+    got = cusum(df, "k", "t", "v", order_cols=["id"]).collect()
+    for r in got:
+        assert r["cusum_pos"] is None and r["cusum_alarm"] is None
+    with pytest.raises(ValueError, match="h must"):
+        cusum(df, "k", "t", "v", h=0.0)

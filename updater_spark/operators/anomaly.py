@@ -91,3 +91,76 @@ def rolling_zscore(
         )
         .drop("_n_prev")
     )
+
+
+def cusum(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+    slack_k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Per-key CUSUM change-point detection (Page 1954) — the
+    complement of ``rolling_zscore``: the z-score flags single
+    outliers; CUSUM accumulates many SMALL shifts in the same
+    direction until the cumulative drift crosses ``h``, catching a
+    level change no single point reveals (the data-drift signal for
+    ingest-volume and model-feature monitoring).
+
+    The textbook recurrence
+    ``s⁺_t = max(0, s⁺_{t−1} + z_t − k)`` is not a window aggregate —
+    but it has the classic CLOSED FORM over prefix sums:
+    ``s⁺_t = p_t − min(0, min_{i≤t} p_i)`` with ``p_t = Σ(z_i − k)``
+    (reset-at-zero == subtracting the running minimum). So the whole
+    detector is TWO cumulative window aggregates per side — pure
+    codegen, one shuffle on the key, no recursion, no UDF — and stays
+    exactly SQL-expressible for the oracle.
+
+    ``z`` standardizes against the key's WHOLE-series mean/std (the
+    offline-CUSUM convention: the in-control target; for a drifting
+    target compose with ``rolling_zscore``'s frame instead).
+    ``slack_k`` is the per-step allowance (0.5 = flag sustained
+    drifts beyond half a standard deviation); ``h`` the alarm
+    threshold in std units. Keys with a flat series (std = 0) carry
+    NULL scores — no in-control scale exists.
+
+    Adds ``cusum_pos``, ``cusum_neg``, ``cusum_alarm``."""
+    if h <= 0:
+        raise ValueError("h must be > 0")
+    stats = df.groupBy(F.col(key_col).alias("_sk")).agg(
+        F.avg(F.col(value_col)).alias("_mu"),
+        F.stddev_samp(F.col(value_col)).alias("_sd"),
+    )
+    joined = df.join(
+        stats, F.col(key_col) == F.col("_sk"), "left"
+    ).drop("_sk")
+    z = F.when(
+        F.col("_sd") > 0,
+        (F.col(value_col) - F.col("_mu")) / F.col("_sd"),
+    )
+    order = [F.col(time_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    k = F.lit(float(slack_k))
+    p = F.sum(z - k).over(w)
+    q = F.sum(-z - k).over(w)
+    s_pos = p - F.least(F.lit(0.0), F.min(p).over(w))
+    s_neg = q - F.least(F.lit(0.0), F.min(q).over(w))
+    return (
+        joined.withColumn("cusum_pos", s_pos)
+        .withColumn("cusum_neg", s_neg)
+        .withColumn(
+            "cusum_alarm",
+            F.when(
+                F.col("cusum_pos").isNotNull(),
+                (F.col("cusum_pos") > F.lit(float(h)))
+                | (F.col("cusum_neg") > F.lit(float(h))),
+            ),
+        )
+        .drop("_mu", "_sd")
+    )
