@@ -4385,6 +4385,45 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL cardinality sketch (operators/sketches.py,
+    Flajolet 2007) over lineitem.l_partkey at b=12: the register
+    table is EXACT integer math over the portable 60-bit md5 prefix
+    (register = low bits, rho via length(bin(payload)) — no float
+    log2), so the DuckDB oracle reproduces every register AND the
+    estimate; the row also carries the true distinct count and the
+    sketch's relative error for the record."""
+    lineitem = demo.load(spark, sf_dir, "lineitem")
+    from updater_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    sk = hll_sketch(lineitem, "l_partkey", b=12)
+    est = hll_estimate(sk, b=12)
+    exact = lineitem.filter(
+        F.col("l_partkey").isNotNull()
+    ).agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+    # 1-row x 1-row combine of two global aggregates — an explicit,
+    # bounded cross join (allowlisted in tests/test_plan_lint.py with
+    # the reason on record)
+    joined = est.crossJoin(F.broadcast(exact))
+    return joined.select(
+        F.round(F.col("estimate") + F.lit(1e-9), 4).alias("estimate"),
+        F.round(F.col("raw_estimate") + F.lit(1e-9), 4).alias(
+            "raw_estimate"
+        ),
+        "zero_registers",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            + F.lit(1e-9),
+            6,
+        ).alias("rel_err"),
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py::
     weighted_sample, Efraimidis-Spirakis A-Res): top-50 documents by
@@ -4592,6 +4631,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_gapfill": q_events_gapfill,
         "events_cusum": q_events_cusum,
+        "hll_distinct": q_hll_distinct,
         "sample_weighted": q_sample_weighted,
         "text_bigram_lm": q_text_bigram_lm,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
@@ -5851,6 +5891,55 @@ def oracle_sql() -> dict[str, str]:
                        AS retention
             FROM joined j JOIN sizes s ON j.cohort = s.cohort
             GROUP BY j.cohort, j.periods_since, s.n_cohort
+        """,
+        "hll_distinct": """
+            WITH h AS (
+                SELECT ('0x' || substring(
+                           md5(CAST(l_partkey AS VARCHAR)), 1, 15
+                       ))::BIGINT AS hv
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ),
+            regs AS (
+                SELECT hv % 4096 AS register,
+                       CASE WHEN hv // 4096 = 0 THEN 49
+                            ELSE 48 - (length(bin(hv // 4096)) - 1)
+                       END AS rho
+                FROM h
+            ),
+            sk AS (
+                SELECT register, MAX(rho) AS rho
+                FROM regs GROUP BY register
+            ),
+            agg AS (
+                SELECT SUM(POWER(2.0, -rho)) AS s,
+                       COUNT(*) AS nz
+                FROM sk
+            ),
+            est AS (
+                SELECT (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                           / (s + (4096 - nz)) AS raw,
+                       CAST(4096 - nz AS BIGINT) AS zeros
+                FROM agg
+            ),
+            fin AS (
+                SELECT CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                            THEN 4096.0 * ln(4096.0 / zeros)
+                            ELSE raw END AS estimate,
+                       raw, zeros
+                FROM est
+            ),
+            ex AS (
+                SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+                           AS exact_distinct
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            )
+            SELECT round(f.estimate + 1e-9, 4) AS estimate,
+                   round(f.raw + 1e-9, 4) AS raw_estimate,
+                   f.zeros AS zero_registers,
+                   ex.exact_distinct,
+                   round(abs(f.estimate - ex.exact_distinct)
+                         / ex.exact_distinct + 1e-9, 6) AS rel_err
+            FROM fin f, ex
         """,
         "events_cusum": """
             WITH stats AS (

@@ -204,6 +204,54 @@ CHECKS = {
         "deploy path past the Catalyst fold's vocab ceiling "
         "(PROBES_r7: 3.1M vs 114k pieces/s at 8k pieces)."
     ),
+    "graph_triangles": (
+        "the returned plan is the post-localCheckpoint scan (the "
+        "operator truncates lineage like pagerank/LPA); the physical "
+        "claims — wedge apex + closing-edge joins are hash equi-joins "
+        "with the degree-rank inequality as a residual filter, no "
+        "global row_number, no cartesian — are pinned by the hub "
+        "probe: oriented out-degree 20 vs raw degree 190k at 20M "
+        "edges, 108M wedges vs 18.1B naive (PROBES_r8 triangles_20m)."
+    ),
+    "quality_checks": (
+        "ALL row-level metrics ride ONE HashAggregate over ONE file "
+        "scan (the k check rows come from an explode of the single "
+        "aggregate row, not a k-way union re-running the scan); each "
+        "group-metric column adds exactly one two-level aggregate; "
+        "the referential check is one left join + avg."
+    ),
+    "events_anomaly": (
+        "ONE Exchange (hashpartitioning on user_id) serves the whole "
+        "detector — count/avg/stddev all evaluate in one Window node "
+        "over the same sort; no UDF, no state."
+    ),
+    "events_cusum": (
+        "the closed-form rewrite shows up as Window nodes over one "
+        "user_id Exchange (prefix sums + running min) instead of any "
+        "recursion; the per-key stats join is a broadcast."
+    ),
+    "embed_pca": (
+        "pca_fit runs EAGERLY inside the query fn (one MapInPandas "
+        "moment pass + one d²+d+1-key Exchange + a bounded collect — "
+        "not part of the returned plan); the captured plan is the "
+        "projection only: one file scan, ZERO exchanges, zero joins — "
+        "scan-fused aggregate/zip_with with the components as "
+        "literals."
+    ),
+    "events_funnel": (
+        "each funnel step joins on user_id; at this SF the shrinking "
+        "per-step aggregates are small enough that AQE BROADCASTS "
+        "them (6 BroadcastHashJoins — better than re-shuffling), at "
+        "scale they fall back to co-partitioned joins on the same "
+        "key; the final counts are one exploded aggregate row, and "
+        "the step predicates are PUSHED to the parquet scans."
+    ),
+    "events_gapfill": (
+        "the dense grid comes from sequence+explode over the per-key "
+        "span aggregate (no cross join against a calendar table); "
+        "the sparse-aggregate join back is co-partitioned on the key "
+        "and the LOCF fill is one Window over the same Exchange."
+    ),
 }
 # Not string-audited here, each for the same reason: the query fn
 # materializes its result through a temp store, so the returned plan

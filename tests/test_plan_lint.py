@@ -22,6 +22,12 @@ BNLJ_ALLOWED = {
     # must stay exact to hash-match its oracle; the bucketed scale
     # path is recall-tested in tests/test_similarity.py
     "dedup_embedding_neardup",
+    # a 1-row x 1-row combine of two global aggregates (the HLL
+    # estimate row + the exact-distinct row, joined only for the
+    # recorded rel_err): the literal join key constant-folds away and
+    # the planner rightly leaves a broadcast loop over ONE row —
+    # bounded by construction, never corpus-sized
+    "hll_distinct",
 }
 
 

@@ -1,67 +1,69 @@
-"""Approximate aggregates for the scale path: HLL distinct and
-quantile sketches stay within their documented error bounds of the
-exact answers (which the driver oracles separately)."""
+"""HLL sketch semantics: estimate accuracy within the theoretical
+bound, merge == sketch-of-union (the mergeability law), register
+determinism, duplicate/NULL handling."""
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-
-@pytest.fixture(scope="module")
-def events(spark, sf_dir):
-    from updater_spark import demo
-
-    return demo.load_events(spark, sf_dir).cache()
-
-
-def test_hll_distinct_within_rsd(spark, events):
-    """approx_count_distinct(rsd=0.02): per-group estimates within
-    ~3 standard deviations of exact. At 100 TB the exact distinct's
-    (group, user) shuffle is the bottleneck; HLL state is a few KB
-    per group and merges map-side."""
-    exact = {
-        r["event_type"]: r["n"]
-        for r in events.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    approx = {
-        r["event_type"]: r["n"]
-        for r in events.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
-        .collect()
-    }
-    assert set(approx) == set(exact)
-    for t, n in exact.items():
-        assert abs(approx[t] - n) <= max(3, 0.06 * n), (t, n, approx[t])
+from updater_spark.operators.sketches import (
+    hll_error_bound,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
 
 
-def test_percentile_approx_within_rank_tolerance(spark, events):
-    """percentile_approx guarantees RANK error (≤ 1/accuracy of the
-    rows), not value error — in a sparse tail the nearest element can
-    sit far in value-space. So assert the approximate p50/p99 lies
-    between the exact quantiles half a percentile either side."""
-    q = F.expr("percentile(value, array(0.495, 0.505, 0.985, 0.995))")
-    exact = {
-        r["event_type"]: r
-        for r in events.groupBy("event_type")
-        .agg(
-            q[0].alias("p495"),
-            q[1].alias("p505"),
-            q[2].alias("p985"),
-            q[3].alias("p995"),
-        )
-        .collect()
-    }
-    approx = {
-        r["event_type"]: (r["a50"], r["a99"])
-        for r in events.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("a50"),
-            F.percentile_approx("value", 0.99, 10000).alias("a99"),
-        )
-        .collect()
-    }
-    for t, e in exact.items():
-        a50, a99 = approx[t]
-        assert e["p495"] <= a50 <= e["p505"], (t, a50, e["p495"], e["p505"])
-        assert e["p985"] <= a99 <= e["p995"], (t, a99, e["p985"], e["p995"])
+def test_estimate_within_bound(spark):
+    n = 20_000
+    df = spark.range(n).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    sk = hll_sketch(df, "k", b=12)
+    est = hll_estimate(sk, b=12).collect()[0]["estimate"]
+    # 3 sigma of the theoretical 1.04/sqrt(4096) ~ 1.6% bound
+    assert abs(est - n) / n < 3 * hll_error_bound(12)
+
+
+def test_duplicates_and_nulls_ignored(spark):
+    rows = [Row(k="a"), Row(k="a"), Row(k="b"), Row(k=None)]
+    df = spark.createDataFrame(rows)
+    sk = hll_sketch(df, "k", b=8)
+    # two distinct values -> at most two registers, and the linear-
+    # counting branch lands very close to 2
+    est = hll_estimate(sk, b=8).collect()[0]
+    assert sk.count() <= 2
+    assert est["estimate"] == pytest.approx(2.0, abs=0.1)
+    # duplicate-heavy input gives the IDENTICAL register table
+    df2 = spark.createDataFrame([Row(k="a"), Row(k="b")])
+    t1 = sorted(map(tuple, hll_sketch(df, "k", b=8).collect()))
+    t2 = sorted(map(tuple, hll_sketch(df2, "k", b=8).collect()))
+    assert t1 == t2
+
+
+def test_merge_equals_sketch_of_union(spark):
+    a = spark.range(0, 5000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("k")
+    )
+    b_ = spark.range(3000, 9000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("k")
+    )
+    merged = hll_merge(
+        hll_sketch(a, "k", b=10), hll_sketch(b_, "k", b=10)
+    )
+    direct = hll_sketch(a.unionByName(b_), "k", b=10)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = hll_estimate(merged, b=10).collect()[0]["estimate"]
+    assert abs(est - 9000) / 9000 < 3 * hll_error_bound(10)
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([Row(k="a")])
+    with pytest.raises(ValueError, match="b must"):
+        hll_sketch(df, "k", b=2)
+    with pytest.raises(ValueError, match="b must"):
+        hll_estimate(hll_sketch(df, "k"), b=99)
+    with pytest.raises(ValueError, match="at least one"):
+        hll_merge()

@@ -1,0 +1,139 @@
+"""Mergeable cardinality sketches — HyperLogLog (Flajolet et al.
+2007) over a PORTABLE hash. At 100 TB, exact COUNT(DISTINCT key) is
+a full shuffle of every distinct key; an HLL register table is 2^b
+integers that (a) computes in one partial-combining aggregate pass,
+(b) MERGES across partitions/days/shards by register-max — the
+property that makes pre-aggregated rollups composable (the reason
+every warehouse ships approx_count_distinct). Spark's builtin
+``approx_count_distinct`` is exactly this but its register state is
+opaque; this implementation exposes the REGISTER TABLE as data, so
+sketches can be stored per-partition (the rollup.py discipline),
+merged later, and — because the hash is md5 (the repo's portable-
+uniform convention, sampling.py) — reproduced bit-for-bit by any SQL
+engine: the driver oracle recomputes the registers AND the estimate
+in DuckDB.
+
+Register math (standard HLL, no sparse mode, no HLL++ bias table —
+the corrections are data-independent closed forms, so the oracle
+stays a literal translation):
+
+- register index = low ``b`` bits of the 60-bit hash prefix
+- rho = number of leading zeros + 1 of the REMAINING 60−b bits
+  (capped at 60−b+1 by construction of the window)
+- estimate = alpha_m · m² / Σ 2^(−M_j), with the small-range
+  linear-counting correction when E ≤ 2.5m and zero registers exist.
+
+Shapes: ``hll_sketch`` = one groupBy(register).max — shuffle carries
+≤ m rows per upstream partition. ``hll_merge`` = the same aggregate
+over unioned register tables. ``hll_estimate`` = a 1-row fold over m
+rows. No corpus-sized state anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_sketch(
+    df: DataFrame, key_col: str, b: int = 12
+) -> DataFrame:
+    """Build the register table ``(register, rho)`` for the distinct
+    values of ``key_col`` (NULLs excluded, the COUNT DISTINCT
+    convention): one partial-combining max aggregate; at most
+    ``m = 2^b`` output rows. Hash = first 15 hex chars of
+    md5(cast to string) read as a 60-bit integer (fits BIGINT
+    exactly, so register/payload splits are pure integer arithmetic)
+    — portable to any engine with md5."""
+    if not 4 <= b <= 16:
+        raise ValueError("b must be in [4, 16]")
+    m = 1 << b
+    # 60-bit hash (15 md5 hex chars) so every step is EXACT BIGINT
+    # arithmetic — no decimal division, no float log2 (whose
+    # boundary rounding can differ across engines): register = low b
+    # bits, payload = the remaining 60-b bits, and
+    # floor(log2(payload)) = length(bin(payload)) - 1, an integer
+    # identity both Spark and DuckDB evaluate exactly.
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    width = 60 - b
+    rho = F.when(
+        F.col("_payload") == 0, F.lit(width + 1)
+    ).otherwise(
+        F.lit(width) - (F.length(F.bin(F.col("_payload"))) - 1)
+    ).cast("int")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            (h % F.lit(m)).cast("int").alias("register"),
+            F.expr(
+                f"CAST(conv(substring(md5(CAST({key_col} AS STRING)),"
+                f" 1, 15), 16, 10) AS BIGINT) DIV {m}"
+            ).alias("_payload"),
+        )
+        .withColumn("rho", rho)
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register tables and keep the max rho per register — the
+    HLL merge. Input sketches must share the same ``b``."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, b: int = 12) -> DataFrame:
+    """The cardinality estimate from a register table: one fold over
+    ≤ m rows. Returns a 1-row frame ``(estimate, raw_estimate,
+    zero_registers)`` — ``estimate`` applies the standard small-range
+    linear-counting correction; both are DOUBLE (round at the edge).
+    Missing registers count as zero (the sketch only stores touched
+    registers)."""
+    if not 4 <= b <= 16:
+        raise ValueError("b must be in [4, 16]")
+    m = 1 << b
+    agg = sketch.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    alpha = _alpha(m)
+    # absent registers contribute 2^0 = 1 each to the denominator
+    denom = F.col("_s") + (F.lit(m) - F.col("_nz"))
+    raw = F.lit(alpha * m * m) / denom
+    zeros = (F.lit(m) - F.col("_nz")).cast("long")
+    small = raw <= F.lit(2.5 * m)
+    linear = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / zeros.cast("double")
+    )
+    est = F.when(small & (zeros > 0), linear).otherwise(raw)
+    return agg.select(
+        est.alias("estimate"),
+        raw.alias("raw_estimate"),
+        zeros.alias("zero_registers"),
+    )
+
+
+def hll_error_bound(b: int) -> float:
+    """The theoretical relative standard error 1.04/sqrt(m)."""
+    return 1.04 / math.sqrt(1 << b)
