@@ -3141,6 +3141,73 @@ def _drained_sessions(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _drained_anomaly(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the streaming rolling z-score over a sampled event
+    stream: two event-time-ordered drops (ordered arrival is the
+    contract under which streaming == batch — pinned in
+    tests/test_anomaly_stream.py), state carried across the
+    micro-batches via the checkpoint."""
+    import tempfile
+
+    from updater_spark.streaming.anomaly_stream import streaming_zscore
+
+    key = sf_dir + "#anomaly"
+    hit = _STREAM_JOIN_CACHE.get(key)
+    if hit and os.path.exists(hit):
+        return hit
+    ev = demo.load_events(spark, sf_dir).filter(
+        F.col("user_id") % 5 == 0
+    ).select("event_id", "ts", "user_id", "value")
+    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    mid = b["mn"] + (b["mx"] - b["mn"]) / 2
+    root = tempfile.mkdtemp(prefix="anomalystream_")
+    src = os.path.join(root, "drops")
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(src)
+    out = os.path.join(root, "scored")
+    with _stream_confs(spark):
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+
+        def _sink(batch_df, epoch_id):
+            if not batch_df.isEmpty():
+                batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_zscore(
+                stream, window=20, min_periods=10, threshold=2.5
+            )
+            .writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _STREAM_JOIN_CACHE[key] = out
+    return out
+
+
+def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling z-score end-to-end (streaming/
+    anomaly_stream.py::streaming_zscore): per-user last-20 buffer in
+    applyInPandasWithState, scored live over a real two-drop file
+    stream — with event-time-ordered arrival the output EQUALS the
+    batch operator, so the oracle is the identical DuckDB window SQL
+    on the sampled slice. State bytes = |keys| x window x 8,
+    independent of stream length."""
+    scored = spark.read.parquet(_drained_anomaly(spark, sf_dir))
+    return scored.filter(F.col("is_anomaly").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("roll_mean") + F.lit(1e-9), 4).alias("roll_mean"),
+        F.round(F.col("roll_std") + F.lit(1e-9), 4).alias("roll_std"),
+        F.round(F.col("zscore") + F.lit(1e-9), 4).alias("zscore"),
+        "is_anomaly",
+    )
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization end-to-end
     (streaming/session_stream.py): built-in session_window + watermark
@@ -4632,6 +4699,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "events_cusum": q_events_cusum,
         "hll_distinct": q_hll_distinct,
+        "streaming_anomaly": q_streaming_anomaly,
         "sample_weighted": q_sample_weighted,
         "text_bigram_lm": q_text_bigram_lm,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
@@ -5891,6 +5959,32 @@ def oracle_sql() -> dict[str, str]:
                        AS retention
             FROM joined j JOIN sizes s ON j.cohort = s.cohort
             GROUP BY j.cohort, j.periods_since, s.n_cohort
+        """,
+        "streaming_anomaly": """
+            WITH scored AS (
+                SELECT event_id, user_id, value,
+                       COUNT(value) OVER w AS n_prev,
+                       AVG(value) OVER w AS m,
+                       STDDEV_SAMP(value) OVER w AS s
+                FROM events
+                WHERE user_id % 5 = 0
+                WINDOW w AS (
+                    PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+                )
+            )
+            SELECT event_id, user_id,
+                   round(m + 1e-9, 4) AS roll_mean,
+                   round(s + 1e-9, 4) AS roll_std,
+                   CASE WHEN s > 0
+                        THEN round((value - m) / s + 1e-9, 4)
+                        END AS zscore,
+                   CASE WHEN s = 0 THEN value <> m
+                        ELSE abs((value - m) / s) >= 2.5
+                        END AS is_anomaly
+            FROM scored
+            WHERE n_prev >= 10
         """,
         "hll_distinct": """
             WITH h AS (
