@@ -4491,6 +4491,31 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (operators/sketches.py::cm_sketch,
+    Cormode-Muthukrishnan 2005): lineitem supplier frequencies
+    estimated from a 4x256 counter table (deliberately narrow so
+    collisions are EXERCISED, not avoided), point-estimated for every
+    supplier and joined against the exact counts — the one-sided
+    overcount guarantee is visible in the output. Registers are exact
+    integer md5 math, so the oracle reproduces every counter."""
+    lineitem = demo.load(spark, sf_dir, "lineitem")
+    from updater_spark.operators.sketches import cm_estimate, cm_sketch
+
+    sk = cm_sketch(lineitem, "l_suppkey", depth=4, width=256)
+    keys = lineitem.select("l_suppkey").distinct()
+    est = cm_estimate(sk, keys, "l_suppkey", depth=4, width=256)
+    exact = lineitem.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, "l_suppkey").select(
+        "l_suppkey",
+        "cm_count",
+        "exact_count",
+        (F.col("cm_count") - F.col("exact_count")).alias("overcount"),
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py::
     weighted_sample, Efraimidis-Spirakis A-Res): top-50 documents by
@@ -4700,6 +4725,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "hll_distinct": q_hll_distinct,
         "streaming_anomaly": q_streaming_anomaly,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
         "sample_weighted": q_sample_weighted,
         "text_bigram_lm": q_text_bigram_lm,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
@@ -5959,6 +5985,53 @@ def oracle_sql() -> dict[str, str]:
                        AS retention
             FROM joined j JOIN sizes s ON j.cohort = s.cohort
             GROUP BY j.cohort, j.periods_since, s.n_cohort
+        """,
+        "cm_heavy_hitters": """
+            WITH base AS (
+                SELECT CAST(l_suppkey AS VARCHAR) AS k, l_suppkey
+                FROM lineitem WHERE l_suppkey IS NOT NULL
+            ),
+            exploded AS (
+                SELECT b.l_suppkey, b.k, r.row
+                FROM base b
+                CROSS JOIN (
+                    SELECT unnest(generate_series(0, 3)) AS row
+                ) r
+            ),
+            cells AS (
+                SELECT row,
+                       CAST(('0x' || substring(
+                           md5(concat(row, ':', k)), 1, 15
+                       ))::BIGINT % 256 AS INTEGER) AS col
+                FROM exploded
+            ),
+            sk AS (
+                SELECT row, col, COUNT(*) AS cnt
+                FROM cells GROUP BY row, col
+            ),
+            probes AS (
+                SELECT DISTINCT l_suppkey,
+                       row,
+                       CAST(('0x' || substring(
+                           md5(concat(row, ':', k)), 1, 15
+                       ))::BIGINT % 256 AS INTEGER) AS col
+                FROM exploded
+            ),
+            est AS (
+                SELECT p.l_suppkey,
+                       CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT)
+                           AS cm_count
+                FROM probes p
+                LEFT JOIN sk s ON p.row = s.row AND p.col = s.col
+                GROUP BY p.l_suppkey
+            ),
+            exact AS (
+                SELECT l_suppkey, COUNT(*) AS exact_count
+                FROM lineitem GROUP BY l_suppkey
+            )
+            SELECT e.l_suppkey, e.cm_count, x.exact_count,
+                   e.cm_count - x.exact_count AS overcount
+            FROM est e JOIN exact x ON e.l_suppkey = x.l_suppkey
         """,
         "streaming_anomaly": """
             WITH scored AS (

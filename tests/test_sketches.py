@@ -133,3 +133,68 @@ def test_validation(spark):
         hll_estimate(hll_sketch(df, "k"), b=99)
     with pytest.raises(ValueError, match="at least one"):
         hll_merge()
+
+
+# -- Count-Min frequency sketches --------------------------------------
+
+from updater_spark.operators.sketches import (  # noqa: E402
+    cm_estimate,
+    cm_merge,
+    cm_sketch,
+)
+
+
+def test_cm_never_undercounts_and_is_tight_for_heavy_hitters(spark):
+    # zipf-ish: key i appears ~2000/i times
+    rows = []
+    for i in range(1, 200):
+        rows += [Row(k=f"key{i}")] * (2000 // i)
+    df = spark.createDataFrame(rows)
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sk = cm_sketch(df, "k", depth=4, width=2048)
+    keys = spark.createDataFrame([Row(k=k) for k in exact])
+    est = {
+        r["k"]: r["cm_count"]
+        for r in cm_estimate(sk, keys, "k", depth=4, width=2048).collect()
+    }
+    n_total = sum(exact.values())
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)  # the one-sided guarantee
+        assert est[k] - n <= 2 * n_total / 2048 * 4, (k, est[k], n)
+    # the top hitter is estimated exactly or nearly so
+    assert est["key1"] - exact["key1"] <= 10
+
+
+def test_cm_merge_equals_sketch_of_union_and_unseen_reads_zero(spark):
+    a = spark.createDataFrame([Row(k="x")] * 50 + [Row(k="y")] * 5)
+    b_ = spark.createDataFrame([Row(k="x")] * 25 + [Row(k="z")] * 7)
+    merged = cm_merge(
+        cm_sketch(a, "k", depth=3, width=64),
+        cm_sketch(b_, "k", depth=3, width=64),
+    )
+    direct = cm_sketch(a.unionByName(b_), "k", depth=3, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    keys = spark.createDataFrame(
+        [Row(k="x"), Row(k="z"), Row(k="never-seen")]
+    )
+    est = {
+        r["k"]: r["cm_count"]
+        for r in cm_estimate(merged, keys, "k", depth=3, width=64).collect()
+    }
+    assert est["x"] >= 75 and est["z"] >= 7
+    # an unseen key can only read collision noise, bounded by the
+    # min over 3 independent rows of a 64-wide sketch
+    assert est["never-seen"] <= 10
+
+
+def test_cm_validation(spark):
+    df = spark.createDataFrame([Row(k="a")])
+    with pytest.raises(ValueError, match="depth"):
+        cm_sketch(df, "k", depth=0)
+    with pytest.raises(ValueError, match="at least one"):
+        cm_merge()

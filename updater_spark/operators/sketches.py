@@ -137,3 +137,99 @@ def hll_estimate(sketch: DataFrame, b: int = 12) -> DataFrame:
 def hll_error_bound(b: int) -> float:
     """The theoretical relative standard error 1.04/sqrt(m)."""
     return 1.04 / math.sqrt(1 << b)
+
+
+# -- Count-Min sketch: mergeable frequency estimation ------------------
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Count-Min register table (Cormode & Muthukrishnan 2005) for
+    the frequency of every value of ``key_col``: ``depth`` rows of
+    ``width`` counters; counter (r, c) sums every key with
+    ``hash_r(key) % width == c``. ONE groupBy((r, c)) count after a
+    depth-way explode — shuffle carries ≤ depth·width rows per
+    upstream partition, and sketches MERGE by counter addition
+    (``cm_merge``), the same composability contract as hll_sketch.
+
+    Estimates OVERCOUNT, never undercount (min over rows caps the
+    collision noise at ~2n/width with probability 1−2^−depth) — the
+    right tool for heavy-hitter screening at 100 TB where exact
+    per-key counts would shuffle the corpus by key. Hash_r = the
+    60-bit md5 prefix of ``r || ':' || key`` — portable, so the
+    oracle reproduces every counter exactly."""
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    rows = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(depth - 1))
+        ).alias("row"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("row"), F.col("_k"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        rows.select("row", (h % F.lit(width)).cast("int").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Counter-wise addition of Count-Min register tables (same
+    depth/width required)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-estimate the frequency of each key in ``keys``: probe
+    the ``depth`` counters a key hashes to and take the MIN (absent
+    counters read 0 — the key was never seen). The probe is a hash
+    equi-join on (row, col); the keys side is usually tiny
+    (candidate heavy hitters) and broadcasts."""
+    probes = keys.select(F.col(key_col)).distinct().select(
+        F.col(key_col),
+        F.col(key_col).cast("string").alias("_k"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(depth - 1))
+        ).alias("row"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("row"), F.col("_k"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    probes = probes.select(
+        key_col, "row", (h % F.lit(width)).cast("int").alias("col")
+    )
+    return (
+        probes.join(sketch, ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cm_count")
+        )
+    )
