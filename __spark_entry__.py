@@ -4516,6 +4516,27 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing (operators/timeseries.py::ewma,
+    alpha=0.3): the sequential recurrence via Arrow applyInPandas
+    (pandas' C ewm) — the closed form overflows, so no Catalyst
+    rewrite exists. The oracle runs the recurrence as a DuckDB
+    RECURSIVE CTE joining rn -> rn+1 per user (depth = longest
+    series, work O(n))."""
+    events = demo.load(spark, sf_dir, "events")
+    from updater_spark.operators.timeseries import ewma
+
+    res = ewma(
+        events, "user_id", "ts", "value", alpha=0.3,
+        order_cols=["event_id"],
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("ewma") + F.lit(1e-9), 4).alias("ewma"),
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py::
     weighted_sample, Efraimidis-Spirakis A-Res): top-50 documents by
@@ -4726,6 +4747,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "streaming_anomaly": q_streaming_anomaly,
         "cm_heavy_hitters": q_cm_heavy_hitters,
+        "events_ewma": q_events_ewma,
         "sample_weighted": q_sample_weighted,
         "text_bigram_lm": q_text_bigram_lm,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
@@ -5985,6 +6007,29 @@ def oracle_sql() -> dict[str, str]:
                        AS retention
             FROM joined j JOIN sizes s ON j.cohort = s.cohort
             GROUP BY j.cohort, j.periods_since, s.n_cohort
+        """,
+        "events_ewma": """
+            WITH RECURSIVE ordered AS (
+                SELECT event_id, user_id, value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ),
+            rec AS (
+                SELECT event_id, user_id, rn,
+                       CAST(value AS DOUBLE) AS y
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.event_id, o.user_id, o.rn,
+                       0.3 * o.value + 0.7 * r.y
+                FROM ordered o
+                JOIN rec r ON o.user_id = r.user_id
+                          AND o.rn = r.rn + 1
+            )
+            SELECT event_id, user_id,
+                   round(y + 1e-9, 4) AS ewma
+            FROM rec
         """,
         "cm_heavy_hitters": """
             WITH base AS (

@@ -102,3 +102,31 @@ def test_gapfill_subday_buckets_epoch_aligned(spark):
     assert got[0] == (0, 1.0, False)
     assert got[1] == (15, 1.0, True)
     assert got[3] == (45, 3.0, False)
+
+
+def test_ewma_matches_recurrence(spark):
+    from updater_spark.operators.timeseries import ewma
+
+    series = [10.0, 20.0, 30.0, 25.0, 5.0]
+    rows = [
+        Row(k=1, ts=_ts(1, i), id=i, v=v) for i, v in enumerate(series)
+    ]
+    rows += [Row(k=2, ts=_ts(1, 0), id=99, v=100.0)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["k"], r["id"]): r["ewma"]
+        for r in ewma(
+            df, "k", "ts", "v", alpha=0.5, order_cols=["id"]
+        ).collect()
+    }
+    y = series[0]
+    want = [y]
+    for x in series[1:]:
+        y = 0.5 * x + 0.5 * y
+        want.append(y)
+    for i, w in enumerate(want):
+        assert got[(1, i)] == pytest.approx(w, abs=1e-12), i
+    # single-point key: ewma == the point; keys are isolated
+    assert got[(2, 99)] == 100.0
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, "k", "ts", "v", alpha=0.0)

@@ -144,3 +144,54 @@ def gapfill(
         F.col("_v").alias(f"{agg}_{value_col}"),
         "gap_filled",
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float,
+    order_cols: list[str] | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average,
+    ``y_t = α·x_t + (1−α)·y_{t−1}`` with ``y_0 = x_0`` (pandas
+    ``ewm(adjust=False)``) — the standard smoother for noisy
+    telemetry before thresholding (EWMA control charts, Roberts
+    1959; the memory-decay complement of ``gapfill``'s LOCF).
+
+    The recurrence is inherently sequential per key, and the
+    prefix-product closed form ``y_t = α Σ (1−α)^{t−i} x_i``
+    OVERFLOWS as (1−α)^{−i} past a few thousand points — so this is
+    an Arrow ``applyInPandas`` per key (the sanctioned vectorized
+    escape hatch, never row-at-a-time Python), computing pandas'
+    C-implemented ``ewm`` over the key's (time, tiebreak)-sorted
+    rows. Memory bound: each key's history buffers in one task —
+    the same per-key bound as any window sort here; a mega-key needs
+    time-bucket pre-splitting (operators/skew.py) with seeded
+    carry-over.
+
+    NULL values propagate NULL for their own row and are SKIPPED by
+    the decay (pandas ``ignore_na=False`` semantics kept: decay
+    still advances over the gap)."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+
+    import pandas as pd  # noqa: F401 (schema-time check of the dep)
+
+    order = [time_col] + list(order_cols or [])
+    out_fields = df.schema.fields
+
+    def _smooth(pdf):
+        pdf = pdf.sort_values(order)
+        pdf[out_col] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
+        + [f"`{out_col}` double"]
+    )
+    return df.groupBy(key_col).applyInPandas(_smooth, schema=schema)
