@@ -252,6 +252,39 @@ CHECKS = {
         "the sparse-aggregate join back is co-partitioned on the key "
         "and the LOCF fill is one Window over the same Exchange."
     ),
+    "events_retention": (
+        "two aggregates (distinct activity, first-touch) + one key "
+        "join; at this SF the one-row-per-key first-touch side "
+        "broadcasts — at scale it hash-joins co-partitioned on the "
+        "key it was just aggregated by."
+    ),
+    "hll_distinct": (
+        "register build = one partial-combining max aggregate whose "
+        "Exchange carries at most 2^b rows per upstream partition; "
+        "the estimate is a 1-row fold; the only loop join is the "
+        "allowlisted 1x1 aggregate combine (plan lint, reason on "
+        "record)."
+    ),
+    "cm_heavy_hitters": (
+        "sketch build = one groupBy((row, col)) count after the "
+        "depth-way explode — the Exchange carries counter cells, "
+        "never corpus rows; estimation probes join on (row, col) and "
+        "the exact-count compare is a key join on the 100-supplier "
+        "side."
+    ),
+    "streaming_anomaly": (
+        "the returned plan reads the DRAINED parquet (the stream ran "
+        "in the query fn via applyInPandasWithState); the streaming "
+        "claims — one fixed window-sized buffer per key, in-order "
+        "drops equal the batch operator — are pinned in "
+        "tests/test_anomaly_stream.py."
+    ),
+    "events_ewma": (
+        "one ArrowEvalPython-free applyInPandas (FlatMapGroupsInPandas"
+        ") over one user_id Exchange — the sequential recurrence "
+        "runs vectorized per key; no BatchEvalPython, no iteration "
+        "in the plan."
+    ),
 }
 # Not string-audited here, each for the same reason: the query fn
 # materializes its result through a temp store, so the returned plan
