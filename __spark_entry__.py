@@ -4720,9 +4720,13 @@ def q_cdc_type_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
-    # the FIRST 50 registered queries. Round-8 rotation: the window is
-    # exactly the queries whose result could have moved this round —
-    # the 4 new r8 queries plus everything whose CODE PATH changed in
+    # the FIRST 50 registered queries. Round-8 rotation (updated for
+    # the session-2 additions): the window is exactly the queries
+    # whose result could have moved this round — all NEW r8 queries
+    # (graph trio + triangles, tokenizer-train pair, bm25, bigram LM,
+    # weighted sampling, quality_checks, anomaly/cusum/ewma, pca,
+    # funnel/retention/gapfill, hll/cm sketches, streaming_anomaly,
+    # cdc_type_evolution) plus everything whose CODE PATH changed in
     # r8 (the cdc.py/diff.py boundary-diff rework, tokenizer.py,
     # ann_index.py filtered search, decontam.py validation) — then the
     # stalest r5-row queries fill the window. r5-row leftovers lead the
