@@ -2587,6 +2587,130 @@ def pca_probe(n: int, dim: int = 64) -> None:
     )
 
 
+def quality_probe(n: int) -> None:
+    """Constraint-suite scan economics at scale: the claim is that
+    ALL row-level checks fuse into ONE scan, so a 12-check suite
+    should cost ~the same wall as a 1-check suite (plus group-metric
+    shuffles, measured separately). ``n`` synthetic wide rows.
+    Usage: ``python bench_scale.py 20000000 quality``."""
+    from updater_spark.operators.quality import Check, check_constraints
+
+    spark = get_spark("bench_scale_quality")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = (
+        spark.range(0, n, numPartitions=64)
+        .select(
+            F.col("id"),
+            (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("v1"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(500))).alias("v2"),
+            F.when(
+                F.col("id") % 97 == 0, F.lit(None).cast("double")
+            ).otherwise(F.rand(7)).alias("v3"),
+            F.concat(
+                F.lit("s"), F.pmod(F.xxhash64("id", F.lit(2)), F.lit(50))
+            ).alias("cat"),
+        )
+        .persist()
+    )
+    df.count()
+
+    one = [Check("n", "row_count", op=">=", threshold=1.0)]
+    twelve = [
+        Check("n", "row_count", op=">=", threshold=1.0),
+        Check("c1", "completeness", column="v1"),
+        Check("c3", "completeness", column="v3", op=">=", threshold=0.9),
+        Check("m1", "min", column="v1", op=">=", threshold=0.0),
+        Check("m2", "max", column="v1", op="<=", threshold=100.0),
+        Check("m3", "mean", column="v1"),
+        Check("m4", "sum", column="v2"),
+        Check("m5", "min", column="v2"),
+        Check("m6", "max", column="v2"),
+        Check("m7", "mean", column="v3"),
+        Check("r1", "match_ratio", predicate="v2 < 400"),
+        Check("r2", "match_ratio", predicate="cat LIKE 's1%'"),
+    ]
+    res: dict = {}
+    # warm both paths once (cold-JVM order effects, pagerank lesson)
+    check_constraints(df, one).collect()
+    for label, checks in (("one_check", one), ("twelve_checks", twelve)):
+        t0 = time.time()
+        rows = check_constraints(df, checks).collect()
+        res[label] = {
+            "wall_sec": round(time.time() - t0, 2),
+            "n_checks": len(rows),
+        }
+    # group metrics: one extra two-level aggregate per column
+    t0 = time.time()
+    g = check_constraints(
+        df,
+        twelve
+        + [
+            Check("u", "uniqueness", column="id"),
+            Check("d", "distinctness", column="cat"),
+        ],
+    ).collect()
+    res["plus_two_group_metrics"] = {
+        "wall_sec": round(time.time() - t0, 2),
+        "n_checks": len(g),
+    }
+    df.unpersist()
+    res["fusion_ratio_12_vs_1"] = round(
+        res["twelve_checks"]["wall_sec"] / res["one_check"]["wall_sec"], 2
+    )
+    print(json.dumps({"n_rows": n, "quality_probe": res}))
+
+
+def anomaly_probe(n: int) -> None:
+    """Rolling z-score + CUSUM at scale: ``n`` events over n/2000
+    keys (≈2000-point series each). Both detectors are one key
+    Exchange + window codegen — the probe reports rows/s and that
+    the two share the partitioning (running both costs ~one).
+    Usage: ``python bench_scale.py 20000000 anomaly``."""
+    from updater_spark.operators.anomaly import cusum, rolling_zscore
+
+    spark = get_spark("bench_scale_anomaly")
+    spark.sparkContext.setLogLevel("ERROR")
+    keys = max(n // 2000, 10)
+    ev = (
+        spark.range(0, n, numPartitions=64)
+        .select(
+            F.col("id").alias("event_id"),
+            F.pmod(F.xxhash64("id"), F.lit(keys)).alias("k"),
+            (F.col("id") / F.lit(keys)).cast("long").alias("t"),
+            (
+                F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1000)) / 100.0
+                + F.when(F.col("id") % 1001 == 0, F.lit(50.0)).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("v"),
+        )
+        .persist()
+    )
+    n_rows = ev.count()
+    res: dict = {}
+    t0 = time.time()
+    z = rolling_zscore(
+        ev, "k", "t", "v", order_cols=["event_id"], window=50,
+        min_periods=10,
+    )
+    n_anom = z.filter(F.col("is_anomaly")).count()
+    res["zscore"] = {
+        "wall_sec": round(time.time() - t0, 2),
+        "rows_per_sec": int(n_rows / (time.time() - t0)),
+        "anomalies": n_anom,
+    }
+    t0 = time.time()
+    c = cusum(ev, "k", "t", "v", order_cols=["event_id"], h=5.0)
+    n_alarm = c.filter(F.col("cusum_alarm")).count()
+    res["cusum"] = {
+        "wall_sec": round(time.time() - t0, 2),
+        "rows_per_sec": int(n_rows / (time.time() - t0)),
+        "alarms": n_alarm,
+    }
+    ev.unpersist()
+    print(json.dumps({"n_rows": n_rows, "anomaly_probe": res}))
+
+
 def bpetrain_probe(n: int, n_merges: int = 30) -> None:
     """BPE training at scale: ``n`` synthetic docs (~20 words each
     from a ~40k-form Zipf-ish word distribution). The industrial
@@ -2723,6 +2847,10 @@ if __name__ == "__main__":
         triangles_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "pca":
         pca_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "quality":
+        quality_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "anomaly":
+        anomaly_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "bpetrain":
         bpetrain_probe(
             _n, int(sys.argv[3]) if len(sys.argv) > 3 else 30

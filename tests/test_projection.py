@@ -141,3 +141,16 @@ def test_pca_validation_and_edge(spark):
     # wrong dim surfaces loudly from the moment pass
     with pytest.raises(Exception, match="dim|shape|expected"):
         pca_fit(df, "vec", k=1, dim=3)
+
+
+def test_pca_names_bad_vectors(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from updater_spark.operators.projection import pca_fit
+
+    df = spark.createDataFrame(
+        [Row(vec=[1.0, 2.0]), Row(vec=None), Row(vec=[3.0])]
+    )
+    with pytest.raises(Exception, match="NULL or non-2-dim"):
+        pca_fit(df, "vec", k=1, dim=2)

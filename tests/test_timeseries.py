@@ -130,3 +130,9 @@ def test_ewma_matches_recurrence(spark):
     assert got[(2, 99)] == 100.0
     with pytest.raises(ValueError, match="alpha"):
         ewma(df, "k", "ts", "v", alpha=0.0)
+
+
+def test_gapfill_rejects_calendar_buckets(spark):
+    df = spark.createDataFrame([Row(k=1, ts=_ts(1), v=1.0)])
+    with pytest.raises(ValueError, match="calendar"):
+        gapfill(df, "k", "ts", "v", "1 month")

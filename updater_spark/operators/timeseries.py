@@ -95,6 +95,16 @@ def gapfill(
         raise ValueError(f"fill must be one of {sorted(_FILLS)}")
     if agg not in _AGGS:
         raise ValueError(f"agg must be one of {sorted(_AGGS)}")
+    low = bucket.lower()
+    if "month" in low or "year" in low:
+        # calendar intervals don't have a fixed second width: the
+        # epoch-aligned bucketing and the sequence() grid would
+        # disagree (a silent misalignment, not an error) — refuse
+        raise ValueError(
+            "calendar buckets (month/year) are not supported — "
+            "time_bucket is epoch-aligned; use date_trunc + "
+            "cohort-style indexing for calendar periods"
+        )
     step = F.expr(f"INTERVAL {bucket}")
     step_secs = F.unix_timestamp(
         F.lit("1970-01-01 00:00:00").cast("timestamp") + step
