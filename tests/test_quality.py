@@ -14,6 +14,15 @@ from updater_spark.operators.quality import (
 )
 
 
+def _n_scans(df):
+    """Input scans in the EXECUTED plan — counting only the final
+    plan segment (an adaptive plan string reprints the whole initial
+    plan below it, which would double-count every node)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    return final.count("Scan ExistingRDD") + final.count("LocalTableScan")
+
+
 @pytest.fixture(scope="module")
 def sales(spark):
     rows = [
@@ -137,6 +146,29 @@ def test_row_metrics_fuse_into_one_scan(spark, sales):
     # exactly ONE scan of the input in the physical plan: the five
     # metrics ride one aggregate row exploded into five check rows
     # (a k-way union of the same aggregate would show k scans)
-    plan = res._jdf.queryExecution().executedPlan().toString()
-    n_scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
-    assert n_scans == 1, plan
+    assert _n_scans(res) == 1
+
+
+def test_profile_one_scan_all_columns(spark, sales):
+    from updater_spark.operators.quality import profile
+
+    res = profile(sales)
+    rows = {(r["column"], r["metric"]): r["value"] for r in res.collect()}
+    assert rows[("*", "row_count")] == 6.0
+    assert rows[("amount", "completeness")] == pytest.approx(5 / 6)
+    assert rows[("amount", "max")] == 50.0
+    assert rows[("id", "mean")] == pytest.approx(20 / 6)
+    # string column: completeness only, no numeric metrics
+    assert ("status", "completeness") in rows
+    assert ("status", "mean") not in rows
+    # the whole profile is ONE scan (no distinct requested)
+    assert _n_scans(res) == 1
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile(sales, columns=["nope"])
+    # distinct opt-in adds the metric
+    rows2 = {
+        (r["column"], r["metric"]): r["value"]
+        for r in profile(sales, columns=["cust"], with_distinct=True)
+        .collect()
+    }
+    assert rows2[("cust", "count_distinct")] == 4.0

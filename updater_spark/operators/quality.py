@@ -286,3 +286,60 @@ def suite_passed(result: DataFrame) -> bool:
     of declared checks)."""
     n_failed = result.filter(F.col("passed") == F.lit(False)).count()
     return n_failed == 0
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    with_distinct: bool = False,
+) -> DataFrame:
+    """Whole-table profiling in ONE scan: for every column (or the
+    named subset), completeness — plus min/max/mean for numeric
+    columns — emitted as ``(column, metric, value)`` rows through the
+    same explode-one-aggregate-row machinery as check_constraints.
+    ``with_distinct=True`` adds an exact count_distinct per column —
+    one two-level aggregate (shuffle) EACH, so it's opt-in; at 100 TB
+    prefer the HLL sketch (operators/sketches.py) for cardinality.
+
+    This is the look-before-you-load step of a new source: run once,
+    read the metrics, then write the constraint suite the numbers
+    justify."""
+    from pyspark.sql import types as T
+
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(
+            f.dataType,
+            (
+                T.IntegerType,
+                T.LongType,
+                T.ShortType,
+                T.ByteType,
+                T.FloatType,
+                T.DoubleType,
+                T.DecimalType,
+            ),
+        )
+    }
+    checks: list[Check] = [Check("rows:row_count", "row_count")]
+    for c in cols:
+        checks.append(Check(f"{c}:completeness", "completeness", column=c))
+        if c in numeric:
+            checks.append(Check(f"{c}:min", "min", column=c))
+            checks.append(Check(f"{c}:max", "max", column=c))
+            checks.append(Check(f"{c}:mean", "mean", column=c))
+        if with_distinct:
+            checks.append(
+                Check(f"{c}:count_distinct", "count_distinct", column=c)
+            )
+    res = check_constraints(df, checks)
+    return res.select(
+        F.col("column"),
+        F.col("metric"),
+        F.col("value"),
+    )
