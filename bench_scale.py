@@ -2639,6 +2639,15 @@ def quality_probe(n: int) -> None:
             "wall_sec": round(time.time() - t0, 2),
             "n_checks": len(rows),
         }
+    # the fusion claim, measured honestly: the SAME 12 checks as 12
+    # separate one-check suites = 12 scans (what a naive runner does)
+    t0 = time.time()
+    for c in twelve:
+        check_constraints(df, [c]).collect()
+    res["twelve_checks_unfused"] = {
+        "wall_sec": round(time.time() - t0, 2),
+        "n_checks": 12,
+    }
     # group metrics: one extra two-level aggregate per column
     t0 = time.time()
     g = check_constraints(
@@ -2654,8 +2663,10 @@ def quality_probe(n: int) -> None:
         "n_checks": len(g),
     }
     df.unpersist()
-    res["fusion_ratio_12_vs_1"] = round(
-        res["twelve_checks"]["wall_sec"] / res["one_check"]["wall_sec"], 2
+    res["fusion_speedup"] = round(
+        res["twelve_checks_unfused"]["wall_sec"]
+        / res["twelve_checks"]["wall_sec"],
+        2,
     )
     print(json.dumps({"n_rows": n, "quality_probe": res}))
 

@@ -285,6 +285,55 @@ CHECKS = {
         "runs vectorized per key; no BatchEvalPython, no iteration "
         "in the plan."
     ),
+    "graph_pagerank": (
+        "post-localCheckpoint scan (the iteration loop truncates "
+        "lineage each round — a 5-round plan would otherwise nest 5 "
+        "join trees); per-round shape (contrib equi-join on the "
+        "once-partitioned edges + 2-column partial agg, 1-row "
+        "dangling collect) is pinned by tests/test_graph.py and the "
+        "broadcast-vs-shuffle gate by PROBES_r7/r8 pagerank probes."
+    ),
+    "graph_ppr": (
+        "same checkpointed shape as graph_pagerank; the seed-set "
+        "teleport only changes the base distribution column, not the "
+        "physical plan."
+    ),
+    "graph_communities": (
+        "post-localCheckpoint scan; per-round shape (one label join "
+        "on the once-partitioned symmetrized edges + two-key groupBy "
+        "+ per-node argmax window) pinned by tests/test_graph.py "
+        "against a pure-Python LPA evaluation."
+    ),
+    "sample_weighted": (
+        "no Exchange for the data path: the weighted top-k is "
+        "TakeOrderedAndProject over the scan (per-partition heaps + "
+        "driver merge of k rows) — the corpus is never shuffled for "
+        "a k-row sample."
+    ),
+    "bm25_search": (
+        "all three corpus-sized aggregations (postings, doc length, "
+        "df) partial-combine before their Exchange — shuffles carry "
+        "vocab/doc-sized rows, never the token stream; the query-set "
+        "join broadcasts; the final top-k window runs per query id."
+    ),
+    "vocab_build": (
+        "piece candidates explode once, then a two-level aggregate "
+        "(partial counts map-side); the vocab_size cut is a window "
+        "over the aggregated piece table only — corpus text shuffles "
+        "zero times."
+    ),
+    "bpe_train": (
+        "the trainer runs EAGERLY (per-round 1-row best-pair "
+        "collects over the word-frequency table — corpus-to-state "
+        "ratio measured ~1000x in PROBES_r8 bpetrain_2m); the "
+        "returned frame is the k-row merge list (local scan)."
+    ),
+    "text_bigram_lm": (
+        "train and score are two partial-combining aggregates over "
+        "the exploded bigram stream; |V| folds in as a driver "
+        "literal — no scalar-subquery cartesian against the corpus; "
+        "shuffles carry (gram) rows, never document text."
+    ),
 }
 # Not string-audited here, each for the same reason: the query fn
 # materializes its result through a temp store, so the returned plan
