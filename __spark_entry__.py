@@ -3208,6 +3208,75 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drained_cusum(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the ONLINE CUSUM over a sampled event stream: the
+    in-control target is the slice's global (mean, std) — computed
+    batch-side exactly as the oracle recomputes it — then the
+    recursion runs live across two event-time-ordered drops with
+    TWO FLOATS of state per key."""
+    import tempfile
+
+    from updater_spark.streaming.anomaly_stream import streaming_cusum
+
+    key = sf_dir + "#cusum"
+    hit = _STREAM_JOIN_CACHE.get(key)
+    if hit and os.path.exists(hit):
+        return hit
+    ev = demo.load_events(spark, sf_dir).filter(
+        F.col("user_id") % 7 == 1
+    ).select("event_id", "ts", "user_id", "value")
+    stats = ev.agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    ).collect()[0]
+    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    mid = b["mn"] + (b["mx"] - b["mn"]) / 2
+    root = tempfile.mkdtemp(prefix="cusumstream_")
+    src = os.path.join(root, "drops")
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(src)
+    out = os.path.join(root, "scored")
+    with _stream_confs(spark):
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+
+        def _sink(batch_df, epoch_id):
+            if not batch_df.isEmpty():
+                batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_cusum(
+                stream, float(stats["mu"]), float(stats["sd"]),
+                slack_k=0.5, h=4.0,
+            )
+            .writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _STREAM_JOIN_CACHE[key] = out
+    return out
+
+
+def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online CUSUM end-to-end (streaming/anomaly_stream.py::
+    streaming_cusum): fixed in-control target (the slice's global
+    mean/std, recomputed identically by the oracle), TWO floats of
+    state per key — the minimal stateful operator. In-order drops
+    make the live recursion equal the batch closed form, so the
+    oracle is the prefix-sum rewrite with the global-stats z."""
+    scored = spark.read.parquet(_drained_cusum(spark, sf_dir))
+    return scored.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("cusum_pos") + F.lit(1e-9), 4).alias("cusum_pos"),
+        F.round(F.col("cusum_neg") + F.lit(1e-9), 4).alias("cusum_neg"),
+        "cusum_alarm",
+    )
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization end-to-end
     (streaming/session_stream.py): built-in session_window + watermark
@@ -4750,6 +4819,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "hll_distinct": q_hll_distinct,
         "streaming_anomaly": q_streaming_anomaly,
+        "streaming_cusum": q_streaming_cusum,
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "events_ewma": q_events_ewma,
         "sample_weighted": q_sample_weighted,
@@ -6034,6 +6104,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    round(y + 1e-9, 4) AS ewma
             FROM rec
+        """,
+        "streaming_cusum": """
+            WITH sl AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE user_id % 7 = 1
+            ),
+            stats AS (
+                SELECT AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+                FROM sl
+            ),
+            z AS (
+                SELECT s.event_id, s.user_id, s.ts,
+                       (s.value - t.mu) / t.sd AS z
+                FROM sl s, stats t
+            ),
+            pref AS (
+                SELECT event_id, user_id, ts,
+                       SUM(z - 0.5) OVER w AS p,
+                       SUM(-z - 0.5) OVER w AS q
+                FROM z
+                WINDOW w AS (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                )
+            ),
+            run AS (
+                SELECT event_id, user_id,
+                       p - LEAST(0.0, MIN(p) OVER w) AS sp,
+                       q - LEAST(0.0, MIN(q) OVER w) AS sn
+                FROM pref
+                WINDOW w AS (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                )
+            )
+            SELECT event_id, user_id,
+                   round(sp + 1e-9, 4) AS cusum_pos,
+                   round(sn + 1e-9, 4) AS cusum_neg,
+                   sp > 4.0 OR sn > 4.0 AS cusum_alarm
+            FROM run
         """,
         "cm_heavy_hitters": """
             WITH base AS (

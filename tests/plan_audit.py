@@ -328,6 +328,13 @@ CHECKS = {
         "ratio measured ~1000x in PROBES_r8 bpetrain_2m); the "
         "returned frame is the k-row merge list (local scan)."
     ),
+    "streaming_cusum": (
+        "the returned plan reads the drained parquet; the streaming "
+        "claim is the STATE BOUND — two floats per key, no buffer at "
+        "all (the fixed in-control target removes the need for "
+        "history) — pinned with the cross-batch recurrence equality "
+        "in tests/test_anomaly_stream.py."
+    ),
     "text_bigram_lm": (
         "train and score are two partial-combining aggregates over "
         "the exploded bigram stream; |V| folds in as a driver "

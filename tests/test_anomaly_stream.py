@@ -107,3 +107,70 @@ def test_state_buffer_trimmed_to_window(spark, tmp_path):
     # previous 4 values of the ramp: 45,46,47,48 -> mean 46.5
     assert abs(r["roll_mean"] - 46.5) < 1e-9
     assert r["is_anomaly"] is False
+
+
+def _run_cusum(spark, src, ckpt, out_dir, mu, sd, **kw):
+    from updater_spark.streaming.anomaly_stream import streaming_cusum
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(src)
+
+    def sink(batch_df, epoch_id):
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        streaming_cusum(stream, mu, sd, **kw)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if not os.path.exists(out_dir):
+        return {}
+    return {
+        r["event_id"]: r for r in spark.read.parquet(out_dir).collect()
+    }
+
+
+def test_streaming_cusum_matches_recurrence_across_batches(
+    spark, tmp_path
+):
+    mu, sd, k, h = 10.0, 0.5, 0.5, 3.0
+    series = [10.0, 10.2, 9.9, 10.1, 10.8, 10.9, 11.0, 10.9, 11.1, 11.0]
+    rows = _mk_rows(series)
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(rows)
+    df.filter(df.event_id < 5).coalesce(1).write.mode("append").parquet(src)
+    got1 = _run_cusum(
+        spark, src, ckpt, str(tmp_path / "o1"), mu, sd, slack_k=k, h=h
+    )
+    df.filter(df.event_id >= 5).coalesce(1).write.mode("append").parquet(src)
+    got2 = _run_cusum(
+        spark, src, ckpt, str(tmp_path / "o2"), mu, sd, slack_k=k, h=h
+    )
+    got = {**got1, **got2}
+    sp = sn = 0.0
+    for i, x in enumerate(series):
+        z = (x - mu) / sd
+        sp = max(0.0, sp + z - k)
+        sn = max(0.0, sn - z - k)
+        g = got[i]
+        assert abs(g["cusum_pos"] - sp) < 1e-9, i
+        assert abs(g["cusum_neg"] - sn) < 1e-9, i
+        assert g["cusum_alarm"] == (sp > h or sn > h), i
+    # the sustained +2-sigma shift alarms, in the SECOND batch, off
+    # state carried from the first
+    alarmed = [i for i in range(len(series)) if got[i]["cusum_alarm"]]
+    assert alarmed and min(alarmed) >= 5
+
+    import pytest
+
+    from updater_spark.streaming.anomaly_stream import streaming_cusum
+
+    with pytest.raises(ValueError, match="target_std"):
+        streaming_cusum(df, 10.0, 0.0)

@@ -132,3 +132,99 @@ def streaming_zscore(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("cusum_pos", DoubleType()),
+        StructField("cusum_neg", DoubleType()),
+        StructField("cusum_alarm", BooleanType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("sp", DoubleType()),
+        StructField("sn", DoubleType()),
+    ]
+)
+
+
+def _make_cusum(
+    mu: float, sd: float, slack_k: float, h: float
+):
+    def _score(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                z = (float(v) - mu) / sd
+                sp = max(0.0, sp + z - slack_k)
+                sn = max(0.0, sn - z - slack_k)
+                out.append(
+                    (key[0], int(eid), sp, sn, sp > h or sn > h)
+                )
+        state.update((sp, sn))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "event_id", "cusum_pos", "cusum_neg",
+                    "cusum_alarm",
+                ],
+            )
+
+    return _score
+
+
+def streaming_cusum(
+    events: DataFrame,
+    target_mean: float,
+    target_std: float,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    slack_k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Online CUSUM (the form Page 1954 actually describes: a KNOWN
+    in-control target (mean, std) — estimated offline, e.g. from
+    last week's batch — and the recursion run live). This is the
+    MINIMAL stateful streaming operator: per-key state is exactly
+    TWO floats (s⁺, s⁻) — no buffer at all, the strongest possible
+    state bound — because the fixed target removes the need for any
+    history. Complements streaming_zscore (which buffers ``window``
+    points to estimate a LOCAL baseline); use CUSUM when the
+    in-control distribution is known and stable, zscore when it must
+    track the key's own recent behavior.
+
+    Semantics equal the batch ``operators/anomaly.py::cusum`` run
+    with the same (mean, std) target when drops arrive in event-time
+    order — the same measured ordering contract as
+    streaming_zscore."""
+    if target_std <= 0:
+        raise ValueError("target_std must be > 0")
+    if h <= 0:
+        raise ValueError("h must be > 0")
+    keyed = events.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col(time_col).alias("ts"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _make_cusum(
+            float(target_mean), float(target_std), float(slack_k),
+            float(h),
+        ),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
