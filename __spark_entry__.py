@@ -4606,6 +4606,35 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout (operators/abtest.py::welch_ttest, Welch
+    1947): per-experiment two-sample unequal-variance t statistics —
+    ONE variant-level aggregate (the shuffle carries one row per
+    variant, never events), control/treatment pairing as a broadcast
+    join, closed-form t / Welch-Satterthwaite dof / lift. Events
+    bucketed into two pseudo-experiments by user, event_type as the
+    variant axis with 'view' as control."""
+    events = demo.load(spark, sf_dir, "events")
+    from updater_spark.operators.abtest import welch_ttest
+
+    df = events.withColumn(
+        "exp", F.concat(F.lit("exp"), (F.col("user_id") % 2))
+    )
+    res = welch_ttest(df, "exp", "event_type", "value", "view")
+    return res.select(
+        "experiment",
+        "variant",
+        "n_c",
+        "n_t",
+        F.round(F.col("mean_c") + F.lit(1e-9), 4).alias("mean_c"),
+        F.round(F.col("mean_t") + F.lit(1e-9), 4).alias("mean_t"),
+        F.round(F.col("lift") + F.lit(1e-9), 4).alias("lift"),
+        F.round(F.col("t_stat") + F.lit(1e-9), 4).alias("t_stat"),
+        F.round(F.col("dof") + F.lit(1e-9), 2).alias("dof"),
+        "significant",
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py::
     weighted_sample, Efraimidis-Spirakis A-Res): top-50 documents by
@@ -4822,6 +4851,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cusum": q_streaming_cusum,
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "events_ewma": q_events_ewma,
+        "events_abtest": q_events_abtest,
         "sample_weighted": q_sample_weighted,
         "text_bigram_lm": q_text_bigram_lm,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
@@ -6081,6 +6111,52 @@ def oracle_sql() -> dict[str, str]:
                        AS retention
             FROM joined j JOIN sizes s ON j.cohort = s.cohort
             GROUP BY j.cohort, j.periods_since, s.n_cohort
+        """,
+        "events_abtest": """
+            WITH stats AS (
+                SELECT concat('exp', user_id % 2) AS experiment,
+                       event_type AS variant,
+                       CAST(COUNT(value) AS DOUBLE) AS n,
+                       AVG(value) AS mean,
+                       VAR_SAMP(value) AS var
+                FROM events
+                GROUP BY concat('exp', user_id % 2), event_type
+            ),
+            c AS (
+                SELECT experiment, n AS n_c, mean AS mean_c,
+                       var AS var_c
+                FROM stats WHERE variant = 'view'
+            ),
+            j AS (
+                SELECT t.experiment, t.variant,
+                       c.n_c, t.n AS n_t,
+                       c.mean_c, t.mean AS mean_t,
+                       t.var / t.n + c.var_c / c.n_c AS se2,
+                       t.var, t.n, c.var_c
+                FROM stats t JOIN c ON t.experiment = c.experiment
+                WHERE t.variant <> 'view'
+            )
+            SELECT experiment, variant,
+                   CAST(n_c AS BIGINT) AS n_c,
+                   CAST(n_t AS BIGINT) AS n_t,
+                   round(mean_c + 1e-9, 4) AS mean_c,
+                   round(mean_t + 1e-9, 4) AS mean_t,
+                   CASE WHEN mean_c <> 0 THEN
+                        round((mean_t - mean_c) / mean_c + 1e-9, 4)
+                   END AS lift,
+                   CASE WHEN se2 > 0 THEN
+                        round((mean_t - mean_c) / sqrt(se2) + 1e-9, 4)
+                   END AS t_stat,
+                   CASE WHEN se2 > 0 THEN
+                        round(se2 * se2 / (
+                            POWER(var / n, 2) / (n - 1)
+                            + POWER(var_c / n_c, 2) / (n_c - 1)
+                        ) + 1e-9, 2)
+                   END AS dof,
+                   CASE WHEN se2 > 0 THEN
+                        abs((mean_t - mean_c) / sqrt(se2)) >= 1.96
+                   END AS significant
+            FROM j
         """,
         "events_ewma": """
             WITH RECURSIVE ordered AS (

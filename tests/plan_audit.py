@@ -328,6 +328,13 @@ CHECKS = {
         "ratio measured ~1000x in PROBES_r8 bpetrain_2m); the "
         "returned frame is the k-row merge list (local scan)."
     ),
+    "events_abtest": (
+        "one partial-combining (experiment, variant) aggregate — the "
+        "Exchange carries one row per variant, never events; the "
+        "control/treatment pairing is a BroadcastHashJoin over the "
+        "variant-level frame; everything downstream is closed-form "
+        "projection."
+    ),
     "streaming_cusum": (
         "the returned plan reads the drained parquet; the streaming "
         "claim is the STATE BOUND — two floats per key, no buffer at "
