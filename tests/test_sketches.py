@@ -198,3 +198,35 @@ def test_cm_validation(spark):
         cm_sketch(df, "k", depth=0)
     with pytest.raises(ValueError, match="at least one"):
         cm_merge()
+
+
+def test_xxhash64_deploy_path_within_bounds(spark):
+    """The JVM-native hasher variant: same register math, same error
+    bounds — different registers (different hash), so sketch and
+    estimate must agree on the hasher."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    sk = hll_sketch(df, "k", b=12, hasher="xxhash64")
+    est = hll_estimate(sk, b=12).collect()[0]["estimate"]
+    assert abs(est - n) / n < 3 * hll_error_bound(12)
+
+    rows = [Row(k=f"key{i}") for i in range(1, 100) for _ in range(500 // i)]
+    dfc = spark.createDataFrame(rows)
+    skc = cm_sketch(dfc, "k", depth=4, width=1024, hasher="xxhash64")
+    keys = spark.createDataFrame([Row(k="key1"), Row(k="unseen")])
+    est2 = {
+        r["k"]: r["cm_count"]
+        for r in cm_estimate(
+            skc, keys, "k", depth=4, width=1024, hasher="xxhash64"
+        ).collect()
+    }
+    assert est2["key1"] >= 500
+    assert est2["unseen"] <= 20
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="hasher"):
+        hll_sketch(df, "k", hasher="sha1")
+    with _pt.raises(ValueError, match="hasher"):
+        cm_sketch(dfc, "k", hasher="sha1")

@@ -48,7 +48,7 @@ def _alpha(m: int) -> float:
 
 
 def hll_sketch(
-    df: DataFrame, key_col: str, b: int = 12
+    df: DataFrame, key_col: str, b: int = 12, hasher: str = "md5"
 ) -> DataFrame:
     """Build the register table ``(register, rho)`` for the distinct
     values of ``key_col`` (NULLs excluded, the COUNT DISTINCT
@@ -59,18 +59,29 @@ def hll_sketch(
     — portable to any engine with md5."""
     if not 4 <= b <= 16:
         raise ValueError("b must be in [4, 16]")
+    if hasher not in ("md5", "xxhash64"):
+        raise ValueError("hasher must be md5 or xxhash64")
     m = 1 << b
-    # 60-bit hash (15 md5 hex chars) so every step is EXACT BIGINT
-    # arithmetic — no decimal division, no float log2 (whose
-    # boundary rounding can differ across engines): register = low b
-    # bits, payload = the remaining 60-b bits, and
+    # md5 (default): 60-bit hash (15 hex chars) so every step is
+    # EXACT BIGINT arithmetic — no decimal division, no float log2
+    # (whose boundary rounding can differ across engines) — and any
+    # SQL engine reproduces the registers (the oracle path).
+    # xxhash64 (deploy path): JVM-side, no string materialization,
+    # ~same register math over |hash| mod 2^60 — measurably faster
+    # at corpus scale (PROBES sketches probe) but Spark-specific.
+    # register = low b bits, payload = the remaining 60-b bits, and
     # floor(log2(payload)) = length(bin(payload)) - 1, an integer
     # identity both Spark and DuckDB evaluate exactly.
-    h = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    if hasher == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    else:
+        h = F.pmod(F.xxhash64(F.col(key_col)), F.lit(1 << 60)).cast(
+            "long"
+        )
     width = 60 - b
     rho = F.when(
         F.col("_payload") == 0, F.lit(width + 1)
@@ -81,10 +92,9 @@ def hll_sketch(
         df.filter(F.col(key_col).isNotNull())
         .select(
             (h % F.lit(m)).cast("int").alias("register"),
-            F.expr(
-                f"CAST(conv(substring(md5(CAST({key_col} AS STRING)),"
-                f" 1, 15), 16, 10) AS BIGINT) DIV {m}"
-            ).alias("_payload"),
+            # exact integer >> b (a double division would round past
+            # 2^53 and corrupt high payloads)
+            F.shiftright(h, b).alias("_payload"),
         )
         .withColumn("rho", rho)
         .groupBy("register")
@@ -147,6 +157,7 @@ def cm_sketch(
     key_col: str,
     depth: int = 4,
     width: int = 2048,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Count-Min register table (Cormode & Muthukrishnan 2005) for
     the frequency of every value of ``key_col``: ``depth`` rows of
@@ -164,19 +175,15 @@ def cm_sketch(
     oracle reproduces every counter exactly."""
     if depth < 1 or width < 2:
         raise ValueError("depth must be >= 1 and width >= 2")
+    if hasher not in ("md5", "xxhash64"):
+        raise ValueError("hasher must be md5 or xxhash64")
     rows = df.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("string").alias("_k"),
         F.explode(
             F.sequence(F.lit(0), F.lit(depth - 1))
         ).alias("row"),
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("row"), F.col("_k"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = _cm_hash(hasher)
     return (
         rows.select("row", (h % F.lit(width)).cast("int").alias("col"))
         .groupBy("row", "col")
@@ -195,18 +202,42 @@ def cm_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
 
 
+def _cm_hash(hasher: str) -> F.Column:
+    """Row-salted key hash: md5 over 'row:key' (portable — any SQL
+    engine reproduces every counter: the oracle path) or xxhash64
+    (JVM-native, no string build: the deploy path; same counters in
+    Spark-only pipelines). Sketch and estimate must use the SAME
+    hasher or every probe misses."""
+    if hasher == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("row"), F.col("_k"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    return F.pmod(
+        F.xxhash64(F.col("row"), F.col("_k")), F.lit(1 << 60)
+    ).cast("long")
+
+
 def cm_estimate(
     sketch: DataFrame,
     keys: DataFrame,
     key_col: str,
     depth: int = 4,
     width: int = 2048,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Point-estimate the frequency of each key in ``keys``: probe
     the ``depth`` counters a key hashes to and take the MIN (absent
     counters read 0 — the key was never seen). The probe is a hash
     equi-join on (row, col); the keys side is usually tiny
     (candidate heavy hitters) and broadcasts."""
+    if hasher not in ("md5", "xxhash64"):
+        raise ValueError("hasher must be md5 or xxhash64")
     probes = keys.select(F.col(key_col)).distinct().select(
         F.col(key_col),
         F.col(key_col).cast("string").alias("_k"),
@@ -214,13 +245,7 @@ def cm_estimate(
             F.sequence(F.lit(0), F.lit(depth - 1))
         ).alias("row"),
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("row"), F.col("_k"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = _cm_hash(hasher)
     probes = probes.select(
         key_col, "row", (h % F.lit(width)).cast("int").alias("col")
     )
