@@ -2671,6 +2671,72 @@ def quality_probe(n: int) -> None:
     print(json.dumps({"n_rows": n, "quality_probe": res}))
 
 
+def sketches_probe(n: int) -> None:
+    """Sketch builds at corpus scale: HLL (b=12) and Count-Min
+    (4x2048) over ``n`` rows with ~n/20 distinct keys, md5 (portable
+    oracle path) vs xxhash64 (JVM-native deploy path) — the hasher
+    twin's speedup measured, plus estimate accuracy vs truth.
+    Usage: ``python bench_scale.py 50000000 sketches``."""
+    from updater_spark.operators.sketches import (
+        cm_sketch,
+        hll_error_bound,
+        hll_estimate,
+        hll_sketch,
+    )
+
+    spark = get_spark("bench_scale_sketches")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_distinct = max(n // 20, 100)
+    df = (
+        spark.range(0, n, numPartitions=64)
+        .select(
+            F.concat(
+                F.lit("k"), F.pmod(F.xxhash64("id"), F.lit(n_distinct))
+            ).alias("k")
+        )
+        .persist()
+    )
+    n_rows = df.count()
+    res: dict = {}
+    # warm once (cold-first inverts hasher comparisons, the pagerank
+    # lesson)
+    hll_sketch(df, "k", b=12, hasher="md5").count()
+    for hasher in ("md5", "xxhash64"):
+        t0 = time.time()
+        est = hll_estimate(
+            hll_sketch(df, "k", b=12, hasher=hasher), b=12
+        ).collect()[0]["estimate"]
+        t_hll = round(time.time() - t0, 2)
+        t0 = time.time()
+        cm_sketch(df, "k", depth=4, width=2048, hasher=hasher).count()
+        t_cm = round(time.time() - t0, 2)
+        res[hasher] = {
+            "hll_sec": t_hll,
+            "hll_rows_per_sec": int(n_rows / t_hll),
+            "hll_estimate": int(est),
+            "hll_rel_err": round(abs(est - n_distinct) / n_distinct, 4),
+            "cm_sec": t_cm,
+            "cm_rows_per_sec": int(n_rows / t_cm),
+        }
+    df.unpersist()
+    res["xxhash_speedup_hll"] = round(
+        res["md5"]["hll_sec"] / res["xxhash64"]["hll_sec"], 2
+    )
+    res["xxhash_speedup_cm"] = round(
+        res["md5"]["cm_sec"] / res["xxhash64"]["cm_sec"], 2
+    )
+    res["hll_3sigma_bound"] = round(3 * hll_error_bound(12), 4)
+    print(
+        json.dumps(
+            {
+                "n_rows": n_rows,
+                "n_distinct_true": n_distinct,
+                "sketches_probe": res,
+            }
+        )
+    )
+
+
 def anomaly_probe(n: int) -> None:
     """Rolling z-score + CUSUM at scale: ``n`` events over n/2000
     keys (≈2000-point series each). Both detectors are one key
@@ -2862,6 +2928,8 @@ if __name__ == "__main__":
         quality_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "anomaly":
         anomaly_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "sketches":
+        sketches_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "bpetrain":
         bpetrain_probe(
             _n, int(sys.argv[3]) if len(sys.argv) > 3 else 30
