@@ -4635,6 +4635,28 @@ def q_events_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (operators/funnel.py::
+    transition_matrix) over per-user event-type sequences with
+    __START__/__END__ boundary states — the flow-sankey counts. One
+    key shuffle for the lag window, one two-key aggregate, row
+    normalization over the |states|² table. Oracle: the same lag in
+    DuckDB window SQL."""
+    events = demo.load(spark, sf_dir, "events")
+    from updater_spark.operators.funnel import transition_matrix
+
+    res = transition_matrix(
+        events, "user_id", "ts", "event_type",
+        order_cols=["event_id"], include_ends=True,
+    )
+    return res.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("p") + F.lit(1e-9), 6).alias("p"),
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py::
     weighted_sample, Efraimidis-Spirakis A-Res): top-50 documents by
@@ -4852,6 +4874,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "events_ewma": q_events_ewma,
         "events_abtest": q_events_abtest,
+        "events_transitions": q_events_transitions,
         "sample_weighted": q_sample_weighted,
         "text_bigram_lm": q_text_bigram_lm,
         # --- r8 window: cdc.py/diff.py changed this round (type-drift basis, assume_changed boundary diff) ---
@@ -6111,6 +6134,37 @@ def oracle_sql() -> dict[str, str]:
                        AS retention
             FROM joined j JOIN sizes s ON j.cohort = s.cohort
             GROUP BY j.cohort, j.periods_since, s.n_cohort
+        """,
+        "events_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type AS s,
+                       LAG(event_type) OVER w AS prev,
+                       ROW_NUMBER() OVER w AS rn,
+                       COUNT(*) OVER (PARTITION BY user_id) AS len
+                FROM events
+                WINDOW w AS (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                )
+            ),
+            pairs AS (
+                SELECT prev AS from_state, s AS to_state
+                FROM seq WHERE prev IS NOT NULL
+                UNION ALL
+                SELECT '__START__', s FROM seq WHERE rn = 1
+                UNION ALL
+                SELECT s, '__END__' FROM seq WHERE rn = len
+            ),
+            counts AS (
+                SELECT from_state, to_state, COUNT(*) AS n
+                FROM pairs GROUP BY from_state, to_state
+            )
+            SELECT from_state, to_state, n,
+                   round(
+                       CAST(n AS DOUBLE)
+                       / SUM(n) OVER (PARTITION BY from_state) + 1e-9,
+                       6
+                   ) AS p
+            FROM counts
         """,
         "events_abtest": """
             WITH stats AS (

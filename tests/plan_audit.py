@@ -328,6 +328,12 @@ CHECKS = {
         "ratio measured ~1000x in PROBES_r8 bpetrain_2m); the "
         "returned frame is the k-row merge list (local scan)."
     ),
+    "events_transitions": (
+        "one key Exchange serves lag, row_number AND the per-key "
+        "count window; the two-key aggregate partial-combines; the "
+        "row normalization windows over the |states|^2 table, never "
+        "events."
+    ),
     "events_abtest": (
         "one partial-combining (experiment, variant) aggregate — the "
         "Exchange carries one row per variant, never events; the "

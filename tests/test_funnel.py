@@ -163,3 +163,42 @@ def test_cohort_retention_week_and_hour(spark):
         ).collect()
     }
     assert hr == {0, 2}
+
+
+def test_transition_matrix(spark):
+    from updater_spark.operators.funnel import transition_matrix
+
+    rows = [
+        Row(u=1, ts=_ts(1, 1), id=1, e="view"),
+        Row(u=1, ts=_ts(1, 2), id=2, e="click"),
+        Row(u=1, ts=_ts(1, 3), id=3, e="view"),
+        Row(u=1, ts=_ts(1, 4), id=4, e="buy"),
+        Row(u=2, ts=_ts(1, 1), id=5, e="view"),
+        Row(u=2, ts=_ts(1, 2), id=6, e="click"),
+        Row(u=3, ts=_ts(1, 1), id=7, e="view"),  # single event: no pair
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_matrix(
+            df, "u", "ts", "e", order_cols=["id"]
+        ).collect()
+    }
+    # view -> {click: 2, buy: 1}; click -> view: 1
+    assert got[("view", "click")] == (2, pytest.approx(2 / 3))
+    assert got[("view", "buy")] == (1, pytest.approx(1 / 3))
+    assert got[("click", "view")] == (1, 1.0)
+    assert ("buy", "view") not in got
+    # cross-user pairs never form (u2's click doesn't chain to u3)
+    assert sum(n for n, _ in got.values()) == 4
+
+    withends = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in transition_matrix(
+            df, "u", "ts", "e", order_cols=["id"], include_ends=True
+        ).collect()
+    }
+    assert withends[("__START__", "view")] == 3
+    assert withends[("buy", "__END__")] == 1
+    assert withends[("click", "__END__")] == 1
+    assert withends[("view", "__END__")] == 1  # u3's single event

@@ -203,3 +203,66 @@ def cohort_retention(
         )
     )
     return out
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    state_col: str,
+    order_cols: list[str] | None = None,
+    include_ends: bool = False,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: count every consecutive ``(from_state, to_state)``
+    pair (ordered by ``time_col`` then ``order_cols`` — pass a
+    unique tiebreaker when stamps collide), and the row-normalized
+    probability ``p = n / Σ n over from_state`` — the "what do users
+    do next" matrix behind every flow-sankey UI, and the training
+    count table for sequence models.
+
+    ``include_ends=True`` adds the boundary pseudo-states: a
+    ``__START__ → first-event`` transition per key (the entry-point
+    distribution) and ``last-event → __END__`` (the exit-point
+    distribution).
+
+    Spark shape: ONE key shuffle for the lag window, one two-key
+    aggregate (partial-combined), and a from_state-sum window over
+    the |states|² aggregate — never over events."""
+    from pyspark.sql import Window
+
+    order = [F.col(time_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    lagged = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(state_col).cast("string").alias("_to"),
+        F.lag(F.col(state_col).cast("string")).over(w).alias("_from"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(key_col)
+        ).alias("_len"),
+    )
+    pairs = lagged.filter(F.col("_from").isNotNull()).select(
+        F.col("_from").alias("from_state"),
+        F.col("_to").alias("to_state"),
+    )
+    if include_ends:
+        starts = lagged.filter(F.col("_rn") == 1).select(
+            F.lit("__START__").alias("from_state"),
+            F.col("_to").alias("to_state"),
+        )
+        ends = lagged.filter(F.col("_rn") == F.col("_len")).select(
+            F.col("_to").alias("from_state"),
+            F.lit("__END__").alias("to_state"),
+        )
+        pairs = pairs.unionByName(starts).unionByName(ends)
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_from = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n") / F.sum("n").over(w_from)).alias("p"),
+    )
