@@ -4838,6 +4838,20 @@ def q_cdc_type_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): select 200 raw
+    documents whose hashed-n-gram distribution matches the English
+    slice, by Laplace-smoothed bucket log-ratios (4096 buckets) and
+    deterministic Gumbel top-k. Model state is B rows (broadcast);
+    the corpus is scanned, never shuffled wide."""
+    from updater_spark.operators.dsir import dsir_select
+
+    docs = demo.load(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), k=200, hash_bits=12
+    )
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation (updated for
@@ -4853,6 +4867,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail for the r9 rotation; fresh unchanged r6/r7 rows close it.
     return {
         # --- r8 window: new this round (no driver row yet) ---
+        "dsir_select": q_dsir_select,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -6519,6 +6534,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
                    s.avg_logprob
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "dsir_select": """
+            WITH toked AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            feats AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096
+                           AS bucket
+                FROM (
+                    SELECT doc_id, lang, unnest(toks) AS feat FROM toked
+                    UNION ALL
+                    SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS feat
+                    FROM (SELECT doc_id, lang, toks,
+                                 unnest(range(1, len(toks))) AS i
+                          FROM toked WHERE len(toks) >= 2)
+                ) WHERE feat <> ''
+            ),
+            tot AS (
+                SELECT COUNT(*) FILTER (lang = 'en') AS t, COUNT(*) AS r
+                FROM feats
+            ),
+            ratio AS (
+                SELECT b.bucket,
+                       ln((COALESCE(tc.c, 0) + 1.0)
+                          / ((SELECT t FROM tot) + 4096.0))
+                       - ln((COALESCE(rc.c, 0) + 1.0)
+                            / ((SELECT r FROM tot) + 4096.0)) AS log_ratio
+                FROM (SELECT unnest(range(0, 4096)) AS bucket) b
+                LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM feats
+                           WHERE lang = 'en' GROUP BY 1) tc USING (bucket)
+                LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM feats
+                           GROUP BY 1) rc USING (bucket)
+            ),
+            scored AS (
+                SELECT f.doc_id, COUNT(*) AS n_feats,
+                       round(SUM(r.log_ratio), 4) AS log_weight
+                FROM feats f JOIN ratio r USING (bucket) GROUP BY 1
+            ),
+            weights AS (
+                SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+                       COALESCE(s.log_weight, 0.0) AS log_weight
+                FROM (SELECT DISTINCT doc_id FROM documents) d
+                LEFT JOIN scored s USING (doc_id)
+            )
+            SELECT doc_id, n_feats, log_weight,
+                   round(log_weight
+                         - ln(-ln(('0x' || substr(md5(doc_id::VARCHAR
+                                   || 'dsir-v1'), 1, 8))::UBIGINT
+                               / 4294967296.0)), 6) AS _key
+            FROM weights
+            ORDER BY _key DESC, doc_id ASC
+            LIMIT 200
         """,
         "sample_weighted": """
             SELECT doc_id, n_chars, _key FROM (

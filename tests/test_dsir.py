@@ -1,0 +1,108 @@
+"""DSIR importance resampling (operators/dsir.py).
+
+Semantics pinned here; the exact-value cross-engine check is the
+driver oracle (``dsir_select`` in __spark_entry__).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from updater_spark.operators.dsir import (
+    dsir_log_ratios,
+    dsir_select,
+    dsir_weights,
+    hashed_ngram_buckets,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the dog ran in the park", "en"),
+        (2, "le chat est sur le tapis", "fr"),
+        (3, "der hund lief im park", "de"),
+        (4, "the the the the the", "en"),
+        (5, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_feature_counts(corpus):
+    # doc 0: 6 unigrams + 5 bigrams = 11 occurrences; doc 5: none
+    feats = hashed_ngram_buckets(corpus, hash_bits=8)
+    per_doc = dict(
+        feats.groupBy("doc_id").count().collect()
+    )
+    assert per_doc[0] == 11
+    assert per_doc[4] == 9  # 5 unigrams + 4 bigrams
+    assert 5 not in per_doc  # empty text -> zero features
+
+
+def test_buckets_in_range(corpus):
+    feats = hashed_ngram_buckets(corpus, hash_bits=6)
+    lo, hi = feats.agg(F.min("bucket"), F.max("bucket")).first()
+    assert lo >= 0 and hi < 64
+
+
+def test_log_ratios_cover_all_buckets(corpus):
+    target = corpus.filter(F.col("lang") == "en")
+    ratios = dsir_log_ratios(corpus, target, hash_bits=6)
+    assert ratios.count() == 64
+    assert ratios.filter(F.col("log_ratio").isNull()).count() == 0
+
+
+def test_weights_favor_target_like_docs(corpus):
+    target = corpus.filter(F.col("lang") == "en")
+    w = {r["doc_id"]: r["log_weight"] for r in dsir_weights(corpus, target).collect()}
+    # English docs share buckets with the target model; French/German
+    # docs hit raw-only buckets, so their importance weight is lower.
+    assert w[0] > w[2]
+    assert w[1] > w[3]
+    # featureless doc is neutral, not dropped
+    assert w[5] == 0.0
+
+
+def test_weights_hand_value(spark):
+    # One doc, one token, B=4: target == raw == the same doc, so the
+    # only populated bucket has t=r=1, T=R=1 and the ratio telescopes
+    # to ln((1+1)/(1+4)) - ln((1+1)/(1+4)) = 0.
+    one = spark.createDataFrame([(0, "tok")], "doc_id long, text string")
+    w = dsir_weights(one, one, hash_bits=2).collect()[0]
+    assert w["n_feats"] == 1
+    assert math.isclose(w["log_weight"], 0.0, abs_tol=1e-9)
+
+
+def test_select_is_deterministic_and_bounded(corpus):
+    target = corpus.filter(F.col("lang") == "en")
+    a = dsir_select(corpus, target, k=3).collect()
+    b = dsir_select(corpus, target, k=3).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 3
+    # keys are the ranking order
+    keys = [r["_key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_select_salt_changes_sample(corpus):
+    target = corpus.filter(F.col("lang") == "en")
+    a = {r["doc_id"] for r in dsir_select(corpus, target, k=2, salt="s1").collect()}
+    b = {r["doc_id"] for r in dsir_select(corpus, target, k=2, salt="s2").collect()}
+    # different Gumbel draws — not necessarily disjoint, but the
+    # selection must depend on the salt somewhere across these corpora
+    c = {r["doc_id"] for r in dsir_select(corpus, target, k=2, salt="s3").collect()}
+    assert len(a | b | c) > 2 or (a == b == c) is False
+
+
+def test_empty_target_raises(corpus):
+    with pytest.raises(ValueError, match="empty feature stream"):
+        dsir_weights(corpus, corpus.filter(F.lit(False)))
+
+
+def test_bad_params(corpus):
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_log_ratios(corpus, corpus, alpha=0.0)
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_select(corpus, corpus, k=0)

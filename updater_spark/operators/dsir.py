@@ -1,0 +1,229 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): pick raw-corpus documents whose hashed-n-gram
+distribution looks like a TARGET corpus, by importance weighting in a
+fixed low-dimensional feature space and Gumbel top-k resampling.
+
+The pipeline (all Catalyst, no UDFs):
+
+1. **Hashed n-gram features** — word unigrams and bigrams hashed into
+   ``B = 2^hash_bits`` buckets (the paper's 10k-bucket bag-of-hashed-
+   ngrams). Hashing makes the feature space FIXED-SIZE regardless of
+   vocabulary, which is the whole scale story: the model state is B
+   longs, not a web-scale vocab.
+2. **Two bag-of-buckets models** — bucket counts over the target and
+   the raw corpus, Laplace-smoothed; their per-bucket log-ratio
+   ``ln p_target(b) - ln p_raw(b)`` is the importance direction.
+3. **Per-document log importance weight** — sum of bucket log-ratios
+   over the document's feature occurrences (one broadcast join of the
+   B-row ratio table + one per-doc agg).
+4. **Gumbel top-k resampling** — sampling WITHOUT replacement with
+   probability ∝ weight is exactly "add Gumbel noise to the log
+   weight, take the k largest" (Vieira 2014); the Gumbel uses the
+   portable md5 uniform so the selected SET is deterministic and
+   engine-reproducible (the weighted_sample discipline,
+   operators/sampling.py).
+
+Scale shape at 100 TB: two scans of the token stream (target + raw
+bucket counts — partial aggs collapse each to B rows before the
+shuffle), one scoring scan (broadcast-joined B-row ratio table, per-doc
+partial sums), one TakeOrdered top-k (per-partition heaps, no global
+sort). Nothing is ever vocab-sized or corpus-squared; the only
+broadcast is 2^hash_bits rows.
+
+Reference scope: the reference engine (cheeseformice/updater) has no
+data selection — north-star extension per BASELINE.json, same family
+as the Naive-Bayes trained filter (operators/classifier.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from updater_spark.operators.dedup import md5_hash32, tokens
+from updater_spark.operators.sampling import hash_unit
+
+__all__ = [
+    "hashed_ngram_buckets",
+    "dsir_log_ratios",
+    "dsir_weights",
+    "dsir_select",
+]
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_bits: int = 12,
+) -> DataFrame:
+    """One row per feature OCCURRENCE: ``(id, bucket)`` for every word
+    unigram and bigram, hashed into ``2^hash_bits`` buckets.
+
+    Unigrams and bigrams are built from one pre-materialized token
+    array (the ``tokenize`` O(len²)-inlining discipline,
+    operators/dedup.py:35) and concatenated before the explode, so the
+    text splits once per row. Empty-string tokens (the split-on-empty
+    quirk) are dropped — they are not features."""
+    b = F.lit(1 << hash_bits)
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    unis = F.filter(F.col("_toks"), lambda t: t != F.lit(""))
+    bis = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("_toks", i),
+                F.element_at("_toks", i + F.lit(1)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        F.col(id_col), F.explode(F.concat(unis, bis)).alias("_feat")
+    )
+    return feats.select(
+        F.col(id_col), F.pmod(md5_hash32(F.col("_feat")), b).alias("bucket")
+    )
+
+
+def dsir_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_bits: int = 12,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The B-row model: ``(bucket, log_ratio)`` with Laplace-smoothed
+    ``ln((t_b+α)/(T+αB)) - ln((r_b+α)/(R+αB))``.
+
+    Buckets are enumerated EXPLICITLY (a ``sequence`` generate of all
+    2^hash_bits ids) rather than outer-joining the two count frames:
+    every bucket gets a ratio, including ones seen in neither corpus
+    (their smoothed ratio, -ln((T+αB)/(R+αB)), is what a held-out
+    feature must score). Both totals fold on the driver as literals —
+    the unigram_logprob stance: no scalar-subquery cartesian."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    b_count = 1 << hash_bits
+    spark = raw.sparkSession
+
+    def counts(frame: DataFrame, out: str) -> DataFrame:
+        return (
+            hashed_ngram_buckets(frame, id_col, text_col, hash_bits)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    t_cnt = counts(target, "_t")
+    r_cnt = counts(raw, "_r")
+    t_total = t_cnt.agg(F.sum("_t")).first()[0] or 0
+    r_total = r_cnt.agg(F.sum("_r")).first()[0] or 0
+    if t_total == 0 or r_total == 0:
+        raise ValueError(
+            f"empty feature stream (target={t_total}, raw={r_total})"
+        )
+    all_b = spark.range(b_count).select(F.col("id").alias("bucket"))
+    t_denom = float(t_total + alpha * b_count)
+    r_denom = float(r_total + alpha * b_count)
+    ratio = (
+        all_b.join(F.broadcast(t_cnt), "bucket", "left")
+        .join(F.broadcast(r_cnt), "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("_t"), F.lit(0)) + F.lit(alpha))
+                    / F.lit(t_denom)
+                )
+                - F.log(
+                    (F.coalesce(F.col("_r"), F.lit(0)) + F.lit(alpha))
+                    / F.lit(r_denom)
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    return ratio
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_bits: int = 12,
+    alpha: float = 1.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document log importance weight: ``(id, n_feats,
+    log_weight)`` — the sum of bucket log-ratios over the document's
+    feature occurrences, rounded (cross-engine float-sum tolerance).
+
+    Documents with no features (empty text) keep log_weight 0 — a
+    featureless document is distribution-neutral, and dropping it
+    silently would make ``dsir_select``'s output set input-dependent
+    in a way callers can't see."""
+    ratios = dsir_log_ratios(
+        raw, target, id_col, text_col, hash_bits, alpha
+    )
+    feats = hashed_ngram_buckets(raw, id_col, text_col, hash_bits)
+    scored = (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("log_ratio"), round_digits).alias("log_weight"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def _gumbel(id_col: str, salt: str) -> Column:
+    """Standard Gumbel noise from the portable md5 uniform:
+    ``-ln(-ln(u))``, deterministic per (id, salt)."""
+    return -F.log(-F.log(hash_unit(id_col, salt)))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_bits: int = 12,
+    alpha: float = 1.0,
+    salt: str = "dsir-v1",
+    round_digits: int = 4,
+    key_digits: int = 6,
+) -> DataFrame:
+    """Select ``k`` documents from ``raw`` with probability ∝ their
+    importance weight, without replacement (Gumbel top-k over the log
+    weights). Returns ``(id, n_feats, log_weight, _key)`` for the
+    selected rows.
+
+    The ranking key is built from the ROUNDED log weight plus Gumbel
+    noise, itself rounded and id-tie-broken — the total order both
+    engines reproduce (the weighted_sample / bm25 discipline)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    weights = dsir_weights(
+        raw, target, id_col, text_col, hash_bits, alpha, round_digits
+    )
+    key = F.round(
+        F.col("log_weight") + _gumbel(id_col, salt), key_digits
+    )
+    return (
+        weights.withColumn("_key", key)
+        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
