@@ -4852,6 +4852,26 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping (the RefinedWeb-style anti-mega-domain
+    step): at most 20 docs per domain, survivors ranked by n_chars.
+    The synthetic 'hub' domain (doc_id%3) exercises the heavy path
+    (ranking window over over-cap rows only); the src* domains pass
+    through the light path untouched."""
+    from updater_spark.operators.sampling import domain_quota
+
+    docs = demo.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("hub"))
+        .otherwise(F.col("source"))
+        .alias("domain"),
+    )
+    return domain_quota(
+        docs, cap=20, domain_col="domain", order_col="n_chars"
+    ).select("doc_id", "domain", "n_chars")
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation (updated for
@@ -4868,6 +4888,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r8 window: new this round (no driver row yet) ---
         "dsir_select": q_dsir_select,
+        "domain_quota": q_domain_quota,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -6589,6 +6610,22 @@ def oracle_sql() -> dict[str, str]:
             FROM weights
             ORDER BY _key DESC, doc_id ASC
             LIMIT 200
+        """,
+        "domain_quota": """
+            WITH d AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN doc_id % 3 = 0 THEN 'hub'
+                            ELSE source END AS domain
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, domain, n_chars,
+                       row_number() OVER (PARTITION BY domain
+                                          ORDER BY n_chars DESC, doc_id)
+                           AS rk
+                FROM d
+            )
+            SELECT doc_id, domain, n_chars FROM ranked WHERE rk <= 20
         """,
         "sample_weighted": """
             SELECT doc_id, n_chars, _key FROM (

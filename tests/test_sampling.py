@@ -202,3 +202,66 @@ def test_weighted_sample_matches_reference_and_favors_weight(spark):
     assert [
         r["doc_id"] for r in weighted_sample(df2, 3, "w").collect()
     ] == [3]
+
+
+def test_domain_quota_exact_python_oracle(spark):
+    from updater_spark.operators.sampling import domain_quota
+
+    rows = [
+        # domain a: 5 rows, cap 3 -> keep the 3 largest scores
+        (0, "a", 10.0), (1, "a", 50.0), (2, "a", 30.0),
+        (3, "a", 40.0), (4, "a", 20.0),
+        # domain b: 2 rows, under cap -> pass through
+        (5, "b", 1.0), (6, "b", 2.0),
+        # domain c: exactly cap rows -> pass through (light path)
+        (7, "c", 1.0), (8, "c", 1.0), (9, "c", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, s double")
+    out = domain_quota(df, cap=3, domain_col="domain", order_col="s")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 2, 3, 5, 6, 7, 8, 9]
+
+
+def test_domain_quota_tie_break_by_id(spark):
+    from updater_spark.operators.sampling import domain_quota
+
+    df = spark.createDataFrame(
+        [(i, "a", 7.0) for i in range(6)], "doc_id long, domain string, s double"
+    )
+    out = domain_quota(df, cap=2, domain_col="domain", order_col="s")
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 1]
+
+
+def test_domain_quota_prune_buckets_is_exact(spark):
+    from updater_spark.operators.sampling import domain_quota
+
+    rows = [(i, "hot" if i % 4 else "cold", float((i * 37) % 101)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, s double")
+    plain = domain_quota(df, cap=7, domain_col="domain", order_col="s")
+    pruned = domain_quota(
+        df, cap=7, domain_col="domain", order_col="s", prune_buckets=8
+    )
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in pruned.collect())
+    # both domains are over cap 7, so 7 survivors each
+    assert a == b and len(a) == 14
+
+
+def test_domain_quota_no_order_col_keeps_lowest_ids(spark):
+    from updater_spark.operators.sampling import domain_quota
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(10)], "doc_id long, domain string"
+    )
+    out = domain_quota(df, cap=4, domain_col="domain")
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 2, 3]
+
+
+def test_domain_quota_rejects_bad_cap(spark):
+    import pytest as _pytest
+
+    from updater_spark.operators.sampling import domain_quota
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, domain string")
+    with _pytest.raises(ValueError, match="cap"):
+        domain_quota(df, cap=0, domain_col="domain")

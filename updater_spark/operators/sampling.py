@@ -36,6 +36,7 @@ __all__ = [
     "mixture_resample",
     "hash_unit",
     "deterministic_shuffle",
+    "domain_quota",
 ]
 
 _SCALE = float(1 << 32)
@@ -198,6 +199,65 @@ def deterministic_shuffle(
         )
         .drop("__h", "__b", "__off")
     )
+
+
+def domain_quota(
+    df: DataFrame,
+    cap: int,
+    domain_col: str,
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+    prune_buckets: int = 0,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain — the RefinedWeb-style
+    per-source/URL quota that stops a handful of mega-domains from
+    dominating a crawl-derived corpus. Within an over-cap domain the
+    SURVIVORS are the top rows by ``order_col`` (a quality score,
+    descending; ``None`` ranks by id), tie-broken by id — a total
+    order, so the kept set is deterministic on any engine.
+
+    Scale shape: the naive form is one window over EVERY row,
+    shuffling the whole corpus by domain. This one is two-phase:
+    a count agg finds the over-cap domains (partial aggs collapse to
+    |domains| rows), under-cap rows PASS THROUGH with a join against
+    the over-cap domain list (AQE broadcasts it — it has at most
+    total/cap entries), and only over-cap rows pay the ranking
+    window. In a crawl corpus the over-cap tail is a tiny fraction of
+    rows, so the expensive exchange moves a sliver of the data.
+
+    One mega-domain still lands its rows in a single window partition;
+    ``prune_buckets > 1`` bounds that skew with an EXACT pre-prune:
+    rows first rank within (domain, xxhash64(id) % prune_buckets) and
+    only each bucket's top ``cap`` advance — the global top-cap of a
+    domain is a subset of the union of per-bucket top-caps, so the
+    final window sees at most ``cap * prune_buckets`` rows per domain
+    regardless of how hot the domain is."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    heavy = counts.filter(F.col("__n") > cap).select(domain_col)
+    light_rows = df.join(heavy, domain_col, "left_anti")
+    heavy_rows = df.join(heavy, domain_col, "left_semi")
+    order = (
+        [F.col(order_col).desc(), F.col(id_col).asc()]
+        if order_col
+        else [F.col(id_col).asc()]
+    )
+    if prune_buckets > 1:
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(prune_buckets))
+        w_pre = Window.partitionBy(F.col(domain_col), bucket).orderBy(*order)
+        heavy_rows = (
+            heavy_rows.withColumn("__rk", F.row_number().over(w_pre))
+            .filter(F.col("__rk") <= cap)
+            .drop("__rk")
+        )
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    kept_heavy = (
+        heavy_rows.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+    return light_rows.unionByName(kept_heavy)
 
 
 def mixture_resample(
