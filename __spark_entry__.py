@@ -4872,6 +4872,18 @@ def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "domain", "n_chars")
 
 
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) with a min-count floor — multi-word
+    expression mining over the documents corpus. Vocab-sized
+    shuffles only; totals folded as driver literals."""
+    from updater_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(
+        demo.load(spark, sf_dir, "documents"), min_count=5, k=50
+    )
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation (updated for
@@ -4889,6 +4901,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r8 window: new this round (no driver row yet) ---
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
+        "text_pmi": q_text_pmi,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -6610,6 +6623,40 @@ def oracle_sql() -> dict[str, str]:
             FROM weights
             ORDER BY _key DESC, doc_id ASC
             LIMIT 200
+        """,
+        "text_pmi": """
+            WITH toked AS MATERIALIZED (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            unis AS (
+                SELECT t AS tok FROM (SELECT unnest(toks) AS t FROM toked)
+                WHERE t <> ''
+            ),
+            uni_cnt AS (SELECT tok, COUNT(*) AS c FROM unis GROUP BY 1),
+            bis AS (
+                SELECT toks[i] AS w1, toks[i + 1] AS w2
+                FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                      FROM toked WHERE len(toks) >= 2)
+            ),
+            pair_cnt AS (
+                SELECT w1, w2, COUNT(*) AS n_pair FROM bis GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT (SELECT SUM(c) FROM uni_cnt) AS n_uni,
+                       (SELECT SUM(n_pair) FROM pair_cnt) AS n_bi
+            )
+            SELECT p.w1, p.w2, p.n_pair,
+                   round(ln((p.n_pair / (SELECT n_bi FROM tot))
+                            / ((c1.c / CAST((SELECT n_uni FROM tot) AS DOUBLE))
+                               * (c2.c / CAST((SELECT n_uni FROM tot) AS DOUBLE)))),
+                         4) AS pmi
+            FROM pair_cnt p
+            JOIN uni_cnt c1 ON p.w1 = c1.tok
+            JOIN uni_cnt c2 ON p.w2 = c2.tok
+            WHERE p.n_pair >= 5
+            ORDER BY pmi DESC, p.w1 ASC, p.w2 ASC
+            LIMIT 50
         """,
         "domain_quota": """
             WITH d AS (

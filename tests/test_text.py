@@ -426,3 +426,37 @@ def test_bigram_logprob_matches_reference(spark):
 
     with pytest.raises(ValueError, match="no tokens"):
         bigram_logprob(df, train_filter=F.col("doc_id") == 6)
+
+
+def test_pmi_collocations_hand_value(spark):
+    import math
+
+    from updater_spark.operators.text import pmi_collocations
+
+    # corpus: "a b" x3 and "c d" x1 -> unigrams: a3 b3 c1 d1 (N=8),
+    # bigrams: (a,b)x3, (c,d)x1 (N=4)
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a b"), (3, "c d")],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, min_count=1, k=10).collect()
+    got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi"]) for r in out}
+    exp_ab = round(math.log((3 / 4) / ((3 / 8) * (3 / 8))), 4)
+    exp_cd = round(math.log((1 / 4) / ((1 / 8) * (1 / 8))), 4)
+    assert got[("a", "b")] == (3, exp_ab)
+    assert got[("c", "d")] == (1, exp_cd)
+    # min_count floor drops the hapax pair
+    out2 = pmi_collocations(docs, min_count=2, k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in out2] == [("a", "b")]
+
+
+def test_pmi_collocations_guards(spark):
+    import pytest as _pytest
+
+    from updater_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no bigrams"):
+        pmi_collocations(docs)
+    with _pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(docs, min_count=0)

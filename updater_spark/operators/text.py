@@ -655,3 +655,85 @@ def unigram_logprob(
         )
     )
     return scored
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information —
+    the classic corpus-analytics signal for multi-word expressions
+    (Church & Hanks 1990):
+
+        PMI(w1,w2) = ln( p(w1 w2) / (p(w1) p(w2)) )
+
+    with p(w1 w2) = c12/N_bigrams and p(w) = c(w)/N_unigrams.
+    ``min_count`` drops rare pairs (PMI's known low-frequency bias:
+    a hapax pair of two hapax words maxes the score); ties break on
+    the words so the top-k set is a total order both engines
+    reproduce.
+
+    Scale shape: two partial-combining aggregates over the exploded
+    token/bigram streams (the shuffles carry the vocab and the bigram
+    vocab, never the corpus), two vocab-sized joins back (AQE
+    broadcasts small sides), one TakeOrdered top-k. Both totals fold
+    on the driver as literals (the unigram_logprob stance — no
+    scalar-subquery cartesian in the plan).
+
+    Returns ``(w1, w2, n_pair, pmi)`` with pmi rounded
+    (cross-engine libm tolerance)."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toked = df.select(tokens(text_col).alias("_toks"))
+    unis = toked.select(F.explode("_toks").alias("_tok")).filter(
+        F.col("_tok") != ""
+    )
+    uni_cnt = unis.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    bis = toked.select(
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - F.lit(1)),
+                    lambda i: F.struct(
+                        F.element_at("_toks", i).alias("w1"),
+                        F.element_at("_toks", i + F.lit(1)).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("_bg")
+    ).select("_bg.w1", "_bg.w2")
+    pair_cnt = bis.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    n_uni = uni_cnt.agg(F.sum("_c")).first()[0] or 0
+    n_bi = pair_cnt.agg(F.sum("n_pair")).first()[0] or 0
+    if n_bi == 0:
+        raise ValueError("corpus has no bigrams; nothing to rank")
+    c1 = uni_cnt.select(
+        F.col("_tok").alias("w1"), F.col("_c").alias("_c1")
+    )
+    c2 = uni_cnt.select(
+        F.col("_tok").alias("w2"), F.col("_c").alias("_c2")
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.lit(float(n_bi)))
+            / (
+                (F.col("_c1") / F.lit(float(n_uni)))
+                * (F.col("_c2") / F.lit(float(n_uni)))
+            )
+        ),
+        round_digits,
+    )
+    return (
+        pair_cnt.filter(F.col("n_pair") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )
