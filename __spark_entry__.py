@@ -4884,6 +4884,28 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lr_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression quality filter (the GPT-3 trained-filter
+    family, solver form): 4 full-batch GD iterations over three
+    cheap text features, labels = lang=='en'. Each iteration is one
+    map-side-combined aggregation; gradients round to 8 decimals so
+    the weights are engine-exact (oracle unrolls the same chain)."""
+    from updater_spark.operators.classifier import logreg_score, logreg_train
+    from updater_spark.operators.dedup import tokens
+
+    docs = demo.load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    feats = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        (F.col("n_chars") / F.lit(100.0)).alias("x1"),
+        (F.size(toks) / F.lit(10.0)).alias("x2"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("x3"),
+    )
+    model = logreg_train(feats, "y", ["x1", "x2", "x3"], lr=0.5, iters=4)
+    return logreg_score(feats, model, "doc_id")
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation (updated for
@@ -4902,6 +4924,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
         "text_pmi": q_text_pmi,
+        "lr_quality_filter": q_lr_quality_filter,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -5416,6 +5439,7 @@ def _generated_oracles() -> dict[str, str]:
         "bpe_tokens_arrow": _bpe_sql(BPE_MERGES),
         "nb_classifier": _nb_sql(None),
         "nb_classifier_hashed": _nb_sql(12),
+        "lr_quality_filter": _logreg_sql(),
         "ivm_join_view": """
             WITH a0 AS (
                 SELECT c_custkey, c_nationkey AS nkey, c_name FROM customer
@@ -5699,6 +5723,56 @@ def _rp_sql() -> str:
         SELECT vec_id, {p_cols},
                round(({sq}) / list_inner_product(v, v), 4) AS norm_ratio
         FROM proj
+    """
+
+
+def _logreg_sql(iters: int = 4, lr: float = 0.5, grad_digits: int = 8) -> str:
+    """DuckDB replay of logreg_train + logreg_score: the SAME fixed
+    gradient-descent iterations unrolled as a CTE chain. Each
+    iteration rounds every gradient component to ``grad_digits``
+    before the update (the classifier.py determinism contract), so
+    the weight doubles are bit-identical across engines and only the
+    final per-doc sigmoid needs the output-edge round."""
+    feats = """
+        feats AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                   n_chars / 100.0 AS x1,
+                   len(toks) / 10.0 AS x2,
+                   len(list_distinct(toks)) * 1.0 / len(toks) AS x3
+            FROM (SELECT doc_id, lang, n_chars,
+                         regexp_split_to_array(trim(text), '\\s+') AS toks
+                  FROM documents)
+        ),
+        w0 AS (SELECT 0.0 AS b, 0.0 AS v1, 0.0 AS v2, 0.0 AS v3)"""
+    chain = [f"WITH {feats}"]
+    prev = "w0"
+    for t in range(1, iters + 1):
+        chain.append(f"""
+        g{t} AS (
+            SELECT round(avg(y - s), {grad_digits}) AS g0,
+                   round(avg((y - s) * x1), {grad_digits}) AS g1,
+                   round(avg((y - s) * x2), {grad_digits}) AS g2,
+                   round(avg((y - s) * x3), {grad_digits}) AS g3
+            FROM (SELECT y, x1, x2, x3,
+                         1.0 / (1.0 + exp(-(b + v1*x1 + v2*x2 + v3*x3))) AS s
+                  FROM feats, {prev})
+        ),
+        w{t} AS (
+            SELECT b + {lr} * g0 AS b, v1 + {lr} * g1 AS v1,
+                   v2 + {lr} * g2 AS v2, v3 + {lr} * g3 AS v3
+            FROM {prev}, g{t}
+        )""")
+        prev = f"w{t}"
+    body = ",".join(chain)
+    return f"""{body}
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(b + v1*x1 + v2*x2 + v3*x3))), 4)
+                   AS prob,
+               CASE WHEN round(1.0 / (1.0 + exp(-(b + v1*x1 + v2*x2
+                                                  + v3*x3))), 4) >= 0.5
+                    THEN 1 ELSE 0 END AS keep
+        FROM feats, {prev}
     """
 
 

@@ -187,3 +187,44 @@ def test_nb_broadcast_gate(spark):
         test, model, meta, "doc_id", "text", max_broadcast_vocab=0
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan_s
+
+
+def test_logreg_learns_separable_data(spark):
+    from updater_spark.operators.classifier import logreg_score, logreg_train
+
+    # y = 1 iff x1 > 0: linearly separable on one feature
+    rows = [(i, float(i % 2), 1.0 if i % 2 else -1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, y double, x1 double")
+    model = logreg_train(df, "y", ["x1"], lr=1.0, iters=10)
+    assert model.weights[1] > 0  # positive weight on the separating feature
+    scored = logreg_score(df, model, "doc_id").collect()
+    acc = sum(
+        1 for r in scored if r["keep"] == (1 if r["doc_id"] % 2 else 0)
+    ) / len(scored)
+    assert acc == 1.0
+
+
+def test_logreg_deterministic_across_partitionings(spark):
+    from updater_spark.operators.classifier import logreg_train
+
+    rows = [
+        (i, float(i % 3 == 0), float(i % 7) / 3.0, float(i % 5) / 2.0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, y double, x1 double, x2 double")
+    m1 = logreg_train(df.repartition(1), "y", ["x1", "x2"])
+    m2 = logreg_train(df.repartition(7), "y", ["x1", "x2"])
+    # gradient rounding makes the weights exact, not partitioning-dependent
+    assert m1.weights == m2.weights
+
+
+def test_logreg_guards(spark):
+    import pytest as _pytest
+
+    from updater_spark.operators.classifier import logreg_train
+
+    df = spark.createDataFrame([(1, 1.0, 1.0)], "doc_id long, y double, x double")
+    with _pytest.raises(ValueError, match="iters"):
+        logreg_train(df, "y", ["x"], iters=0)
+    with _pytest.raises(ValueError, match="feature_cols"):
+        logreg_train(df, "y", [])

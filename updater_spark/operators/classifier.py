@@ -287,3 +287,101 @@ def nb_score(
         pred.alias("pred"),
         F.round(best - runner_up, 4).alias("margin"),
     )
+
+
+@dataclass(frozen=True)
+class LogRegModel:
+    """Weights for a batch-gradient-descent logistic regression.
+
+    ``weights[0]`` is the bias; ``weights[1:]`` align with
+    ``feature_cols``. Training constants are carried so scoring (and
+    audits) can state exactly how the model was fit."""
+
+    weights: tuple[float, ...]
+    feature_cols: tuple[str, ...]
+    lr: float
+    iters: int
+    grad_digits: int
+
+
+def _dot(feature_cols: tuple[str, ...], weights) -> "F.Column":
+    z = F.lit(float(weights[0]))
+    for col, w in zip(feature_cols, weights[1:]):
+        z = z + F.lit(float(w)) * F.col(col).cast("double")
+    return z
+
+
+def _sigmoid(z: "F.Column") -> "F.Column":
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def logreg_train(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    lr: float = 0.5,
+    iters: int = 4,
+    grad_digits: int = 8,
+) -> LogRegModel:
+    """Logistic regression by full-batch gradient descent — the
+    GPT-3-style trained quality filter (Brown et al. 2020, App. A)
+    in its solver form, complementing the closed-form Naive Bayes
+    above. ``w_{t+1} = w_t + lr * avg((y - σ(w·x)) · [1,x])`` from
+    ``w_0 = 0``, a FIXED number of iterations.
+
+    Spark-first shape: each iteration is ONE aggregation over a
+    narrow (label + d features) projection — partial aggs make it a
+    map-side-combined scan; only d+1 doubles reach the driver per
+    iteration. At 100 TB that is ``iters`` narrow columnar scans (or
+    one persist of the projected features, the caller's choice) — no
+    MLlib, no per-row Python.
+
+    Determinism contract: every gradient component is ROUNDED to
+    ``grad_digits`` decimals before the update, so the weight vector
+    is an exact function of the (engine-independent) rounded values
+    — a DuckDB oracle unrolling the same iterations reproduces the
+    weights bit-for-bit, and double-sum ordering differences across
+    engines/partitionings can never leak into the model."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    cols = tuple(feature_cols)
+    feats = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        *[F.col(c).cast("double").alias(c) for c in cols],
+    )
+    weights = [0.0] * (len(cols) + 1)
+    for _ in range(iters):
+        resid = F.col("_y") - _sigmoid(_dot(cols, weights))
+        aggs = [F.round(F.avg(resid), grad_digits).alias("_g0")] + [
+            F.round(F.avg(resid * F.col(c)), grad_digits).alias(f"_g{i+1}")
+            for i, c in enumerate(cols)
+        ]
+        grad = feats.agg(*aggs).first()
+        weights = [w + lr * g for w, g in zip(weights, grad)]
+    return LogRegModel(
+        weights=tuple(weights),
+        feature_cols=cols,
+        lr=lr,
+        iters=iters,
+        grad_digits=grad_digits,
+    )
+
+
+def logreg_score(
+    df: DataFrame,
+    model: LogRegModel,
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Score rows under a trained model: ``(id, prob, keep)`` with
+    ``prob = σ(w·x)`` rounded at the output edge and ``keep`` the
+    0.5-threshold decision. Pure per-row projection — scan speed,
+    no shuffle, composable with any downstream filter."""
+    prob = F.round(_sigmoid(_dot(model.feature_cols, model.weights)), round_digits)
+    return df.select(
+        F.col(id_col),
+        prob.alias("prob"),
+        (prob >= F.lit(0.5)).cast("int").alias("keep"),
+    )
