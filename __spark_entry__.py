@@ -4906,6 +4906,20 @@ def q_lr_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_score(feats, model, "doc_id")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR-style): top-5 nearest corpus vectors
+    with a different label per query — the contrastive-training
+    counterpart of ANN search. One GEMM scan with the label exclusion
+    masked into the score matrix; exact, so the DuckDB cosine oracle
+    hash-matches."""
+    from updater_spark.operators.similarity import hard_negatives_arrow
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    return hard_negatives_arrow(
+        emb, emb.filter(F.col("vec_id") % 25 == 0), k=5
+    )
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation (updated for
@@ -4925,6 +4939,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": q_domain_quota,
         "text_pmi": q_text_pmi,
         "lr_quality_filter": q_lr_quality_filter,
+        "hard_negatives": q_hard_negatives,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -7813,6 +7828,31 @@ def oracle_sql() -> dict[str, str]:
                        (acc, v) -> (acc * 31 + v) % 1000000007
                    ) AS rolling_fp
             FROM normed
+        """,
+        "hard_negatives": """
+            WITH q AS (
+                SELECT vec_id AS query_id, label AS qlabel,
+                       embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id % 25 = 0
+            ),
+            c AS (SELECT vec_id AS neighbor_id, label AS clabel,
+                         embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(list_cosine_similarity(qv, cv), 4) AS sim
+                FROM q CROSS JOIN c
+                WHERE qlabel <> clabel
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id)
+                           AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, sim, rank
+            FROM ranked WHERE rank <= 5
         """,
         "sim_topk_cosine": """
             WITH q AS (

@@ -739,3 +739,58 @@ def test_semantic_dedup_arrow_equals_catalyst(spark):
         semantic_dedup(hot, deg, threshold=0.99, arrow=True, pair_block=3)
     )
     assert cat_big == arw_big
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    from updater_spark.operators.similarity import hard_negatives_arrow
+
+    # two tight clusters; labels split WITHIN each cluster so the
+    # nearest different-label vector is a same-cluster neighbor
+    rows = []
+    for i in range(8):
+        base = [1.0, 0.0, 0.0] if i < 4 else [0.0, 1.0, 0.0]
+        vec = [base[0] + i * 0.001, base[1], base[2] + i * 0.0001]
+        rows.append((i, vec, i % 2))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negatives_arrow(df, df.filter("vec_id = 0"), k=3).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    ids = [n for n, _ in got]
+    # all returned negatives have label 1 (query 0 has label 0)
+    assert set(ids) <= {1, 3, 5, 7}
+    assert 0 not in ids  # self never appears
+    # the two same-cluster odd vectors outrank the far-cluster ones
+    assert set(ids[:2]) == {1, 3}
+
+
+def test_hard_negatives_exact_against_numpy(spark):
+    import numpy as np
+
+    from updater_spark.operators.similarity import hard_negatives_arrow
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    rows = [
+        (i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).repartition(5)
+    queries = df.filter("vec_id < 4")
+    out = hard_negatives_arrow(df, queries, k=4).collect()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    for q in range(4):
+        cand = [
+            (round(float(sims[q, j]), 4), j)
+            for j in range(40)
+            if j % 3 != q % 3
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        exp = [(j, s) for s, j in cand[:4]]
+        got = sorted(
+            [(r["neighbor_id"], r["sim"]) for r in out if r["query_id"] == q],
+            key=lambda t: -t[1],
+        )
+        assert [j for j, _ in got] == [j for j, _ in exp]

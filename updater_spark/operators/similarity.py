@@ -2024,3 +2024,88 @@ def _adc_local_topk(acc, ids, n_local):
             out_d[r] = acc[r, o]
             out_i[r] = ids[o]
     return out_d, out_i
+
+
+def hard_negatives_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_query_rows: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the "hard" negatives that sit near the decision boundary
+    (in-batch random negatives are mostly easy; retrieval-training
+    recipes like DPR, Karpukhin et al. 2020, mine these explicitly).
+
+    Same engine shape as ``cosine_topk_arrow`` (one narrow
+    mapInPandas GEMM scan of the corpus, per-batch local top-k, a
+    window finishes globally), with the label exclusion applied as a
+    vectorized mask on the score matrix BEFORE the local top-k — so
+    the per-batch candidate set is exact and self-matches are
+    excluded for free (a row always shares its own label). Labels
+    must be non-null; a NULL label row never matches ``==`` so it
+    would act as a universal negative — filter upstream if that is
+    not intended.
+
+    Returns ``(query_id, neighbor_id, sim, rank)``, exact (the
+    oracle-friendly baseline; at larger corpora compose the same mask
+    with the IVF probe path and accept recall < 1)."""
+    import numpy as np
+    import pandas as pd
+
+    qids, qm = _collect_unit_queries(
+        queries, id_col, vec_col, max_rows=max_query_rows or MAX_QUERY_ROWS
+    )
+    lab_rows = queries.select(
+        F.col(id_col).cast("long"), F.col(label_col).cast("long")
+    ).collect()
+    lab_map = {r[0]: r[1] for r in lab_rows}
+    qlabels = np.array([lab_map[i] for i in qids], dtype=np.int64)
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+    q_block = 1024
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            ids = pdf[id_col].to_numpy()
+            clabels = pdf[label_col].to_numpy(dtype=np.int64)
+            n_local = min(k, len(ids))
+            for q0 in range(0, len(qids), q_block):
+                qb = qm[q0 : q0 + q_block]
+                sims = cm @ qb.T  # (batch, q_block)
+                mask = clabels[:, None] == qlabels[q0 : q0 + q_block][None, :]
+                sims = np.where(mask, -np.inf, sims)
+                top = np.argpartition(sims, len(ids) - n_local, axis=0)[
+                    len(ids) - n_local :, :
+                ]
+                svals = np.round(
+                    np.take_along_axis(sims, top, axis=0), 4
+                ).ravel(order="F")
+                qcol = np.repeat(qids[q0 : q0 + q_block], n_local)
+                ncol = ids[top].ravel(order="F")
+                keep = np.isfinite(svals)  # batches thin on other labels
+                yield pd.DataFrame(
+                    {
+                        "query_id": qcol[keep],
+                        "neighbor_id": ncol[keep],
+                        "sim": svals[keep],
+                    }
+                )
+
+    local = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        score, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return local.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
