@@ -2870,6 +2870,277 @@ def bpetrain_probe(n: int, n_merges: int = 30) -> None:
     )
 
 
+def dsir_probe(n: int) -> None:
+    """DSIR data selection at scale: ``n`` raw docs (~20 words,
+    Zipf-ish) scored against an n/10-doc target with a shifted word
+    distribution. The scale claim to verify: cost is three token-
+    stream scans + one B-row broadcast, independent of vocabulary.
+    Usage: ``python bench_scale.py 2000000 dsir``."""
+    from updater_spark.operators.dsir import dsir_select
+
+    spark = get_spark("bench_scale_dsir")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _word(i, exponent, salt):
+        wid = (
+            F.pow(
+                F.pmod(F.xxhash64("doc_id", F.lit(i + salt)), F.lit(100_000))
+                / F.lit(100_000.0),
+                F.lit(exponent),
+            )
+            * F.lit(40_000)
+        ).cast("long")
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2) + F.pmod(wid, F.lit(4))),
+                lambda k: F.char(
+                    F.lit(97) + F.pmod(F.xxhash64(wid, k), F.lit(26))
+                ),
+            ),
+            "",
+        )
+
+    def corpus(rows, exponent, salt):
+        return (
+            spark.range(0, rows, numPartitions=64)
+            .withColumnRenamed("id", "doc_id")
+            .select(
+                "doc_id",
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(20)),
+                        lambda i: _word(i, exponent, salt),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+
+    raw = corpus(n, 2, 0)
+    target = corpus(max(n // 10, 1000), 3, 99)  # head-heavier slice
+    res = {}
+    for hasher in ("md5", "xxhash64"):
+        t0 = time.perf_counter()
+        out = dsir_select(raw, target, k=10_000, hash_bits=14, hasher=hasher)
+        n_sel = out.count()
+        wall = time.perf_counter() - t0
+        res[hasher] = {
+            "selected": n_sel,
+            "wall_sec": round(wall, 2),
+            "docs_per_sec": int(n / wall),
+        }
+    print(
+        json.dumps(
+            {
+                "n_docs": n,
+                "hash_bits": 14,
+                "model_rows": 1 << 14,
+                "dsir_probe": res,
+            }
+        )
+    )
+
+
+def quota_probe(n: int) -> None:
+    """Domain-quota scale probe on a skewed domain distribution
+    (~30% of rows in 2 mega-domains, the rest across ~100k small
+    ones). Compares the naive everything-through-one-window form
+    against the two-phase operator and its bucket-pruned variant —
+    the claim: only over-cap rows pay the exchange, and the prune
+    bounds the mega-domain's single-partition rank.
+    Usage: ``python bench_scale.py 20000000 quota``."""
+    from updater_spark.operators.sampling import domain_quota
+    from pyspark.sql import Window
+
+    spark = get_spark("bench_scale_quota")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cap = 1000
+    # rows carry a ~400-byte payload: the operator's win is SHUFFLE
+    # VOLUME (under-cap rows never enter the window exchange), which a
+    # narrow synthetic row would hide — scans are nearly free on
+    # generated data, shuffles are not
+    df = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "doc_id")
+        .select(
+            "doc_id",
+            F.when(
+                F.pmod(F.xxhash64("doc_id"), F.lit(10)) < 3,
+                F.concat(F.lit("mega"), F.pmod(F.col("doc_id"), F.lit(2))),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("dom"),
+                    F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(100_000)),
+                )
+            )
+            .alias("domain"),
+            (F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(1000)) / 10.0).alias(
+                "score"
+            ),
+            F.repeat(F.lit("payload-"), 50).alias("payload"),
+        )
+        .persist()
+    )
+    df.count()
+
+    res = {}
+
+    def timed(label, frame):
+        frame.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        frame.write.format("noop").mode("overwrite").save()
+        res[label] = round(time.perf_counter() - t0, 2)
+
+    for label, kwargs in [
+        ("window", {}),
+        ("window_pruned32", {"prune_buckets": 32}),
+        ("two_phase", {"strategy": "two_phase"}),
+        ("two_phase_pruned32", {"strategy": "two_phase", "prune_buckets": 32}),
+    ]:
+        timed(
+            label,
+            domain_quota(
+                df, cap=cap, domain_col="domain", order_col="score", **kwargs
+            ),
+        )
+    kept = domain_quota(
+        df, cap=cap, domain_col="domain", order_col="score"
+    ).count()
+    df.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_rows": n,
+                "cap": cap,
+                "quota_probe": res,
+                "rows_kept": kept,
+            }
+        )
+    )
+
+
+def logreg_probe(n: int) -> None:
+    """Logistic-regression training throughput: 4 full-batch GD
+    iterations over ``n`` rows x 3 features. The claim: each
+    iteration is one map-side-combined scan of a narrow projection —
+    report rows/s/iteration with and without persisting the feature
+    frame. Usage: ``python bench_scale.py 50000000 logreg``."""
+    from updater_spark.operators.classifier import logreg_train
+
+    spark = get_spark("bench_scale_logreg")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    feats = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "doc_id")
+        .select(
+            "doc_id",
+            (F.pmod(F.xxhash64("doc_id"), F.lit(2))).cast("double").alias("y"),
+            (F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(1000)) / 500.0).alias("x1"),
+            (F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(1000)) / 500.0).alias("x2"),
+            (F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(1000)) / 500.0).alias("x3"),
+        )
+    )
+    iters = 4
+    t0 = time.perf_counter()
+    logreg_train(feats, "y", ["x1", "x2", "x3"], iters=iters)
+    rescan = time.perf_counter() - t0
+    cached = feats.persist()
+    cached.count()
+    t0 = time.perf_counter()
+    logreg_train(cached, "y", ["x1", "x2", "x3"], iters=iters)
+    persisted = time.perf_counter() - t0
+    cached.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_rows": n,
+                "logreg_probe": {
+                    "iters": iters,
+                    "rescan_wall_sec": round(rescan, 2),
+                    "persisted_wall_sec": round(persisted, 2),
+                    "rows_per_sec_per_iter_rescan": int(n * iters / rescan),
+                    "rows_per_sec_per_iter_persisted": int(
+                        n * iters / persisted
+                    ),
+                },
+            }
+        )
+    )
+
+
+def hardneg_probe(n: int) -> None:
+    """Hard-negative mining throughput: 2k queries against ``n``
+    clustered labeled vectors (64-dim), k=10. Same GEMM scan as the
+    exact ANN baseline plus the label mask — the probe verifies the
+    mask costs ~nothing next to the matmul.
+    Usage: ``python bench_scale.py 1000000 hardneg``."""
+    from updater_spark.operators.similarity import (
+        cosine_topk_arrow,
+        hard_negatives_arrow,
+    )
+
+    spark = get_spark("bench_scale_hardneg")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dim, n_clusters = 64, 256
+
+    def comp(i: int):
+        cl = F.col("vec_id") % n_clusters
+        center = (
+            F.pmod(F.xxhash64(cl, F.lit(i)), F.lit(2_000_001)) / 1_000_000.0
+            - 1.0
+        )
+        noise = (
+            F.pmod(F.xxhash64("vec_id", F.lit(i + 777)), F.lit(2_000_001))
+            / 1_000_000.0
+            - 1.0
+        )
+        return (center * 0.8 + noise * 0.2).cast("double")
+
+    emb = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "vec_id")
+        .select(
+            "vec_id",
+            F.array(*[comp(i) for i in range(dim)]).alias("embedding"),
+            F.pmod(F.col("vec_id"), F.lit(16)).cast("int").alias("label"),
+        )
+        .persist()
+    )
+    emb.count()
+    queries = emb.filter(F.col("vec_id") % max(n // 2000, 1) == 0)
+
+    # one discarded warm pass each (Arrow/JIT warm-up dominated the
+    # first measurement: plain-first-cold read 33.6s vs 17.6s masked)
+    cosine_topk_arrow(emb, queries, k=10).count()
+    hard_negatives_arrow(emb, queries, k=10).count()
+    t0 = time.perf_counter()
+    plain = cosine_topk_arrow(emb, queries, k=10).count()
+    base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mined = hard_negatives_arrow(emb, queries, k=10).count()
+    masked = time.perf_counter() - t0
+    emb.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_vectors": n,
+                "hardneg_probe": {
+                    "n_queries": 2000,
+                    "plain_topk_sec": round(base, 2),
+                    "hard_neg_sec": round(masked, 2),
+                    "mask_overhead_pct": round((masked / base - 1) * 100, 1),
+                    "rows_plain": plain,
+                    "rows_mined": mined,
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
@@ -2930,6 +3201,14 @@ if __name__ == "__main__":
         anomaly_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "sketches":
         sketches_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "dsir":
+        dsir_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "quota":
+        quota_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "logreg":
+        logreg_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "hardneg":
+        hardneg_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "bpetrain":
         bpetrain_probe(
             _n, int(sys.argv[3]) if len(sys.argv) > 3 else 30

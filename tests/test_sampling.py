@@ -265,3 +265,38 @@ def test_domain_quota_rejects_bad_cap(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, domain string")
     with _pytest.raises(ValueError, match="cap"):
         domain_quota(df, cap=0, domain_col="domain")
+
+
+def test_domain_quota_strategies_agree(spark):
+    from updater_spark.operators.sampling import domain_quota
+
+    rows = [
+        (i, f"d{i % 13}" if i % 3 else "hot", float((i * 29) % 97))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, s double")
+    outs = [
+        sorted(
+            tuple(r)
+            for r in domain_quota(
+                df, cap=5, domain_col="domain", order_col="s", **kw
+            ).collect()
+        )
+        for kw in (
+            {},
+            {"strategy": "two_phase"},
+            {"strategy": "two_phase", "prune_buckets": 4},
+            {"prune_buckets": 4},
+        )
+    ]
+    assert outs[0] == outs[1] == outs[2] == outs[3]
+
+
+def test_domain_quota_rejects_bad_strategy(spark):
+    import pytest as _pytest
+
+    from updater_spark.operators.sampling import domain_quota
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, domain string")
+    with _pytest.raises(ValueError, match="strategy"):
+        domain_quota(df, cap=1, domain_col="domain", strategy="magic")

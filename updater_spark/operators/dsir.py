@@ -56,6 +56,7 @@ def hashed_ngram_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_bits: int = 12,
+    hasher: str = "md5",
 ) -> DataFrame:
     """One row per feature OCCURRENCE: ``(id, bucket)`` for every word
     unigram and bigram, hashed into ``2^hash_bits`` buckets.
@@ -64,7 +65,17 @@ def hashed_ngram_buckets(
     array (the ``tokenize`` O(len²)-inlining discipline,
     operators/dedup.py:35) and concatenated before the explode, so the
     text splits once per row. Empty-string tokens (the split-on-empty
-    quirk) are dropped — they are not features."""
+    quirk) are dropped — they are not features.
+
+    ``hasher``: ``"md5"`` is the engine-portable default (a DuckDB
+    oracle reproduces buckets exactly); ``"xxhash64"`` is the deploy
+    twin — pure JVM, no hex round-trip, measured 3.2× faster end-to-
+    end at 2M docs (PROBES: dsir_2m) with identical selection
+    QUALITY semantics (any uniform bucket hash works for DSIR; only
+    the concrete bucket ids differ). Same split as the crc32/md5
+    fingerprint and sketch hasher twins."""
+    if hasher not in ("md5", "xxhash64"):
+        raise ValueError(f"hasher must be 'md5' or 'xxhash64', got {hasher!r}")
     b = F.lit(1 << hash_bits)
     toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     unis = F.filter(F.col("_toks"), lambda t: t != F.lit(""))
@@ -82,8 +93,13 @@ def hashed_ngram_buckets(
     feats = toks.select(
         F.col(id_col), F.explode(F.concat(unis, bis)).alias("_feat")
     )
+    base = (
+        md5_hash32(F.col("_feat"))
+        if hasher == "md5"
+        else F.xxhash64(F.col("_feat"))
+    )
     return feats.select(
-        F.col(id_col), F.pmod(md5_hash32(F.col("_feat")), b).alias("bucket")
+        F.col(id_col), F.pmod(base, b).alias("bucket")
     )
 
 
@@ -94,6 +110,7 @@ def dsir_log_ratios(
     text_col: str = "text",
     hash_bits: int = 12,
     alpha: float = 1.0,
+    hasher: str = "md5",
 ) -> DataFrame:
     """The B-row model: ``(bucket, log_ratio)`` with Laplace-smoothed
     ``ln((t_b+α)/(T+αB)) - ln((r_b+α)/(R+αB))``.
@@ -111,7 +128,7 @@ def dsir_log_ratios(
 
     def counts(frame: DataFrame, out: str) -> DataFrame:
         return (
-            hashed_ngram_buckets(frame, id_col, text_col, hash_bits)
+            hashed_ngram_buckets(frame, id_col, text_col, hash_bits, hasher)
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias(out))
         )
@@ -155,6 +172,7 @@ def dsir_weights(
     hash_bits: int = 12,
     alpha: float = 1.0,
     round_digits: int = 4,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Per-document log importance weight: ``(id, n_feats,
     log_weight)`` — the sum of bucket log-ratios over the document's
@@ -165,9 +183,9 @@ def dsir_weights(
     silently would make ``dsir_select``'s output set input-dependent
     in a way callers can't see."""
     ratios = dsir_log_ratios(
-        raw, target, id_col, text_col, hash_bits, alpha
+        raw, target, id_col, text_col, hash_bits, alpha, hasher
     )
-    feats = hashed_ngram_buckets(raw, id_col, text_col, hash_bits)
+    feats = hashed_ngram_buckets(raw, id_col, text_col, hash_bits, hasher)
     scored = (
         feats.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
@@ -205,6 +223,7 @@ def dsir_select(
     salt: str = "dsir-v1",
     round_digits: int = 4,
     key_digits: int = 6,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Select ``k`` documents from ``raw`` with probability ∝ their
     importance weight, without replacement (Gumbel top-k over the log
@@ -217,7 +236,7 @@ def dsir_select(
     if k < 1:
         raise ValueError("k must be >= 1")
     weights = dsir_weights(
-        raw, target, id_col, text_col, hash_bits, alpha, round_digits
+        raw, target, id_col, text_col, hash_bits, alpha, round_digits, hasher
     )
     key = F.round(
         F.col("log_weight") + _gumbel(id_col, salt), key_digits
