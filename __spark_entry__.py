@@ -4920,6 +4920,60 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR as CDC state: bootstrap the bucket model, apply one epoch
+    (doc_id%7==3 texts change, doc_id%13==0 docs deleted — removed
+    frames carry pre-image text, the changelog contract), then score
+    the final corpus. The oracle computes the same weights from the
+    final corpus directly — incremental counts are exactly the
+    from-scratch counts."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.dsir_index import DsirIndex
+    from updater_spark.sources.store import TableStore
+
+    docs = demo.load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="dsir_idx_")
+    try:
+        idx = DsirIndex(TableStore(spark, root), "docs", hash_bits=12)
+        idx.bootstrap(docs, docs.filter(F.col("lang") == "en"))
+
+        changed_old = docs.filter(F.col("doc_id") % 7 == 3)
+        changed_new = changed_old.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" zz yy"))
+        )
+        deleted = docs.filter(F.col("doc_id") % 13 == 0)
+        en = F.col("lang") == "en"
+        idx.update(
+            raw_added=changed_new.filter(F.col("doc_id") % 13 != 0),
+            raw_removed=changed_old.unionByName(
+                deleted.filter(F.col("doc_id") % 7 != 3)
+            ),
+            target_added=changed_new.filter(
+                en & (F.col("doc_id") % 13 != 0)
+            ),
+            target_removed=changed_old.filter(en).unionByName(
+                deleted.filter(en & (F.col("doc_id") % 7 != 3))
+            ),
+        )
+        final = (
+            docs.filter(F.col("doc_id") % 13 != 0)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 7 == 3,
+                    F.concat(F.col("text"), F.lit(" zz yy")),
+                ).otherwise(F.col("text")),
+            )
+        )
+        out = idx.weights(final)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation (updated for
@@ -4940,6 +4994,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi": q_text_pmi,
         "lr_quality_filter": q_lr_quality_filter,
         "hard_negatives": q_hard_negatives,
+        "dsir_incremental": q_dsir_incremental,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -6657,6 +6712,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
                    s.avg_logprob
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "dsir_incremental": """
+            WITH docs AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id % 7 = 3 THEN text || ' zz yy'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 13 <> 0
+            ),
+            toked AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM docs
+            ),
+            feats AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096
+                           AS bucket
+                FROM (
+                    SELECT doc_id, lang, unnest(toks) AS feat FROM toked
+                    UNION ALL
+                    SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS feat
+                    FROM (SELECT doc_id, lang, toks,
+                                 unnest(range(1, len(toks))) AS i
+                          FROM toked WHERE len(toks) >= 2)
+                ) WHERE feat <> ''
+            ),
+            tot AS (
+                SELECT COUNT(*) FILTER (lang = 'en') AS t, COUNT(*) AS r
+                FROM feats
+            ),
+            ratio AS (
+                SELECT b.bucket,
+                       ln((COALESCE(tc.c, 0) + 1.0)
+                          / ((SELECT t FROM tot) + 4096.0))
+                       - ln((COALESCE(rc.c, 0) + 1.0)
+                            / ((SELECT r FROM tot) + 4096.0)) AS log_ratio
+                FROM (SELECT unnest(range(0, 4096)) AS bucket) b
+                LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM feats
+                           WHERE lang = 'en' GROUP BY 1) tc USING (bucket)
+                LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM feats
+                           GROUP BY 1) rc USING (bucket)
+            ),
+            scored AS (
+                SELECT f.doc_id, COUNT(*) AS n_feats,
+                       round(SUM(r.log_ratio), 4) AS log_weight
+                FROM feats f JOIN ratio r USING (bucket) GROUP BY 1
+            )
+            SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+                   COALESCE(s.log_weight, 0.0) AS log_weight
+            FROM (SELECT DISTINCT doc_id FROM docs) d
+            LEFT JOIN scored s USING (doc_id)
         """,
         "dsir_select": """
             WITH toked AS MATERIALIZED (

@@ -3141,6 +3141,104 @@ def hardneg_probe(n: int) -> None:
     )
 
 
+def dsirindex_probe(n: int) -> None:
+    """DsirIndex incremental-vs-rebuild crossover at ``n`` docs with
+    1% churn: an epoch update should cost O(|delta|) token work + a
+    B-row merge, vs a full two-corpus re-count for the one-shot
+    operator. Usage: ``python bench_scale.py 10000000 dsirindex``."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.dsir_index import DsirIndex
+    from updater_spark.sources.store import TableStore
+
+    spark = get_spark("bench_scale_dsirindex")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _word(i, exponent, salt):
+        wid = (
+            F.pow(
+                F.pmod(F.xxhash64("doc_id", F.lit(i + salt)), F.lit(100_000))
+                / F.lit(100_000.0),
+                F.lit(exponent),
+            )
+            * F.lit(40_000)
+        ).cast("long")
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2) + F.pmod(wid, F.lit(4))),
+                lambda k: F.char(
+                    F.lit(97) + F.pmod(F.xxhash64(wid, k), F.lit(26))
+                ),
+            ),
+            "",
+        )
+
+    def corpus(rows, exponent, salt):
+        return (
+            spark.range(0, rows, numPartitions=64)
+            .withColumnRenamed("id", "doc_id")
+            .select(
+                "doc_id",
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(20)),
+                        lambda i: _word(i, exponent, salt),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+
+    raw = corpus(n, 2, 0)
+    target = corpus(max(n // 10, 1000), 3, 99)
+    root = tempfile.mkdtemp(prefix="dsir_probe_")
+    try:
+        idx = DsirIndex(
+            TableStore(spark, root), "m", hash_bits=14, hasher="xxhash64"
+        )
+        t0 = time.perf_counter()
+        idx.bootstrap(raw, target)
+        boot = time.perf_counter() - t0
+
+        churn = F.col("doc_id") % 100 == 7  # 1%
+        old = raw.filter(churn)
+        new = old.withColumn("text", F.concat("text", F.lit(" extratok")))
+        t0 = time.perf_counter()
+        idx.update(raw_added=new, raw_removed=old)
+        upd = time.perf_counter() - t0
+
+        final = raw.withColumn(
+            "text",
+            F.when(churn, F.concat("text", F.lit(" extratok"))).otherwise(
+                F.col("text")
+            ),
+        )
+        idx2 = DsirIndex(
+            TableStore(spark, root + "2"), "m", hash_bits=14, hasher="xxhash64"
+        )
+        t0 = time.perf_counter()
+        idx2.bootstrap(final, target)
+        rebuild = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "n_docs": n,
+                    "dsirindex_probe": {
+                        "churn_pct": 1.0,
+                        "bootstrap_sec": round(boot, 2),
+                        "update_sec": round(upd, 2),
+                        "rebuild_sec": round(rebuild, 2),
+                        "crossover": round(rebuild / upd, 2),
+                    },
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root + "2", ignore_errors=True)
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
@@ -3203,6 +3301,8 @@ if __name__ == "__main__":
         sketches_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "dsir":
         dsir_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "dsirindex":
+        dsirindex_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "quota":
         quota_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "logreg":
