@@ -4974,6 +4974,52 @@ def q_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR scoring (streaming/dsir_stream.py): documents
+    arrive as two parquet drops and each micro-batch is stamped with
+    its importance weight under a persistent DsirIndex via
+    foreachBatch — serving-side twin of dsir_incremental's
+    maintenance. The oracle computes the same weights (full-corpus
+    model, drop-subset scoring) in one shot; per-batch streaming
+    scoring must land on exactly those values."""
+    import shutil
+    import tempfile
+
+    from updater_spark.operators.dsir_index import DsirIndex
+    from updater_spark.sources.store import TableStore
+    from updater_spark.streaming.dsir_stream import run_dsir_score_stream
+
+    docs = demo.load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="dsir_stream_")
+    try:
+        idx = DsirIndex(
+            TableStore(spark, os.path.join(root, "store")),
+            "docs",
+            hash_bits=12,
+        )
+        idx.bootstrap(docs, docs.filter(F.col("lang") == "en"))
+        src = os.path.join(root, "drops")
+        for m in (0, 17):
+            docs.filter(F.col("doc_id") % 40 == m).select(
+                "doc_id", "text"
+            ).coalesce(1).write.mode("append").parquet(src)
+        with _stream_confs(spark):
+            sq = run_dsir_score_stream(
+                spark,
+                src,
+                "doc_id long, text string",
+                idx,
+                os.path.join(root, "out"),
+                os.path.join(root, "ckpt"),
+            )
+            sq.awaitTermination(600)
+        out = spark.read.parquet(os.path.join(root, "out")).drop("batch_id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation (updated for
@@ -4995,6 +5041,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lr_quality_filter": q_lr_quality_filter,
         "hard_negatives": q_hard_negatives,
         "dsir_incremental": q_dsir_incremental,
+        "streaming_dsir": q_streaming_dsir,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -6762,6 +6809,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
                    COALESCE(s.log_weight, 0.0) AS log_weight
             FROM (SELECT DISTINCT doc_id FROM docs) d
+            LEFT JOIN scored s USING (doc_id)
+        """,
+        "streaming_dsir": """
+            WITH toked AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            feats AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096
+                           AS bucket
+                FROM (
+                    SELECT doc_id, lang, unnest(toks) AS feat FROM toked
+                    UNION ALL
+                    SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS feat
+                    FROM (SELECT doc_id, lang, toks,
+                                 unnest(range(1, len(toks))) AS i
+                          FROM toked WHERE len(toks) >= 2)
+                ) WHERE feat <> ''
+            ),
+            tot AS (
+                SELECT COUNT(*) FILTER (lang = 'en') AS t, COUNT(*) AS r
+                FROM feats
+            ),
+            ratio AS (
+                SELECT b.bucket,
+                       ln((COALESCE(tc.c, 0) + 1.0)
+                          / ((SELECT t FROM tot) + 4096.0))
+                       - ln((COALESCE(rc.c, 0) + 1.0)
+                            / ((SELECT r FROM tot) + 4096.0)) AS log_ratio
+                FROM (SELECT unnest(range(0, 4096)) AS bucket) b
+                LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM feats
+                           WHERE lang = 'en' GROUP BY 1) tc USING (bucket)
+                LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM feats
+                           GROUP BY 1) rc USING (bucket)
+            ),
+            scored AS (
+                SELECT f.doc_id, COUNT(*) AS n_feats,
+                       round(SUM(r.log_ratio), 4) AS log_weight
+                FROM feats f JOIN ratio r USING (bucket)
+                WHERE f.doc_id % 40 IN (0, 17)
+                GROUP BY 1
+            )
+            SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+                   COALESCE(s.log_weight, 0.0) AS log_weight
+            FROM (SELECT DISTINCT doc_id FROM documents
+                  WHERE doc_id % 40 IN (0, 17)) d
             LEFT JOIN scored s USING (doc_id)
         """,
         "dsir_select": """
