@@ -5020,6 +5020,21 @@ def q_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (Carbonell & Goldstein 1998): greedy
+    top-10 trading relevance to the vec_id=0 query against redundancy
+    with already-selected vectors (lam=0.7). Sequential by nature, so
+    a driver-side rerank over a bounded candidate set; the oracle
+    unrolls the same greedy chain step by step."""
+    from updater_spark.operators.similarity import mmr_select
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter("vec_id = 0").first()["embedding"]
+    ]
+    return mmr_select(emb, qvec, k=10, lam=0.7)
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation (updated for
@@ -5042,6 +5057,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "dsir_incremental": q_dsir_incremental,
         "streaming_dsir": q_streaming_dsir,
+        "mmr_rerank": q_mmr_rerank,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -5557,6 +5573,7 @@ def _generated_oracles() -> dict[str, str]:
         "nb_classifier": _nb_sql(None),
         "nb_classifier_hashed": _nb_sql(12),
         "lr_quality_filter": _logreg_sql(),
+        "mmr_rerank": _mmr_sql(),
         "ivm_join_view": """
             WITH a0 AS (
                 SELECT c_custkey, c_nationkey AS nkey, c_name FROM customer
@@ -5891,6 +5908,50 @@ def _logreg_sql(iters: int = 4, lr: float = 0.5, grad_digits: int = 8) -> str:
                     THEN 1 ELSE 0 END AS keep
         FROM feats, {prev}
     """
+
+
+def _mmr_sql(k: int = 10, lam: float = 0.7) -> str:
+    """DuckDB replay of mmr_select: the greedy chain unrolled as one
+    CTE per step. ``1 - lam`` is emitted at full double precision
+    (repr) — writing a shortened decimal like 0.3 would be a
+    DIFFERENT double than Python's ``1.0 - 0.7`` and the scores would
+    drift in the 17th digit, occasionally flipping a rounded 4th."""
+    mu = repr(1.0 - lam)
+    parts = [f"""
+        WITH cand AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   round(list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings
+                        WHERE vec_id = 0)), 4) AS rel
+            FROM embeddings
+        ),
+        sel1 AS MATERIALIZED (
+            SELECT vec_id, v, rel, round({lam!r} * rel, 4) AS mmr,
+                   CAST(1 AS BIGINT) AS rank
+            FROM cand ORDER BY round({lam!r} * rel, 4) DESC, vec_id
+            LIMIT 1
+        )"""]
+    for t in range(2, k + 1):
+        parts.append(f""",
+        m{t} AS MATERIALIZED (
+            SELECT c.vec_id, c.v, c.rel,
+                   round({lam!r} * c.rel - {mu} * max(
+                       round(list_cosine_similarity(c.v, s.v), 4)), 4)
+                       AS mmr
+            FROM cand c, sel{t - 1} s
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+            GROUP BY c.vec_id, c.v, c.rel
+        ),
+        s{t} AS MATERIALIZED (
+            SELECT vec_id, v, rel, mmr, CAST({t} AS BIGINT) AS rank
+            FROM m{t} ORDER BY mmr DESC, vec_id LIMIT 1
+        ),
+        sel{t} AS MATERIALIZED (SELECT * FROM sel{t - 1}
+                   UNION ALL SELECT * FROM s{t})""")
+    parts.append(f"""
+        SELECT vec_id, rel, mmr, rank FROM sel{k}""")
+    return "".join(parts)
 
 
 def _nb_sql(hash_bits: int | None) -> str:

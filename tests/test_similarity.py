@@ -794,3 +794,71 @@ def test_hard_negatives_exact_against_numpy(spark):
             key=lambda t: -t[1],
         )
         assert [j for j, _ in got] == [j for j, _ in exp]
+
+
+def test_mmr_select_prefers_diversity(spark):
+    from updater_spark.operators.similarity import mmr_select
+
+    # query along x (NOT itself a candidate — if it were, every rel
+    # would equal the sim to the first pick and all scores would tie
+    # at 0); two near-duplicate high-rel vectors and one moderately
+    # relevant diverse vector: plain top-2 takes the twins, MMR must
+    # swap the second twin for the diverse vector
+    rows = [
+        (1, [0.99, 0.14, 0.0]),
+        (2, [0.98, 0.17, 0.0]),   # near-dup of 1
+        (3, [0.6, 0.0, 0.8]),     # diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_select(df, [1.0, 0.0, 0.0], k=2, lam=0.5)
+    picked = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    assert picked == [1, 3]
+
+
+def test_mmr_select_python_oracle(spark):
+    import numpy as np
+
+    from updater_spark.operators.similarity import mmr_select
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(30, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in vecs[0]]
+    out = mmr_select(df, q, k=6, lam=0.7)
+    got = [(r["vec_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = np.asarray(q) / np.linalg.norm(q)
+    rel = np.round(unit @ qn, 4)
+    taken, ms, exp = set(), np.zeros(30), []
+    for rank in range(1, 7):
+        best, best_key = None, None
+        for i in range(30):
+            if i in taken:
+                continue
+            key = (round(0.7 * rel[i] - (1.0 - 0.7) * ms[i], 4), -i)
+            if best_key is None or key > best_key:
+                best, best_key = i, key
+        exp.append((best, rank))
+        taken.add(best)
+        ms = np.maximum(ms, np.round(unit @ unit[best], 4))
+    assert got == exp
+
+
+def test_mmr_select_guards(spark):
+    import pytest as _pytest
+
+    from updater_spark.operators.similarity import mmr_select
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="lam"):
+        mmr_select(df, [1.0, 0.0], lam=1.5)
+    with _pytest.raises(ValueError, match="k must"):
+        mmr_select(df, [1.0, 0.0], k=0)
+    with _pytest.raises(ValueError, match="no candidates"):
+        mmr_select(df.filter("vec_id < 0"), [1.0, 0.0])

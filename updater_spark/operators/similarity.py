@@ -2114,3 +2114,75 @@ def hard_negatives_arrow(
     return local.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+def mmr_select(
+    candidates: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_candidates: int | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    greedily pick ``k`` candidates maximizing
+
+        mmr(d) = lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s)
+
+    — relevance to the query traded against redundancy with what is
+    already selected. The diversity-aware selection step of retrieval
+    and training-data curation (a plain top-k returns near-duplicate
+    neighbors; MMR spends the budget on coverage).
+
+    Spark-first honesty: MMR is inherently SEQUENTIAL (step t depends
+    on the selected set of step t-1), so it is a RERANK stage over a
+    BOUNDED candidate set — run it after an ANN/filter stage has cut
+    the corpus to <= max_candidates rows (the MAX_QUERY_ROWS driver
+    memory model), never over the corpus itself. The candidate matrix
+    collects via Arrow once; the k x N score loop is numpy on the
+    driver — k*N float ops, microseconds at any sane k.
+
+    Determinism contract (the oracle-exactness discipline): rel and
+    every pairwise sim are ROUNDED to 4 decimals before use, the mmr
+    score is rounded again, and ties break on id — so the selection
+    chain is a total order an unrolled-SQL oracle reproduces exactly.
+
+    Returns (id, rel, mmr, rank) for the selected rows, rank 1..k in
+    selection order. The first pick carries no diversity penalty
+    (its max-sim term is 0)."""
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    ids, cm = _collect_unit_queries(
+        candidates, id_col, vec_col, max_rows=max_candidates or MAX_QUERY_ROWS
+    )
+    if not len(ids):
+        raise ValueError("no candidates to rerank")
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    rel = np.round(cm @ q, 4)
+
+    selected: list[int] = []
+    max_sim = np.zeros(len(ids))
+    taken = np.zeros(len(ids), dtype=bool)
+    out = []
+    for rank in range(1, min(k, len(ids)) + 1):
+        mmr = np.round(lam * rel - (1.0 - lam) * max_sim, 4)
+        mmr_masked = np.where(taken, -np.inf, mmr)
+        best = int(np.lexsort((ids, -mmr_masked))[0])
+        out.append(
+            (int(ids[best]), float(rel[best]), float(mmr[best]), rank)
+        )
+        taken[best] = True
+        selected.append(best)
+        max_sim = np.maximum(max_sim, np.round(cm @ cm[best], 4))
+
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=[id_col, "rel", "mmr", "rank"])
+    )
