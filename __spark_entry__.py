@@ -5035,6 +5035,16 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(emb, qvec, k=10, lam=0.7)
 
 
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD robust outliers (Iglewicz & Hoaglin modified z-score) per
+    user over event values — the median-based screen whose baseline
+    the outliers can't inflate, complementing rolling_zscore/CUSUM.
+    Two grouped exact medians + joins; no window, no collect."""
+    from updater_spark.operators.anomaly import mad_outliers
+
+    return mad_outliers(demo.load(spark, sf_dir, "events"), threshold=3.0)
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation (updated for
@@ -5058,6 +5068,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_incremental": q_dsir_incremental,
         "streaming_dsir": q_streaming_dsir,
         "mmr_rerank": q_mmr_rerank,
+        "events_mad_outliers": q_events_mad_outliers,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -7008,6 +7019,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.n_pair >= 5
             ORDER BY pmi DESC, p.w1 ASC, p.w2 ASC
             LIMIT 50
+        """,
+        "events_mad_outliers": """
+            WITH med AS (
+                SELECT user_id, median(value) AS med
+                FROM events GROUP BY 1
+            ),
+            wm AS (
+                SELECT e.event_id, e.user_id, e.value, m.med
+                FROM events e JOIN med m USING (user_id)
+            ),
+            mad AS (
+                SELECT user_id, median(abs(value - med)) AS mad
+                FROM wm GROUP BY 1
+            )
+            SELECT w.event_id, w.user_id, w.value,
+                   CASE WHEN d.mad > 0
+                        THEN round(0.6745 * (w.value - w.med) / d.mad, 4)
+                   END AS robust_z,
+                   CASE WHEN d.mad > 0 THEN
+                        CASE WHEN abs(round(0.6745 * (w.value - w.med)
+                                            / d.mad, 4)) > 3.0
+                             THEN 1 ELSE 0 END
+                        ELSE CASE WHEN w.value <> w.med THEN 1 ELSE 0 END
+                   END AS is_outlier
+            FROM wm w JOIN mad d USING (user_id)
         """,
         "domain_quota": """
             WITH d AS (

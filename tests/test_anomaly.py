@@ -162,3 +162,30 @@ def test_cusum_flat_series_and_validation(spark):
         assert r["cusum_pos"] is None and r["cusum_alarm"] is None
     with pytest.raises(ValueError, match="h must"):
         cusum(df, "k", "t", "v", h=0.0)
+
+
+def test_mad_outliers_hand_values(spark):
+    from updater_spark.operators.anomaly import mad_outliers
+
+    # key a: values 1..7 plus a spike 100 -> median 4.5 of
+    # [1..7, 100]; MAD robust to the spike, only 100 flagged
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 100])]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, value double")
+    out = {r["event_id"]: r for r in mad_outliers(df, threshold=3.0).collect()}
+    flagged = [i for i, r in out.items() if r["is_outlier"] == 1]
+    assert flagged == [7]
+    # the spike's robust z is enormous; inliers are small
+    assert abs(out[7]["robust_z"]) > 10
+    assert all(abs(out[i]["robust_z"]) < 2 for i in range(7))
+
+
+def test_mad_outliers_flat_majority(spark):
+    from updater_spark.operators.anomaly import mad_outliers
+
+    # >50% identical values -> MAD = 0: robust_z NULL, any deviation flagged
+    rows = [(i, "k", 5.0) for i in range(6)] + [(9, "k", 6.0)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, value double")
+    out = {r["event_id"]: r for r in mad_outliers(df).collect()}
+    assert all(r["robust_z"] is None for r in out.values())
+    assert out[9]["is_outlier"] == 1
+    assert all(out[i]["is_outlier"] == 0 for i in range(6))

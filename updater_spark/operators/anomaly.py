@@ -164,3 +164,71 @@ def cusum(
         )
         .drop("_mu", "_sd")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Robust per-key outlier detection by Median Absolute Deviation:
+
+        robust_z = 0.6745 * (x - median) / MAD,
+        MAD = median(|x - median|)
+
+    (Iglewicz & Hoaglin 1993's modified z-score; 0.6745 makes it
+    consistent with sigma under normality). The rolling_zscore above
+    uses mean/stddev, which the outliers themselves inflate — one
+    large spike can mask every other spike in its key. Medians don't
+    move, so MAD flags all of them; the standard robust screen for
+    value columns in event/metrics pipelines.
+
+    Scale shape: two grouped EXACT medians (Catalyst ``percentile`` —
+    a per-key sort-based aggregate, partial-combining, shuffled by
+    key) and one join back by key — no window over the raw stream,
+    no driver collect. Keys whose MAD is 0 (over half the values
+    identical) get a NULL robust_z rather than a division blow-up:
+    any deviation from a constant majority is "infinitely" anomalous,
+    so ``is_outlier`` flags any value != median there while robust_z
+    stays NULL (the MySQL /0->NULL stance).
+
+    Returns (id, key, value, robust_z, is_outlier) with robust_z
+    rounded (cross-engine float tolerance)."""
+    med = df.groupBy(key_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med")
+    )
+    with_med = df.join(med, key_col)
+    mad = with_med.groupBy(key_col).agg(
+        F.percentile(
+            F.abs(F.col(value_col) - F.col("_med")), F.lit(0.5)
+        ).alias("_mad")
+    )
+    rz = F.when(
+        F.col("_mad") > 0,
+        F.round(
+            F.lit(0.6745)
+            * (F.col(value_col) - F.col("_med"))
+            / F.col("_mad"),
+            round_digits,
+        ),
+    )
+    return (
+        with_med.join(mad, key_col)
+        .select(
+            F.col(id_col),
+            F.col(key_col),
+            F.col(value_col),
+            rz.alias("robust_z"),
+            F.when(
+                F.col("_mad") > 0,
+                (F.abs(rz) > F.lit(threshold)).cast("int"),
+            )
+            .otherwise(
+                (F.col(value_col) != F.col("_med")).cast("int")
+            )
+            .alias("is_outlier"),
+        )
+    )
