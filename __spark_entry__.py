@@ -5045,6 +5045,32 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(demo.load(spark, sf_dir, "events"), threshold=3.0)
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (Sweeney 2002): drop customers whose
+    (nation, market segment) quasi-identifier group has fewer than 10
+    members. One grouped count + a null-safe semi-join back."""
+    from updater_spark.operators.privacy import k_anonymize
+
+    cust = demo.load(spark, sf_dir, "customer")
+    return k_anonymize(
+        cust, ["c_nationkey", "c_mktsegment"], k=10
+    ).select("c_custkey", "c_nationkey", "c_mktsegment")
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): quasi-groups
+    whose banded account balance (5k bands) shows < 3 distinct values — the
+    homogeneity leak k-anonymity misses."""
+    from updater_spark.operators.privacy import l_diversity_violations
+
+    cust = demo.load(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / F.lit(5000.0))
+    )
+    return l_diversity_violations(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", l_threshold=3
+    )
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation (updated for
@@ -5069,6 +5095,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dsir": q_streaming_dsir,
         "mmr_rerank": q_mmr_rerank,
         "events_mad_outliers": q_events_mad_outliers,
+        "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -7019,6 +7047,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.n_pair >= 5
             ORDER BY pmi DESC, p.w1 ASC, p.w2 ASC
             LIMIT 50
+        """,
+        "k_anonymity": """
+            WITH g AS (
+                SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+                FROM customer GROUP BY 1, 2
+            )
+            SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+            FROM customer c
+            JOIN g ON c.c_nationkey IS NOT DISTINCT FROM g.c_nationkey
+                  AND c.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment
+            WHERE g.n >= 10
+        """,
+        "l_diversity": """
+            SELECT c_nationkey, c_mktsegment,
+                   COUNT(*) AS group_size,
+                   COUNT(DISTINCT floor(c_acctbal / 5000.0))
+                       AS distinct_sensitive
+            FROM customer
+            GROUP BY 1, 2
+            HAVING COUNT(DISTINCT floor(c_acctbal / 5000.0)) < 3
         """,
         "events_mad_outliers": """
             WITH med AS (
