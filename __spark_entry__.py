@@ -5071,6 +5071,22 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the English slice and the rest of
+    the corpus: PSI (= Jeffreys divergence over the full smoothed
+    hashed-feature distributions) plus its two KL halves — the
+    monitoring scalar a 100 TB ingest pipeline alerts on between
+    epochs. 2B longs of state, nothing corpus-sized shuffles."""
+    from updater_spark.operators.dsir import corpus_divergence
+
+    docs = demo.load(spark, sf_dir, "documents")
+    return corpus_divergence(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        hash_bits=12,
+    )
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation (updated for
@@ -5097,6 +5113,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": q_events_mad_outliers,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
+        "corpus_divergence": q_corpus_divergence,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -7047,6 +7064,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.n_pair >= 5
             ORDER BY pmi DESC, p.w1 ASC, p.w2 ASC
             LIMIT 50
+        """,
+        "corpus_divergence": """
+            WITH toked AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            feats AS MATERIALIZED (
+                SELECT lang,
+                       ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096
+                           AS bucket
+                FROM (
+                    SELECT doc_id, lang, unnest(toks) AS feat FROM toked
+                    UNION ALL
+                    SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS feat
+                    FROM (SELECT doc_id, lang, toks,
+                                 unnest(range(1, len(toks))) AS i
+                          FROM toked WHERE len(toks) >= 2)
+                ) WHERE feat <> ''
+            ),
+            tot AS (
+                SELECT COUNT(*) FILTER (lang = 'en') AS ta,
+                       COUNT(*) FILTER (lang <> 'en') AS tb
+                FROM feats
+            ),
+            per AS (
+                SELECT (COALESCE(ac.c, 0) + 1.0)
+                           / ((SELECT ta FROM tot) + 4096.0) AS pa,
+                       (COALESCE(bc.c, 0) + 1.0)
+                           / ((SELECT tb FROM tot) + 4096.0) AS pb
+                FROM (SELECT unnest(range(0, 4096)) AS bucket) b
+                LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM feats
+                           WHERE lang = 'en' GROUP BY 1) ac USING (bucket)
+                LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM feats
+                           WHERE lang <> 'en' GROUP BY 1) bc USING (bucket)
+            )
+            SELECT round(SUM((pa - pb) * ln(pa / pb)), 6) AS psi,
+                   round(SUM(pa * ln(pa / pb)), 6) AS kl_ab,
+                   round(SUM(-pb * ln(pa / pb)), 6) AS kl_ba,
+                   CAST(4096 AS BIGINT) AS n_buckets,
+                   (SELECT ta FROM tot) AS n_feats_a,
+                   (SELECT tb FROM tot) AS n_feats_b
+            FROM per
         """,
         "k_anonymity": """
             WITH g AS (

@@ -106,3 +106,38 @@ def test_bad_params(corpus):
         dsir_log_ratios(corpus, corpus, alpha=0.0)
     with pytest.raises(ValueError, match="k must be"):
         dsir_select(corpus, corpus, k=0)
+
+
+def test_corpus_divergence_properties(spark, corpus):
+    from pyspark.sql import functions as F
+
+    from updater_spark.operators.dsir import corpus_divergence
+
+    en = corpus.filter(F.col("lang") == "en")
+    other = corpus.filter(F.col("lang") != "en")
+
+    # self-divergence is zero
+    self_row = corpus_divergence(en, en, hash_bits=8).collect()[0]
+    assert self_row["psi"] == 0.0
+    assert self_row["kl_ab"] == 0.0 and self_row["kl_ba"] == 0.0
+
+    # cross-language divergence is positive, PSI = KL(a||b) + KL(b||a)
+    row = corpus_divergence(en, other, hash_bits=8).collect()[0]
+    assert row["psi"] > 0
+    assert abs(row["psi"] - (row["kl_ab"] + row["kl_ba"])) < 2e-6
+    assert row["n_buckets"] == 256
+
+    # symmetry of PSI; KL halves swap
+    rev = corpus_divergence(other, en, hash_bits=8).collect()[0]
+    assert abs(rev["psi"] - row["psi"]) < 2e-6
+    assert abs(rev["kl_ab"] - row["kl_ba"]) < 2e-6
+
+
+def test_corpus_divergence_empty_side_raises(spark, corpus):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from updater_spark.operators.dsir import corpus_divergence
+
+    with _pytest.raises(ValueError, match="empty feature stream"):
+        corpus_divergence(corpus, corpus.filter(F.lit(False)))

@@ -48,6 +48,7 @@ __all__ = [
     "dsir_log_ratios",
     "dsir_weights",
     "dsir_select",
+    "corpus_divergence",
 ]
 
 
@@ -245,4 +246,82 @@ def dsir_select(
         weights.withColumn("_key", key)
         .orderBy(F.col("_key").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def corpus_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_bits: int = 12,
+    alpha: float = 1.0,
+    round_digits: int = 6,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Distribution-drift metrics between two corpora over the hashed
+    n-gram feature space: KL(a||b), KL(b||a), their symmetric sum
+    (Jeffreys divergence), and the Population Stability Index
+
+        PSI = sum_b (p_a(b) - p_b(b)) * ln(p_a(b) / p_b(b))
+
+    — the monitoring statistic ops teams alert on (common rule of
+    thumb: PSI < 0.1 stable, > 0.25 investigate). Over full smoothed
+    distributions PSI is algebraically the Jeffreys divergence
+    (KL(a||b) + KL(b||a)) — reported once, with its two asymmetric
+    halves alongside. Both distributions
+    are Laplace-smoothed over the SAME fixed bucket space, so the
+    metric is well-defined even when one side has unseen features,
+    and the state is 2B longs regardless of vocabulary (the DSIR
+    model shape — this IS the dsir_log_ratios aggregation read as a
+    scalar instead of a per-bucket direction).
+
+    Scale shape: two token-stream scans collapsing to B rows each,
+    one B-row join, one global agg — nothing corpus-sized ever
+    shuffles. Returns ONE row: (psi, kl_ab, kl_ba, n_buckets,
+    n_feats_a, n_feats_b) with psi == kl_ab + kl_ba by identity."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    b_count = 1 << hash_bits
+    spark = a.sparkSession
+
+    def counts(frame: DataFrame, out: str) -> DataFrame:
+        return (
+            hashed_ngram_buckets(frame, id_col, text_col, hash_bits, hasher)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a_cnt = counts(a, "_a")
+    b_cnt = counts(b, "_b")
+    a_total = a_cnt.agg(F.sum("_a")).first()[0] or 0
+    b_total = b_cnt.agg(F.sum("_b")).first()[0] or 0
+    if a_total == 0 or b_total == 0:
+        raise ValueError(
+            f"empty feature stream (a={a_total}, b={b_total})"
+        )
+    all_b = spark.range(b_count).select(F.col("id").alias("bucket"))
+    pa = (F.coalesce(F.col("_a"), F.lit(0)) + F.lit(alpha)) / F.lit(
+        float(a_total + alpha * b_count)
+    )
+    pb = (F.coalesce(F.col("_b"), F.lit(0)) + F.lit(alpha)) / F.lit(
+        float(b_total + alpha * b_count)
+    )
+    ratio = F.log(pa / pb)
+    per_bucket = (
+        all_b.join(F.broadcast(a_cnt), "bucket", "left")
+        .join(F.broadcast(b_cnt), "bucket", "left")
+        .select(
+            (pa * ratio).alias("_kl_ab"),
+            (-pb * ratio).alias("_kl_ba"),
+            ((pa - pb) * ratio).alias("_psi"),
+        )
+    )
+    return per_bucket.agg(
+        F.round(F.sum("_psi"), round_digits).alias("psi"),
+        F.round(F.sum("_kl_ab"), round_digits).alias("kl_ab"),
+        F.round(F.sum("_kl_ba"), round_digits).alias("kl_ba"),
+        F.lit(b_count).cast("long").alias("n_buckets"),
+        F.lit(int(a_total)).cast("long").alias("n_feats_a"),
+        F.lit(int(b_total)).cast("long").alias("n_feats_b"),
     )
