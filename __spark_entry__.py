@@ -5087,21 +5087,36 @@ def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_embed_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text embeddings: hashed n-gram counts x a
+    deterministic ±1 sign projection (one md5 per bucket supplies all
+    16 signs), 1/sqrt(16) scaling exact in binary. Output exploded to
+    (doc_id, j, v) scalars for the value-hash compare; the array form
+    feeds the ANN operators directly."""
+    from updater_spark.operators.dsir import hashed_text_embedding
+
+    emb = hashed_text_embedding(
+        demo.load(spark, sf_dir, "documents"), dim=16
+    )
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("j", "v")
+    ).withColumn("j", F.col("j").cast("int"))
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
-    # the FIRST 50 registered queries. Round-8 rotation (updated for
-    # the session-2 additions): the window is exactly the queries
-    # whose result could have moved this round — all NEW r8 queries
-    # (graph trio + triangles, tokenizer-train pair, bm25, bigram LM,
-    # weighted sampling, quality_checks, anomaly/cusum/ewma, pca,
-    # funnel/retention/gapfill, hll/cm sketches, streaming_anomaly,
-    # cdc_type_evolution) plus everything whose CODE PATH changed in
-    # r8 (the cdc.py/diff.py boundary-diff rework, tokenizer.py,
-    # ann_index.py filtered search, decontam.py validation) — then the
-    # stalest r5-row queries fill the window. r5-row leftovers lead the
-    # tail for the r9 rotation; fresh unchanged r6/r7 rows close it.
+    # the FIRST 50 registered queries. Round-8 rotation, third session:
+    # the 12 session-3 queries lead (no driver row yet — the DSIR
+    # family incl. incremental/streaming, domain_quota, text_pmi,
+    # lr_quality_filter, hard_negatives, mmr_rerank,
+    # events_mad_outliers, k_anonymity/l_diversity,
+    # corpus_divergence), then the session-1/2 r8 additions (graph
+    # trio, tokenizer-train pair, bm25, bigram LM, sketches,
+    # anomaly/cusum/ewma, pca, funnel/retention/gapfill,
+    # cdc_type_evolution, ...) whose rows are also from this round's
+    # driver runs; the stalest earlier-round rows fill the tail.
     return {
-        # --- r8 window: new this round (no driver row yet) ---
+        # --- r8 window, session 3: new (no driver row yet) ---
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
         "text_pmi": q_text_pmi,
@@ -5114,6 +5129,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
         "corpus_divergence": q_corpus_divergence,
+        "text_embed_hashed": q_text_embed_hashed,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -7064,6 +7080,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.n_pair >= 5
             ORDER BY pmi DESC, p.w1 ASC, p.w2 ASC
             LIMIT 50
+        """,
+        "text_embed_hashed": """
+            WITH toked AS MATERIALIZED (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            feats AS MATERIALIZED (
+                SELECT doc_id,
+                       ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096
+                           AS bucket
+                FROM (
+                    SELECT doc_id, unnest(toks) AS feat FROM toked
+                    UNION ALL
+                    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS feat
+                    FROM (SELECT doc_id, toks,
+                                 unnest(range(1, len(toks))) AS i
+                          FROM toked WHERE len(toks) >= 2)
+                ) WHERE feat <> ''
+            ),
+            cnts AS (
+                SELECT doc_id, bucket, COUNT(*) AS cnt
+                FROM feats GROUP BY 1, 2
+            ),
+            dims AS (SELECT unnest(range(0, 16)) AS j),
+            contrib AS (
+                SELECT c.doc_id, d.j,
+                       c.cnt * (CASE WHEN ('0x' || substr(
+                                    md5(c.bucket::VARCHAR), d.j + 1, 1))
+                                    ::BIGINT % 2 = 0
+                                THEN 1 ELSE -1 END) AS x
+                FROM cnts c CROSS JOIN dims d
+            ),
+            vecs AS (
+                SELECT doc_id, j,
+                       round(CAST(SUM(x) AS DOUBLE) * 0.25, 4) AS v
+                FROM contrib GROUP BY 1, 2
+            )
+            SELECT d.doc_id, CAST(dm.j AS INT) AS j,
+                   COALESCE(vv.v, 0.0) AS v
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN dims dm
+            LEFT JOIN vecs vv ON vv.doc_id = d.doc_id AND vv.j = dm.j
         """,
         "corpus_divergence": """
             WITH toked AS MATERIALIZED (

@@ -141,3 +141,55 @@ def test_corpus_divergence_empty_side_raises(spark, corpus):
 
     with _pytest.raises(ValueError, match="empty feature stream"):
         corpus_divergence(corpus, corpus.filter(F.lit(False)))
+
+
+def test_hashed_text_embedding_shape_and_determinism(spark, corpus):
+    import math
+
+    from updater_spark.operators.dsir import hashed_text_embedding
+
+    out = {r["doc_id"]: r["embedding"] for r in
+           hashed_text_embedding(corpus, dim=8).collect()}
+    assert all(len(v) == 8 for v in out.values())
+    # empty doc -> exact zero vector
+    assert out[5] == [0.0] * 8
+    # deterministic across partitionings
+    again = {r["doc_id"]: r["embedding"] for r in
+             hashed_text_embedding(corpus.repartition(3), dim=8).collect()}
+    assert out == again
+    # norm scales with feature count: the repetitive doc 4 has mass
+    assert math.sqrt(sum(x * x for x in out[4])) > 0
+
+
+def test_hashed_text_embedding_similarity_signal(spark):
+    import math
+
+    from updater_spark.operators.dsir import hashed_text_embedding
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely unrelated words appear here instead now"),
+        ],
+        "doc_id long, text string",
+    )
+    v = {r["doc_id"]: r["embedding"] for r in
+         hashed_text_embedding(docs, dim=32).collect()}
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    assert cos(v[0], v[1]) > cos(v[0], v[2])
+    assert cos(v[0], v[1]) > 0.5
+
+
+def test_hashed_text_embedding_dim_guard(spark, corpus):
+    import pytest as _pytest
+
+    from updater_spark.operators.dsir import hashed_text_embedding
+
+    with _pytest.raises(ValueError, match="dim"):
+        hashed_text_embedding(corpus, dim=33)

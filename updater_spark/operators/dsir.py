@@ -49,6 +49,7 @@ __all__ = [
     "dsir_weights",
     "dsir_select",
     "corpus_divergence",
+    "hashed_text_embedding",
 ]
 
 
@@ -324,4 +325,77 @@ def corpus_divergence(
         F.lit(b_count).cast("long").alias("n_buckets"),
         F.lit(int(a_total)).cast("long").alias("n_feats_a"),
         F.lit(int(b_total)).cast("long").alias("n_feats_b"),
+    )
+
+
+def hashed_text_embedding(
+    df: DataFrame,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_bits: int = 12,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Model-free dense text embeddings by feature hashing + sign
+    random projection: bucket counts (the DSIR feature space) times a
+    deterministic ±1 matrix, scaled 1/sqrt(dim) — the hashing-trick
+    embedding (Weinberger et al. 2009 features; Achlioptas 2003 sign
+    projection). Inner products approximate the (hashed) bag-of-
+    n-grams kernel, so the output column drops straight into every
+    ANN/IVF/PQ operator here WITHOUT an embedding model — the cheap
+    text→vector bridge for similarity search, clustering, and
+    near-dup candidate generation when no model is available.
+
+    The projection matrix is never materialized: all ``dim`` signs of
+    a bucket derive from the parity of single hex digits of ONE
+    md5(bucket) — engine-portable (the DuckDB oracle reproduces every
+    sign), one hash per (doc, bucket) row, and capped at dim <= 32
+    (an md5 has 32 hex digits; a wider target should PQ/JL an
+    existing embedding instead, operators/projection.py).
+
+    Scale shape: one token scan collapsing to (doc, bucket, cnt) —
+    partial aggs bound the explode before its shuffle — then dim
+    conditional sums in ONE grouped aggregate by doc; no joins, no
+    UDFs, no per-element Python. Returns (id, embedding
+    array<double>) with components rounded; all-zero documents
+    (empty text) get the zero vector."""
+    if not 1 <= dim <= 32:
+        raise ValueError(f"dim must be in [1, 32], got {dim}")
+    feats = hashed_ngram_buckets(df, id_col, text_col, hash_bits, "md5")
+    cnts = feats.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    hexstr = F.md5(F.col("bucket").cast("string").cast("binary"))
+    scale = 1.0 / float(dim) ** 0.5
+    sums = [
+        F.round(
+            F.sum(
+                F.col("_cnt")
+                * F.when(
+                    F.conv(F.substring(hexstr, j + 1, 1), 16, 10)
+                    .cast("int")
+                    .bitwiseAND(F.lit(1))
+                    == 0,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            )
+            * F.lit(scale),
+            round_digits,
+        ).alias(f"_v{j}")
+        for j in range(dim)
+    ]
+    vecs = cnts.groupBy(id_col).agg(*sums)
+    out = vecs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_v{j}") for j in range(dim)]).alias("embedding"),
+    )
+    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(out, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("embedding", zero).alias("embedding"),
+        )
     )
