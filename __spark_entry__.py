@@ -5103,6 +5103,19 @@ def q_text_embed_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("j", F.col("j").cast("int"))
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone k-means (Lloyd, k=8, 2 iterations) over the
+    embeddings — the clustering primitive the IVF/PQ trainers run,
+    with the full determinism contract (lowest-id init, rounded
+    centroids and distances, lowest-cluster ties) so the oracle
+    replays the iteration chain exactly."""
+    from updater_spark.operators.similarity import kmeans_lloyd
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    _, asg = kmeans_lloyd(emb, k=8, iters=2)
+    return asg
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation, third session:
@@ -5130,6 +5143,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "corpus_divergence": q_corpus_divergence,
         "text_embed_hashed": q_text_embed_hashed,
+        "kmeans_clusters": q_kmeans_clusters,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -5646,6 +5660,7 @@ def _generated_oracles() -> dict[str, str]:
         "nb_classifier_hashed": _nb_sql(12),
         "lr_quality_filter": _logreg_sql(),
         "mmr_rerank": _mmr_sql(),
+        "kmeans_clusters": _kmeans_sql(),
         "ivm_join_view": """
             WITH a0 AS (
                 SELECT c_custkey, c_nationkey AS nkey, c_name FROM customer
@@ -6023,6 +6038,63 @@ def _mmr_sql(k: int = 10, lam: float = 0.7) -> str:
                    UNION ALL SELECT * FROM s{t})""")
     parts.append(f"""
         SELECT vec_id, rel, mmr, rank FROM sel{k}""")
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, r: int = 6) -> str:
+    """DuckDB replay of kmeans_lloyd: init from the k lowest-id
+    vectors, then per iteration one argmin assignment (rounded
+    quadratic-form distances, ties to the lowest cluster) and one
+    rounded element-wise centroid average, empty clusters inheriting
+    the previous centroid. MATERIALIZED everywhere — the chain
+    re-references each step (the mmr_rerank 3^k lesson)."""
+    d2 = (
+        "round(list_inner_product(b.v, b.v)"
+        " - 2 * list_inner_product(b.v, c.c)"
+        f" + list_inner_product(c.c, c.c), {r})"
+    )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+        {name} AS MATERIALIZED (
+            SELECT vec_id, v, cluster, d2 FROM (
+                SELECT b.vec_id, b.v, c.cluster, {d2} AS d2,
+                       row_number() OVER (PARTITION BY b.vec_id
+                                          ORDER BY {d2}, c.cluster) AS rk
+                FROM base b CROSS JOIN {cents} c
+            ) WHERE rk = 1
+        )"""
+
+    def update(prev: str, asg: str, out: str) -> str:
+        return f"""
+        {out} AS MATERIALIZED (
+            SELECT p.cluster, COALESCE(n.c, p.c) AS c
+            FROM {prev} p LEFT JOIN (
+                SELECT cluster, list(cv ORDER BY j) AS c FROM (
+                    SELECT cluster, j, round(avg(val), {r}) AS cv
+                    FROM (SELECT cluster, unnest(v) AS val,
+                                 generate_subscripts(v, 1) AS j
+                          FROM {asg})
+                    GROUP BY 1, 2
+                ) GROUP BY cluster
+            ) n USING (cluster)
+        )"""
+
+    parts = [f"""
+        WITH base AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        c0 AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                   list_transform(c_raw, x -> round(x, {r})) AS c
+            FROM (SELECT vec_id, v AS c_raw FROM base
+                  ORDER BY vec_id LIMIT {k})
+        )"""]
+    for t in range(1, iters + 1):
+        parts.append("," + assign(f"a{t}", f"c{t - 1}"))
+        parts.append("," + update(f"c{t - 1}", f"a{t}", f"c{t}"))
+    parts.append("," + assign("af", f"c{iters}"))
+    parts.append("\n        SELECT vec_id, cluster, d2 FROM af")
     return "".join(parts)
 
 

@@ -862,3 +862,55 @@ def test_mmr_select_guards(spark):
         mmr_select(df, [1.0, 0.0], k=0)
     with _pytest.raises(ValueError, match="no candidates"):
         mmr_select(df.filter("vec_id < 0"), [1.0, 0.0])
+
+
+def test_kmeans_lloyd_separates_obvious_clusters(spark):
+    from updater_spark.operators.similarity import kmeans_lloyd
+
+    rows = [(i, [10.0 + (i % 3) * 0.01, 0.0]) for i in range(10)] + [
+        (i, [-10.0 - (i % 3) * 0.01, 1.0]) for i in range(10, 20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, asg = kmeans_lloyd(df, k=2, iters=3)
+    got = {r["vec_id"]: r["cluster"] for r in asg.collect()}
+    left = {got[i] for i in range(10)}
+    right = {got[i] for i in range(10, 20)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    # centroids landed on the true means (to rounding)
+    xs = sorted(c[0] for c in cents)
+    assert abs(xs[0] - (-10.01)) < 0.01 and abs(xs[1] - 10.01) < 0.01
+
+
+def test_kmeans_lloyd_deterministic_and_inertia_decreases(spark):
+    import numpy as np
+
+    from updater_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 5))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    _, a1 = kmeans_lloyd(df, k=4, iters=1)
+    _, a3 = kmeans_lloyd(df, k=4, iters=3)
+    inertia1 = sum(r["d2"] for r in a1.collect())
+    inertia3 = sum(r["d2"] for r in a3.collect())
+    assert inertia3 <= inertia1 + 1e-9
+
+    _, b3 = kmeans_lloyd(df.repartition(7), k=4, iters=3)
+    assert sorted(map(tuple, a3.collect())) == sorted(map(tuple, b3.collect()))
+
+
+def test_kmeans_lloyd_guards(spark):
+    import pytest as _pytest
+
+    from updater_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="at least k"):
+        kmeans_lloyd(df, k=3)
+    with _pytest.raises(ValueError, match="must be >= 1"):
+        kmeans_lloyd(df, k=0)

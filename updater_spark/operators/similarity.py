@@ -2186,3 +2186,92 @@ def mmr_select(
     return spark.createDataFrame(
         pd.DataFrame(out, columns=[id_col, "rel", "mmr", "rank"])
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> tuple[list[list[float]], DataFrame]:
+    """First-class k-means (Lloyd) with an exact-replay contract —
+    the clustering primitive behind the IVF/PQ training paths
+    (ivf_train / pq_train run the same loop tuned for their index
+    shapes), exposed standalone for corpus clustering, prototype
+    selection, and diversity analysis.
+
+    Determinism contract (the logreg_train discipline): init is the
+    ``k`` lowest-id vectors, every centroid component is ROUNDED
+    after each averaging step, every distance is rounded before the
+    argmin, and ties break to the lowest cluster id — so the full
+    iteration chain is a total order an unrolled-SQL oracle replays
+    exactly. A cluster that loses all members keeps its previous
+    centroid (both engines must agree on SOMETHING; dropping it
+    would renumber every later cluster).
+
+    Scale shape per iteration: one assignment scan (pure Catalyst —
+    k rounded quadratic-form distances per row, argmin via
+    array_position, the ivf_assign shape) and one grouped average
+    (explode to (cluster, pos, val); partial aggs collapse to k*dim
+    rows before the shuffle; k*dim doubles reach the driver). No
+    UDFs, no per-row Python, corpus never joined to itself.
+
+    Returns (centroids, assignments) — assignments is
+    (id, cluster, d2) under the FINAL centroids."""
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
+    base = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    init_rows = (
+        base.orderBy(id_col)
+        .limit(k)
+        .select(F.transform("_v", lambda x: F.round(x, round_digits)).alias("c"))
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(init_rows)}")
+    cents = [[float(x) for x in r["c"]] for r in init_rows]
+
+    def assign(cs: list[list[float]]) -> DataFrame:
+        ipvv = dot(F.col("_v"), F.col("_v"))
+        d2s = [
+            F.round(
+                ipvv
+                - F.lit(2.0) * dot(F.col("_v"), F.array(*[F.lit(x) for x in c]))
+                + F.lit(sum(x * x for x in c)),
+                round_digits,
+            )
+            for c in cs
+        ]
+        arr = F.array(*d2s)
+        return base.select(
+            F.col(id_col),
+            F.col("_v"),
+            (F.array_position(arr, F.array_min(arr)) - 1).cast("long").alias(
+                "cluster"
+            ),
+            F.array_min(arr).alias("d2"),
+        )
+
+    for _ in range(iters):
+        asg = assign(cents)
+        comp = (
+            asg.select("cluster", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), round_digits).alias("cv"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cluster keeps previous
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in comp:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(
+                r["cv"]
+            )
+        for ci, posmap in by_cluster.items():
+            new_cents[ci] = [posmap[j] for j in range(len(posmap))]
+        cents = new_cents
+
+    return cents, assign(cents).select(id_col, "cluster", "d2")
