@@ -2060,10 +2060,16 @@ def hard_negatives_arrow(
     qids, qm = _collect_unit_queries(
         queries, id_col, vec_col, max_rows=max_query_rows or MAX_QUERY_ROWS
     )
-    lab_rows = queries.select(
-        F.col(id_col).cast("long"), F.col(label_col).cast("long")
-    ).collect()
-    lab_map = {r[0]: r[1] for r in lab_rows}
+    # Arrow collect, not Rows — at MAX_QUERY_ROWS the boxed-Row path
+    # would allocate 4x the bytes for the same two long columns (the
+    # _collect_queries rationale)
+    tbl = queries.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(label_col).cast("long").alias("lab"),
+    ).toArrow()
+    lab_map = dict(
+        zip(tbl.column("id").to_numpy(), tbl.column("lab").to_numpy())
+    )
     qlabels = np.array([lab_map[i] for i in qids], dtype=np.int64)
 
     out_schema = "query_id long, neighbor_id long, sim double"
