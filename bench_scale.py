@@ -3141,6 +3141,68 @@ def hardneg_probe(n: int) -> None:
     )
 
 
+def kmeans_probe(n: int) -> None:
+    """Standalone k-means throughput: k=32 over ``n`` 64-dim
+    clustered vectors, 3 Lloyd iterations. Each iteration is one
+    Catalyst assignment scan (k rounded quadratic forms per row) and
+    one grouped average collapsing to k*dim rows — report
+    rows/s/iteration. Usage: ``python bench_scale.py 1000000 kmeans``."""
+    from updater_spark.operators.similarity import kmeans_lloyd
+
+    spark = get_spark("bench_scale_kmeans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dim, n_clusters = 64, 256
+
+    def comp(i: int):
+        cl = F.col("vec_id") % n_clusters
+        center = (
+            F.pmod(F.xxhash64(cl, F.lit(i)), F.lit(2_000_001)) / 1_000_000.0
+            - 1.0
+        )
+        noise = (
+            F.pmod(F.xxhash64("vec_id", F.lit(i + 777)), F.lit(2_000_001))
+            / 1_000_000.0
+            - 1.0
+        )
+        return (center * 0.8 + noise * 0.2).cast("double")
+
+    emb = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "vec_id")
+        .select(
+            "vec_id",
+            F.array(*[comp(i) for i in range(dim)]).alias("embedding"),
+        )
+        .persist()
+    )
+    emb.count()
+    iters = 3
+    res = {}
+    for engine in ("catalyst", "arrow"):
+        t0 = time.perf_counter()
+        cents, asg = kmeans_lloyd(emb, k=32, iters=iters, engine=engine)
+        n_out = asg.count()
+        wall = time.perf_counter() - t0
+        res[engine] = {
+            "wall_sec": round(wall, 2),
+            "rows_per_sec_per_iter": int(n * iters / wall),
+            "assigned": n_out,
+        }
+    emb.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_vectors": n,
+                "k": 32,
+                "dim": dim,
+                "iters": iters,
+                "kmeans_probe": res,
+            }
+        )
+    )
+
+
 def dsirindex_probe(n: int) -> None:
     """DsirIndex incremental-vs-rebuild crossover at ``n`` docs with
     1% churn: an epoch update should cost O(|delta|) token work + a
@@ -3303,6 +3365,8 @@ if __name__ == "__main__":
         dsir_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "dsirindex":
         dsirindex_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "kmeans":
+        kmeans_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "quota":
         quota_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "logreg":

@@ -354,6 +354,47 @@ CHECKS = {
         "literal — no scalar-subquery cartesian against the corpus; "
         "shuffles carry (gram) rows, never document text."
     ),
+    "dsir_select": (
+        "the B-row (2^hash_bits) ratio table is the ONLY broadcast; "
+        "both count passes partial-combine to B rows before their "
+        "exchange; the final selection is TakeOrderedAndProject "
+        "(per-partition heaps), never a global sort of the corpus."
+    ),
+    "domain_quota": (
+        "one ranking-window exchange on the derived domain; the scan "
+        "is column-pruned to (doc_id, n_chars, source). The "
+        "two_phase strategy's shuffle-volume trade and the exact "
+        "prune are measured in PROBES quota_20m, equal results "
+        "pinned in tests/test_sampling.py."
+    ),
+    "text_pmi": (
+        "shuffles carry the vocab and bigram-vocab aggregates only; "
+        "both totals fold as driver literals; the top-k is "
+        "TakeOrderedAndProject, so the token stream is never "
+        "exchanged or globally sorted."
+    ),
+    "lr_quality_filter": (
+        "the SCORING plan has zero exchanges — a pure per-row "
+        "projection under whole-stage codegen (training's per-"
+        "iteration aggregates ran eagerly at build time, one "
+        "map-side-combined scan each)."
+    ),
+    "hard_negatives": (
+        "one narrow MapInPandas GEMM scan of the corpus (id, vec, "
+        "label only); the label mask is applied inside the batch "
+        "before the local top-k, so the window ranks k rows per "
+        "(query, batch), never the corpus."
+    ),
+    "events_mad_outliers": (
+        "two grouped EXACT percentile aggregates (partial-combining, "
+        "shuffled by key) + joins back on the key — no window over "
+        "the raw event stream, no driver collect."
+    ),
+    "k_anonymity": (
+        "one grouped count over the quasi columns, then a LeftSemi "
+        "join back (broadcast — the group frame is |groups| rows); "
+        "the customer scan is column-pruned."
+    ),
 }
 # Not string-audited here, each for the same reason: the query fn
 # materializes its result through a temp store, so the returned plan

@@ -914,3 +914,20 @@ def test_kmeans_lloyd_guards(spark):
         kmeans_lloyd(df, k=3)
     with _pytest.raises(ValueError, match="must be >= 1"):
         kmeans_lloyd(df, k=0)
+
+
+def test_kmeans_arrow_engine_matches_catalyst(spark):
+    import numpy as np
+
+    from updater_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(50, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    c1, a1 = kmeans_lloyd(df, k=5, iters=2)
+    c2, a2 = kmeans_lloyd(df, k=5, iters=2, engine="arrow")
+    assert c1 == c2
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))

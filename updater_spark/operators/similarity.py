@@ -2201,6 +2201,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    engine: str = "catalyst",
 ) -> tuple[list[list[float]], DataFrame]:
     """First-class k-means (Lloyd) with an exact-replay contract —
     the clustering primitive behind the IVF/PQ training paths
@@ -2224,10 +2225,21 @@ def kmeans_lloyd(
     rows before the shuffle; k*dim doubles reach the driver). No
     UDFs, no per-row Python, corpus never joined to itself.
 
+    ``engine``: ``"catalyst"`` is the oracle-replay default;
+    ``"arrow"`` computes the assignment as one numpy GEMM per batch
+    (same rounded-argmin semantics BY CONTRACT, the
+    semantic_dedup_arrow stance) — the higher-order-function folds of
+    the catalyst form run interpreted per element and measured 43k
+    rows/s/iter at k=32 x dim=64; the GEMM twin measured 82k (2.3x
+    end-to-end — the shared centroid-update explode bounds the gap;
+    PROBES kmeans_1m) and is the deploy path.
+
     Returns (centroids, assignments) — assignments is
     (id, cluster, d2) under the FINAL centroids."""
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
+    if engine not in ("catalyst", "arrow"):
+        raise ValueError(f"engine must be 'catalyst' or 'arrow', got {engine!r}")
     base = df.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("_v")
     )
@@ -2241,7 +2253,38 @@ def kmeans_lloyd(
         raise ValueError(f"need at least k={k} rows, got {len(init_rows)}")
     cents = [[float(x) for x in r["c"]] for r in init_rows]
 
-    def assign(cs: list[list[float]]) -> DataFrame:
+    def assign_arrow(cs: list[list[float]]) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        cm = np.array(cs, dtype=np.float64)
+        cc = (cm * cm).sum(axis=1)
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vm = np.array(pdf["_v"].tolist(), dtype=np.float64)
+                d2 = np.round(
+                    (vm * vm).sum(axis=1)[:, None] - 2.0 * (vm @ cm.T) + cc,
+                    round_digits,
+                )
+                best = d2.argmin(axis=1)  # first min = lowest cluster
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "_v": pdf["_v"],
+                        "cluster": best.astype("int64"),
+                        "d2": d2[np.arange(len(best)), best],
+                    }
+                )
+
+        return base.mapInPandas(
+            run,
+            schema=f"{id_col} long, _v array<double>, cluster long, d2 double",
+        )
+
+    def assign_catalyst(cs: list[list[float]]) -> DataFrame:
         ipvv = dot(F.col("_v"), F.col("_v"))
         d2s = [
             F.round(
@@ -2261,6 +2304,8 @@ def kmeans_lloyd(
             ),
             F.array_min(arr).alias("d2"),
         )
+
+    assign = assign_catalyst if engine == "catalyst" else assign_arrow
 
     for _ in range(iters):
         asg = assign(cents)
