@@ -5130,6 +5130,16 @@ def q_kmeans_clusters_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg
 
 
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per user per hour (the hypertable
+    first/last/extremes rollup): one (key, bucket) exchange, two
+    reused row_number windows for the deterministic (ts, id)-ordered
+    open/close, partial-combining final aggregate."""
+    from updater_spark.operators.timeseries import ohlc_bars
+
+    return ohlc_bars(demo.load_events(spark, sf_dir))
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation, third session:
@@ -5159,6 +5169,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_embed_hashed": q_text_embed_hashed,
         "kmeans_clusters": q_kmeans_clusters,
         "kmeans_clusters_arrow": q_kmeans_clusters_arrow,
+        "events_ohlc": q_events_ohlc,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -7274,6 +7285,27 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY 1, 2
             HAVING COUNT(DISTINCT floor(c_acctbal / 5000.0)) < 3
+        """,
+        "events_ohlc": """
+            WITH staged AS (
+                SELECT user_id, date_trunc('hour', ts) AS bucket,
+                       ts, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts ASC, event_id ASC) AS ra,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rd
+                FROM events
+            )
+            SELECT user_id, bucket,
+                   round(MAX(CASE WHEN ra = 1 THEN value END), 4) AS open,
+                   round(MAX(value), 4) AS high,
+                   round(MIN(value), 4) AS low,
+                   round(MAX(CASE WHEN rd = 1 THEN value END), 4) AS close,
+                   COUNT(*) AS n
+            FROM staged
+            GROUP BY 1, 2
         """,
         "events_mad_outliers": """
             WITH med AS (

@@ -136,3 +136,40 @@ def test_gapfill_rejects_calendar_buckets(spark):
     df = spark.createDataFrame([Row(k=1, ts=_ts(1), v=1.0)])
     with pytest.raises(ValueError, match="calendar"):
         gapfill(df, "k", "ts", "v", "1 month")
+
+
+def test_ohlc_bars_hand_values(spark):
+    from datetime import datetime
+
+    from updater_spark.operators.timeseries import ohlc_bars
+
+    rows = [
+        # one user, one hour: open=1 (earliest), close=4 (latest),
+        # high=9, low=1; duplicate-ts rows tie-break by event_id
+        (0, datetime(2024, 1, 1, 10, 0, 0), 7, "x", 1.0, ""),
+        (1, datetime(2024, 1, 1, 10, 20, 0), 7, "x", 9.0, ""),
+        (2, datetime(2024, 1, 1, 10, 40, 0), 7, "x", 2.0, ""),
+        (3, datetime(2024, 1, 1, 10, 59, 0), 7, "x", 4.0, ""),
+        # same user, next hour: single point -> open=close=high=low
+        (4, datetime(2024, 1, 1, 11, 5, 0), 7, "x", 5.0, ""),
+        # duplicate timestamps: event_id 6 wins "close" over 5
+        (5, datetime(2024, 1, 1, 12, 0, 0), 8, "x", 10.0, ""),
+        (6, datetime(2024, 1, 1, 12, 0, 0), 8, "x", 20.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r["user_id"], r["bucket"].hour): r
+        for r in ohlc_bars(df).collect()
+    }
+    b10 = out[(7, 10)]
+    assert (b10["open"], b10["high"], b10["low"], b10["close"], b10["n"]) == (
+        1.0, 9.0, 1.0, 4.0, 4,
+    )
+    b11 = out[(7, 11)]
+    assert (b11["open"], b11["close"], b11["n"]) == (5.0, 5.0, 1)
+    b12 = out[(8, 12)]
+    assert (b12["open"], b12["close"]) == (10.0, 20.0)

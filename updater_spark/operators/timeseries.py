@@ -205,3 +205,56 @@ def ewma(
         + [f"`{out_col}` double"]
     )
     return df.groupBy(key_col).applyInPandas(_smooth, schema=schema)
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Open/high/low/close downsampling per (key, time bucket) — the
+    hypertable "candlestick" rollup (TimescaleDB ``ohlc``/``first``/
+    ``last`` aggregates): one bar per key per bucket summarizing the
+    first, extreme, and last observed values. The generic
+    first-and-last-in-window primitive — attribution (first/last
+    touch), sensor snapshots, price bars — not just finance.
+
+    Determinism: "first"/"last" are defined by (time, id) lexicographic
+    order, so duplicate timestamps cannot make the bar depend on scan
+    order (the rolling_zscore tiebreaker discipline).
+
+    Scale shape: ONE exchange on (key, bucket); the two row_number
+    windows (ascending and descending) reuse it with two in-partition
+    sorts, and the final aggregate partial-combines on the already-
+    partitioned data. No self-join, no collect."""
+    b = F.date_trunc(bucket, F.col(time_col)).alias("bucket")
+    staged = df.select(
+        F.col(key_col), b, F.col(time_col), F.col(id_col), F.col(value_col)
+    )
+    wa = Window.partitionBy(key_col, "bucket").orderBy(
+        F.col(time_col).asc(), F.col(id_col).asc()
+    )
+    wd = Window.partitionBy(key_col, "bucket").orderBy(
+        F.col(time_col).desc(), F.col(id_col).desc()
+    )
+    v = F.col(value_col)
+    return (
+        staged.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rd", F.row_number().over(wd))
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.round(F.max(F.when(F.col("_ra") == 1, v)), round_digits).alias(
+                "open"
+            ),
+            F.round(F.max(v), round_digits).alias("high"),
+            F.round(F.min(v), round_digits).alias("low"),
+            F.round(F.max(F.when(F.col("_rd") == 1, v)), round_digits).alias(
+                "close"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
