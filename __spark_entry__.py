@@ -5140,6 +5140,20 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_bars(demo.load_events(spark, sf_dir))
 
 
+def q_events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite CEP: per user, count non-overlapping runs
+    of >= 2 CONSECUTIVE errors immediately followed by a purchase —
+    consecutive structure a step funnel can't express. One key
+    shuffle; the regex runs once per key on its bracketed sequence
+    string."""
+    from updater_spark.operators.funnel import sequence_pattern
+
+    return sequence_pattern(
+        demo.load_events(spark, sf_dir),
+        pattern=",error(,error)+,purchase,",
+    )
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation, third session:
@@ -5170,6 +5184,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "kmeans_clusters_arrow": q_kmeans_clusters_arrow,
         "events_ohlc": q_events_ohlc,
+        "events_cep_pattern": q_events_cep_pattern,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -7285,6 +7300,21 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY 1, 2
             HAVING COUNT(DISTINCT floor(c_acctbal / 5000.0)) < 3
+        """,
+        "events_cep_pattern": """
+            SELECT user_id,
+                   COUNT(*) AS seq_len,
+                   CAST(len(regexp_extract_all(
+                       ',' || string_agg(event_type, ','
+                                         ORDER BY ts, event_id) || ',',
+                       ',error(,error)+,purchase,')) AS INT) AS n_matches,
+                   CASE WHEN len(regexp_extract_all(
+                       ',' || string_agg(event_type, ','
+                                         ORDER BY ts, event_id) || ',',
+                       ',error(,error)+,purchase,')) > 0
+                        THEN 1 ELSE 0 END AS matched
+            FROM events
+            GROUP BY user_id
         """,
         "events_ohlc": """
             WITH staged AS (

@@ -202,3 +202,58 @@ def test_transition_matrix(spark):
     assert withends[("buy", "__END__")] == 1
     assert withends[("click", "__END__")] == 1
     assert withends[("view", "__END__")] == 1  # u3's single event
+
+
+def test_sequence_pattern_hand_values(spark):
+    from datetime import datetime
+
+    from updater_spark.operators.funnel import sequence_pattern
+
+    def ev(i, user, typ, minute):
+        return (i, datetime(2024, 1, 1, 9, minute), user, typ, 0.0, "")
+
+    rows = [
+        # user 1: error,error,purchase -> one match
+        ev(0, 1, "error", 0), ev(1, 1, "error", 1), ev(2, 1, "purchase", 2),
+        # user 2: error,click,error,purchase -> run broken, no match
+        ev(3, 2, "error", 0), ev(4, 2, "click", 1),
+        ev(5, 2, "error", 2), ev(6, 2, "purchase", 3),
+        # user 3: two disjoint matching runs
+        ev(7, 3, "error", 0), ev(8, 3, "error", 1), ev(9, 3, "purchase", 2),
+        ev(10, 3, "error", 3), ev(11, 3, "error", 4), ev(12, 3, "error", 5),
+        ev(13, 3, "purchase", 6),
+        # user 4: single error then purchase -> needs >= 2 errors
+        ev(14, 4, "error", 0), ev(15, 4, "purchase", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["user_id"]: (r["n_matches"], r["matched"])
+        for r in sequence_pattern(
+            df, pattern=",error(,error)+,purchase,"
+        ).collect()
+    }
+    assert out == {1: (1, 1), 2: (0, 0), 3: (2, 1), 4: (0, 0)}
+
+
+def test_sequence_pattern_orders_by_time_then_id(spark):
+    from datetime import datetime
+
+    from updater_spark.operators.funnel import sequence_pattern
+
+    t = datetime(2024, 1, 1, 9, 0)
+    # same timestamp: event_id decides the order -> error,purchase
+    rows = [
+        (1, t, 9, "purchase", 0.0, ""),
+        (0, t, 9, "error", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = sequence_pattern(df, pattern=",error,purchase,").collect()[0]
+    assert out["n_matches"] == 1

@@ -266,3 +266,56 @@ def transition_matrix(
         "n",
         (F.col("n") / F.sum("n").over(w_from)).alias("p"),
     )
+
+
+def sequence_pattern(
+    df: DataFrame,
+    pattern: str,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    event_col: str = "event_type",
+    sep: str = ",",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex matching over each key's time-
+    ordered event-type SEQUENCE — the complex-event-processing
+    primitive (SQL:2016 row pattern matching; Flink CEP) the funnel
+    above can't express: funnels ask "did these steps happen in
+    order, anything between"; a pattern like ``error(,error)+,purchase``
+    asks for CONSECUTIVE structure (runs, alternations, bounded
+    repetition).
+
+    Each key's events collapse to one ``sep``-joined string in
+    (time, id) order — the ``sep`` also BRACKETS the string
+    (",a,b,c,") so a pattern can anchor token boundaries on both
+    sides and ``er`` can never match inside ``error``; write patterns
+    against that form. Matches count NON-overlapping occurrences
+    (regexp semantics in both engines).
+
+    Scale shape: one shuffle on the key (the collect_list aggregate,
+    partial-combining); the regex runs once per KEY on a string bounded
+    by that key's history — the sessionize memory model (a key's
+    sequence must fit a task; pre-split pathological keys by coarse
+    time bucket first). Returns (key, seq_len, n_matches, matched)."""
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(time_col).alias("t"),
+                F.col(id_col).alias("i"),
+                F.col(event_col).alias("e"),
+            )
+        )
+    )
+    seq = F.concat(
+        F.lit(sep),
+        F.array_join(F.transform(ordered, lambda s: s["e"]), sep),
+        F.lit(sep),
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("seq_len"),
+            F.regexp_count(seq, F.lit(pattern)).alias("n_matches"),
+        )
+        .withColumn("matched", (F.col("n_matches") > 0).cast("int"))
+    )
