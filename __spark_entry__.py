@@ -5154,6 +5154,24 @@ def q_events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity by generalization: walk the (500, 1000, 2000)
+    account-balance band ladder and keep the first width where every
+    (segment, band) group reaches k=10 — generalize before
+    suppressing. At sf0.01 width 500 leaks (min group 7) and 1000 is
+    chosen; the oracle replays the ladder decision in SQL."""
+    from updater_spark.operators.privacy import generalize_numeric
+
+    cust = demo.load(spark, sf_dir, "customer")
+    return generalize_numeric(
+        cust,
+        "c_acctbal",
+        ["c_mktsegment"],
+        k=10,
+        ladder=(500.0, 1000.0, 2000.0),
+    ).select("c_custkey", "c_mktsegment", "band", "width")
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation, third session:
@@ -5185,6 +5203,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters_arrow": q_kmeans_clusters_arrow,
         "events_ohlc": q_events_ohlc,
         "events_cep_pattern": q_events_cep_pattern,
+        "k_generalize": q_k_generalize,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -7280,6 +7299,48 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT ta FROM tot) AS n_feats_a,
                    (SELECT tb FROM tot) AS n_feats_b
             FROM per
+        """,
+        "k_generalize": """
+            WITH b1 AS (SELECT c_custkey, c_mktsegment,
+                               CAST(floor(c_acctbal / 500.0) AS BIGINT)
+                                   AS band
+                        FROM customer),
+            m1 AS (SELECT MIN(n) AS m FROM (
+                       SELECT COUNT(*) AS n FROM b1
+                       GROUP BY c_mktsegment, band)),
+            b2 AS (SELECT c_custkey, c_mktsegment,
+                          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+                   FROM customer),
+            m2 AS (SELECT MIN(n) AS m FROM (
+                       SELECT COUNT(*) AS n FROM b2
+                       GROUP BY c_mktsegment, band)),
+            b3 AS (SELECT c_custkey, c_mktsegment,
+                          CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+                   FROM customer),
+            m3 AS (SELECT MIN(n) AS m FROM (
+                       SELECT COUNT(*) AS n FROM b3
+                       GROUP BY c_mktsegment, band))
+            SELECT c_custkey, c_mktsegment, band, CAST(500.0 AS DOUBLE) AS width
+            FROM b1 WHERE (SELECT m FROM m1) >= 10
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, band, CAST(1000.0 AS DOUBLE) AS width
+            FROM b2 WHERE (SELECT m FROM m1) < 10
+                      AND (SELECT m FROM m2) >= 10
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, band, CAST(2000.0 AS DOUBLE) AS width
+            FROM b3 WHERE (SELECT m FROM m1) < 10
+                      AND (SELECT m FROM m2) < 10
+                      AND (SELECT m FROM m3) >= 10
+            UNION ALL
+            SELECT b3.c_custkey, b3.c_mktsegment, b3.band, CAST(2000.0 AS DOUBLE) AS width
+            FROM b3 JOIN (SELECT c_mktsegment, band, COUNT(*) AS n
+                          FROM b3 GROUP BY 1, 2) g
+                 ON b3.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment
+                AND b3.band IS NOT DISTINCT FROM g.band
+            WHERE (SELECT m FROM m1) < 10
+              AND (SELECT m FROM m2) < 10
+              AND (SELECT m FROM m3) < 10
+              AND g.n >= 10
         """,
         "k_anonymity": """
             WITH g AS (

@@ -65,3 +65,48 @@ def test_privacy_guards(people):
         k_anonymize(people, ["region"], k=0)
     with pytest.raises(ValueError, match="l_threshold"):
         l_diversity_violations(people, ["region"], "diag", l_threshold=0)
+
+
+def test_generalize_numeric_picks_first_sufficient_width(spark):
+    from updater_spark.operators.privacy import generalize_numeric
+
+    # region A: ages cluster tightly; width 1 leaves singletons,
+    # width 10 groups everyone
+    rows = [(i, "A", float(20 + i)) for i in range(6)] + [
+        (i + 10, "B", float(30 + i)) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "id long, region string, age double")
+    out = generalize_numeric(
+        df, "age", ["region"], k=3, ladder=(1.0, 10.0)
+    )
+    got = out.collect()
+    assert all(r["width"] == 10.0 for r in got)
+    assert len(got) == 12  # nothing suppressed
+    # bands are floor(age/10)
+    assert {r["band"] for r in got if r["region"] == "A"} == {2}
+
+
+def test_generalize_numeric_fallback_suppresses(spark):
+    from updater_spark.operators.privacy import generalize_numeric
+
+    # one isolated outlier can never reach k even at the coarsest
+    # width -> fallback suppresses exactly that row
+    rows = [(i, "A", 5.0) for i in range(5)] + [(99, "A", 1e9)]
+    df = spark.createDataFrame(rows, "id long, region string, v double")
+    out = generalize_numeric(
+        df, "v", ["region"], k=3, ladder=(1.0, 10.0)
+    ).collect()
+    assert sorted(r["id"] for r in out) == [0, 1, 2, 3, 4]
+    assert all(r["width"] == 10.0 for r in out)
+
+
+def test_generalize_numeric_ladder_guards(spark):
+    import pytest as _pytest
+
+    from updater_spark.operators.privacy import generalize_numeric
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, q string, v double")
+    with _pytest.raises(ValueError, match="increasing"):
+        generalize_numeric(df, "v", ["q"], ladder=(10.0, 5.0))
+    with _pytest.raises(ValueError, match="non-empty"):
+        generalize_numeric(df, "v", ["q"], ladder=())

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymize", "k_anonymity_stats", "l_diversity_violations"]
+__all__ = [
+    "k_anonymize",
+    "k_anonymity_stats",
+    "l_diversity_violations",
+    "generalize_numeric",
+]
 
 
 def _group_counts(df: DataFrame, quasi_cols: list[str]) -> DataFrame:
@@ -100,3 +105,64 @@ def l_diversity_violations(
         )
         .filter(F.col("distinct_sensitive") < l_threshold)
     )
+
+
+def generalize_numeric(
+    df: DataFrame,
+    numeric_col: str,
+    quasi_cols: list[str],
+    k: int = 5,
+    ladder: tuple[float, ...] = (100.0, 1000.0, 10000.0),
+    band_col: str = "band",
+    width_col: str = "width",
+) -> DataFrame:
+    """k-anonymity by GENERALIZATION before suppression (the Sweeney
+    ladder): coarsen a numeric quasi-identifier into ``floor(x/w)``
+    bands, walking ``ladder`` from finest to coarsest and keeping the
+    FIRST width where every (quasi..., band) group reaches ``k`` —
+    maximal utility under the constraint. If even the coarsest width
+    leaves under-k groups, those rows are suppressed at that width
+    (``k_anonymize``), so the output is ALWAYS k-anonymous.
+
+    Scale shape: one grouped count per candidate width (each a
+    partial-combining scan; |ladder| is small by construction) to
+    pick the width on the driver — one long each — then a single
+    banded projection (plus the suppression semi-join only on the
+    fallback path). Deterministic: the choice depends only on data,
+    k, and the ladder.
+
+    Returns the input columns plus ``band`` (floor(x/width)) and
+    ``width``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not ladder:
+        raise ValueError("ladder must be non-empty")
+    widths = [float(w) for w in ladder]
+    if sorted(widths) != widths or len(set(widths)) != len(widths):
+        raise ValueError(f"ladder must be strictly increasing, got {ladder}")
+    if widths[0] <= 0:
+        raise ValueError(f"ladder widths must be > 0, got {ladder}")
+
+    def banded(w: float) -> DataFrame:
+        return df.withColumn(
+            band_col,
+            F.floor(F.col(numeric_col) / F.lit(w)).cast("long"),
+        ).withColumn(width_col, F.lit(w))
+
+    chosen = None
+    for w in widths:
+        m = (
+            banded(w)
+            .groupBy(*quasi_cols, band_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.min("_n"))
+            .first()[0]
+        )
+        if m is None or m >= k:
+            chosen = w
+            break
+    if chosen is not None:
+        return banded(chosen)
+    # fallback: coarsest width + suppression of the remaining leaks
+    out = banded(widths[-1])
+    return k_anonymize(out, [*quasi_cols, band_col], k=k)
