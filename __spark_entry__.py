@@ -5172,6 +5172,81 @@ def q_k_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_mktsegment", "band", "width")
 
 
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS decorrelation): orders with at least
+    one line shipped >60 days after the order date, counted per
+    priority. The correlated EXISTS becomes a LEFT SEMI join with an
+    equi key + residual date predicate — no subquery re-execution per
+    row, one shuffle on the order key."""
+    o = demo.load(spark, sf_dir, "orders")
+    li = demo.load(spark, sf_dir, "lineitem")
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery): revenue from
+    small-quantity lines of one brand, "small" = under 20% of the
+    part's own average quantity. The per-part correlated average
+    decorrelates into one grouped aggregate joined back on partkey
+    (threshold rounded at 6 so the filter boundary is
+    engine-identical)."""
+    li = demo.load(spark, sf_dir, "lineitem")
+    part = demo.load(spark, sf_dir, "part")
+    thr = li.groupBy("l_partkey").agg(
+        F.round(F.lit(0.2) * F.avg("l_quantity"), 6).alias("qty_thr")
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .filter(F.col("p_brand") == "Brand#23")
+        .join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            ),
+        )
+    )
+
+
+def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (HAVING-subquery): the top-100 orders by price
+    among those whose total line quantity exceeds 240. The IN
+    (GROUP BY ... HAVING) subquery becomes a filtered aggregate
+    joined to orders/customer; the top-100 is a TakeOrdered."""
+    li = demo.load(spark, sf_dir, "lineitem")
+    o = demo.load(spark, sf_dir, "orders")
+    cust = demo.load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 240)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(cust, o["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            # NTZ parquet → LTZ under the pinned-UTC session, matching
+            # the oracle's TIMESTAMP rendering (demo.load_events stance)
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation, third session:
@@ -5204,6 +5279,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc": q_events_ohlc,
         "events_cep_pattern": q_events_cep_pattern,
         "k_generalize": q_k_generalize,
+        "q4_order_priority": q_q4_order_priority,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q18_large_volume": q_q18_large_volume,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -7299,6 +7377,44 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT ta FROM tot) AS n_feats_a,
                    (SELECT tb FROM tot) AS n_feats_b
             FROM per
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q17_small_qty_revenue": """
+            WITH thr AS (
+                SELECT l_partkey,
+                       round(0.2 * avg(l_quantity), 6) AS qty_thr
+                FROM lineitem GROUP BY 1
+            )
+            SELECT COUNT(*) AS n_lines,
+                   round(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN thr t ON t.l_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#23'
+              AND l.l_quantity < t.qty_thr
+        """,
+        "q18_large_volume": """
+            WITH big AS (
+                SELECT l_orderkey, SUM(l_quantity) AS total_qty
+                FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 240
+            )
+            SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, b.total_qty
+            FROM big b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+            LIMIT 100
         """,
         "k_generalize": """
             WITH b1 AS (SELECT c_custkey, c_mktsegment,
