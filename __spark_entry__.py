@@ -5247,6 +5247,50 @@ def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_text_model_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free semantic near-dup, end to end: hashed-feature
+    embeddings -> k-means cells -> within-cell cosine pairs >= 0.95 —
+    the SemDeDup pipeline with NO embedding model, every stage the
+    already-oracled operator (text_embed_hashed, kmeans_clusters).
+    Cells bound the pair join exactly like semantic_dedup's centroid
+    cells; zero-vector (empty) docs are excluded from pairing. The
+    deploy path persists unit vectors before the pair join (the
+    semantic_dedup 20x lesson); at demo scale the inline cosine is
+    fine."""
+    from updater_spark.operators.dsir import hashed_text_embedding
+    from updater_spark.operators.similarity import (
+        cosine,
+        dot,
+        kmeans_lloyd,
+    )
+
+    docs = demo.load(spark, sf_dir, "documents")
+    emb = hashed_text_embedding(docs, dim=16).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    _, asg = kmeans_lloyd(emb, k=8, iters=1)
+    withv = asg.join(emb, "vec_id")
+    a = withv.select(
+        F.col("vec_id").alias("id_a"),
+        "cluster",
+        F.col("embedding").alias("_va"),
+    )
+    b = withv.select(
+        F.col("vec_id").alias("id_b"),
+        "cluster",
+        F.col("embedding").alias("_vb"),
+    )
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 4)
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot(F.col("_va"), F.col("_va")) > 0)
+        .filter(dot(F.col("_vb"), F.col("_vb")) > 0)
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.95)
+    )
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation, third session:
@@ -5282,6 +5326,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q_q4_order_priority,
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
         "q18_large_volume": q_q18_large_volume,
+        "dedup_text_model_free": q_dedup_text_model_free,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -5800,6 +5845,7 @@ def _generated_oracles() -> dict[str, str]:
         "mmr_rerank": _mmr_sql(),
         "kmeans_clusters": _kmeans_sql(),
         "kmeans_clusters_arrow": _kmeans_sql(),
+        "dedup_text_model_free": _modelfree_neardup_sql(),
         "ivm_join_view": """
             WITH a0 AS (
                 SELECT c_custkey, c_nationkey AS nkey, c_name FROM customer
@@ -6180,12 +6226,14 @@ def _mmr_sql(k: int = 10, lam: float = 0.7) -> str:
     return "".join(parts)
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2, r: int = 6) -> str:
-    """DuckDB replay of kmeans_lloyd: init from the k lowest-id
-    vectors, then per iteration one argmin assignment (rounded
-    quadratic-form distances, ties to the lowest cluster) and one
-    rounded element-wise centroid average, empty clusters inheriting
-    the previous centroid. MATERIALIZED everywhere — the chain
+def _kmeans_ctes(k: int = 8, iters: int = 2, r: int = 6) -> str:
+    """The kmeans_lloyd CTE chain (expects a ``base`` CTE exposing
+    (vec_id, v DOUBLE[])): init from the k lowest-id vectors, then
+    per iteration one argmin assignment (rounded quadratic-form
+    distances, ties to the lowest cluster) and one rounded
+    element-wise centroid average, empty clusters inheriting the
+    previous centroid. Ends with ``af`` = final assignments
+    (vec_id, v, cluster, d2). MATERIALIZED everywhere — the chain
     re-references each step (the mmr_rerank 3^k lesson)."""
     d2 = (
         "round(list_inner_product(b.v, b.v)"
@@ -6220,9 +6268,6 @@ def _kmeans_sql(k: int = 8, iters: int = 2, r: int = 6) -> str:
         )"""
 
     parts = [f"""
-        WITH base AS MATERIALIZED (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        ),
         c0 AS MATERIALIZED (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
                    list_transform(c_raw, x -> round(x, {r})) AS c
@@ -6233,8 +6278,73 @@ def _kmeans_sql(k: int = 8, iters: int = 2, r: int = 6) -> str:
         parts.append("," + assign(f"a{t}", f"c{t - 1}"))
         parts.append("," + update(f"c{t - 1}", f"a{t}", f"c{t}"))
     parts.append("," + assign("af", f"c{iters}"))
-    parts.append("\n        SELECT vec_id, cluster, d2 FROM af")
     return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, r: int = 6) -> str:
+    """Standalone kmeans oracle over the embeddings table."""
+    return f"""
+        WITH base AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),{_kmeans_ctes(k, iters, r)}
+        SELECT vec_id, cluster, d2 FROM af"""
+
+
+def _modelfree_neardup_sql(thr: float = 0.95) -> str:
+    """Composed oracle for dedup_text_model_free: the
+    text_embed_hashed CTEs reassembled into per-doc vectors, the
+    kmeans chain over them (the ``base`` contract of _kmeans_ctes),
+    then within-cell cosine pairs above the threshold. Every stage is
+    the already-pinned oracle of its standalone query."""
+    return f"""
+        WITH toked AS MATERIALIZED (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        feats AS MATERIALIZED (
+            SELECT doc_id,
+                   ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096
+                       AS bucket
+            FROM (
+                SELECT doc_id, unnest(toks) AS feat FROM toked
+                UNION ALL
+                SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS feat
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks))) AS i
+                      FROM toked WHERE len(toks) >= 2)
+            ) WHERE feat <> ''
+        ),
+        cnts AS (SELECT doc_id, bucket, COUNT(*) AS cnt
+                 FROM feats GROUP BY 1, 2),
+        dims AS (SELECT unnest(range(0, 16)) AS j),
+        contrib AS (
+            SELECT c.doc_id, d.j,
+                   c.cnt * (CASE WHEN ('0x' || substr(
+                                md5(c.bucket::VARCHAR), d.j + 1, 1))
+                                ::BIGINT % 2 = 0
+                            THEN 1 ELSE -1 END) AS x
+            FROM cnts c CROSS JOIN dims d
+        ),
+        vecsl AS (SELECT doc_id, j,
+                         round(CAST(SUM(x) AS DOUBLE) * 0.25, 4) AS v
+                  FROM contrib GROUP BY 1, 2),
+        base AS MATERIALIZED (
+            SELECT d.doc_id AS vec_id,
+                   list(COALESCE(vv.v, 0.0) ORDER BY dm.j) AS v
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN dims dm
+            LEFT JOIN vecsl vv ON vv.doc_id = d.doc_id AND vv.j = dm.j
+            GROUP BY d.doc_id
+        ),{_kmeans_ctes(8, 1, 6)}
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        FROM af a JOIN af b ON a.cluster = b.cluster
+                           AND a.vec_id < b.vec_id
+        WHERE list_inner_product(a.v, a.v) > 0
+          AND list_inner_product(b.v, b.v) > 0
+          AND round(list_cosine_similarity(a.v, b.v), 4) >= {thr!r}
+    """
 
 
 def _nb_sql(hash_bits: int | None) -> str:
