@@ -5291,6 +5291,17 @@ def q_dedup_text_model_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 8 documents per language (hash-rank order per stratum)
+    — the balanced eval-set builder; the fractional sampler's count
+    varies with stratum size, this one's doesn't."""
+    from updater_spark.operators.sampling import stratified_exact
+
+    return stratified_exact(
+        demo.load(spark, sf_dir, "documents"), 8, "lang"
+    ).select("doc_id", "lang", "source")
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation, third session:
@@ -5327,6 +5338,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
         "q18_large_volume": q_q18_large_volume,
         "dedup_text_model_free": q_dedup_text_model_free,
+        "sample_stratified_exact": q_sample_stratified_exact,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -7487,6 +7499,16 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT ta FROM tot) AS n_feats_a,
                    (SELECT tb FROM tot) AS n_feats_b
             FROM per
+        """,
+        "sample_stratified_exact": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(doc_id::VARCHAR || 'strataN-v1'),
+                                    doc_id) AS rk
+                FROM documents
+            ) WHERE rk <= 8
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, COUNT(*) AS order_count

@@ -300,3 +300,34 @@ def test_domain_quota_rejects_bad_strategy(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, domain string")
     with _pytest.raises(ValueError, match="strategy"):
         domain_quota(df, cap=1, domain_col="domain", strategy="magic")
+
+
+def test_stratified_exact_counts_and_determinism(spark, docs):
+    from updater_spark.operators.sampling import stratified_exact
+
+    out = stratified_exact(docs, 5, "lang")
+    counts = dict(
+        out.groupBy("lang").count().collect()
+    )
+    base = dict(docs.groupBy("lang").count().collect())
+    for lang, n in base.items():
+        assert counts.get(lang, 0) == min(5, n)
+    # deterministic across partitionings
+    again = stratified_exact(docs.repartition(7), 5, "lang")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # different salt, different members (with overwhelming probability)
+    other = stratified_exact(docs, 5, "lang", salt="other")
+    assert {r["doc_id"] for r in out.collect()} != {
+        r["doc_id"] for r in other.collect()
+    }
+
+
+def test_stratified_exact_guard(spark, docs):
+    import pytest as _pytest
+
+    from updater_spark.operators.sampling import stratified_exact
+
+    with _pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_exact(docs, 0, "lang")

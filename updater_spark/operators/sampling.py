@@ -37,6 +37,7 @@ __all__ = [
     "hash_unit",
     "deterministic_shuffle",
     "domain_quota",
+    "stratified_exact",
 ]
 
 _SCALE = float(1 << 32)
@@ -327,4 +328,38 @@ def mixture_resample(
             ),
         )
         .drop("__n_copies")
+    )
+
+
+def stratified_exact(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "strataN-v1",
+) -> DataFrame:
+    """EXACTLY ``n`` rows per stratum (strata smaller than n pass
+    through whole) — the balanced-evaluation-set builder.
+    ``stratified_sample`` above keeps a FRACTION per stratum (row
+    count varies with stratum size); benchmark/eval assembly usually
+    wants a fixed count per class/language instead.
+
+    Selection = the n smallest md5(id||salt) hashes per stratum: the
+    per-stratum sample is a uniform without-replacement draw,
+    deterministic across engines/partitionings (hash-rank order), and
+    REFRESH-STABLE in expectation only — unlike the fractional
+    sampler, exact-n membership necessarily shifts as a stratum
+    grows (a new row can displace rank n); salt it per release.
+
+    Scale shape: one ranking window keyed by the stratum — the
+    domain_quota shape, and its prune applies the same way if one
+    stratum dwarfs the rest."""
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
     )
