@@ -395,6 +395,47 @@ CHECKS = {
         "join back (broadcast — the group frame is |groups| rows); "
         "the customer scan is column-pruned."
     ),
+    "kmeans_clusters": (
+        "the final assignment is ONE scan with k rounded quadratic "
+        "forms + array argmin — no join, no exchange (training's "
+        "per-iteration aggregates ran eagerly at build time; the "
+        "arrow twin swaps this scan for a MapInPandas GEMM)."
+    ),
+    "events_ohlc": (
+        "one exchange on (key, bucket) reused by BOTH row_number "
+        "windows (two in-partition sorts, ascending/descending) and "
+        "the final partial-combining aggregate."
+    ),
+    "events_cep_pattern": (
+        "one key-shuffled collect_list aggregate; the regex runs "
+        "once per key as a scalar projection over the assembled "
+        "sequence string — no join, no second exchange."
+    ),
+    "q4_order_priority": (
+        "the correlated EXISTS is a LeftSemi join (equi on the order "
+        "key + residual date predicate), never a per-row subquery; "
+        "the priority aggregate partial-combines."
+    ),
+    "q17_small_qty_revenue": (
+        "the correlated scalar average decorrelates into one grouped "
+        "aggregate joined back on partkey; the brand filter reaches "
+        "the part scan as a pushed filter."
+    ),
+    "q18_large_volume": (
+        "the HAVING subquery is a filtered aggregate joined through "
+        "orders/customer (AQE broadcasts the shrunken sides); the "
+        "top-100 is TakeOrderedAndProject, no global sort."
+    ),
+    "dedup_text_model_free": (
+        "the pair join is keyed by the k-means CELL — the "
+        "anti-quadratic bound — with the id_a < id_b residual; no "
+        "cartesian anywhere in the chain (embed scan -> assignment "
+        "scan -> cell-keyed self-join)."
+    ),
+    "sample_stratified_exact": (
+        "one stratum-keyed ranking window over a column-pruned scan "
+        "— the domain_quota shape."
+    ),
 }
 # Not string-audited here, each for the same reason: the query fn
 # materializes its result through a temp store, so the returned plan
