@@ -5258,34 +5258,54 @@ def q_dedup_text_model_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic_dedup 20x lesson); at demo scale the inline cosine is
     fine."""
     from updater_spark.operators.dsir import hashed_text_embedding
-    from updater_spark.operators.similarity import (
-        cosine,
-        dot,
-        kmeans_lloyd,
-    )
+    from updater_spark.operators.similarity import kmeans_lloyd
 
     docs = demo.load(spark, sf_dir, "documents")
-    emb = hashed_text_embedding(docs, dim=16).withColumnRenamed(
-        "doc_id", "vec_id"
+    # persist: the k-means loop (init collect + per-iter aggregates +
+    # final assignment) and the two-sided pair join would otherwise
+    # recompute the embed lineage ~8x. Residual cost at sf0.1 is the
+    # genuine ~2.6M within-cell pairs (k=8 over 5k docs); the scale
+    # lever is k — cells bound pairs quadratically, exactly as in
+    # semantic_dedup
+    emb = (
+        hashed_text_embedding(docs, dim=16)
+        .withColumnRenamed("doc_id", "vec_id")
+        .persist()
     )
     _, asg = kmeans_lloyd(emb, k=8, iters=1)
-    withv = asg.join(emb, "vec_id")
+
+    # the pair sim must be BIT-IDENTICAL to cosine() (dot/(na*nb) with
+    # left-to-right folds) for the oracle, but an F.aggregate lambda
+    # runs interpreted PER PAIR — ~1.5M pairs x 3 folds measured 9.5s
+    # at sf0.1. Unrolling the fixed 16 dims into plain codegen
+    # arithmetic in the SAME accumulation order is value-identical and
+    # stays in whole-stage codegen; norms hoist to one per ROW.
+    def _unrolled_dot(x: str, y: str):
+        acc = F.lit(0.0)
+        for j in range(1, 17):
+            acc = acc + F.element_at(F.col(x), j) * F.element_at(F.col(y), j)
+        return acc
+
+    withv = asg.join(emb, "vec_id").select(
+        "vec_id", "cluster", "embedding"
+    )
     a = withv.select(
         F.col("vec_id").alias("id_a"),
         "cluster",
         F.col("embedding").alias("_va"),
-    )
+    ).withColumn("_na", F.sqrt(_unrolled_dot("_va", "_va")))
     b = withv.select(
         F.col("vec_id").alias("id_b"),
         "cluster",
         F.col("embedding").alias("_vb"),
+    ).withColumn("_nb", F.sqrt(_unrolled_dot("_vb", "_vb")))
+    sim = F.round(
+        _unrolled_dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), 4
     )
-    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 4)
     return (
-        a.join(b, "cluster")
+        a.filter(F.col("_na") > 0)
+        .join(b.filter(F.col("_nb") > 0), "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dot(F.col("_va"), F.col("_va")) > 0)
-        .filter(dot(F.col("_vb"), F.col("_vb")) > 0)
         .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.95)
     )
