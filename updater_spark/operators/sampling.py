@@ -229,9 +229,10 @@ def domain_quota(
       rows pass through a (broadcastable, ≤ total/cap entries)
       anti-join and only over-cap rows enter the ranking exchange.
       Shuffle VOLUME drops to the over-cap slice (30% in the probe,
-      typically far less in a crawl corpus) at the cost of scanning
-      the source twice — the right trade when the exchange is
-      network-bound (a real cluster, wide rows), not on local[*].
+      typically far less in a crawl corpus) at the cost of extra
+      scans (the count aggregate plus the two filtered passes) — the
+      right trade when the exchange is network-bound (a real
+      cluster, wide rows), not on local[*].
 
     Either strategy: one mega-domain lands its rows in a single
     window partition. ``prune_buckets > 1`` bounds that skew with an
