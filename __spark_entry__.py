@@ -5322,6 +5322,23 @@ def q_sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained greedy selection: keep documents in
+    length-quality order until 6000 tokens are consumed — the
+    fixed-size training-set assembly step. Bucketed running sums
+    (driver-cumulated bucket offsets + parallel intra-bucket
+    windows), exact for integer token costs — no global sort."""
+    from updater_spark.operators.sampling import budget_select
+    from updater_spark.operators.dedup import tokens
+
+    docs = demo.load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens("text"))
+    )
+    return budget_select(
+        docs, budget=6000, cost_col="n_tokens", order_col="n_chars"
+    ).select("doc_id", "n_chars", "n_tokens", "cum_cost")
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation, third session:
@@ -5359,6 +5376,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": q_q18_large_volume,
         "dedup_text_model_free": q_dedup_text_model_free,
         "sample_stratified_exact": q_sample_stratified_exact,
+        "budget_select": q_budget_select,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -7519,6 +7537,24 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT ta FROM tot) AS n_feats_a,
                    (SELECT tb FROM tot) AS n_feats_b
             FROM per
+        """,
+        "budget_select": """
+            WITH t AS (
+                SELECT doc_id, n_chars,
+                       len(regexp_split_to_array(trim(text), '\\s+'))
+                           AS n_tokens
+                FROM documents
+            ),
+            walked AS (
+                SELECT doc_id, n_chars, n_tokens,
+                       SUM(CAST(n_tokens AS DOUBLE)) OVER (
+                           ORDER BY n_chars DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum_cost
+                FROM t
+            )
+            SELECT doc_id, n_chars, CAST(n_tokens AS INT) AS n_tokens,
+                   cum_cost
+            FROM walked WHERE cum_cost <= 6000
         """,
         "sample_stratified_exact": """
             SELECT doc_id, lang, source FROM (

@@ -331,3 +331,56 @@ def test_stratified_exact_guard(spark, docs):
 
     with _pytest.raises(ValueError, match="n_per_stratum"):
         stratified_exact(docs, 0, "lang")
+
+
+def test_budget_select_matches_naive_global_walk(spark):
+    from pyspark.sql import Window as W
+
+    from updater_spark.operators.sampling import budget_select
+
+    rows = [
+        (i, float((i * 37) % 50), ((i * 13) % 7) + 1) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, q double, cost int")
+    got = budget_select(df, budget=200, cost_col="cost", order_col="q")
+    naive = (
+        df.withColumn(
+            "cum_cost",
+            F.sum(F.col("cost").cast("double")).over(
+                W.orderBy(F.col("q").desc(), F.col("doc_id").asc()).rowsBetween(
+                    W.unboundedPreceding, 0
+                )
+            ),
+        )
+        .filter(F.col("cum_cost") <= 200)
+    )
+    a = sorted((r["doc_id"], r["cum_cost"]) for r in got.collect())
+    b = sorted((r["doc_id"], r["cum_cost"]) for r in naive.collect())
+    assert a == b and len(a) > 10
+
+
+def test_budget_select_stops_before_crossing(spark):
+    from updater_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [(0, 3.0, 4), (1, 2.0, 4), (2, 1.0, 4)],
+        "doc_id long, q double, cost int",
+    )
+    out = budget_select(df, budget=9, cost_col="cost", order_col="q")
+    # 4 + 4 = 8 fits; the third row would reach 12 > 9 and is dropped
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 1]
+
+
+def test_budget_select_guards_and_nulls(spark):
+    import pytest as _pytest
+
+    from updater_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [(0, 1.0, None), (1, None, 2), (2, 5.0, 2)],
+        "doc_id long, q double, cost int",
+    )
+    out = budget_select(df, budget=100, cost_col="cost", order_col="q")
+    assert [r["doc_id"] for r in out.collect()] == [2]
+    with _pytest.raises(ValueError, match="budget"):
+        budget_select(df, budget=0, cost_col="cost", order_col="q")

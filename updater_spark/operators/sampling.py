@@ -38,6 +38,7 @@ __all__ = [
     "deterministic_shuffle",
     "domain_quota",
     "stratified_exact",
+    "budget_select",
 ]
 
 _SCALE = float(1 << 32)
@@ -363,4 +364,62 @@ def stratified_exact(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    budget: float,
+    cost_col: str,
+    order_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy budget-constrained selection: walk rows in quality
+    order (``order_col`` descending, id ties) and keep each row whose
+    cumulative ``cost_col`` still fits the budget, stopping at the
+    first row that would cross it — "take the best documents until
+    the token budget is spent", the assembly step that turns a scored
+    corpus into a fixed-size training set.
+
+    Scale shape: the naive form is a running sum over ONE global
+    window — a single-partition sort at 100 TB. Here the
+    deterministic_shuffle decomposition applies because the walk
+    order has a computable coarse prefix: rows bucket by
+    ``floor(order_col)`` (monotone with the walk order), per-bucket
+    cost totals cumulate on the DRIVER (|buckets| longs — no data
+    movement), and each row's global running cost = its bucket's
+    offset + an intra-bucket running sum (windows per bucket, all in
+    parallel). One exchange, no global sort, exact greedy-prefix
+    semantics (pinned against the naive form in tests).
+
+    Rows with NULL cost or order are excluded up front (they have no
+    place in the walk). Returns the kept rows plus ``cum_cost``
+    (cost consumed through and including the row)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    base = df.filter(
+        F.col(cost_col).isNotNull() & F.col(order_col).isNotNull()
+    )
+    bucket = F.floor(F.col(order_col)).cast("long")
+    staged = base.withColumn("__b", bucket)
+    totals = dict(
+        staged.groupBy("__b")
+        .agg(F.sum(F.col(cost_col).cast("double")).alias("t"))
+        .collect()
+    )
+    offsets, acc = [], 0.0
+    for b in sorted(totals, reverse=True):  # walk = order_col DESC
+        offsets.append((b, acc))
+        acc += totals[b]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0.0)], "__b long, __off double")
+    w = Window.partitionBy("__b").orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    cum = F.col("__off") + F.sum(F.col(cost_col).cast("double")).over(w)
+    return (
+        staged.join(F.broadcast(off_df), "__b")
+        .withColumn("cum_cost", cum)
+        .filter(F.col("cum_cost") <= F.lit(float(budget)))
+        .drop("__b", "__off")
     )
