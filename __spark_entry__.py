@@ -5339,6 +5339,15 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars", "n_tokens", "cum_cost")
 
 
+def q_events_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobustScaler normalization per user: (x - median)/IQR with
+    exact grouped quantiles — outlier-insensitive feature scaling,
+    the normalizing sibling of events_mad_outliers."""
+    from updater_spark.operators.anomaly import robust_scale
+
+    return robust_scale(demo.load_events(spark, sf_dir))
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Round-8 rotation, third session:
@@ -5377,6 +5386,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_text_model_free": q_dedup_text_model_free,
         "sample_stratified_exact": q_sample_stratified_exact,
         "budget_select": q_budget_select,
+        "events_robust_scale": q_events_robust_scale,
         "graph_pagerank": q_graph_pagerank,
         "vocab_build": q_vocab_build,
         "bpe_train": q_bpe_train,
@@ -7537,6 +7547,20 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT ta FROM tot) AS n_feats_a,
                    (SELECT tb FROM tot) AS n_feats_b
             FROM per
+        """,
+        "events_robust_scale": """
+            WITH q AS (
+                SELECT user_id,
+                       quantile_cont(value, 0.25) AS q1,
+                       quantile_cont(value, 0.5) AS med,
+                       quantile_cont(value, 0.75) AS q3
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.user_id, e.value,
+                   CASE WHEN q.q3 - q.q1 > 0
+                        THEN round((e.value - q.med) / (q.q3 - q.q1), 4)
+                   END AS scaled
+            FROM events e JOIN q USING (user_id)
         """,
         "budget_select": """
             WITH t AS (

@@ -189,3 +189,22 @@ def test_mad_outliers_flat_majority(spark):
     assert all(r["robust_z"] is None for r in out.values())
     assert out[9]["is_outlier"] == 1
     assert all(out[i]["is_outlier"] == 0 for i in range(6))
+
+
+def test_robust_scale_hand_values(spark):
+    from updater_spark.operators.anomaly import robust_scale
+
+    # values 1..5: med=3, q1=2, q3=4, IQR=2 -> scaled = (x-3)/2
+    rows = [(i, "k", float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, value double")
+    out = {r["event_id"]: r["scaled"] for r in robust_scale(df).collect()}
+    assert out == {0: -1.0, 1: -0.5, 2: 0.0, 3: 0.5, 4: 1.0}
+
+
+def test_robust_scale_zero_iqr_is_null(spark):
+    from updater_spark.operators.anomaly import robust_scale
+
+    rows = [(i, "k", 7.0) for i in range(5)] + [(9, "k", 8.0)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, value double")
+    out = robust_scale(df).collect()
+    assert all(r["scaled"] is None for r in out)

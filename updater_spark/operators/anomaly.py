@@ -232,3 +232,44 @@ def mad_outliers(
             .alias("is_outlier"),
         )
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-key robust normalization: ``(x - median) / IQR`` — the
+    RobustScaler preprocessing step (outlier-insensitive feature
+    scaling; mean/stddev standardization moves with every spike, the
+    median/IQR pair doesn't). The mad_outliers sibling above DETECTS
+    outliers; this NORMALIZES values for downstream models in their
+    presence.
+
+    Scale shape: one grouped aggregate computing the three exact
+    quantiles (p25/p50/p75 via Catalyst ``percentile`` — one per-key
+    sort-based agg, partial-combining) and one join back on the key.
+    Keys with IQR 0 (over half the values tied) carry NULL scaled
+    values — no scale exists (the MySQL /0->NULL stance).
+
+    Returns (id, key, value, scaled) with scaled rounded."""
+    q = df.groupBy(key_col).agg(
+        F.percentile(value_col, F.lit(0.25)).alias("_q1"),
+        F.percentile(value_col, F.lit(0.5)).alias("_med"),
+        F.percentile(value_col, F.lit(0.75)).alias("_q3"),
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    scaled = F.when(
+        iqr > 0,
+        F.round(
+            (F.col(value_col) - F.col("_med")) / iqr, round_digits
+        ),
+    )
+    return df.join(q, key_col).select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col(value_col),
+        scaled.alias("scaled"),
+    )
