@@ -5144,13 +5144,15 @@ def q_events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE-lite CEP: per user, count non-overlapping runs
     of >= 2 CONSECUTIVE errors immediately followed by a purchase —
     consecutive structure a step funnel can't express. One key
-    shuffle; the regex runs once per key on its bracketed sequence
-    string."""
+    shuffle; the regex runs once per key on its sequence string.
+    Tokens carry their own boundary commas (",error," per token,
+    doubled separators between events) so back-to-back runs don't
+    share a delimiter and each one counts."""
     from updater_spark.operators.funnel import sequence_pattern
 
     return sequence_pattern(
         demo.load_events(spark, sf_dir),
-        pattern=",error(,error)+,purchase,",
+        pattern=",error,(,error,)+,purchase,",
     )
 
 
@@ -7694,13 +7696,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    COUNT(*) AS seq_len,
                    CAST(len(regexp_extract_all(
-                       ',' || string_agg(event_type, ','
+                       ',' || string_agg(event_type, ',,'
                                          ORDER BY ts, event_id) || ',',
-                       ',error(,error)+,purchase,')) AS INT) AS n_matches,
+                       ',error,(,error,)+,purchase,')) AS INT) AS n_matches,
                    CASE WHEN len(regexp_extract_all(
-                       ',' || string_agg(event_type, ','
+                       ',' || string_agg(event_type, ',,'
                                          ORDER BY ts, event_id) || ',',
-                       ',error(,error)+,purchase,')) > 0
+                       ',error,(,error,)+,purchase,')) > 0
                         THEN 1 ELSE 0 END AS matched
             FROM events
             GROUP BY user_id

@@ -224,6 +224,12 @@ def test_sequence_pattern_hand_values(spark):
         ev(13, 3, "purchase", 6),
         # user 4: single error then purchase -> needs >= 2 errors
         ev(14, 4, "error", 0), ev(15, 4, "purchase", 1),
+        # user 5: two BACK-TO-BACK matching runs with nothing between —
+        # the case single separators undercount (shared delimiter)
+        ev(16, 5, "error", 0), ev(17, 5, "error", 1),
+        ev(18, 5, "purchase", 2),
+        ev(19, 5, "error", 3), ev(20, 5, "error", 4),
+        ev(21, 5, "purchase", 5),
     ]
     df = spark.createDataFrame(
         rows,
@@ -233,10 +239,12 @@ def test_sequence_pattern_hand_values(spark):
     out = {
         r["user_id"]: (r["n_matches"], r["matched"])
         for r in sequence_pattern(
-            df, pattern=",error(,error)+,purchase,"
+            df, pattern=",error,(,error,)+,purchase,"
         ).collect()
     }
-    assert out == {1: (1, 1), 2: (0, 0), 3: (2, 1), 4: (0, 0)}
+    assert out == {
+        1: (1, 1), 2: (0, 0), 3: (2, 1), 4: (0, 0), 5: (2, 1)
+    }
 
 
 def test_sequence_pattern_orders_by_time_then_id(spark):
@@ -255,5 +263,5 @@ def test_sequence_pattern_orders_by_time_then_id(spark):
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
     )
-    out = sequence_pattern(df, pattern=",error,purchase,").collect()[0]
+    out = sequence_pattern(df, pattern=",error,,purchase,").collect()[0]
     assert out["n_matches"] == 1

@@ -384,3 +384,74 @@ def test_budget_select_guards_and_nulls(spark):
     assert [r["doc_id"] for r in out.collect()] == [2]
     with _pytest.raises(ValueError, match="budget"):
         budget_select(df, budget=0, cost_col="cost", order_col="q")
+
+
+def test_domain_quota_two_phase_caps_null_domain(spark):
+    from updater_spark.operators.sampling import domain_quota
+
+    # NULL is an over-cap "domain": both strategies must cap it —
+    # a plain equi anti-join would let every NULL row through
+    rows = [(i, None if i < 20 else "a", float(i)) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, s double")
+    outs = [
+        sorted(
+            tuple(r)
+            for r in domain_quota(
+                df, cap=3, domain_col="domain", order_col="s", strategy=st
+            ).collect()
+        )
+        for st in ("window", "two_phase")
+    ]
+    assert outs[0] == outs[1]
+    assert sum(1 for r in outs[1] if r[1] is None) == 3
+
+
+def test_budget_select_granularity_on_unit_scores(spark):
+    from pyspark.sql import Window as W
+
+    from updater_spark.operators.sampling import budget_select
+
+    # quality scores in [0, 1): default floor() collapses to ONE
+    # bucket (the degenerate global window); granularity=1000 must
+    # spread the rows over many buckets AND stay exact vs naive
+    rows = [(i, ((i * 37) % 997) / 997.0, ((i * 13) % 7) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, q double, cost int")
+    got = budget_select(
+        df, budget=300, cost_col="cost", order_col="q",
+        bucket_granularity=1000.0,
+    )
+    naive = (
+        df.withColumn(
+            "cum_cost",
+            F.sum(F.col("cost").cast("double")).over(
+                W.orderBy(
+                    F.col("q").desc(), F.col("doc_id").asc()
+                ).rowsBetween(W.unboundedPreceding, 0)
+            ),
+        ).filter(F.col("cum_cost") <= 300)
+    )
+    a = sorted((r["doc_id"], r["cum_cost"]) for r in got.collect())
+    b = sorted((r["doc_id"], r["cum_cost"]) for r in naive.collect())
+    assert a == b and len(a) > 10
+    # multi-bucket execution, not one global partition
+    n_buckets = (
+        df.selectExpr("floor(q * 1000.0) AS b").distinct().count()
+    )
+    assert n_buckets > 100
+
+
+def test_budget_select_rejects_nonpositive_cost(spark):
+    import pytest as _pytest
+
+    from updater_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [(0, 2.0, 3), (1, 1.0, 0)], "doc_id long, q double, cost int"
+    )
+    with _pytest.raises(ValueError, match="> 0"):
+        budget_select(df, budget=10, cost_col="cost", order_col="q")
+    with _pytest.raises(ValueError, match="bucket_granularity"):
+        budget_select(
+            df.filter("cost > 0"), budget=10, cost_col="cost",
+            order_col="q", bucket_granularity=0.0,
+        )

@@ -931,3 +931,54 @@ def test_kmeans_arrow_engine_matches_catalyst(spark):
     c2, a2 = kmeans_lloyd(df, k=5, iters=2, engine="arrow")
     assert c1 == c2
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_hard_negatives_null_corpus_label_is_universal_negative(spark):
+    from updater_spark.operators.similarity import hard_negatives_arrow
+
+    # corpus row 9 has a NULL label: it must act as a negative for
+    # every query (NaN never equals), not raise inside the stage
+    rows = [
+        (i, [1.0 + i * 0.001, 0.5, 0.0], i % 2 if i < 9 else None)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negatives_arrow(df, df.filter("vec_id = 0"), k=9).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 9 in ids  # NULL-labelled row returned as a negative
+    assert 0 not in ids
+
+
+def test_hard_negatives_rounded_tie_breaks_by_id(spark):
+    from updater_spark.operators.similarity import hard_negatives_arrow
+
+    # vectors engineered so raw sims differ only past the 4th decimal:
+    # after rounding they tie, and the lower neighbor_id must win the
+    # final slot even when the raw-sim order says otherwise
+    import numpy as np
+
+    q = np.array([1.0, 0.0])
+    # ids 1..3 same label-0 pool; sims ~cos(theta) with tiny offsets
+    def vec(eps):
+        v = np.array([1.0, eps])
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    rows = [
+        (1, vec(0.020000), 1),   # clearly top
+        (2, vec(0.030001), 1),   # rounds equal to id 3 but raw LOWER
+        (3, vec(0.030000), 1),   # raw higher; same rounded sim
+        (4, vec(0.500000), 1),   # clearly out
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).coalesce(1)
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in q], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = hard_negatives_arrow(df, queries, k=2).collect()
+    got = sorted((r["rank"], r["neighbor_id"]) for r in out)
+    # ids 2 and 3 tie on the rounded sim; id 2 must take rank 2
+    assert got == [(1, 1), (2, 2)]

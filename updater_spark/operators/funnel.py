@@ -285,12 +285,16 @@ def sequence_pattern(
     asks for CONSECUTIVE structure (runs, alternations, bounded
     repetition).
 
-    Each key's events collapse to one ``sep``-joined string in
-    (time, id) order — the ``sep`` also BRACKETS the string
-    (",a,b,c,") so a pattern can anchor token boundaries on both
-    sides and ``er`` can never match inside ``error``; write patterns
-    against that form. Matches count NON-overlapping occurrences
-    (regexp semantics in both engines).
+    Each key's events collapse to one string in (time, id) order with
+    a DOUBLED ``sep`` between events and single ``sep`` brackets
+    (",a,,b,,c,"): every token carries its OWN boundary separators, so
+    a pattern token is written ``,a,`` and adjacent non-overlapping
+    matches never share a delimiter character. (With single
+    separators ",a,b," the first match of a bracketed pattern
+    consumes the comma the next run needs, silently undercounting
+    back-to-back occurrences.) ``er`` still can never match inside
+    ``error``. Matches count NON-overlapping occurrences (regexp
+    semantics in both engines).
 
     Scale shape: one shuffle on the key (the collect_list aggregate,
     partial-combining); the regex runs once per KEY on a string bounded
@@ -308,7 +312,7 @@ def sequence_pattern(
     )
     seq = F.concat(
         F.lit(sep),
-        F.array_join(F.transform(ordered, lambda s: s["e"]), sep),
+        F.array_join(F.transform(ordered, lambda s: s["e"]), sep + sep),
         F.lit(sep),
     )
     return (

@@ -278,11 +278,16 @@ def domain_quota(
     if strategy == "window":
         return ranked_cap(df)
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
-    heavy = counts.filter(F.col("__n") > cap).select(domain_col)
-    light_rows = df.join(heavy, domain_col, "left_anti")
-    heavy_rows = df.join(heavy, domain_col, "left_semi")
-    # the USING-style joins move the key column first; restore the
-    # caller's column order so both strategies are drop-in equal
+    # null-SAFE split: the window strategy treats NULL domain as its
+    # own group and caps it; a plain equi anti-join would never match
+    # NULL against "heavy" and let an over-cap NULL domain through
+    # uncapped, breaking the two-strategies-same-result contract
+    heavy = counts.filter(F.col("__n") > cap).select(
+        F.col(domain_col).alias("__heavy_dom")
+    )
+    split = df[domain_col].eqNullSafe(F.col("__heavy_dom"))
+    light_rows = df.join(heavy, split, "left_anti")
+    heavy_rows = df.join(heavy, split, "left_semi")
     return light_rows.unionByName(ranked_cap(heavy_rows)).select(*df.columns)
 
 
@@ -373,6 +378,7 @@ def budget_select(
     cost_col: str,
     order_col: str,
     id_col: str = "doc_id",
+    bucket_granularity: float = 1.0,
 ) -> DataFrame:
     """Greedy budget-constrained selection: walk rows in quality
     order (``order_col`` descending, id ties) and keep each row whose
@@ -385,28 +391,61 @@ def budget_select(
     window — a single-partition sort at 100 TB. Here the
     deterministic_shuffle decomposition applies because the walk
     order has a computable coarse prefix: rows bucket by
-    ``floor(order_col)`` (monotone with the walk order), per-bucket
-    cost totals cumulate on the DRIVER (|buckets| longs — no data
-    movement), and each row's global running cost = its bucket's
-    offset + an intra-bucket running sum (windows per bucket, all in
-    parallel). One exchange, no global sort, exact greedy-prefix
-    semantics (pinned against the naive form in tests).
+    ``floor(order_col * bucket_granularity)`` (monotone with the walk
+    order), per-bucket cost totals cumulate on the DRIVER (|buckets|
+    longs — no data movement), and each row's global running cost =
+    its bucket's offset + an intra-bucket running sum (windows per
+    bucket, all in parallel). One exchange, no global sort.
+
+    ``bucket_granularity`` matters whenever the order column's values
+    concentrate in a narrow range: quality scores live in [0, 1), so
+    plain ``floor`` would put EVERY row in bucket 0 and the
+    intra-bucket window would silently become the single global sort
+    this decomposition exists to avoid. Pick a granularity that
+    spreads the score range over hundreds of buckets (1000 for a
+    [0, 1) score); for wide-range integer columns (char/token counts)
+    the default 1.0 is already fine.
+
+    Costs must be > 0 (validated in the same pass that collects the
+    bucket totals): the greedy prefix is only well-defined when the
+    cumulative cost is strictly increasing — a zero/negative cost row
+    after the first budget crossing could otherwise re-enter. The
+    result is exact for integer costs (pinned against the naive
+    global-window form in tests); for fractional costs the per-bucket
+    sums can differ from the sequential walk in the last ulp, which
+    can flip a row sitting exactly on the budget boundary.
 
     Rows with NULL cost or order are excluded up front (they have no
     place in the walk). Returns the kept rows plus ``cum_cost``
     (cost consumed through and including the row)."""
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
+    if bucket_granularity <= 0:
+        raise ValueError(
+            f"bucket_granularity must be > 0, got {bucket_granularity}"
+        )
     base = df.filter(
         F.col(cost_col).isNotNull() & F.col(order_col).isNotNull()
     )
-    bucket = F.floor(F.col(order_col)).cast("long")
+    bucket = F.floor(
+        F.col(order_col) * F.lit(float(bucket_granularity))
+    ).cast("long")
     staged = base.withColumn("__b", bucket)
-    totals = dict(
+    agg_rows = (
         staged.groupBy("__b")
-        .agg(F.sum(F.col(cost_col).cast("double")).alias("t"))
+        .agg(
+            F.sum(F.col(cost_col).cast("double")).alias("t"),
+            F.min(F.col(cost_col).cast("double")).alias("m"),
+        )
         .collect()
     )
+    bad = [r for r in agg_rows if r["m"] is not None and r["m"] <= 0]
+    if bad:
+        raise ValueError(
+            f"budget_select requires {cost_col} > 0 for every row "
+            f"(monotone greedy prefix); found min cost {bad[0]['m']}"
+        )
+    totals = {r["__b"]: r["t"] for r in agg_rows}
     offsets, acc = [], 0.0
     for b in sorted(totals, reverse=True):  # walk = order_col DESC
         offsets.append((b, acc))

@@ -2046,10 +2046,16 @@ def hard_negatives_arrow(
     window finishes globally), with the label exclusion applied as a
     vectorized mask on the score matrix BEFORE the local top-k — so
     the per-batch candidate set is exact and self-matches are
-    excluded for free (a row always shares its own label). Labels
-    must be non-null; a NULL label row never matches ``==`` so it
-    would act as a universal negative — filter upstream if that is
+    excluded for free (a row always shares its own label). A NULL
+    corpus label never equals any query label (NaN compare), so such
+    a row acts as a universal negative — filter upstream if that is
     not intended.
+
+    Scores are rounded to 4 decimals BEFORE the per-batch local
+    top-k and local ties break by neighbor_id (via _adc_local_topk's
+    composite order) — selecting on raw floats and rounding after
+    can drop the lower-id member of a rounded tie that the global
+    (sim DESC, id ASC) window and the oracle would keep.
 
     Returns ``(query_id, neighbor_id, sim, rank)``, exact (the
     oracle-friendly baseline; at larger corpora compose the same mask
@@ -2070,7 +2076,12 @@ def hard_negatives_arrow(
     lab_map = dict(
         zip(tbl.column("id").to_numpy(), tbl.column("lab").to_numpy())
     )
-    qlabels = np.array([lab_map[i] for i in qids], dtype=np.int64)
+    # float64 so a NULL label becomes NaN and never equals anything —
+    # int64 coercion would raise on NULLs instead of treating the row
+    # as the universal negative the docstring promises
+    qlabels = np.array(
+        [lab_map[i] for i in qids], dtype=np.float64
+    )
 
     out_schema = "query_id long, neighbor_id long, sim double"
     q_block = 1024
@@ -2082,7 +2093,12 @@ def hard_negatives_arrow(
             cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
             ids = pdf[id_col].to_numpy()
-            clabels = pdf[label_col].to_numpy(dtype=np.int64)
+            # float64, not int64: NULL corpus labels arrive as None/NaN
+            # and an int64 coercion raises inside the stage; as NaN the
+            # row simply never matches and stays a universal negative
+            clabels = pd.to_numeric(
+                pdf[label_col], errors="coerce"
+            ).to_numpy(dtype=np.float64)
             n_local = min(k, len(ids))
             for q0 in range(0, len(qids), q_block):
                 qb = qm[q0 : q0 + q_block]
@@ -2094,14 +2110,18 @@ def hard_negatives_arrow(
                 sims[
                     clabels[:, None] == qlabels[q0 : q0 + q_block][None, :]
                 ] = -np.inf
-                top = np.argpartition(sims, len(ids) - n_local, axis=0)[
-                    len(ids) - n_local :, :
-                ]
-                svals = np.round(
-                    np.take_along_axis(sims, top, axis=0), 4
-                ).ravel(order="F")
+                # round BEFORE the local selection and break ties by
+                # id: argpartition on raw floats can keep the higher-id
+                # member of a rounded tie that the global window (sim
+                # DESC, id ASC) would rank inside the top-k. Negating
+                # the rounded sims turns (sim DESC, id ASC) into
+                # _adc_local_topk's native (dist ASC, id ASC); masked
+                # -inf becomes +inf and sorts last.
+                neg = -np.round(sims.T, 4)  # (q_block, batch)
+                out_d, out_i = _adc_local_topk(neg, ids, n_local)
+                svals = -out_d.ravel()
                 qcol = np.repeat(qids[q0 : q0 + q_block], n_local)
-                ncol = ids[top].ravel(order="F")
+                ncol = out_i.ravel()
                 keep = np.isfinite(svals)  # batches thin on other labels
                 yield pd.DataFrame(
                     {
