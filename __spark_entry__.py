@@ -1741,8 +1741,16 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims → 4 subspace codes against a fixed 16-codeword-per-subspace
     codebook (deterministic data subset, like the IVF fixtures).
     Returns codes + reconstruction error; the oracle reproduces the
-    per-subspace argmin and distances with DuckDB list arithmetic."""
-    from updater_spark.operators.similarity import pq_assign
+    per-subspace argmin and distances with DuckDB list arithmetic.
+
+    Runs the ARROW twin (pq_assign_arrow, bit-identical contract,
+    shares this oracle): the Catalyst form's giant M*K projection
+    exceeds janino's generated-method limit, so every sweep logged a
+    hard CodeGenerator ERROR before falling back to interpreted
+    execution — correct but noisy and slower. The Catalyst path stays
+    pinned by pytest (test_pq_assign_matches_numpy,
+    test_pq_assign_arrow_matches_catalyst)."""
+    from updater_spark.operators.similarity import pq_assign_arrow
 
     emb = demo.load(spark, sf_dir, "embeddings")
     cw_rows = (
@@ -1760,7 +1768,7 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for m in range(m_sub)
     ]
-    out = pq_assign(emb, codebooks)
+    out = pq_assign_arrow(emb, codebooks)
     return out.select(
         "vec_id",
         F.array_join(
@@ -5265,16 +5273,27 @@ def q_dedup_text_model_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = demo.load(spark, sf_dir, "documents")
     # persist: the k-means loop (init collect + per-iter aggregates +
     # final assignment) and the two-sided pair join would otherwise
-    # recompute the embed lineage ~8x. Residual cost at sf0.1 is the
-    # genuine ~2.6M within-cell pairs (k=8 over 5k docs); the scale
-    # lever is k — cells bound pairs quadratically, exactly as in
-    # semantic_dedup
+    # recompute the embed lineage ~8x
     emb = (
         hashed_text_embedding(docs, dim=16)
         .withColumnRenamed("doc_id", "vec_id")
         .persist()
     )
-    _, asg = kmeans_lloyd(emb, k=8, iters=1)
+    # cells bound the pair join: expected within-cell pairs ~ n^2/(2k),
+    # so a FIXED k is quadratic in n. k = ceil(sqrt(n/8)) keeps the
+    # expected pair count ~ 4n^1.5 (the semantic_dedup cell-sizing
+    # rule); floor of 8 so tiny corpora still get real cells. At the
+    # oracle's sf0.01 (500 docs) this is exactly the k=8 the unrolled
+    # k-means CTE pins; at sf0.1 it is 25 (5x fewer pairs than k=8)
+    import math
+
+    n_docs = docs.count()
+    k_cells = max(8, math.ceil(math.sqrt(n_docs / 8)))
+    # arrow engine: bit-identical to catalyst by the exact-replay
+    # contract (pinned by test_kmeans_arrow_engine_matches_catalyst),
+    # and the catalyst per-centroid projection grows with k — measured
+    # 10.0s vs 1.8s at k=25 over 5k docs
+    _, asg = kmeans_lloyd(emb, k=k_cells, iters=1, engine="arrow")
 
     # the pair sim must be BIT-IDENTICAL to cosine() (dot/(na*nb) with
     # left-to-right folds) for the oracle, but an F.aggregate lambda
