@@ -4846,6 +4846,48 @@ def q_cdc_type_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _doc_html(text_col, id_col):
+    """Deterministic HTML wrapper around a document — the fixture
+    both q_html_extract and its oracle build byte-identically (the
+    testdata has no raw-HTML column; the wrapper adds the markup the
+    extractor must strip: comments, style/script containers with tag
+    soup inside, entities incl. a double-escape, inline tags, block
+    structure from the text itself)."""
+    return F.concat(
+        F.lit(
+            '<html><head><title>d</title><style type="text/css">'
+            "body{margin:0}</style></head><body><!-- hidden comment "
+            '--><script>var t="<p>not text</p>";</script><h1>Doc '
+            "&quot;"
+        ),
+        F.col(id_col).cast("string"),
+        F.lit("&quot;</h1><p>"),
+        F.replace(F.col(text_col), F.lit(" table "), F.lit("</p><p>")),
+        F.lit(
+            '</p><div class="footer">Served&nbsp;by &amp;amp; '
+            '<a href="#">Example <b>Corp</b></a></div></body></html>'
+        ),
+    )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (the web-corpus ingestion edge):
+    documents wrapped in a deterministic HTML fixture, then the
+    pure-Catalyst regexp chain — comment/script/style drop, block
+    tags to newlines, inline tags to spaces, fixed entity table
+    (&amp; last: double-escapes decode one level), whitespace
+    collapse, empty-block drop. Map-only, zero shuffles; the oracle
+    replays the identical RE2-safe patterns in the identical order."""
+    from updater_spark.operators.text import html_extract
+
+    docs = demo.load(spark, sf_dir, "documents")
+    return html_extract(
+        docs.select(
+            "doc_id", _doc_html("text", "doc_id").alias("html")
+        )
+    )
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): select 200 raw
     documents whose hashed-n-gram distribution matches the English
@@ -5382,6 +5424,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cdc_type_evolution, ...) whose rows are also from this round's
     # driver runs; the stalest earlier-round rows fill the tail.
     return {
+        # --- r9: new queries lead (no driver row yet) ---
+        "html_extract": q_html_extract,
         # --- r8 window, session 3: new (no driver row yet) ---
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
@@ -6519,6 +6563,59 @@ def _nb_sql(hash_bits: int | None) -> str:
     """
 
 
+def _html_extract_sql() -> str:
+    """DuckDB replay of q_html_extract: the html fixture rebuilt with
+    || / replace, then the extraction chain generated from the SAME
+    module-level pattern constants the engine uses (text.py
+    HTML_DROP_BLOCKS / HTML_BLOCK_TAG / HTML_ANY_TAG / HTML_ENTITIES)
+    — order-identical by construction. DuckDB's regex is RE2 (no
+    backreferences), which is why the patterns are RE2-safe; 'gs'
+    flags make the replace global (DuckDB defaults to first-match,
+    Spark to all)."""
+    from updater_spark.operators.text import (
+        HTML_ANY_TAG,
+        HTML_BLOCK_TAG,
+        HTML_DROP_BLOCKS,
+        HTML_ENTITIES,
+    )
+
+    expr = "html"
+    for pat in HTML_DROP_BLOCKS:
+        expr = f"regexp_replace({expr}, '{pat}', '', 'g')"
+    expr = f"regexp_replace({expr}, '{HTML_BLOCK_TAG}', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '{HTML_ANY_TAG}', ' ', 'g')"
+    for ent, repl in HTML_ENTITIES:
+        r = repl.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{r}')"
+    expr = f"regexp_replace({expr}, '[ \\t\\r]+', ' ', 'g')"
+    return f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   '<html><head><title>d</title><style type="text/css">'
+                   || 'body{{margin:0}}</style></head><body><!-- hidden comment '
+                   || '--><script>var t="<p>not text</p>";</script><h1>Doc '
+                   || '&quot;' || doc_id::VARCHAR || '&quot;</h1><p>'
+                   || replace(text, ' table ', '</p><p>')
+                   || '</p><div class="footer">Served&nbsp;by &amp;amp; '
+                   || '<a href="#">Example <b>Corp</b></a></div></body></html>'
+                       AS html
+            FROM documents
+        ),
+        blocks AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(string_split({expr}, chr(10)),
+                                      x -> trim(x)),
+                       x -> x <> '') AS b
+            FROM raw
+        )
+        SELECT doc_id,
+               array_to_string(b, chr(10)) AS text,
+               CAST(len(b) AS BIGINT) AS n_blocks
+        FROM blocks
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # NB: POWER(x, 0.25) is written sqrt(sqrt(x)) — IEEE sqrt is
     # correctly rounded everywhere, pow is libm-dependent (see
@@ -7394,6 +7491,7 @@ def oracle_sql() -> dict[str, str]:
                   WHERE doc_id % 40 IN (0, 17)) d
             LEFT JOIN scored s USING (doc_id)
         """,
+        "html_extract": _html_extract_sql(),
         "dsir_select": """
             WITH toked AS MATERIALIZED (
                 SELECT doc_id, lang,

@@ -460,3 +460,69 @@ def test_pmi_collocations_guards(spark):
         pmi_collocations(docs)
     with _pytest.raises(ValueError, match="min_count"):
         pmi_collocations(docs, min_count=0)
+
+
+def test_html_extract_hand_values(spark):
+    from updater_spark.operators.text import html_extract
+
+    rows = [
+        # comments, style/script containers (with tag soup inside),
+        # entities incl. one double-escape, inline + block tags
+        (1, '<html><head><style>p{c}</style></head><body><!-- x -->'
+            '<h1>Title</h1><p>Hello <b>world</b> &amp;amp; '
+            '&lt;tag&gt;</p><script>var t="<p>no</p>";</script>'
+            '<div>End&nbsp;block</div></body></html>'),
+        (2, "<p>a</p><p>  </p><p>b</p>"),    # empty block drops
+        (3, "plain, no tags at all"),        # passthrough
+        (4, "<ul><li>one</li><li>two</li></ul>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r["doc_id"]: r for r in html_extract(df).collect()}
+    assert out[1]["text"] == "Title\nHello world &amp; <tag>\nEnd block"
+    assert out[1]["n_blocks"] == 3
+    assert out[2]["text"] == "a\nb" and out[2]["n_blocks"] == 2
+    assert out[3]["text"] == "plain, no tags at all"
+    assert out[4]["text"] == "one\ntwo"
+
+
+def test_html_extract_malformed_degrades_gracefully(spark):
+    from updater_spark.operators.text import html_extract
+
+    rows = [
+        (1, "<p>unclosed <b>bold"),            # tags strip anyway
+        (2, "<script>never closed, eats rest"),  # survives as text
+        (3, "a < b and c > d"),                 # bare < consumes to >
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r["doc_id"]: r["text"] for r in html_extract(df).collect()}
+    assert out[1] == "unclosed bold"
+    # no closing </script>: the drop pattern can't match, the open
+    # tag strips as a tag and the content stays — lossy but stated
+    assert out[2] == "never closed, eats rest"
+    # "< b and c >" parses as one tag per the [^>]* pattern — the
+    # documented lossiness of a regex extractor on bare angle brackets
+    assert out[3] == "a d"
+
+
+def test_html_extract_composes_with_quality_and_boilerplate(spark):
+    from updater_spark.operators.text import (
+        html_extract,
+        quality_score,
+        strip_boilerplate,
+    )
+
+    # 6 docs share a nav-menu block; per-doc unique body text
+    rows = [
+        (i, f"<div>HOME | ABOUT | CONTACT</div><p>unique body {i} "
+            f"with several words here</p>")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    extracted = html_extract(df)  # (doc_id, text, n_blocks)
+    cleaned = strip_boilerplate(extracted, max_df=3)
+    for r in cleaned.collect():
+        assert "HOME | ABOUT" not in r["text"]
+        assert f"unique body {r['doc_id']}" in r["text"]
+        assert r["n_dropped"] == 1
+    scored = quality_score(extracted.select("doc_id", "text"))
+    assert scored.count() == 6

@@ -737,3 +737,80 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(k)
     )
+
+
+# html_extract's tag/entity chain, shared module-level so the DuckDB
+# oracle generator can replay the IDENTICAL patterns in the IDENTICAL
+# order. RE2-safe by construction: no backreferences (DuckDB's regex
+# engine lacks them), no lookaround — each container tag gets its own
+# literal open..close pattern instead of <(script|style)>.*?</\1>.
+HTML_DROP_BLOCKS = [
+    r"(?is)<!--.*?-->",
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?is)<noscript\b[^>]*>.*?</noscript\s*>",
+]
+# block-level tags become newlines (block segmentation); everything
+# else strips to a space so inline tags never glue words together
+HTML_BLOCK_TAG = (
+    r"(?is)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|blockquote|"
+    r"section|article|header|footer|pre)\b[^>]*>"
+)
+HTML_ANY_TAG = r"(?s)<[^>]*>"
+# fixed entity table, decoded in ORDER — &amp; must come last so a
+# double-escaped "&amp;lt;" decodes exactly one level (to "&lt;")
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+]
+
+
+def html_extract(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """HTML -> text extraction: the ingestion edge of a web-crawl
+    pipeline (every RefinedWeb/CCNet-style corpus starts as raw HTML;
+    ``strip_boilerplate`` and ``quality_score`` assume extracted
+    text already exists — this produces it).
+
+    Honest, LOSSY, fully declarative: a fixed chain of regexp
+    replaces, not an HTML5 parser. Comments and script/style/noscript
+    containers drop with their content; block-level tags become line
+    breaks (block segmentation); remaining tags strip to a space (so
+    ``foo<b>bar</b>`` never glues to ``foobar``); a fixed entity
+    table decodes (&amp; last, so double-escaped entities decode one
+    level); whitespace collapses and empty blocks drop. Malformed
+    markup degrades gracefully — an unclosed <script> eats to the
+    next </script> or survives as text, exactly as the patterns say.
+
+    Pure Catalyst regexp chain: runs at scan speed inside whole-stage
+    codegen, zero shuffles, zero Python — at 100 TB this is a map-only
+    stage that fuses with whatever filter follows it. Output
+    ``(id, text, n_blocks)`` with blocks newline-joined, the exact
+    shape strip_boilerplate consumes."""
+    s = F.col(html_col)
+    for pat in HTML_DROP_BLOCKS:
+        s = F.regexp_replace(s, pat, "")
+    s = F.regexp_replace(s, HTML_BLOCK_TAG, "\n")
+    s = F.regexp_replace(s, HTML_ANY_TAG, " ")
+    for ent, repl in HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(repl))
+    s = F.regexp_replace(s, r"[ \t\r]+", " ")
+    blocks = F.filter(
+        F.transform(F.split(s, "\n"), lambda b: F.trim(b)),
+        lambda b: b != "",
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(blocks, "\n").alias(text_col),
+        F.size(blocks).cast("long").alias("n_blocks"),
+    )
