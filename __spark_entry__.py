@@ -3837,6 +3837,43 @@ def q_bpe_tokens_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize_arrow(docs, "text", BPE_MERGES)
 
 
+# Byte-level merges, written in the hex alphabet the operator uses:
+# 'th'+'e', 'd'+'a'+'t'+'a', 's'+'c'+'a'+'n' chains plus ("C3","A9")
+# — the two UTF-8 bytes of "é" — exercising the UNK-free guarantee on
+# the non-ASCII the fixture injects (each operand producible by an
+# earlier merge, the same well-formedness rule as BPE_MERGES)
+BPE_BYTE_MERGES = [
+    ("C3", "A9"),
+    ("74", "68"), ("7468", "65"),
+    ("64", "61"), ("6461", "74"), ("646174", "61"),
+    ("73", "63"), ("7363", "61"), ("736361", "6E"),
+    ("76", "61"), ("7661", "6C"),
+    ("65", "72"), ("6F", "72"),
+]
+
+
+def q_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE apply (GPT-family tokenization): no
+    normalization — case and punctuation are data — and every word's
+    start symbols are its UTF-8 bytes as uppercase hex pairs, a fixed
+    256-symbol alphabet, so ANY input tokenizes with zero UNKs by
+    construction. The fixture injects non-ASCII (value -> Valué) to
+    pin that guarantee on multi-byte characters: the ("C3","A9")
+    merge fuses é back into one symbol. Same pure-Catalyst fold and
+    recursive-CTE oracle as bpe_tokens, hex alphabet throughout."""
+    from updater_spark.operators.tokenizer import bpe_tokenize
+
+    docs = demo.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.col("text"), F.lit("value"), F.lit("Valué")
+        ).alias("text"),
+    )
+    return bpe_tokenize(
+        docs, "text", BPE_BYTE_MERGES, max_word_len=16, byte_level=True
+    )
+
+
 def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match subword tokenization
     (operators/tokenizer.py): every document segmented against a
@@ -5426,6 +5463,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r9: new queries lead (no driver row yet) ---
         "html_extract": q_html_extract,
+        "bpe_bytes": q_bpe_bytes,
         # --- r8 window, session 3: new (no driver row yet) ---
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
@@ -5964,6 +6002,12 @@ def _generated_oracles() -> dict[str, str]:
         "wordpiece_tokens_8k": _wp_sql(_wp_vocab_8k()),
         "bpe_tokens": _bpe_sql(BPE_MERGES),
         "bpe_tokens_arrow": _bpe_sql(BPE_MERGES),
+        "bpe_bytes": _bpe_sql(
+            BPE_BYTE_MERGES,
+            byte_level=True,
+            text_expr="replace(text, 'value', 'Valué')",
+            max_word_len=16,
+        ),
         "nb_classifier": _nb_sql(None),
         "nb_classifier_hashed": _nb_sql(12),
         "lr_quality_filter": _logreg_sql(),
@@ -6159,7 +6203,12 @@ def _wp_sql(vocab: list[str]) -> str:
     """
 
 
-def _bpe_sql(merges: list[tuple[str, str]]) -> str:
+def _bpe_sql(
+    merges: list[tuple[str, str]],
+    byte_level: bool = False,
+    text_expr: str = "text",
+    max_word_len: int = 32,
+) -> str:
     """Recursive-CTE replay of bpe_tokenize: per word, start from
     single characters and keep applying the lowest-rank leftmost
     adjacent merge until none applies. Candidate pair positions come
@@ -6167,29 +6216,48 @@ def _bpe_sql(merges: list[tuple[str, str]]) -> str:
     is unsupported); out-of-range list indexes read NULL and the
     pair-key concat then never matches. Finished words fall out of
     the recursion (the join finds no pair); arg_max(pieces, n) per
-    word recovers each word's final state."""
+    word recovers each word's final state.
+
+    ``byte_level`` replays the hex-pair byte alphabet: no
+    normalization, ASCII-whitespace word split, start symbols =
+    ``regexp_extract_all(hex(encode(w)), '..')`` (DuckDB's hex is
+    uppercase like Spark's), candidate range widened to 4x the char
+    truncation (a char is at most 4 UTF-8 bytes)."""
     vals = ", ".join(
         f"('{a} {b}', {r})" for r, (a, b) in enumerate(merges)
     )
+    if byte_level:
+        norm_expr = text_expr
+        split_pat = "'[ \\t\\n\\r]+'"
+        start_expr = (
+            "array_to_string(regexp_extract_all(hex(encode(w)), '..'), '|')"
+        )
+        max_pos = 4 * max_word_len
+    else:
+        norm_expr = (
+            f"regexp_replace(lower({text_expr}), '[^a-z ]', '', 'g')"
+        )
+        split_pat = "' +'"
+        start_expr = "array_to_string(string_split(w, ''), '|')"
+        max_pos = max_word_len
     return f"""
         WITH RECURSIVE merges(pair, rank) AS (VALUES {vals}),
         norm AS (
-            SELECT doc_id,
-                   regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+            SELECT doc_id, {norm_expr} AS t
             FROM documents
         ),
         words AS (
-            SELECT doc_id, wi, substr(w, 1, 32) AS w FROM (
+            SELECT doc_id, wi, substr(w, 1, {max_word_len}) AS w FROM (
                 SELECT doc_id,
-                       unnest(regexp_split_to_array(trim(t), ' +')) AS w,
+                       unnest(regexp_split_to_array(trim(t), {split_pat})) AS w,
                        generate_subscripts(
-                           regexp_split_to_array(trim(t), ' +'), 1) AS wi
+                           regexp_split_to_array(trim(t), {split_pat}), 1) AS wi
                 FROM norm)
             WHERE w <> ''
         ),
         step AS (
             SELECT doc_id, wi, 0 AS n,
-                   array_to_string(string_split(w, ''), '|') AS pieces
+                   {start_expr} AS pieces
             FROM words
             UNION ALL
             SELECT doc_id, wi, n + 1 AS n,
@@ -6202,7 +6270,7 @@ def _bpe_sql(merges: list[tuple[str, str]]) -> str:
                 SELECT s.doc_id, s.wi, s.n, s.pieces,
                        CAST(arg_min(c.i, printf('%06d%06d', m.rank, c.i))
                             AS INTEGER) AS bi
-                FROM step s, range(1, 32) c(i)
+                FROM step s, range(1, {max_pos}) c(i)
                 JOIN merges m
                   ON m.pair =
                      string_split(s.pieces,'|')[CAST(c.i AS INTEGER)]

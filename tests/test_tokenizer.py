@@ -434,3 +434,61 @@ def test_bpe_train_tiebreak_is_total(spark):
     assert [(r["merge_rank"], r["a"], r["b"]) for r in rows] == _py_bpe_train(
         texts, 2
     )
+
+
+def test_bpe_byte_level_unk_free_and_twins_match(spark):
+    from updater_spark.operators.tokenizer import (
+        bpe_tokenize,
+        bpe_tokenize_arrow,
+    )
+
+    merges = [("C3", "A9"), ("74", "68"), ("7468", "65")]
+    rows = [
+        (1, "the Valué thé"),       # case kept, é bytes fuse to C3A9
+        (2, "日本語 mixed текст"),   # 3- and 2-byte chars, zero UNKs
+        (3, "  tabs\tand\nnewlines "),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cat = {
+        r["doc_id"]: (r["pieces"], r["n_pieces"])
+        for r in bpe_tokenize(
+            df, "text", merges, byte_level=True
+        ).collect()
+    }
+    arw = {
+        r["doc_id"]: (r["pieces"], r["n_pieces"])
+        for r in bpe_tokenize_arrow(
+            df, "text", merges, byte_level=True
+        ).collect()
+    }
+    assert cat == arw
+    # UNK-free: every symbol is a hex pair or a merge of hex pairs —
+    # nothing drops. "the" fully merges; é's two bytes fuse; case is
+    # preserved (V stays 56, unmerged)
+    assert cat[1] == ("746865 56|61|6C|75|C3A9 7468|C3A9", 8)
+    # 3-byte CJK chars: 9 bytes for 3 chars, all present as symbols
+    pieces2 = cat[2][0].split(" ")
+    assert pieces2[0].count("|") == 8  # 9 hex-pair symbols
+    assert cat[4] == (None, None)
+    assert cat[5] == ("", 0)
+
+
+def test_bpe_byte_level_roundtrips_bytes(spark):
+    from updater_spark.operators.tokenizer import bpe_tokenize
+
+    # lossless at the byte level: concatenating the hex symbols of
+    # each word re-encodes the word exactly (the UNK-free property
+    # stated as a round trip)
+    merges = [("61", "62")]
+    words = ["abc", "ÅÖ", "混合mix", "x"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["pieces"] for r in bpe_tokenize(
+        df, "text", merges, byte_level=True
+    ).collect()}
+    for i, w in enumerate(words):
+        hx = out[i].replace("|", "")
+        assert bytes.fromhex(hx).decode("utf-8") == w

@@ -478,7 +478,9 @@ def _merge_ranks(merges: list[tuple[str, str]]) -> Column:
     return F.create_map(*entries)
 
 
-def _bpe_word(w: Column, ranks: Column, max_word_len: int) -> Column:
+def _bpe_word(
+    w: Column, ranks: Column, max_word_len: int, byte_level: bool = False
+) -> Column:
     """array<string> BPE pieces for one (normalized, truncated) word:
     start from single characters and repeatedly apply the LOWEST-rank
     adjacent merge, leftmost occurrence first. One leftmost merge per
@@ -486,7 +488,13 @@ def _bpe_word(w: Column, ranks: Column, max_word_len: int) -> Column:
     apply (after merging the leftmost occurrence, the same pair — if
     still present — is still the minimum rank and merges next), and
     each merge shrinks the array by one, so ``max_word_len - 1`` steps
-    always reach the fixed point."""
+    always reach the fixed point.
+
+    ``byte_level``: the start symbols are the word's UTF-8 BYTES as
+    uppercase hex pairs (``hex(encode(w))`` chunked by 2) instead of
+    characters — a fixed 256-symbol printable alphabet, so EVERY
+    input tokenizes (UNK-free by construction; the GPT-2 byte-BPE
+    property) and the fold bound is octet count, not char count."""
 
     def step(acc, _i):
         n = F.size(acc)
@@ -522,8 +530,15 @@ def _bpe_word(w: Column, ranks: Column, max_word_len: int) -> Column:
             F.when(F.size(cands) == 0, acc).otherwise(merged)
         )
 
-    chars = F.filter(F.split(w, ""), lambda x: F.length(x) > 0)
-    # each merge shrinks the array by one, so length(w) - 1 steps
+    if byte_level:
+        chars = F.regexp_extract_all(
+            F.hex(F.encode(w, "UTF-8")), F.lit(".."), 0
+        )
+        n_syms = F.octet_length(w)
+    else:
+        chars = F.filter(F.split(w, ""), lambda x: F.length(x) > 0)
+        n_syms = F.length(w)
+    # each merge shrinks the array by one, so n_symbols - 1 steps
     # reach any word's fixed point — folding a constant
     # max_word_len - 1 steps instead wastes ~4/5 of the steps on the
     # no-candidate WHEN branch for typical words (measured 16.6s →
@@ -531,7 +546,7 @@ def _bpe_word(w: Column, ranks: Column, max_word_len: int) -> Column:
     # fold). The data-side truncation to max_word_len stays — the SQL
     # oracle's recursion is unbounded either way.
     return F.aggregate(
-        F.sequence(F.lit(1), F.greatest(F.length(w) - 1, F.lit(1))),
+        F.sequence(F.lit(1), F.greatest(n_syms - 1, F.lit(1))),
         chars,
         step,
     )
@@ -543,6 +558,7 @@ def bpe_tokenize(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     max_word_len: int = 32,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Merge-ordered BPE apply (Sennrich et al. 2016) as a
     pure-Catalyst runtime fold — the other half of production
@@ -563,13 +579,28 @@ def bpe_tokenize(
     per word, zero Python, no shuffle. The map probe is a linear scan
     of |merges| (Catalyst ``GetMapValue``), so production merge
     tables (30k+) belong on ``bpe_tokenize_arrow``, exactly the
-    wordpiece discipline."""
+    wordpiece discipline.
+
+    ``byte_level=True`` switches to GPT-family byte BPE: NO
+    lowercasing or character stripping (case and punctuation are
+    data), words split on ASCII whitespace only, and each word's
+    start symbols are its UTF-8 bytes as uppercase hex pairs — a
+    fixed 256-symbol alphabet, so any Unicode input tokenizes with
+    zero UNKs by construction (merges are written in the same hex
+    alphabet, e.g. ``("C3", "A9")`` fuses the two bytes of "é").
+    ``max_word_len`` still truncates by CHARACTER before encoding
+    (so the oracle's recursion sees identical words); the fold bound
+    becomes the octet count."""
     _validate_merges(merges)
     ranks = _merge_ranks(merges)
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+    if byte_level:
+        words_src = F.split(F.trim(F.col(text_col)), "[ \t\n\r]+")
+    else:
+        norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+        words_src = F.split(F.trim(norm), " +")
     words = F.filter(
         F.transform(
-            F.split(F.trim(norm), " +"),
+            words_src,
             lambda x: F.substring(x, 1, max_word_len),
         ),
         lambda x: F.length(x) > 0,
@@ -577,7 +608,8 @@ def bpe_tokenize(
     out = df.withColumn("_words", words).withColumn(
         "_wp",
         F.transform(
-            F.col("_words"), lambda x: _bpe_word(x, ranks, max_word_len)
+            F.col("_words"),
+            lambda x: _bpe_word(x, ranks, max_word_len, byte_level),
         ),
     )
     return out.select(
@@ -601,10 +633,13 @@ def bpe_tokenize_arrow(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     max_word_len: int = 32,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Arrow twin of ``bpe_tokenize`` — byte-identical output with an
     O(1) dict probe per adjacent pair, for production merge tables
-    where the literal map's linear ``GetMapValue`` scan dominates."""
+    where the literal map's linear ``GetMapValue`` scan dominates.
+    ``byte_level`` mirrors the Catalyst flag: hex-pair byte symbols,
+    ASCII-whitespace word split, no normalization, UNK-free."""
     import re
 
     _validate_merges(merges)
@@ -615,6 +650,7 @@ def bpe_tokenize_arrow(
         import pandas as pd
 
         strip = re.compile(r"[^a-z ]")
+        ws = re.compile(r"[ \t\n\r]+")
         for pdf in batches:
             pieces_out, n_out = [], []
             for t in pdf[text_col]:
@@ -623,11 +659,18 @@ def bpe_tokenize_arrow(
                     pieces_out.append(None)
                     n_out.append(None)
                     continue
-                norm = strip.sub("", t.lower())
+                if byte_level:
+                    wds = [w for w in ws.split(t.strip(" ")) if w]
+                else:
+                    wds = strip.sub("", t.lower()).split()
                 total = 0
                 word_pieces = []
-                for wd in norm.split():
-                    ps = list(wd[:max_word_len])
+                for wd in wds:
+                    if byte_level:
+                        hx = wd[:max_word_len].encode("utf-8").hex().upper()
+                        ps = [hx[i : i + 2] for i in range(0, len(hx), 2)]
+                    else:
+                        ps = list(wd[:max_word_len])
                     while len(ps) > 1:
                         best_r, best_i = None, None
                         for i in range(len(ps) - 1):
