@@ -4817,6 +4817,39 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=5)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/
+    text.py::rrf_fuse): BM25's lexical top-10 and the dense cosine
+    top-10 over the SAME query set (doc_id % 101 == 0; the documents
+    and embeddings tables share the 0..N id space), fused by
+    1/(60+rank) — rank-only, so no score calibration between a BM25
+    log-sum and a cosine. The lexical half naturally retrieves the
+    query doc itself while the dense half excludes self-matches —
+    RRF handles the asymmetry by construction. Two-list fusion keeps
+    the rounded sum order-free (IEEE two-addend commutativity), so
+    the oracle replays both halves and the fusion exactly."""
+    from updater_spark.operators.similarity import cosine_topk_arrow
+    from updater_spark.operators.text import bm25_topk, rrf_fuse
+
+    docs = demo.load(spark, sf_dir, "documents")
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.substring("text", 1, 60).alias("qtext"),
+    )
+    lex = bm25_topk(docs, queries, k=10)
+    dense = cosine_topk_arrow(
+        emb, emb.filter(F.col("vec_id") % 101 == 0), k=10
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse(
+        [lex.select("qid", "doc_id", "rank"), dense], k=10
+    )
+
+
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity quality filter (operators/text.py::
     bigram_logprob): add-k bigram LM trained on the lang='en' slice
@@ -5464,6 +5497,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r9: new queries lead (no driver row yet) ---
         "html_extract": q_html_extract,
         "bpe_bytes": q_bpe_bytes,
+        "hybrid_search": q_hybrid_search,
         # --- r8 window, session 3: new (no driver row yet) ---
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
@@ -7560,6 +7594,90 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN scored s USING (doc_id)
         """,
         "html_extract": _html_extract_sql(),
+        "hybrid_search": """
+            WITH tok AS (
+                SELECT doc_id, lower(t) AS term
+                FROM documents,
+                     unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS u(t)
+                WHERE t <> ''
+            ),
+            posting AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            stats AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                FROM dl
+            ),
+            qterms AS (
+                SELECT DISTINCT doc_id AS qid, lower(t) AS term
+                FROM documents,
+                     unnest(regexp_split_to_array(
+                         substr(text, 1, 60), '[^A-Za-z]+')) AS u(t)
+                WHERE doc_id % 101 = 0 AND t <> ''
+            ),
+            dfreq AS (
+                SELECT term, COUNT(*) AS df FROM posting GROUP BY 1
+            ),
+            bm_scored AS (
+                SELECT q.qid, p.doc_id,
+                       round(SUM(
+                           ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                           * p.tf * 2.2
+                           / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                       ), 4) AS score
+                FROM qterms q
+                JOIN dfreq f USING (term)
+                JOIN posting p USING (term)
+                JOIN dl d ON p.doc_id = d.doc_id
+                CROSS JOIN stats s
+                GROUP BY q.qid, p.doc_id
+            ),
+            lex AS (
+                SELECT qid, doc_id, rank FROM (
+                    SELECT qid, doc_id,
+                           row_number() OVER (
+                               PARTITION BY qid
+                               ORDER BY score DESC, doc_id ASC
+                           ) AS rank
+                    FROM bm_scored
+                ) WHERE rank <= 10
+            ),
+            qv AS (
+                SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id % 101 = 0
+            ),
+            cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            dense AS (
+                SELECT qid, doc_id, rank FROM (
+                    SELECT q.qid, c.vec_id AS doc_id,
+                           row_number() OVER (
+                               PARTITION BY q.qid
+                               ORDER BY round(list_cosine_similarity(
+                                             q.v, c.v), 4) DESC,
+                                        c.vec_id ASC
+                           ) AS rank
+                    FROM qv q CROSS JOIN cv c
+                    WHERE q.qid <> c.vec_id
+                ) WHERE rank <= 10
+            ),
+            fused AS (
+                SELECT qid, doc_id,
+                       round(SUM(1.0 / (60.0 + rank)), 6) AS rrf_score,
+                       CAST(COUNT(*) AS BIGINT) AS n_sources
+                FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+                GROUP BY 1, 2
+            )
+            SELECT qid, doc_id, rrf_score, n_sources, rank FROM (
+                SELECT qid, doc_id, rrf_score, n_sources,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY rrf_score DESC, doc_id ASC
+                       ) AS rank
+                FROM fused
+            ) WHERE rank <= 10
+        """,
         "dsir_select": """
             WITH toked AS MATERIALIZED (
                 SELECT doc_id, lang,

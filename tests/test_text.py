@@ -526,3 +526,48 @@ def test_html_extract_composes_with_quality_and_boilerplate(spark):
         assert r["n_dropped"] == 1
     scored = quality_score(extracted.select("doc_id", "text"))
     assert scored.count() == 6
+
+
+def test_rrf_fuse_hand_values(spark):
+    from updater_spark.operators.text import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "qid long, doc_id long, rank long",
+    )
+    dense = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2), (1, 10, 3)],
+        "qid long, doc_id long, rank long",
+    )
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["n_sources"], r["rank"])
+        for r in rrf_fuse([lex, dense], k=4).collect()
+    }
+    # doc 20: 1/62 + 1/61; doc 10: 1/61 + 1/63; doc 40: 1/62; doc 30: 1/63
+    assert out[20][0] == round(1 / 62 + 1 / 61, 6)
+    assert out[10][0] == round(1 / 61 + 1 / 63, 6)
+    assert out[20][1] == 2 and out[40][1] == 1
+    # fused order: both-list docs beat single-list docs here
+    assert out[20][2] == 1 and out[10][2] == 2
+    assert {out[30][2], out[40][2]} == {3, 4}
+
+
+def test_rrf_fuse_ties_break_by_id_and_guards(spark):
+    import pytest as _pytest
+
+    from updater_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 7, 1), (1, 5, 2)], "qid long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 9, 1), (1, 3, 2)], "qid long, doc_id long, rank long"
+    )
+    rows = rrf_fuse([a, b], k=4).collect()
+    got = [(r["rank"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    # 7 and 9 tie at 1/61 -> lower id first; 3 and 5 tie at 1/62
+    assert got == [(1, 7), (2, 9), (3, 3), (4, 5)]
+    with _pytest.raises(ValueError, match=">= 2 ranked"):
+        rrf_fuse([a])
+    with _pytest.raises(ValueError, match="rrf_k"):
+        rrf_fuse([a, b], rrf_k=0)

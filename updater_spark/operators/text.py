@@ -814,3 +814,60 @@ def html_extract(
         F.array_join(blocks, "\n").alias(text_col),
         F.size(blocks).cast("long").alias("n_blocks"),
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) —
+    the standard hybrid-retrieval combiner: given N ranked lists over
+    the same (query, doc) space (BM25's lexical top-k, an ANN dense
+    top-k, ...), score every candidate ``sum over lists of
+    1/(rrf_k + rank)`` and re-rank. Rank-only fusion needs no score
+    calibration between a BM25 log-sum and a cosine — that is the
+    point of RRF, and why it is the default in hybrid search stacks.
+
+    Determinism contract: contributions are exact double divisions;
+    for TWO lists the sum is order-free (IEEE addition of two
+    addends commutes), so the rounded score is bit-identical on any
+    engine. Beyond two lists the grouped-sum addend order is
+    engine-dependent and ``round_digits`` absorbs the ulp — pin an
+    oracle only on two-list fusions. Final order (rrf_score DESC,
+    id ASC) is total.
+
+    Scale shape: one union of k-per-query rows per list (inputs are
+    already top-k — tiny relative to any corpus), one groupBy
+    (query, doc) with map-side partial aggregation, one per-query
+    top-k window. The corpus itself is never touched.
+
+    Returns ``(qid, doc_id, rrf_score, n_sources, rank)``."""
+    from pyspark.sql import Window
+
+    if len(ranked) < 2:
+        raise ValueError(
+            f"rrf_fuse needs >= 2 ranked lists, got {len(ranked)}"
+        )
+    if rrf_k < 1 or k < 1:
+        raise ValueError(f"k and rrf_k must be >= 1, got k={k} rrf_k={rrf_k}")
+    parts = ranked[0].select(qid_col, id_col, rank_col)
+    for p in ranked[1:]:
+        parts = parts.unionByName(p.select(qid_col, id_col, rank_col))
+    fused = parts.groupBy(qid_col, id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col))),
+            round_digits,
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return fused.withColumn(
+        rank_col, F.row_number().over(w).cast("long")
+    ).filter(F.col(rank_col) <= k)
