@@ -5481,19 +5481,79 @@ def q_events_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_scale(demo.load_events(spark, sf_dir))
 
 
+# Round-9 driver window (VERDICT r8 "retire the r5-era debt"): the
+# driver's correctness gate samples the FIRST 50 registered queries,
+# so this list — applied over the full registry by _raw_queries —
+# IS the round's driver coverage. Composition: the 3 new r9 queries
+# (no row yet), every query whose code changed this round, the 29
+# queries whose last hard driver row is r5, and the alphabetical
+# head of the r6-era rows filling to 50. After r9, no query's last
+# driver row predates r6.
+_R9_WINDOW = [
+    # new in r9
+    "html_extract",
+    "bpe_bytes",
+    "hybrid_search",
+    # code changed in r9 (ADVICE fixes + arrow/byte-level rework)
+    "events_cep_pattern",
+    "dedup_text_model_free",
+    "pq_codes",
+    "budget_select",
+    "domain_quota",
+    "hard_negatives",
+    "bpe_tokens",
+    "bpe_tokens_arrow",
+    # last driver row r5 (29)
+    "a1_counts",
+    "ann_index_maintained",
+    "ann_ivf_indexed",
+    "ann_ivf_topk",
+    "ann_lsh_multiprobe",
+    "ann_lsh_topk",
+    "dataset_split",
+    "dedup_embedding_neardup",
+    "doc_fingerprint",
+    "events_sessionize",
+    "multimodal_blob_meta",
+    "multimodal_decode_stub",
+    "multimodal_frames",
+    "multimodal_resize",
+    "pack_chunks",
+    "pack_greedy",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "rollup_revenue",
+    "s11_schema_introspection",
+    "set_ops",
+    "sim_topk_arrow",
+    "sim_topk_cosine",
+    "streaming_first_seen",
+    "text_langid",
+    "text_quality",
+    "text_stats",
+    "token_counts",
+    "window_topn",
+    # last driver row r6 (alphabetical head, fills to 50)
+    "ann_index_retrain",
+    "asof_join_events",
+    "clustered_scan",
+    "corpus_quantiles",
+    "corpus_top_terms",
+    "decontam_bloom",
+    "decontam_ngram",
+    "dedup_clusters",
+    "dedup_incremental",
+    "embed_project",
+]
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
-    # the FIRST 50 registered queries. Round-8 rotation, third session:
-    # the 12 session-3 queries lead (no driver row yet — the DSIR
-    # family incl. incremental/streaming, domain_quota, text_pmi,
-    # lr_quality_filter, hard_negatives, mmr_rerank,
-    # events_mad_outliers, k_anonymity/l_diversity,
-    # corpus_divergence), then the session-1/2 r8 additions (graph
-    # trio, tokenizer-train pair, bm25, bigram LM, sketches,
-    # anomaly/cusum/ewma, pca, funnel/retention/gapfill,
-    # cdc_type_evolution, ...) whose rows are also from this round's
-    # driver runs; the stalest earlier-round rows fill the tail.
-    return {
+    # the FIRST 50 registered queries. The _R9_WINDOW list above pulls
+    # this round's rotation to the front; the remaining queries keep
+    # their existing relative order behind it (dict.update never
+    # reorders existing keys). Historical rotations live in git.
+    qs = {
         # --- r9: new queries lead (no driver row yet) ---
         "html_extract": q_html_extract,
         "bpe_bytes": q_bpe_bytes,
@@ -5678,6 +5738,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "pq_codes": q_pq_codes,
     }
+    head = {name: qs[name] for name in _R9_WINDOW}
+    head.update(qs)  # existing keys keep their values; order = window first
+    return head
 
 
 _CLUSTERS_CTES = """

@@ -3301,6 +3301,103 @@ def dsirindex_probe(n: int) -> None:
         shutil.rmtree(root + "2", ignore_errors=True)
 
 
+def html_probe(n: int) -> None:
+    """html_extract at synthetic web scale: n HTML documents built
+    from hash-derived content (comments, style/script containers,
+    entities, block structure), extracted end-to-end through a noop
+    sink. The claim under test is the 100 TB shape — map-only, zero
+    exchanges, so wall time scales with rows and nothing shuffles.
+
+    Usage: ``python bench_scale.py [n_rows] html``."""
+    from updater_spark.operators.text import html_extract
+
+    spark = get_spark("bench_scale_html")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.range(n, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(
+                '<html><head><title>t</title><style>a{b:0}</style>'
+                "</head><body><!-- hidden --><h1>Title "
+            ),
+            F.col("id").cast("string"),
+            F.lit("</h1><p>word"),
+            F.pmod(F.col("id"), F.lit(97)).cast("string"),
+            F.lit(
+                ' &amp;amp; body &lt;x&gt; text</p>'
+                '<script>var q="<p>not text</p>";</script><div>tail&nbsp;'
+            ),
+            F.pmod(F.col("id"), F.lit(13)).cast("string"),
+            F.lit("</div></body></html>"),
+        ).alias("html"),
+    )
+    out = html_extract(base)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    out.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    out.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "n_rows": n,
+                "html_probe": {
+                    "wall_sec": round(wall, 3),
+                    "rows_per_sec": round(n / wall),
+                    "n_exchanges": plan.count("Exchange"),
+                },
+            }
+        )
+    )
+
+
+def budget_probe(n: int) -> None:
+    """budget_select on a [0, 1)-range quality score at scale — the
+    exact shape where plain floor() bucketing degenerates to ONE
+    bucket and the intra-bucket window becomes the single global sort
+    the operator exists to avoid (VERDICT r8 "what's wrong" #1).
+    Measures the fixed path (bucket_granularity=1000) against the
+    degenerate one (granularity such that all rows share a bucket)
+    on identical data.
+
+    Usage: ``python bench_scale.py [n_rows] budget``."""
+    from updater_spark.operators.sampling import budget_select
+
+    spark = get_spark("bench_scale_budget")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = (
+        spark.range(n, numPartitions=64)
+        .select(
+            F.col("id").alias("doc_id"),
+            (
+                F.pmod(F.col("id") * 2654435761, F.lit(1000003))
+                / F.lit(1000003.0)
+            ).alias("q"),
+            (F.pmod(F.col("id"), F.lit(7)) + 1).cast("int").alias("cost"),
+        )
+        .persist()
+    )
+    base.count()
+    budget = float(n)  # mean cost 4 -> keeps ~25% of rows
+    res = {"n_rows": n, "budget_probe": {}}
+    for label, gran in (("granular_1000", 1000.0), ("degenerate_1", 1.0)):
+        out = budget_select(
+            base, budget=budget, cost_col="cost", order_col="q",
+            bucket_granularity=gran,
+        )
+        t0 = time.perf_counter()
+        out.write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        res["budget_probe"][label] = {
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n / wall),
+        }
+    res["budget_probe"]["n_buckets_granular"] = base.selectExpr(
+        "floor(q * 1000.0) AS b"
+    ).distinct().count()
+    print(json.dumps(res))
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
@@ -3373,6 +3470,10 @@ if __name__ == "__main__":
         logreg_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "hardneg":
         hardneg_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "html":
+        html_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "budget":
+        budget_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "bpetrain":
         bpetrain_probe(
             _n, int(sys.argv[3]) if len(sys.argv) > 3 else 30
