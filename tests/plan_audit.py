@@ -9,6 +9,22 @@ import re
 import sys
 
 CHECKS = {
+    "html_extract": (
+        "ZERO exchanges, zero Python — the entire tag/entity chain is "
+        "one projection over the scan; at 100 TB this is a map-only "
+        "stage fusing with whatever filter follows."
+    ),
+    "bpe_bytes": (
+        "same shape as bpe_tokens: one projection carrying the merge "
+        "fold (hex-pair byte symbols), no exchange, no UDF — the "
+        "alphabet change costs nothing structurally."
+    ),
+    "hybrid_search": (
+        "both halves' top-k outputs union (k rows per query per list); "
+        "fusion is one map-side-combined HashAggregate + a per-query "
+        "window over <= 2k rows — the corpus appears only inside the "
+        "two retrieval stages, never in the fusion."
+    ),
     "j1_diff_classify": (
         "SortMergeJoin FullOuter on the key — the distributed twin of the "
         "reference's streaming symmetric hash merge; goes Exchange-free when "
