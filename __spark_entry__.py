@@ -4817,6 +4817,76 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=5)
 
 
+def _doc_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL fixture over documents (the testdata has no
+    URL column): scheme/host case, default ports, www., tracking
+    params, query order, trailing slash and fragments all vary by
+    doc_id residues, so rows that normalize equal exist by
+    construction (path = doc_id % 10 per source)."""
+    docs = demo.load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    head = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("HTTP://WWW."),
+                F.upper("source"),
+                F.lit(".EXAMPLE.COM:80"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".example.com")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("HTTPS://"), F.col("source"), F.lit(".Example.com:443")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www."), F.col("source"), F.lit(".example.com")
+            )
+        )
+    )
+    path = F.concat(
+        F.lit("/doc/"),
+        (did % 7).cast("string"),
+        F.when(did % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = F.when(
+        did % 2 == 0, F.lit("?b=2&a=1&utm_source=feed")
+    ).otherwise(F.lit("?a=1&b=2"))
+    frag = F.when(did % 3 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(head, path, query, frag).alias("url")
+    )
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (operators/text.py::
+    url_normalize) — the crawl-frontier half of the web-ingestion
+    edge next to html_extract: scheme/host case, default ports,
+    www., tracking params, query order, trailing slashes and
+    fragments all collapse, then one groupBy on the canonical key
+    keeps the lowest doc_id. The normalize stage is a map-only
+    projection; the dedup shuffle carries canonical KEYS, never
+    pages. The oracle replays the fixture and every normalization
+    step (shared URL_TRACKING_PARAM constant)."""
+    from updater_spark.operators.text import url_normalize
+
+    urls = _doc_url(spark, sf_dir)
+    return (
+        url_normalize(urls)
+        .groupBy("url_norm", "host")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (operators/
     text.py::rrf_fuse): BM25's lexical top-10 and the dense cosine
@@ -5494,6 +5564,7 @@ _R9_WINDOW = [
     "html_extract",
     "bpe_bytes",
     "hybrid_search",
+    "url_canonical",
     # code changed in r9 (ADVICE fixes + arrow/byte-level rework)
     "events_cep_pattern",
     "dedup_text_model_free",
@@ -5543,7 +5614,6 @@ _R9_WINDOW = [
     "decontam_ngram",
     "dedup_clusters",
     "dedup_incremental",
-    "embed_project",
 ]
 
 
@@ -5558,6 +5628,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "bpe_bytes": q_bpe_bytes,
         "hybrid_search": q_hybrid_search,
+        "url_canonical": q_url_canonical,
         # --- r8 window, session 3: new (no driver row yet) ---
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
@@ -6728,6 +6799,80 @@ def _nb_sql(hash_bits: int | None) -> str:
     """
 
 
+def _url_canonical_sql() -> str:
+    """DuckDB replay of q_url_canonical: the URL fixture rebuilt with
+    CASE arms, then every normalization step in the identical order,
+    the tracking blocklist imported from the engine's own constant."""
+    from updater_spark.operators.text import URL_TRACKING_PARAM
+
+    return f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   (CASE
+                        WHEN doc_id % 4 = 0 THEN
+                            'HTTP://WWW.' || upper(source) || '.EXAMPLE.COM:80'
+                        WHEN doc_id % 4 = 1 THEN
+                            'http://' || source || '.example.com'
+                        WHEN doc_id % 4 = 2 THEN
+                            'HTTPS://' || source || '.Example.com:443'
+                        ELSE 'https://www.' || source || '.example.com'
+                    END)
+                   || '/doc/' || (doc_id % 7)::VARCHAR
+                   || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+                   || (CASE WHEN doc_id % 2 = 0
+                            THEN '?b=2&a=1&utm_source=feed'
+                            ELSE '?a=1&b=2' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END)
+                       AS u
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id,
+                   lower(regexp_extract(u,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+                   regexp_replace(regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                       '/+$', '') AS path,
+                   regexp_extract(u, '\\?([^#]*)', 1) AS qraw,
+                   u
+            FROM raw
+        ),
+        hosted AS (
+            SELECT doc_id, scheme, path, qraw, u,
+                   regexp_replace(
+                       CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+                            THEN substr(auth, 1, length(auth) - 3)
+                            WHEN scheme = 'https' AND auth LIKE '%:443'
+                            THEN substr(auth, 1, length(auth) - 4)
+                            ELSE auth END,
+                       '^www\\.', '') AS host
+            FROM parts
+        ),
+        normed AS (
+            SELECT doc_id,
+                   CASE WHEN scheme = '' THEN NULL ELSE host END AS host,
+                   CASE WHEN scheme = '' THEN trim(u)
+                        ELSE scheme || '://' || host || path ||
+                             (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+                   END AS url_norm
+            FROM (
+                SELECT *,
+                       array_to_string(list_sort(list_filter(
+                           string_split(qraw, '&'),
+                           x -> x <> '' AND NOT regexp_matches(
+                               x, '{URL_TRACKING_PARAM}'))), '&') AS q
+                FROM hosted)
+        )
+        SELECT url_norm, host,
+               MIN(doc_id) AS canonical_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM normed
+        GROUP BY 1, 2
+    """
+
+
 def _html_extract_sql() -> str:
     """DuckDB replay of q_html_extract: the html fixture rebuilt with
     || / replace, then the extraction chain generated from the SAME
@@ -7657,6 +7802,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN scored s USING (doc_id)
         """,
         "html_extract": _html_extract_sql(),
+        "url_canonical": _url_canonical_sql(),
         "hybrid_search": """
             WITH tok AS (
                 SELECT doc_id, lower(t) AS term

@@ -571,3 +571,47 @@ def test_rrf_fuse_ties_break_by_id_and_guards(spark):
         rrf_fuse([a])
     with _pytest.raises(ValueError, match="rrf_k"):
         rrf_fuse([a, b], rrf_k=0)
+
+
+def test_url_normalize_hand_values(spark):
+    from updater_spark.operators.text import url_normalize
+
+    rows = [
+        (1, "HTTP://WWW.Site.com:80/a/?b=2&a=1&utm_x=t#frag"),
+        (2, "http://site.com/a?a=1&b=2"),      # same canonical as 1
+        (3, "https://Example.COM:443/Path/Sub/"),
+        (4, "https://example.com/Path/Sub"),   # same canonical as 3
+        (5, "not a url"),                      # passthrough, host NULL
+        (6, "  https://h.io/?fbclid=abc  "),   # tracking-only query
+        (7, "ftp://Files.example.org:21/x"),   # non-http port KEPT
+        (8, "https://x.io/p?ref=nav&keep=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: (r["url_norm"], r["host"]) for r in url_normalize(df).collect()}
+    assert out[1] == out[2] == ("http://site.com/a?a=1&b=2", "site.com")
+    assert out[3] == out[4] == ("https://example.com/Path/Sub", "example.com")
+    assert out[5] == ("not a url", None)
+    assert out[6] == ("https://h.io", "h.io")
+    # default-port stripping is scheme-aware: ftp's :21 is data
+    assert out[7] == ("ftp://files.example.org:21/x", "files.example.org:21")
+    assert out[8] == ("https://x.io/p?keep=1", "x.io")
+
+
+def test_url_normalize_dedups_at_scale_shape(spark):
+    from updater_spark.operators.text import url_normalize
+
+    # 100 URLs, 10 canonical pages under scheme/case/port/query noise
+    rows = [
+        (
+            i,
+            ("HTTP://WWW." if i % 2 else "http://")
+            + f"host{i % 10}.COM"
+            + (":80" if i % 2 else "")
+            + "/p"
+            + ("?b=1&a=2&utm_q=z" if i % 3 == 0 else "?a=2&b=1"),
+        )
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    n = url_normalize(df).select("url_norm").distinct().count()
+    assert n == 10

@@ -871,3 +871,79 @@ def rrf_fuse(
     return fused.withColumn(
         rank_col, F.row_number().over(w).cast("long")
     ).filter(F.col(rank_col) <= k)
+
+
+# url_normalize's tracking-parameter blocklist, module-level so the
+# DuckDB oracle generator replays the IDENTICAL pattern. RE2-safe.
+URL_TRACKING_PARAM = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)="
+
+
+def url_normalize(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_norm",
+) -> DataFrame:
+    """Dedup-oriented URL canonicalization — the other half of the
+    web-ingestion edge next to ``html_extract``: crawl frontiers see
+    the same page as ``HTTP://WWW.Site.com:80/a/?b=2&a=1&utm_x=t#f``
+    and ``http://site.com/a?a=1&b=2``; URL-level dedup only works
+    after both collapse to one key.
+
+    Canonicalization steps (fixed, documented, replayed exactly by
+    the oracle): trim; scheme and host lowercase (path/query case is
+    data); default ports drop (:80 for http, :443 for https);
+    leading ``www.`` drops (dedup-oriented — aggressive for serving,
+    right for corpus keys); trailing path slashes drop; the fragment
+    drops; query parameters drop the tracking blocklist
+    (``URL_TRACKING_PARAM``: utm_*, fbclid, gclid, msclkid, ref),
+    then SORT lexicographically and rejoin. A row that does not look
+    like ``scheme://authority...`` passes through trimmed-only (no
+    guessing).
+
+    Pure Catalyst (regexp extracts + array sort/filter/join): a
+    map-only projection, zero shuffles — at crawl scale this fuses
+    with the scan, and the downstream URL-dedup groupBy shuffles
+    canonical KEYS, never pages. Returns the input plus
+    ``(out_col, host)``."""
+    u = F.trim(F.col(url_col))
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    auth = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    auth = F.when(
+        (scheme == "http") & auth.endswith(":80"),
+        F.substring(auth, F.lit(1), F.length(auth) - 3),
+    ).when(
+        (scheme == "https") & auth.endswith(":443"),
+        F.substring(auth, F.lit(1), F.length(auth) - 4),
+    ).otherwise(auth)
+    host = F.regexp_replace(auth, r"^www\.", "")
+    path = F.regexp_replace(
+        F.regexp_extract(
+            u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+        ),
+        r"/+$",
+        "",
+    )
+    qraw = F.regexp_extract(u, r"\?([^#]*)", 1)
+    qkept = F.array_sort(
+        F.filter(
+            F.split(qraw, "&"),
+            lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAM),
+        )
+    )
+    query = F.array_join(qkept, "&")
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), query)
+        ),
+    )
+    return df.withColumn(
+        out_col, F.when(scheme == "", u).otherwise(norm)
+    ).withColumn("host", F.when(scheme == "", F.lit(None)).otherwise(host))
