@@ -3809,6 +3809,25 @@ BPE_MERGES = [
 ]
 
 
+def q_bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE merge TRAINING: the trainer runs over the same
+    hex-pair byte alphabet bpe_bytes applies — the same Valué
+    non-ASCII injection, so the learned table contains multi-byte
+    merges where the data earns them. Completes the GPT-family
+    lifecycle (train the ranked merges at byte level, apply them
+    UNK-free); same unrolled-CTE oracle discipline as bpe_train,
+    alphabet swapped in s0 only."""
+    from updater_spark.operators.tokenizer import bpe_train
+
+    docs = demo.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.col("text"), F.lit("value"), F.lit("Valué")
+        ).alias("text"),
+    )
+    return bpe_train(docs, "text", n_merges=12, byte_level=True)
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-ordered BPE apply (operators/tokenizer.py::bpe_tokenize,
     Sennrich et al. 2016) — the other half of production tokenization
@@ -4744,26 +4763,43 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=16)
 
 
-def _bpe_train_sql(n_merges: int = 16, max_word_len: int = 16) -> str:
+def _bpe_train_sql(
+    n_merges: int = 16,
+    max_word_len: int = 16,
+    byte_level: bool = False,
+    text_expr: str = "text",
+) -> str:
     """The BPE trainer unrolled as chained CTEs (the _pagerank_sql
     discipline): s{t} is the tokenized word-frequency table after t
     merges, b{t} the round's best pair (empty when no pairs remain —
     the UNION ALL then contributes no row, matching the Spark
-    early-stop)."""
+    early-stop). ``byte_level`` replays the hex-pair byte alphabet
+    (no normalization, ASCII-whitespace split) — everything past s0
+    is alphabet-agnostic."""
+    if byte_level:
+        word_src = f"""SELECT unnest(string_split_regex(trim({text_expr}),
+                        '[ \\t\\n\\r]+')) AS w
+                    FROM documents"""
+        start_expr = "regexp_extract_all(hex(encode(w)), '..')"
+    else:
+        word_src = f"""SELECT unnest(string_split_regex(trim(
+                        regexp_replace(lower({text_expr}), '[^a-z ]', '', 'g')),
+                        ' +')) AS w
+                    FROM documents"""
+        start_expr = (
+            "list_transform(range(1, length(w) + 1),"
+            " i -> substr(w, CAST(i AS INT), 1))"
+        )
     ctes = [
         f"""wf AS MATERIALIZED (
             SELECT w, COUNT(*) AS freq FROM (
                 SELECT substr(w, 1, {max_word_len}) AS w FROM (
-                    SELECT unnest(string_split_regex(trim(
-                        regexp_replace(lower(text), '[^a-z ]', '', 'g')),
-                        ' +')) AS w
-                    FROM documents) t
+                    {word_src}) t
                 WHERE length(w) > 0)
             GROUP BY w
         )""",
-        """s0 AS MATERIALIZED (
-            SELECT list_transform(range(1, length(w) + 1),
-                                  i -> substr(w, CAST(i AS INT), 1)) AS toks,
+        f"""s0 AS MATERIALIZED (
+            SELECT {start_expr} AS toks,
                    freq
             FROM wf
         )""",
@@ -5565,6 +5601,7 @@ _R9_WINDOW = [
     "bpe_bytes",
     "hybrid_search",
     "url_canonical",
+    "bpe_train_bytes",
     # code changed in r9 (ADVICE fixes + arrow/byte-level rework)
     "events_cep_pattern",
     "dedup_text_model_free",
@@ -5613,7 +5650,6 @@ _R9_WINDOW = [
     "decontam_bloom",
     "decontam_ngram",
     "dedup_clusters",
-    "dedup_incremental",
 ]
 
 
@@ -5629,6 +5665,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_bytes": q_bpe_bytes,
         "hybrid_search": q_hybrid_search,
         "url_canonical": q_url_canonical,
+        "bpe_train_bytes": q_bpe_train_bytes,
         # --- r8 window, session 3: new (no driver row yet) ---
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
@@ -7803,6 +7840,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "html_extract": _html_extract_sql(),
         "url_canonical": _url_canonical_sql(),
+        "bpe_train_bytes": _bpe_train_sql(
+            n_merges=12,
+            byte_level=True,
+            text_expr="replace(text, 'value', 'Valu\u00e9')",
+        ),
         "hybrid_search": """
             WITH tok AS (
                 SELECT doc_id, lower(t) AS term

@@ -492,3 +492,32 @@ def test_bpe_byte_level_roundtrips_bytes(spark):
     for i, w in enumerate(words):
         hx = out[i].replace("|", "")
         assert bytes.fromhex(hx).decode("utf-8") == w
+
+
+def test_bpe_train_byte_level_learns_and_applies(spark):
+    from updater_spark.operators.tokenizer import bpe_train, bpe_tokenize
+
+    # tiny corpus where the byte pair for "ab" dominates; é appears
+    # often enough that its two UTF-8 bytes merge too
+    rows = [(i, "abab abé abab") for i in range(5)] + [(99, "xy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r["a"], r["b"])
+        for r in bpe_train(
+            df, "text", n_merges=4, byte_level=True
+        ).orderBy("merge_rank").collect()
+    ]
+    # first merge must be the dominant (61, 62) = "ab"
+    assert merges[0] == ("61", "62")
+    # é's two bytes end up fused into one learned symbol — via the
+    # progressive chain ('6162','C3') then ('6162C3','A9'), not a
+    # standalone ('C3','A9'): C3 always follows the already-merged
+    # 'ab' here, so the chained pair outcounts the bare one
+    assert any("C3A9" in a + b for a, b in merges)
+    # learned merges feed straight into the byte-level apply
+    out = bpe_tokenize(
+        df.limit(1), "text", merges, byte_level=True
+    ).collect()[0]
+    # "abab" = two fused "ab" symbols after merges
+    first_word = out["pieces"].split(" ")[0]
+    assert first_word.count("6162") == 2

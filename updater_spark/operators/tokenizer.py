@@ -155,6 +155,7 @@ def bpe_train(
     text_col: str,
     n_merges: int = 20,
     max_word_len: int = 16,
+    byte_level: bool = False,
 ) -> DataFrame:
     """BPE merge TRAINING (Sennrich et al. 2016) — learns the ranked
     merge list that ``bpe_tokenize`` applies, completing the tokenizer
@@ -186,13 +187,24 @@ def bpe_train(
     ``(merge_rank, a, b)`` — feedable straight into ``bpe_tokenize``
     as ``[(a, b), ...]`` in rank order. The DuckDB oracle is the same
     recurrence unrolled (pair-count CTE + LIMIT 1 best + a
-    ``list_reduce`` fold per round)."""
+    ``list_reduce`` fold per round).
+
+    ``byte_level=True`` trains over the same hex-pair byte alphabet
+    ``bpe_tokenize(byte_level=True)`` applies (no normalization,
+    ASCII-whitespace split, start symbols = UTF-8 bytes as uppercase
+    hex pairs) — the learned merges feed straight into the byte-level
+    apply, completing the GPT-family lifecycle. Everything past the
+    start-symbol construction is alphabet-agnostic."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+    if byte_level:
+        words_src = F.split(F.trim(F.col(text_col)), "[ \t\n\r]+")
+    else:
+        norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+        words_src = F.split(F.trim(norm), " +")
     words = F.filter(
         F.transform(
-            F.split(F.trim(norm), " +"),
+            words_src,
             lambda x: F.substring(x, 1, max_word_len),
         ),
         lambda x: F.length(x) > 0,
@@ -202,13 +214,16 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    state = wf.select(
-        F.transform(
+    if byte_level:
+        start = F.regexp_extract_all(
+            F.hex(F.encode("w", "UTF-8")), F.lit(".."), 0
+        )
+    else:
+        start = F.transform(
             F.sequence(F.lit(1), F.length("w")),
             lambda i: F.col("w").substr(i, F.lit(1)),
-        ).alias("toks"),
-        "freq",
-    )
+        )
+    state = wf.select(start.alias("toks"), "freq")
     spark = df.sparkSession
     merges: list[tuple[int, str, str]] = []
     prev = None
