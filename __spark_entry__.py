@@ -4923,6 +4923,31 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-quality QA (operators/text.py::encoding_quality):
+    replacement-char / control-char / mojibake counts + an enc_ok
+    flag over a fixture that injects each failure mode by doc_id
+    residue (mojibake 'dÃ¡ta' for every 11th doc, a C0 control byte
+    every 13th, U+FFFD every 17th). Map-only regexp counts — the
+    ingestion-QA sibling of html_extract; the oracle replays the
+    injection and the shared module-level patterns."""
+    from updater_spark.operators.text import encoding_quality
+
+    docs = demo.load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    noisy = F.col("text")
+    noisy = F.when(
+        did % 11 == 0, F.replace(noisy, F.lit("data"), F.lit("dÃ¡ta"))
+    ).otherwise(noisy)
+    noisy = F.when(
+        did % 13 == 0, F.concat(noisy, F.lit("\x01"))
+    ).otherwise(noisy)
+    noisy = F.when(
+        did % 17 == 0, F.concat(noisy, F.lit("�"))
+    ).otherwise(noisy)
+    return encoding_quality(docs.select("doc_id", noisy.alias("text")))
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (operators/
     text.py::rrf_fuse): BM25's lexical top-10 and the dense cosine
@@ -5602,6 +5627,7 @@ _R9_WINDOW = [
     "hybrid_search",
     "url_canonical",
     "bpe_train_bytes",
+    "encoding_quality",
     # code changed in r9 (ADVICE fixes + arrow/byte-level rework)
     "events_cep_pattern",
     "dedup_text_model_free",
@@ -5649,7 +5675,6 @@ _R9_WINDOW = [
     "corpus_top_terms",
     "decontam_bloom",
     "decontam_ngram",
-    "dedup_clusters",
 ]
 
 
@@ -5666,6 +5691,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "url_canonical": q_url_canonical,
         "bpe_train_bytes": q_bpe_train_bytes,
+        "encoding_quality": q_encoding_quality,
         # --- r8 window, session 3: new (no driver row yet) ---
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
@@ -6836,6 +6862,48 @@ def _nb_sql(hash_bits: int | None) -> str:
     """
 
 
+def _encoding_quality_sql() -> str:
+    """DuckDB replay of q_encoding_quality: the noise injection
+    rebuilt with CASE/replace/chr, the counts generated from the
+    engine's own pattern constants (ENC_REPLACEMENT / ENC_CONTROL /
+    MOJIBAKE_PATTERN — \\x{{..}} escapes parse in both Java regex and
+    RE2)."""
+    from updater_spark.operators.text import (
+        ENC_CONTROL,
+        ENC_REPLACEMENT,
+        MOJIBAKE_PATTERN,
+    )
+
+    return f"""
+        WITH noisy AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 11 = 0
+                         THEN replace(text, 'data', 'dÃ¡ta')
+                         ELSE text END)
+                   || (CASE WHEN doc_id % 13 = 0 THEN chr(1) ELSE '' END)
+                   || (CASE WHEN doc_id % 17 = 0 THEN chr(65533) ELSE '' END)
+                       AS text
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{ENC_REPLACEMENT}'))
+                        AS BIGINT) AS n_replacement,
+                   CAST(len(regexp_extract_all(text, '{ENC_CONTROL}'))
+                        AS BIGINT) AS n_control,
+                   CAST(len(regexp_extract_all(text, '{MOJIBAKE_PATTERN}'))
+                        AS BIGINT) AS n_mojibake,
+                   text IS NULL AS is_null
+            FROM noisy
+        )
+        SELECT doc_id, n_replacement, n_control, n_mojibake,
+               CASE WHEN is_null THEN NULL
+                    WHEN n_replacement = 0 AND n_control = 0
+                         AND n_mojibake = 0 THEN 1 ELSE 0 END AS enc_ok
+        FROM counted
+    """
+
+
 def _url_canonical_sql() -> str:
     """DuckDB replay of q_url_canonical: the URL fixture rebuilt with
     CASE arms, then every normalization step in the identical order,
@@ -7840,6 +7908,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "html_extract": _html_extract_sql(),
         "url_canonical": _url_canonical_sql(),
+        "encoding_quality": _encoding_quality_sql(),
         "bpe_train_bytes": _bpe_train_sql(
             n_merges=12,
             byte_level=True,

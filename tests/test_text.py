@@ -615,3 +615,22 @@ def test_url_normalize_dedups_at_scale_shape(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string")
     n = url_normalize(df).select("url_norm").distinct().count()
     assert n == 10
+
+
+def test_encoding_quality_hand_values(spark):
+    from updater_spark.operators.text import encoding_quality
+
+    rows = [
+        (1, "perfectly clean text"),
+        (2, "two � bad � chars"),
+        (3, "cafÃ© and â€™quote"),  # Ã© + â€™
+        (4, "ctl\x01 but \t tab and \n newline are fine"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: tuple(r)[1:] for r in encoding_quality(df).collect()}
+    assert out[1] == (0, 0, 0, 1)
+    assert out[2] == (2, 0, 0, 0)
+    assert out[3] == (0, 0, 2, 0)
+    assert out[4] == (0, 1, 0, 0)
+    assert out[5] == (None, None, None, None)

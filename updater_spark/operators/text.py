@@ -947,3 +947,58 @@ def url_normalize(
     return df.withColumn(
         out_col, F.when(scheme == "", u).otherwise(norm)
     ).withColumn("host", F.when(scheme == "", F.lit(None)).otherwise(host))
+
+
+# encoding_quality's shared patterns (module-level for oracle
+# generation, the html_extract discipline). \x{...} escapes work in
+# BOTH Java regex (Spark) and RE2 (DuckDB); � would not (RE2
+# lacks \u). The mojibake list is literal double-encoding signatures
+# (UTF-8 bytes read back as Latin-1/cp1252): no regex metacharacters,
+# so the alternation needs no escaping.
+ENC_REPLACEMENT = r"\x{FFFD}"
+ENC_CONTROL = r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]"
+MOJIBAKE_SIGNS = [
+    "Ã©", "Ã¨", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã§", "Ã¡", "Ã³",
+    "â€™", "â€œ", "â€“", "Â«", "Â»", "Â°",
+]
+MOJIBAKE_PATTERN = "|".join(MOJIBAKE_SIGNS)
+
+
+def encoding_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encoding-quality signals — the ingestion-QA step between raw
+    bytes and every downstream text operator: crawl corpora arrive
+    with U+FFFD replacement characters (decode failures upstream),
+    stray C0 control bytes, and MOJIBAKE (UTF-8 bytes decoded as
+    Latin-1/cp1252 — 'é' rendered as 'Ã©', curly quotes as 'â€™'),
+    and encoding-broken documents poison tokenizers and dedup keys
+    alike (CCNet/RefinedWeb both filter on encoding health).
+
+    Detection is honest pattern counting, not a charset detector:
+    the replacement char, the C0 control class (tab/newline/CR are
+    legitimate and excluded), and a fixed list of double-encoding
+    signatures (``MOJIBAKE_SIGNS``). ``enc_ok`` = zero hits of all
+    three. NULL text yields NULL counts (propagates like the other
+    text ops).
+
+    Pure Catalyst regexp counts: map-only, zero shuffles, fuses with
+    the scan — the html_extract scale shape. Returns the id plus
+    ``(n_replacement, n_control, n_mojibake, enc_ok)``."""
+    s = F.col(text_col)
+    n_rep = F.regexp_count(s, F.lit(ENC_REPLACEMENT)).cast("long")
+    n_ctl = F.regexp_count(s, F.lit(ENC_CONTROL)).cast("long")
+    n_moj = F.regexp_count(s, F.lit(MOJIBAKE_PATTERN)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_rep.alias("n_replacement"),
+        n_ctl.alias("n_control"),
+        n_moj.alias("n_mojibake"),
+        F.when(s.isNull(), F.lit(None).cast("int"))
+        .otherwise(
+            ((n_rep == 0) & (n_ctl == 0) & (n_moj == 0)).cast("int")
+        )
+        .alias("enc_ok"),
+    )
