@@ -4923,6 +4923,31 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation (operators/classifier.py::
+    classifier_eval) — the filter-tuning step after nb/logreg
+    training: per-threshold confusion + precision/recall/F1 and the
+    ties-averaged ROC-AUC, exact. Scored signal here is the cheap
+    distinct-token-ratio quality proxy vs lang=='en' labels (a
+    deterministic score both engines derive identically; plugging in
+    logreg_score is the same call). The AUC cumulative window runs
+    over distinct ROUNDED scores, never the corpus."""
+    from updater_spark.operators.classifier import classifier_eval
+    from updater_spark.operators.dedup import tokens
+
+    docs = demo.load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks), 6
+        ).alias("s"),
+    )
+    return classifier_eval(
+        scored, "y", "s", thresholds=[0.4, 0.5, 0.6, 0.7]
+    )
+
+
 def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-quality QA (operators/text.py::encoding_quality):
     replacement-char / control-char / mojibake counts + an enc_ok
@@ -5628,6 +5653,7 @@ _R9_WINDOW = [
     "url_canonical",
     "bpe_train_bytes",
     "encoding_quality",
+    "classifier_eval",
     # code changed in r9 (ADVICE fixes + arrow/byte-level rework)
     "events_cep_pattern",
     "dedup_text_model_free",
@@ -5674,7 +5700,6 @@ _R9_WINDOW = [
     "corpus_quantiles",
     "corpus_top_terms",
     "decontam_bloom",
-    "decontam_ngram",
 ]
 
 
@@ -5692,6 +5717,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "bpe_train_bytes": q_bpe_train_bytes,
         "encoding_quality": q_encoding_quality,
+        "classifier_eval": q_classifier_eval,
         # --- r8 window, session 3: new (no driver row yet) ---
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
@@ -6862,6 +6888,84 @@ def _nb_sql(hash_bits: int | None) -> str:
     """
 
 
+def _classifier_eval_sql(
+    thresholds: list[float], round_digits: int = 6
+) -> str:
+    """DuckDB replay of q_classifier_eval: same rounded score, same
+    grouped-cumulative ties-averaged AUC, same one-pass per-threshold
+    confusion; precision/recall NULL on empty denominators and F1
+    from the ROUNDED prec/rec (double rounding matches the engine)."""
+    # explicit DOUBLE cast: a bare VALUES (0.4) binds as DECIMAL in
+    # DuckDB and the schema compare then fails on type alone
+    th_vals = ", ".join(
+        f"(CAST({float(t)!r} AS DOUBLE))" for t in sorted(thresholds)
+    )
+    rd = round_digits
+    return f"""
+        WITH scored AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   round(CAST(len(list_distinct(
+                           regexp_split_to_array(trim(text), '\\s+')))
+                         AS DOUBLE)
+                         / len(regexp_split_to_array(trim(text), '\\s+')),
+                         {rd}) AS s
+            FROM documents
+        ),
+        g AS (
+            SELECT s, CAST(SUM(y) AS DOUBLE) AS pos,
+                   CAST(SUM(1 - y) AS DOUBLE) AS neg
+            FROM scored GROUP BY s
+        ),
+        cum AS (
+            SELECT pos, neg,
+                   COALESCE(SUM(neg) OVER (
+                       ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0.0) AS negb
+            FROM g
+        ),
+        aucv AS (
+            SELECT round(SUM(pos * (negb + 0.5 * neg))
+                         / (SELECT SUM(pos) FROM g)
+                         / (SELECT SUM(neg) FROM g), {rd}) AS auc
+            FROM cum
+        ),
+        th(t) AS (VALUES {th_vals}),
+        conf AS (
+            SELECT t.t AS threshold,
+                   SUM(CASE WHEN s >= t.t AND y = 1 THEN 1 ELSE 0 END)
+                       ::BIGINT AS tp,
+                   SUM(CASE WHEN s >= t.t AND y = 0 THEN 1 ELSE 0 END)
+                       ::BIGINT AS fp,
+                   SUM(CASE WHEN s < t.t AND y = 1 THEN 1 ELSE 0 END)
+                       ::BIGINT AS fn,
+                   SUM(CASE WHEN s < t.t AND y = 0 THEN 1 ELSE 0 END)
+                       ::BIGINT AS tn
+            FROM scored, th t
+            GROUP BY 1
+        ),
+        pr AS (
+            SELECT threshold, tp, fp, fn, tn,
+                   CASE WHEN tp + fp = 0 THEN NULL
+                        ELSE round(CAST(tp AS DOUBLE) / (tp + fp), {rd})
+                   END AS precision,
+                   CASE WHEN tp + fn = 0 THEN NULL
+                        ELSE round(CAST(tp AS DOUBLE) / (tp + fn), {rd})
+                   END AS recall
+            FROM conf
+        )
+        SELECT threshold, tp, fp, fn, tn, precision, recall,
+               CASE WHEN precision IS NULL OR recall IS NULL
+                         OR precision + recall = 0 THEN NULL
+                    ELSE round(2 * precision * recall
+                               / (precision + recall), {rd})
+               END AS f1,
+               (SELECT auc FROM aucv) AS auc,
+               CAST(0 AS BIGINT) AS n_excluded
+        FROM pr
+    """
+
+
 def _encoding_quality_sql() -> str:
     """DuckDB replay of q_encoding_quality: the noise injection
     rebuilt with CASE/replace/chr, the counts generated from the
@@ -7909,6 +8013,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _html_extract_sql(),
         "url_canonical": _url_canonical_sql(),
         "encoding_quality": _encoding_quality_sql(),
+        "classifier_eval": _classifier_eval_sql([0.4, 0.5, 0.6, 0.7]),
         "bpe_train_bytes": _bpe_train_sql(
             n_merges=12,
             byte_level=True,

@@ -228,3 +228,49 @@ def test_logreg_guards(spark):
         logreg_train(df, "y", ["x"], iters=0)
     with _pytest.raises(ValueError, match="feature_cols"):
         logreg_train(df, "y", [])
+
+
+def test_classifier_eval_hand_values(spark):
+    from updater_spark.operators.classifier import classifier_eval
+
+    # 4 pos, 4 neg with a known ordering; one tie pair at 0.5
+    rows = [
+        (1, 0.9), (1, 0.8), (1, 0.5), (1, 0.2),
+        (0, 0.7), (0, 0.5), (0, 0.3), (0, 0.1),
+    ]
+    df = spark.createDataFrame(rows, "y int, s double")
+    out = {
+        r["threshold"]: r
+        for r in classifier_eval(df, "y", "s", thresholds=[0.5]).collect()
+    }
+    r = out[0.5]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 2, 1, 2)
+    assert r["precision"] == 0.6 and r["recall"] == 0.75
+    assert r["f1"] == round(2 * 0.6 * 0.75 / 1.35, 6)
+    # hand AUC with average ranks: pos>neg pairs = 4+4+2+1 = 11 full
+    # wins + the 0.5-0.5 tie counts 0.5 => 11.5 / 16
+    assert r["auc"] == round(11.5 / 16, 6)
+    assert r["n_excluded"] == 0
+
+
+def test_classifier_eval_nulls_and_degenerate(spark):
+    import pytest as _pytest
+
+    from updater_spark.operators.classifier import classifier_eval
+
+    rows = [(1, 0.9), (None, 0.5), (0, None), (0, 0.1)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    out = classifier_eval(df, "y", "s", thresholds=[0.95]).collect()[0]
+    assert out["n_excluded"] == 2
+    # no predicted positives at 0.95: precision NULL, recall 0
+    assert out["tp"] == 0 and out["precision"] is None
+    assert out["recall"] == 0.0 and out["f1"] is None
+    # single-class input: AUC NULL
+    pos_only = spark.createDataFrame([(1, 0.9), (1, 0.2)], "y int, s double")
+    assert (
+        classifier_eval(pos_only, "y", "s", thresholds=[0.5])
+        .collect()[0]["auc"]
+        is None
+    )
+    with _pytest.raises(ValueError, match="thresholds"):
+        classifier_eval(df, "y", "s", thresholds=[])

@@ -385,3 +385,114 @@ def logreg_score(
         prob.alias("prob"),
         (prob >= F.lit(0.5)).cast("int").alias("keep"),
     )
+
+
+def classifier_eval(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    thresholds: list[float],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Binary-classifier evaluation — the filter-tuning primitive the
+    trained quality filters (nb_score / logreg) feed: per-threshold
+    confusion counts with precision/recall/F1, plus the
+    ties-averaged ROC-AUC (the Mann-Whitney U statistic), all exact.
+
+    Scale shape: the confusion matrix for ALL thresholds is ONE
+    conditional aggregate over the scored frame (4 sums per
+    threshold, map-side combined — the declarative-quality-suite
+    fusion discipline); AUC groups by ROUNDED score first, so the
+    one ordered cumulative window runs over |distinct rounded
+    scores| rows (bounded by 10^round_digits, typically thousands),
+    never the corpus. Rows with NULL label or score are excluded up
+    front and reported in ``n_excluded``.
+
+    AUC with ties = sum over score groups of
+    ``pos_g * (neg_below + 0.5 * neg_g) / (P * N)`` — the average-
+    rank convention, NULL when either class is absent. Scores are
+    compared at ``round_digits`` precision (also what makes the
+    cumulative window scale-bounded and the oracle exact).
+
+    Returns one row per threshold:
+    ``(threshold, tp, fp, fn, tn, precision, recall, f1, auc,
+    n_excluded)`` — predicted positive is ``score >= threshold``;
+    precision/recall/F1 are NULL on empty denominators (MySQL
+    division semantics, the p2_scores discipline)."""
+    from pyspark.sql import Window
+
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    if len(set(thresholds)) != len(thresholds):
+        raise ValueError("duplicate thresholds")
+    lab = F.col(label_col).cast("int")
+    sc = F.round(F.col(score_col).cast("double"), round_digits)
+    base = df.select(lab.alias("_y"), sc.alias("_s"))
+    n_excluded = base.filter(
+        F.col("_y").isNull() | F.col("_s").isNull()
+    ).count()
+    base = base.filter(F.col("_y").isNotNull() & F.col("_s").isNotNull())
+
+    # AUC: grouped cumulative over distinct rounded scores
+    grouped = base.groupBy("_s").agg(
+        F.sum("_y").cast("double").alias("_pos"),
+        F.sum(1 - F.col("_y")).cast("double").alias("_neg"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = grouped.select(
+        (
+            F.col("_pos")
+            * (
+                F.coalesce(F.sum("_neg").over(w), F.lit(0.0))
+                + F.lit(0.5) * F.col("_neg")
+            )
+        ).alias("_u"),
+        "_pos",
+        "_neg",
+    ).agg(
+        F.sum("_u").alias("u"),
+        F.sum("_pos").alias("p"),
+        F.sum("_neg").alias("n"),
+    )
+    row = contrib.first()
+    auc = (
+        round(row["u"] / (row["p"] * row["n"]), round_digits)
+        if row and row["p"] and row["n"]
+        else None
+    )
+
+    # all thresholds in ONE conditional aggregate
+    aggs = []
+    for i, t in enumerate(sorted(thresholds)):
+        pred = (F.col("_s") >= F.lit(float(t))).cast("int")
+        aggs += [
+            F.sum(pred * F.col("_y")).cast("long").alias(f"tp_{i}"),
+            F.sum(pred * (1 - F.col("_y"))).cast("long").alias(f"fp_{i}"),
+            F.sum((1 - pred) * F.col("_y")).cast("long").alias(f"fn_{i}"),
+            F.sum((1 - pred) * (1 - F.col("_y"))).cast("long").alias(f"tn_{i}"),
+        ]
+    counts = base.agg(*aggs).first()
+    spark = df.sparkSession
+    out_rows = []
+    for i, t in enumerate(sorted(thresholds)):
+        tp, fp = counts[f"tp_{i}"] or 0, counts[f"fp_{i}"] or 0
+        fn, tn = counts[f"fn_{i}"] or 0, counts[f"tn_{i}"] or 0
+        prec = round(tp / (tp + fp), round_digits) if tp + fp else None
+        rec = round(tp / (tp + fn), round_digits) if tp + fn else None
+        # F1 from the ROUNDED prec/rec (what the oracle replays);
+        # explicit None checks — prec == 0.0 is falsy but valid, and
+        # prec + rec == 0 is the 0/0 NULL (MySQL semantics)
+        f1 = (
+            round(2 * prec * rec / (prec + rec), round_digits)
+            if prec is not None and rec is not None and (prec + rec) > 0
+            else None
+        )
+        out_rows.append(
+            (float(t), tp, fp, fn, tn, prec, rec, f1, auc, n_excluded)
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "threshold double, tp long, fp long, fn long, tn long,"
+        " precision double, recall double, f1 double, auc double,"
+        " n_excluded long",
+    )
