@@ -3828,6 +3828,25 @@ def q_bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=12, byte_level=True)
 
 
+def q_bpe_bytes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-level BPE arrow twin under the driver gate —
+    byte-identical to bpe_bytes by contract (shared oracle), O(1)
+    dict probes per adjacent pair; the deploy path once merge tables
+    outgrow the Catalyst fold (the bpe_tokens_arrow discipline,
+    hex alphabet)."""
+    from updater_spark.operators.tokenizer import bpe_tokenize_arrow
+
+    docs = demo.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.col("text"), F.lit("value"), F.lit("Valué")
+        ).alias("text"),
+    )
+    return bpe_tokenize_arrow(
+        docs, "text", BPE_BYTE_MERGES, max_word_len=16, byte_level=True
+    )
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-ordered BPE apply (operators/tokenizer.py::bpe_tokenize,
     Sennrich et al. 2016) — the other half of production tokenization
@@ -5654,6 +5673,7 @@ _R9_WINDOW = [
     "bpe_train_bytes",
     "encoding_quality",
     "classifier_eval",
+    "bpe_bytes_arrow",
     # code changed in r9 (ADVICE fixes + arrow/byte-level rework)
     "events_cep_pattern",
     "dedup_text_model_free",
@@ -5699,7 +5719,6 @@ _R9_WINDOW = [
     "clustered_scan",
     "corpus_quantiles",
     "corpus_top_terms",
-    "decontam_bloom",
 ]
 
 
@@ -5718,6 +5737,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_bytes": q_bpe_train_bytes,
         "encoding_quality": q_encoding_quality,
         "classifier_eval": q_classifier_eval,
+        "bpe_bytes_arrow": q_bpe_bytes_arrow,
         # --- r8 window, session 3: new (no driver row yet) ---
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
@@ -8014,6 +8034,12 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _url_canonical_sql(),
         "encoding_quality": _encoding_quality_sql(),
         "classifier_eval": _classifier_eval_sql([0.4, 0.5, 0.6, 0.7]),
+        "bpe_bytes_arrow": _bpe_sql(
+            BPE_BYTE_MERGES,
+            byte_level=True,
+            text_expr="replace(text, 'value', 'Valu\u00e9')",
+            max_word_len=16,
+        ),
         "bpe_train_bytes": _bpe_train_sql(
             n_merges=12,
             byte_level=True,
