@@ -196,6 +196,15 @@ def run(only: list[str] | None = None) -> None:
         n_players = players.count()
         engine = CdcEngine(TableStore(spark, cdc_root))
         spec = TableSpec("player", "id", has_scores=False)
+        # warm the CDC code paths on a 1k-row slice first: the block
+        # runs before the query loop (pinned protocol) so a cold JVM
+        # would otherwise charge classloading + codegen JIT to the
+        # headline numbers — we measure the engine, not startup
+        warm_root = os.path.join(cdc_root, "warm")
+        warm_engine = CdcEngine(TableStore(spark, warm_root))
+        warm_slice = players.limit(1000)
+        warm_engine.update(spec, warm_slice)
+        warm_engine.update(spec, warm_slice)
         t0 = time.perf_counter()
         engine.update(spec, players)
         t_boot = time.perf_counter() - t0
