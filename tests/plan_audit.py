@@ -19,6 +19,20 @@ CHECKS = {
         "fold (hex-pair byte symbols), no exchange, no UDF — the "
         "alphabet change costs nothing structurally."
     ),
+    "url_canonical": (
+        "the normalize stage is a pure projection (zero exchanges "
+        "before the dedup aggregate); the one shuffle carries "
+        "canonical keys, never pages."
+    ),
+    "encoding_quality": (
+        "ZERO exchanges, zero Python — three regexp counts in one "
+        "projection over the scan, the html_extract shape."
+    ),
+    "classifier_eval": (
+        "the per-threshold confusion matrix is ONE conditional "
+        "aggregate (all thresholds fused); the AUC window orders "
+        "distinct ROUNDED scores, never corpus rows."
+    ),
     "hybrid_search": (
         "both halves' top-k outputs union (k rows per query per list); "
         "fusion is one map-side-combined HashAggregate + a per-query "
