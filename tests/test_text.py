@@ -634,3 +634,48 @@ def test_encoding_quality_hand_values(spark):
     assert out[3] == (0, 0, 2, 0)
     assert out[4] == (0, 1, 0, 0)
     assert out[5] == (None, None, None, None)
+
+
+def test_web_ingestion_pipeline_composes(spark):
+    """End-to-end front-end of a crawl pipeline, every stage this
+    repo's own operator: html_extract -> encoding_quality gate ->
+    url_normalize dedup -> quality_score. Pins that the stage
+    CONTRACTS line up (column names/shapes), not just that each
+    stage works alone."""
+    import pyspark.sql.functions as F
+
+    from updater_spark.operators.text import (
+        encoding_quality,
+        html_extract,
+        quality_score,
+        url_normalize,
+    )
+
+    pages = [
+        # two URL variants of the same page -> one survivor
+        (1, "HTTP://WWW.a.com:80/x?b=2&a=1", "<p>the quick brown fox jumps over it</p>"),
+        (2, "http://a.com/x?a=1&b=2", "<p>the quick brown fox jumps over it</p>"),
+        # encoding-broken page -> dropped by the gate
+        (3, "http://b.com/y", "<p>broken � page</p>"),
+        # clean unique page -> kept
+        (4, "http://c.com/z", "<div>another page with plenty of words here</div>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    extracted = html_extract(df)  # (doc_id, text, n_blocks)
+    gated = (
+        extracted.join(
+            encoding_quality(extracted).select("doc_id", "enc_ok"), "doc_id"
+        )
+        .filter(F.col("enc_ok") == 1)
+        .drop("enc_ok")
+    )
+    with_urls = gated.join(df.select("doc_id", "url"), "doc_id")
+    canon = url_normalize(with_urls)
+    survivors = (
+        canon.groupBy("url_norm")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(canon.select("doc_id", "text"), "doc_id")
+    )
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 4]
+    scored = quality_score(survivors.select("doc_id", "text"))
+    assert scored.count() == 2

@@ -2049,7 +2049,9 @@ def hard_negatives_arrow(
     excluded for free (a row always shares its own label). A NULL
     corpus label never equals any query label (NaN compare), so such
     a row acts as a universal negative — filter upstream if that is
-    not intended.
+    not intended. Symmetrically, a NULL-labeled QUERY row matches no
+    label at all, INCLUDING its own: every corpus row (itself too,
+    at sim 1.0) ranks as its negative — label your queries.
 
     Scores are rounded to 4 decimals BEFORE the per-batch local
     top-k and local ties break by neighbor_id (via _adc_local_topk's
