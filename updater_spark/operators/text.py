@@ -846,6 +846,12 @@ def rrf_fuse(
     (query, doc) with map-side partial aggregation, one per-query
     top-k window. The corpus itself is never touched.
 
+    Input contract: each list must be rank-UNIQUE per (query, doc) —
+    the shape every top-k operator here emits. A duplicated pair
+    inside one list would sum both contributions and inflate
+    ``n_sources``; this is not validated (it would cost a pass over
+    inputs that are correct by construction).
+
     Returns ``(qid, doc_id, rrf_score, n_sources, rank)``."""
     from pyspark.sql import Window
 
