@@ -3351,6 +3351,58 @@ def html_probe(n: int) -> None:
     )
 
 
+def url_probe(n: int) -> None:
+    """url_normalize + canonical-key dedup at crawl scale: n noisy
+    URLs (case/port/tracking/query-order variants over n/8 canonical
+    pages), normalized and grouped. The normalize stage must stay a
+    pure projection; the only exchange is the dedup groupBy on
+    canonical keys.
+
+    Usage: ``python bench_scale.py [n_rows] url``."""
+    from updater_spark.operators.text import url_normalize
+
+    spark = get_spark("bench_scale_url")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.range(n, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("HTTP://WWW.")).otherwise(
+                F.lit("http://")
+            ),
+            F.lit("host"),
+            F.pmod(F.col("id"), F.lit(n // 8)).cast("string"),
+            F.lit(".example.com"),
+            F.when(F.col("id") % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.lit("/p"),
+            F.when(
+                F.col("id") % 3 == 0, F.lit("?b=1&a=2&utm_q=z#f")
+            ).otherwise(F.lit("?a=2&b=1")),
+        ).alias("url"),
+    )
+    normed = url_normalize(base)
+    plan = normed._jdf.queryExecution().executedPlan().toString()
+    deduped = normed.groupBy("url_norm").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    deduped.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    deduped.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "n_rows": n,
+                "url_probe": {
+                    "wall_sec": round(wall, 3),
+                    "rows_per_sec": round(n / wall),
+                    "normalize_exchanges": plan.count("Exchange"),
+                },
+            }
+        )
+    )
+
+
 def budget_probe(n: int) -> None:
     """budget_select on a [0, 1)-range quality score at scale — the
     exact shape where plain floor() bucketing degenerates to ONE
@@ -3474,6 +3526,8 @@ if __name__ == "__main__":
         html_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "budget":
         budget_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "url":
+        url_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "bpetrain":
         bpetrain_probe(
             _n, int(sys.argv[3]) if len(sys.argv) > 3 else 30
