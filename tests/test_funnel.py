@@ -265,3 +265,41 @@ def test_sequence_pattern_orders_by_time_then_id(spark):
     )
     out = sequence_pattern(df, pattern=",error,,purchase,").collect()[0]
     assert out["n_matches"] == 1
+
+
+def test_sequence_pattern_counts_match_python_regex(spark):
+    """The doubled-separator convention against a Python re reference
+    over a brute-force event-type enumeration — pins that regexp_count
+    over the engine's string equals non-overlapping re.findall over
+    the same construction, including every back-to-back case up to
+    length 6."""
+    import itertools
+    import re
+    from datetime import datetime
+
+    from updater_spark.operators.funnel import sequence_pattern
+
+    pattern = ",error,(,error,)+,purchase,"
+    rows = []
+    expected = {}
+    uid = 0
+    for n in (3, 4, 5, 6):
+        for combo in itertools.product(["error", "purchase"], repeat=n):
+            s = "," + ",,".join(combo) + ","
+            expected[uid] = len(re.findall(pattern, s))
+            for j, ev in enumerate(combo):
+                rows.append(
+                    (uid * 100 + j, datetime(2024, 1, 1, 9, j), uid, ev,
+                     0.0, "")
+                )
+            uid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["user_id"]: r["n_matches"]
+        for r in sequence_pattern(df, pattern=pattern).collect()
+    }
+    assert got == expected

@@ -104,3 +104,44 @@ def test_domain_quota_strategies_agree_on_any_data(spark, rows, cap, prune):
     for _, d, _s in outs[0]:
         counts[d] = counts.get(d, 0) + 1
     assert all(v <= cap for v in counts.values())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),
+            st.floats(
+                min_value=0.0,
+                max_value=1.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_classifier_eval_auc_matches_pair_counting(spark, data):
+    from updater_spark.operators.classifier import classifier_eval
+
+    df = spark.createDataFrame(
+        [(y, s) for y, s in data], "y int, s double"
+    )
+    got = classifier_eval(df, "y", "s", thresholds=[0.5]).collect()[0]["auc"]
+    # brute-force Mann-Whitney with the SAME rounding the engine uses
+    pos = [round(s, 6) for y, s in data if y == 1]
+    neg = [round(s, 6) for y, s in data if y == 0]
+    if not pos or not neg:
+        assert got is None
+        return
+    u = sum(
+        1.0 if p > n_ else (0.5 if p == n_ else 0.0)
+        for p in pos
+        for n_ in neg
+    )
+    assert got == round(u / (len(pos) * len(neg)), 6)
