@@ -427,11 +427,15 @@ def classifier_eval(
         raise ValueError("duplicate thresholds")
     lab = F.col(label_col).cast("int")
     sc = F.round(F.col(score_col).cast("double"), round_digits)
-    base = df.select(lab.alias("_y"), sc.alias("_s"))
-    n_excluded = base.filter(
+    # persist: three actions read this frame (exclusion count, AUC
+    # aggregate, confusion aggregate) and the caller's score column
+    # is often an expensive lineage (logreg_score, nb_score) that
+    # must not recompute per action; two narrow columns, eval-sized
+    staged = df.select(lab.alias("_y"), sc.alias("_s")).persist()
+    n_excluded = staged.filter(
         F.col("_y").isNull() | F.col("_s").isNull()
     ).count()
-    base = base.filter(F.col("_y").isNotNull() & F.col("_s").isNotNull())
+    base = staged.filter(F.col("_y").isNotNull() & F.col("_s").isNotNull())
 
     # AUC: grouped cumulative over distinct rounded scores
     grouped = base.groupBy("_s").agg(
@@ -472,6 +476,7 @@ def classifier_eval(
             F.sum((1 - pred) * (1 - F.col("_y"))).cast("long").alias(f"tn_{i}"),
         ]
     counts = base.agg(*aggs).first()
+    staged.unpersist()
     spark = df.sparkSession
     out_rows = []
     for i, t in enumerate(sorted(thresholds)):
