@@ -17,10 +17,13 @@ pure shared-VM machine state):
 - ``hash_diff_in_run_rows_per_sec``: j1_diff_large's best-of-3 taken
   at its registry position inside the full loop — carries whatever
   code-cache/GC history the preceding queries built up.
-- ``hash_diff_isolated_rows_per_sec``: the SAME warm + best-of-3 in a
-  FRESH subprocess JVM with only that query — no loop history. This
-  is the number to track round-over-round; the in-run number bounds
-  the position/interference effect.
+- ``hash_diff_isolated_rows_per_sec``: the SAME best-of-3 in a FRESH
+  subprocess JVM with only that query — no loop history. Three warm
+  passes instead of one: a fresh JVM gets none of the JIT history the
+  in-run leg inherits, and a single warm pass measurably
+  under-reports steady state (864k vs 1.28M rows/s same machine).
+  This is the number to track round-over-round; the in-run number
+  bounds the position/interference effect.
 - The CDC headline cycle (bootstrap / incremental / bucketed) runs
   BEFORE the query loop, so its numbers never inherit loop history.
 - Historical machine band for reference against BASELINE.md's 150k
@@ -50,10 +53,14 @@ def _sf_of(sf_dir: str) -> float:
     return sf
 
 
-def _time_queries(spark, sf_dir, qs):
+def _time_queries(spark, sf_dir, qs, warm_runs: int = 1):
     """Warm + best-of-3 noop-sink wall time per query (the single
     measurement primitive every mode shares, so in-run and isolated
-    numbers differ only by process state, never by protocol)."""
+    numbers differ only by process state, never by protocol).
+    ``warm_runs`` raises the discarded warm-up count — the isolated
+    hash-diff leg uses 3 because a fresh JVM gets none of the JIT
+    history the in-run leg inherits from the loop, and one warm pass
+    measurably under-reports its steady state."""
     timings: dict[str, float] = {}
     build_secs: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -70,7 +77,8 @@ def _time_queries(spark, sf_dir, qs):
             # near-zero LocalTableScan write
             if t_build >= 0.05:
                 build_secs[name] = round(t_build, 4)
-            df.write.format("noop").mode("overwrite").save()  # warm (cache file listings, JIT)
+            for _ in range(warm_runs):  # warm (file listings, codegen, JIT)
+                df.write.format("noop").mode("overwrite").save()
             # best-of-3: single-shot wall times on a shared VM show ±50%
             # scheduler noise; min is the standard noise-free estimator
             best = float("inf")
@@ -120,7 +128,7 @@ def run_hash_diff_only() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     timings, _, errors = _time_queries(
-        spark, sf_dir, {HASH_DIFF_QUERY: qs[HASH_DIFF_QUERY]}
+        spark, sf_dir, {HASH_DIFF_QUERY: qs[HASH_DIFF_QUERY]}, warm_runs=3
     )
     n_src = entrymod.demo.load(spark, sf_dir, "lineitem").count()
     t = timings.get(HASH_DIFF_QUERY)
