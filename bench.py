@@ -255,6 +255,13 @@ def run(only: list[str] | None = None) -> None:
     diff_rows = 2 * n_src
     t_diff = timings.get(HASH_DIFF_QUERY)
     in_run = round(diff_rows / t_diff) if t_diff else None
+    # the main JVM (local[32], full heap, cached state) is done — stop
+    # it BEFORE spawning the isolated subprocess so the fresh JVM
+    # isn't measured while competing with a 100-GB-heap sibling
+    try:
+        spark.stop()
+    except Exception:
+        pass
     isolated = _isolated_hash_diff()
 
     out = {
