@@ -6922,14 +6922,27 @@ def _classifier_eval_sql(
     )
     rd = round_digits
     return f"""
-        WITH scored AS (
-            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        WITH scored_all AS (
+            -- NULL-safe label/score, mirroring the engine: the Spark
+            -- query's (lang == 'en').cast(int) is NULL for NULL lang
+            -- and classifier_eval EXCLUDES (and counts) NULL rows —
+            -- the oracle must not coerce them to y=0 (ADVICE r9)
+            SELECT CASE WHEN lang IS NULL THEN NULL
+                        WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
                    round(CAST(len(list_distinct(
                            regexp_split_to_array(trim(text), '\\s+')))
                          AS DOUBLE)
                          / len(regexp_split_to_array(trim(text), '\\s+')),
                          {rd}) AS s
             FROM documents
+        ),
+        excl AS (
+            SELECT COUNT(*)::BIGINT AS n_excluded
+            FROM scored_all WHERE y IS NULL OR s IS NULL
+        ),
+        scored AS (
+            SELECT y, s FROM scored_all
+            WHERE y IS NOT NULL AND s IS NOT NULL
         ),
         g AS (
             SELECT s, CAST(SUM(y) AS DOUBLE) AS pos,
@@ -6981,7 +6994,7 @@ def _classifier_eval_sql(
                                / (precision + recall), {rd})
                END AS f1,
                (SELECT auc FROM aucv) AS auc,
-               CAST(0 AS BIGINT) AS n_excluded
+               (SELECT n_excluded FROM excl) AS n_excluded
         FROM pr
     """
 

@@ -95,9 +95,12 @@ def _time_queries(spark, sf_dir, qs, warm_runs: int = 1):
     return timings, build_secs, errors
 
 
-def _isolated_hash_diff() -> int | None:
+def _isolated_hash_diff() -> tuple[int | None, str | None]:
     """Fresh-process j1_diff_large throughput: same warm + best-of-3,
-    no loop history (VERDICT r8 #1). Returns rows/s or None."""
+    no loop history (VERDICT r8 #1). Returns (rows/s, error) — a
+    failed subprocess reports WHY (returncode + stderr tail) instead
+    of a silent None that the legacy key would paper over with the
+    in-run number (ADVICE r9)."""
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--hash-diff-only"],
@@ -105,16 +108,19 @@ def _isolated_hash_diff() -> int | None:
             text=True,
             timeout=600,
         )
-        for line in reversed(proc.stdout.strip().splitlines()):
-            try:
-                d = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if "hash_diff_isolated_rows_per_sec" in d:
-                return d["hash_diff_isolated_rows_per_sec"]
-    except Exception:
-        pass
-    return None
+    except Exception as e:
+        return None, f"{type(e).__name__}: {e}"[:500]
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "hash_diff_isolated_rows_per_sec" in d:
+            val = d["hash_diff_isolated_rows_per_sec"]
+            sub_err = d.get("errors")
+            return val, (json.dumps(sub_err)[:500] if sub_err else None)
+    tail = (proc.stderr or proc.stdout or "").strip()[-400:]
+    return None, f"rc={proc.returncode}; no result line; tail: {tail}"
 
 
 def run_hash_diff_only() -> None:
@@ -202,7 +208,6 @@ def run(only: list[str] | None = None) -> None:
             entrymod.demo.load(spark, sf_dir, "orders")
         )
         n_players = players.count()
-        engine = CdcEngine(TableStore(spark, cdc_root))
         spec = TableSpec("player", "id", has_scores=False)
         # warm the CDC code paths on a 1k-row slice first: the block
         # runs before the query loop (pinned protocol) so a cold JVM
@@ -213,36 +218,60 @@ def run(only: list[str] | None = None) -> None:
         warm_slice = players.limit(1000)
         warm_engine.update(spec, warm_slice)
         warm_engine.update(spec, warm_slice)
-        t0 = time.perf_counter()
-        engine.update(spec, players)
-        t_boot = time.perf_counter() - t0
         mutated = players.withColumn(
             "cheese_gathered",
             F.when(
                 F.col("id") % 20 == 0, F.col("cheese_gathered") + 1
             ).otherwise(F.col("cheese_gathered")),
         ).filter(F.col("id") % 97 != 0)
-        t0 = time.perf_counter()
-        engine.update(spec, mutated)
-        t_incr = time.perf_counter() - t0
+        # best-of-3, same primitive as the query loop (VERDICT r9 #1:
+        # single-shot headline legs read 5.01s builder-side vs 8.69s
+        # driver-side on the SAME tree — pure shared-VM noise). The
+        # cycle is stateful (a second update of `mutated` would be a
+        # ~no-change epoch, a different workload), so each trial gets
+        # a fresh store root and runs the full bootstrap+incremental
+        # cycle; min is taken per leg independently.
+        t_boot = t_incr = t_incr_bucketed = float("inf")
+        for trial in range(3):
+            engine = CdcEngine(
+                TableStore(spark, os.path.join(cdc_root, f"t{trial}"))
+            )
+            t0 = time.perf_counter()
+            engine.update(spec, players)
+            t_boot = min(t_boot, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            engine.update(spec, mutated)
+            t_incr = min(t_incr, time.perf_counter() - t0)
 
-        # same incremental cycle with the bucketed fingerprint cache
-        # (shuffle-free replica side of the diff join): the structural
-        # 100 TB lever, measured honestly at this sf.
-        engine_b = CdcEngine(
-            TableStore(spark, os.path.join(cdc_root, "bucketed")),
-            fingerprint_buckets=32,
-        )
-        engine_b.update(spec, players)
-        t0 = time.perf_counter()
-        engine_b.update(spec, mutated)
-        t_incr_bucketed = time.perf_counter() - t0
-        for buf in (0, 1):
-            spark.sql(f"DROP TABLE IF EXISTS player__fingerprints__buf{buf}")
+            # same incremental cycle with the bucketed fingerprint
+            # cache (shuffle-free replica side of the diff join): the
+            # structural 100 TB lever, measured honestly at this sf.
+            engine_b = CdcEngine(
+                TableStore(spark, os.path.join(cdc_root, f"bucketed{trial}")),
+                fingerprint_buckets=32,
+            )
+            engine_b.update(spec, players)
+            t0 = time.perf_counter()
+            engine_b.update(spec, mutated)
+            t_incr_bucketed = min(
+                t_incr_bucketed, time.perf_counter() - t0
+            )
+            for buf in (0, 1):
+                spark.sql(
+                    f"DROP TABLE IF EXISTS player__fingerprints__buf{buf}"
+                )
     except Exception as e:  # isolated: the query timings still print
         errors["cdc_cycle"] = f"{type(e).__name__}: {e}"[:500]
     finally:
         shutil.rmtree(cdc_root, ignore_errors=True)
+        # a trial-loop failure can leave a leg at its inf sentinel
+        t_boot = None if t_boot in (None, float("inf")) else t_boot
+        t_incr = None if t_incr in (None, float("inf")) else t_incr
+        t_incr_bucketed = (
+            None
+            if t_incr_bucketed in (None, float("inf"))
+            else t_incr_bucketed
+        )
 
     timings, build_secs, q_errors = _time_queries(spark, sf_dir, qs)
     errors.update(q_errors)
@@ -262,7 +291,9 @@ def run(only: list[str] | None = None) -> None:
         spark.stop()
     except Exception:
         pass
-    isolated = _isolated_hash_diff()
+    isolated, iso_err = _isolated_hash_diff()
+    if iso_err:
+        errors["hash_diff_isolated"] = iso_err
 
     out = {
         "metric": "headline_queries_total_wall",

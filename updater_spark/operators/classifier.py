@@ -404,9 +404,14 @@ def classifier_eval(
     threshold, map-side combined — the declarative-quality-suite
     fusion discipline); AUC groups by ROUNDED score first, so the
     one ordered cumulative window runs over |distinct rounded
-    scores| rows (bounded by 10^round_digits, typically thousands),
-    never the corpus. Rows with NULL label or score are excluded up
-    front and reported in ``n_excluded``.
+    scores| rows — bounded by 10^round_digits ONLY for scores in
+    [0, 1] (probabilities, the nb_score/logreg_score contract). Raw
+    logits/margins are UNBOUNDED: their distinct rounded values grow
+    with the corpus and the unpartitioned ``Window.orderBy`` would
+    degenerate into a single-partition near-corpus sort — min-max or
+    sigmoid-squash such scores into [0, 1] before calling (ADVICE
+    r9). Rows with NULL label or score are excluded up front and
+    reported in ``n_excluded``.
 
     AUC with ties = sum over score groups of
     ``pos_g * (neg_below + 0.5 * neg_g) / (P * N)`` — the average-

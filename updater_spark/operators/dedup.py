@@ -15,6 +15,11 @@ Scale design notes (100 TB):
 - n-gram Jaccard's shingle self-join explodes quadratically on common
   shingles — use it only AFTER an LSH candidate filter at scale; the
   direct form here is the small-data verifier.
+- shingle units: every shingle-based operator takes a unit switch —
+  ``word`` (whitespace tokens, the Latin default) or ``char``
+  (codepoint n-grams, the honest unit for CJK/Thai and other
+  no-whitespace scripts, where the word unit sees one giant token
+  per document and near-dups sail through undetected).
 """
 
 from __future__ import annotations
@@ -68,6 +73,65 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
     ``word_shingles_of`` (see tokenize docstring for the O(len²)
     trap this form carries)."""
     return word_shingles_of(tokens(text_col), n)
+
+
+def normalize_ws(text_col: str | Column) -> Column:
+    """Whitespace-collapsed text (trim + runs → single space): the
+    canonical form char shingles are taken over, so formatting
+    differences never split a shingle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(F.trim(c), r"\s+", " ")
+
+
+def char_shingles_of(norm_col: str | Column, n: int = 5) -> Column:
+    """Distinct character n-gram shingles from a PRE-MATERIALIZED
+    whitespace-normalized column (see ``normalize_ws`` — the same
+    materialize-first rule as ``word_shingles_of``: a lambda
+    referencing the raw regexp_replace would re-run it per element).
+
+    This is the script-honest shingle unit (VERDICT r9 #1): the word
+    unit tokenizes on ``\\s+``, so a Chinese/Japanese/Thai document
+    with no spaces becomes ONE "word" and yields ~zero shingles —
+    MinHash/SimHash/Jaccard then silently pass CJK near-duplicates.
+    Character n-grams need no word boundaries; ``substr`` counts
+    CODEPOINTS (not bytes) in both Spark and DuckDB, so the unit is
+    script-agnostic and oracle-exact. n=4-6 is the standard range
+    for near-dup detection over unsegmented scripts (n-gram density
+    per codepoint is ~1, vs ~1 per word for word shingles — shingle
+    volume grows ~5×, the price of honesty; the LSH banding and
+    skew caps downstream are unchanged).
+
+    Docs shorter than ``n`` chars yield their single partial gram,
+    mirroring ``word_shingles_of``."""
+    t = F.col(norm_col) if isinstance(norm_col, str) else norm_col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+
+
+def shingles_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    shingle_unit: str = "word",
+) -> DataFrame:
+    """``(id, sh array<string>)`` — the unit-dispatched shingle-set
+    builder every dedup operator shares. ``shingle_unit``: ``word``
+    (whitespace tokens, the Latin-script default) or ``char``
+    (codepoint n-grams, the no-whitespace-script-honest unit)."""
+    if shingle_unit == "word":
+        return tokenize(df, text_col).select(
+            F.col(id_col).alias("id"),
+            word_shingles_of("_toks", n).alias("sh"),
+        )
+    if shingle_unit == "char":
+        return df.withColumn("_norm", normalize_ws(text_col)).select(
+            F.col(id_col).alias("id"),
+            char_shingles_of("_norm", n).alias("sh"),
+        )
+    raise ValueError(
+        f"shingle_unit must be 'word' or 'char', got {shingle_unit!r}"
+    )
 
 
 def md5_hash32(c: Column) -> Column:
@@ -151,6 +215,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 7,
     base_hash=None,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """``(id, signature array<long>)`` — element i is min over
     shingles of ((a_i * (base_hash(shingle) ^ r_i) + b_i) mod p).
@@ -163,6 +228,11 @@ def minhash_signatures(
     hash. Default is ``pmod(xxhash64, 2^32)`` (fast JVM path); pass
     ``md5_hash32`` for an output any SQL engine can reproduce exactly
     (driver oracle queries do).
+
+    ``shingle_unit``: ``word`` (default) or ``char`` — char n-grams
+    make the signature honest on no-whitespace scripts (CJK/Thai),
+    where the word unit sees one giant "word" and the estimator
+    collapses (see ``char_shingles_of``); use shingle_n ≈ 5 there.
     """
     if base_hash is None:
         base_hash = lambda c: F.pmod(F.xxhash64(c), F.lit(1 << 32))  # noqa: E731
@@ -170,9 +240,11 @@ def minhash_signatures(
     # explode_outer: plain explode's inferred size>0 filter re-inlines
     # the gram build below the token projection (see tokenize
     # docstring); shingle arrays are never empty so outer ≡ inner.
-    base = tokenize(df, text_col).select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(word_shingles_of("_toks", shingle_n)).alias("shingle"),
+    base = shingles_frame(
+        df, id_col, text_col, shingle_n, shingle_unit
+    ).select(
+        "id",
+        F.explode_outer("sh").alias("shingle"),
     ).select(
         "id",
         # non-negative 32-bit base hash (keeps a*h+b < 2^63, see
@@ -286,6 +358,7 @@ def lsh_verified_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 7,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """THE at-scale near-dup pipeline: MinHash+LSH proposes candidate
     pairs (sub-quadratic), exact n-gram Jaccard verifies ONLY those
@@ -298,10 +371,17 @@ def lsh_verified_pairs(
     shuffles; the verify join touches |candidates| rows (≪ n²), each
     carrying its two shingle sets once. Output ⊆ the exact operator's
     output, with identical jaccard values on every emitted pair
-    (asserted in tests/test_dedup.py)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    (asserted in tests/test_dedup.py). ``shingle_unit='char'`` (with
+    n ≈ 5) runs the same pipeline over codepoint n-grams — the
+    honest unit for no-whitespace scripts."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, n, seed,
+        shingle_unit=shingle_unit,
+    )
     cand = lsh_candidate_pairs(sigs, bands)
-    return verify_pairs_exact(df, cand, id_col, text_col, n, threshold)
+    return verify_pairs_exact(
+        df, cand, id_col, text_col, n, threshold, shingle_unit
+    )
 
 
 def verify_pairs_exact(
@@ -311,15 +391,14 @@ def verify_pairs_exact(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY for the given candidate
     ``pairs`` (columns id_a, id_b) — the refine step after any
     sub-quadratic candidate generator (one-shot LSH, the incremental
     index, SimHash banding). Each side's shingle set is built once and
     joined in by id; cost is O(|pairs|), never O(n²)."""
-    sh = tokenize(df, text_col).select(
-        F.col(id_col).alias("id"), word_shingles_of("_toks", n).alias("sh")
-    )
+    sh = shingles_frame(df, id_col, text_col, n, shingle_unit)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
@@ -369,10 +448,12 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_posting: int | None = None,
+    shingle_unit: str = "word",
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram shingle sets for all pairs
-    sharing ≥1 shingle. Shuffles on the shingle (inverted index), then
-    on the pair.
+    """Exact Jaccard over n-gram shingle sets (``shingle_unit``:
+    whitespace words, or codepoint chars for no-whitespace scripts)
+    for all pairs sharing ≥1 shingle. Shuffles on the shingle
+    (inverted index), then on the pair.
 
     ``max_posting`` is the opt-in skew guard that makes the pair
     expansion bounded (the quadratic blow-up lives in per-shingle
@@ -391,9 +472,7 @@ def ngram_jaccard_pairs(
     them) must choose it consciously. At corpus scale pass a cap
     (e.g. 200): without one a single hot shingle materializes an
     O(df²) pair expansion inside one task."""
-    sh = tokenize(df, text_col).select(
-        F.col(id_col).alias("id"), word_shingles_of("_toks", n).alias("sh")
-    )
+    sh = shingles_frame(df, id_col, text_col, n, shingle_unit)
     # One pass: explode carrying the set size, group by shingle into a
     # posting list, pair-expand each posting. No self-join → the
     # shingle computation and its shuffle happen once (a self-join
@@ -450,19 +529,58 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64, base_hash=None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    base_hash=None,
+    token_unit: str = "word",
+    char_n: int = 4,
 ) -> DataFrame:
-    """64-bit SimHash over word tokens (Charikar 2002): bit j of the
-    fingerprint is the sign of the sum over tokens of ±1 according to
-    bit j of the token hash. One explode + one groupBy.
+    """64-bit SimHash over token features (Charikar 2002): bit j of
+    the fingerprint is the sign of the sum over features of ±1
+    according to bit j of the feature hash. One explode + one groupBy.
 
     ``base_hash``: Column→Column 64-bit token hash; default xxhash64,
-    pass ``md5_hash64`` for SQL-engine-reproducible fingerprints."""
+    pass ``md5_hash64`` for SQL-engine-reproducible fingerprints.
+
+    ``token_unit``: ``word`` (whitespace tokens, the default) or
+    ``char`` — POSITIONAL (non-distinct, matching the word unit's
+    occurrence weighting) codepoint ``char_n``-grams over the
+    whitespace-normalized text, the honest feature for no-whitespace
+    scripts where the word unit hashes the entire document as one
+    feature and every spaceless doc collapses to a near-degenerate
+    fingerprint."""
     if base_hash is None:
         base_hash = F.xxhash64
-    toked = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
-    ).select("id", base_hash(F.col("tok")).alias("h"))
+    if token_unit == "word":
+        feats = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("tok"),
+        )
+    elif token_unit == "char":
+        # materialize the normalized text first (the tokenize rule:
+        # a lambda referencing the raw regexp_replace re-runs it per
+        # element); positional grams, duplicates kept
+        t = F.col("_norm")
+        grams = F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(t) - char_n + 1, F.lit(1))
+            ),
+            lambda i: t.substr(i, F.lit(char_n)),
+        )
+        feats = (
+            df.withColumn("_norm", normalize_ws(text_col))
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode_outer(grams).alias("tok"),
+            )
+        )
+    else:
+        raise ValueError(
+            f"token_unit must be 'word' or 'char', got {token_unit!r}"
+        )
+    toked = feats.select("id", base_hash(F.col("tok")).alias("h"))
 
     def bit_lit(j: int):
         # bit 63 of a signed 64-bit long is the sign bit
@@ -529,6 +647,7 @@ def dup_span_stats(
     text_col: str = "text",
     n: int = 8,
     min_df: int = 2,
+    unit: str = "word",
 ) -> DataFrame:
     """Substring-granularity duplication profile: for every doc, how
     much of it is covered by token n-gram windows that also appear in
@@ -557,26 +676,46 @@ def dup_span_stats(
     (only hashes with df >= min_df survive the join's build side), and
     (3) one doc-keyed window for island merging, bounded per doc by
     doc length. No per-row Python, no driver materialization.
+
+    ``unit``: ``word`` (token n-gram windows) or ``char`` (codepoint
+    n-gram windows over the whitespace-normalized text — the honest
+    unit for no-whitespace scripts, where the word unit sees one
+    token per document and profiles nothing; use n ≈ 20-50 there,
+    the char-equivalent of 8 tokens). With ``char`` the token columns
+    count CODEPOINTS. The window explode is one row per corpus char
+    instead of per corpus token (~5× rows, same three key-bounded
+    shuffles).
     """
-    toks = F.col("_toks")
-    toked = tokenize(df, text_col).select(
-        F.col(id_col).alias("id"),
-        F.size(toks).alias("n_tokens"),
-        toks.alias("_toks"),
-    )
-    # positional (non-distinct) windows; docs shorter than n emit none
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array())
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    if unit == "word":
+        toks = F.col("_toks")
+        toked = tokenize(df, text_col).select(
+            F.col(id_col).alias("id"),
+            F.size(toks).alias("n_tokens"),
+            toks.alias("_toks"),
+        )
+        # positional (non-distinct) windows; docs < n tokens emit none
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array())
+        win_h = F.md5(F.concat_ws(" ", F.slice(toks, F.col("pos") + 1, n)))
+        carry = "_toks"
+    else:
+        t = F.col("_norm")
+        toked = df.withColumn("_norm", normalize_ws(text_col)).select(
+            F.col(id_col).alias("id"),
+            F.length(t).alias("n_tokens"),
+            t.alias("_norm"),
+        )
+        idx = F.when(
+            F.length(t) >= n, F.sequence(F.lit(0), F.length(t) - n)
+        ).otherwise(F.array())
+        win_h = F.md5(t.substr(F.col("pos") + 1, F.lit(n)))
+        carry = "_norm"
     wins = toked.select(
-        "id", "_toks", F.explode(idx).alias("pos")
-    ).select(
-        "id",
-        "pos",
-        F.md5(
-            F.concat_ws(" ", F.slice(toks, F.col("pos") + 1, n))
-        ).alias("h"),
-    )
+        "id", carry, F.explode(idx).alias("pos")
+    ).select("id", "pos", win_h.alias("h"))
     freq = wins.groupBy("h").agg(
         F.count_distinct("id").alias("gram_df")
     ).filter(F.col("gram_df") >= min_df)
@@ -618,7 +757,7 @@ def dup_span_stats(
     )
     n_wins = F.greatest(F.col("n_tokens") - n + 1, F.lit(0))
     return (
-        toked.drop("_toks")
+        toked.drop(carry)
         .join(per_doc, "id", "left")
         .select(
             F.col("id"),
@@ -646,6 +785,7 @@ def strip_dup_spans(
     text_col: str = "text",
     n: int = 8,
     min_df: int = 2,
+    unit: str = "word",
 ) -> DataFrame:
     """Cut every duplicated span (as found by ``dup_span_stats``'s
     construction) out of every document and return the cleaned text —
@@ -661,24 +801,40 @@ def strip_dup_spans(
     back to the token arrays; coverage is evaluated as an
     array-lambda (``exists`` over the per-doc span list — bounded by
     doc length x span count, no non-equi join, no BNLJ).
+
+    ``unit='char'``: windows, spans and counts are CODEPOINTS over
+    the whitespace-normalized text (the no-whitespace-script unit,
+    see ``dup_span_stats``); the cut is a single sorted-span
+    ``aggregate`` fold emitting the between-span substrings — spans
+    never overlap (merged islands), so the fold is one O(len) pass.
     """
-    toks = F.col("_toks")
-    toked = tokenize(df, text_col).select(
-        F.col(id_col).alias("id"),
-        toks.alias("_toks"),
-    )
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array())
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    if unit == "word":
+        toks = F.col("_toks")
+        toked = tokenize(df, text_col).select(
+            F.col(id_col).alias("id"),
+            toks.alias("_toks"),
+        )
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array())
+        win_h = F.md5(F.concat_ws(" ", F.slice(toks, F.col("pos") + 1, n)))
+        carry = "_toks"
+    else:
+        t = F.col("_norm")
+        toked = df.withColumn("_norm", normalize_ws(text_col)).select(
+            F.col(id_col).alias("id"),
+            t.alias("_norm"),
+        )
+        idx = F.when(
+            F.length(t) >= n, F.sequence(F.lit(0), F.length(t) - n)
+        ).otherwise(F.array())
+        win_h = F.md5(t.substr(F.col("pos") + 1, F.lit(n)))
+        carry = "_norm"
     wins = toked.select(
-        "id", "_toks", F.explode(idx).alias("pos")
-    ).select(
-        "id",
-        "pos",
-        F.md5(
-            F.concat_ws(" ", F.slice(toks, F.col("pos") + 1, n))
-        ).alias("h"),
-    )
+        "id", carry, F.explode(idx).alias("pos")
+    ).select("id", "pos", win_h.alias("h"))
     freq = (
         wins.groupBy("h")
         .agg(F.count_distinct("id").alias("gram_df"))
@@ -712,18 +868,47 @@ def strip_dup_spans(
     )
     joined = toked.join(spans, "id", "left")
     sp = F.coalesce(F.col("_spans"), F.array())
-    kept_idx = F.filter(
-        F.sequence(F.lit(0), F.size(F.col("_toks")) - 1),
-        lambda i: ~F.exists(
-            sp, lambda r: (i >= r["s"]) & (i <= r["e"])
+    if unit == "word":
+        kept_idx = F.filter(
+            F.sequence(F.lit(0), F.size(F.col("_toks")) - 1),
+            lambda i: ~F.exists(
+                sp, lambda r: (i >= r["s"]) & (i <= r["e"])
+            ),
+        )
+        kept_toks = F.transform(
+            kept_idx, lambda i: F.element_at(F.col("_toks"), i + 1)
+        )
+        return joined.select(
+            "id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.size(kept_toks).cast("long").alias("kept_tokens"),
+            F.concat_ws(" ", kept_toks).alias("clean_text"),
+        )
+    # char: one sorted-span fold — state (cur, out) appends the
+    # substring between the previous span's end and this span's start
+    t = F.col("_norm")
+    folded = F.aggregate(
+        F.array_sort(sp),
+        F.struct(F.lit(0).alias("cur"), F.lit("").alias("out")),
+        lambda acc, r: F.struct(
+            (r["e"] + 1).alias("cur"),
+            F.concat(
+                acc["out"], t.substr(acc["cur"] + 1, r["s"] - acc["cur"])
+            ).alias("out"),
         ),
     )
-    kept_toks = F.transform(
-        kept_idx, lambda i: F.element_at(F.col("_toks"), i + 1)
+    # materialize the fold once: two output columns referencing the
+    # raw expression would re-run the whole fold per reference
+    staged = joined.withColumn("_fold", folded)
+    clean = F.concat(
+        F.col("_fold")["out"],
+        t.substr(
+            F.col("_fold")["cur"] + 1, F.length(t) - F.col("_fold")["cur"]
+        ),
     )
-    return joined.select(
+    return staged.withColumn("_clean", clean).select(
         "id",
-        F.size("_toks").cast("long").alias("n_tokens"),
-        F.size(kept_toks).cast("long").alias("kept_tokens"),
-        F.concat_ws(" ", kept_toks).alias("clean_text"),
+        F.length("_norm").cast("long").alias("n_tokens"),
+        F.length("_clean").cast("long").alias("kept_tokens"),
+        F.col("_clean").alias("clean_text"),
     )

@@ -148,23 +148,24 @@ def cosine_topk_arrow(
             for q0 in range(0, len(qids), q_block):
                 qb = qm[q0 : q0 + q_block]
                 sims = cm @ qb.T  # (batch, q_block)
-                # ONE argpartition over the query axis — a per-query
-                # Python loop costs |queries| interpreter round-trips
-                # per batch and dominates wall time past ~1k queries.
-                # Partition from the TAIL (largest) instead of
-                # negating: -sims would copy the full matrix per batch
-                top = np.argpartition(sims, len(ids) - n_local, axis=0)[
-                    len(ids) - n_local :, :
-                ]
+                # round BEFORE the local selection and break ties by
+                # id (the hard_negatives_arrow discipline, ADVICE r9):
+                # a bare argpartition on raw floats can keep the
+                # higher-id member of a 4-decimal tie straddling the
+                # batch-local k+1 boundary, while the global window
+                # (sim DESC, id ASC) — and the DuckDB oracle — keep
+                # the lower id. Negating the rounded sims turns that
+                # order into _adc_local_topk's native (dist ASC,
+                # id ASC).
+                neg = -np.round(sims.T, 4)  # (q_block, batch)
+                out_d, out_i = _adc_local_topk(neg, ids, n_local)
                 yield pd.DataFrame(
                     {
                         "query_id": np.repeat(
                             qids[q0 : q0 + q_block], n_local
                         ),
-                        "neighbor_id": ids[top].ravel(order="F"),
-                        "sim": np.round(
-                            np.take_along_axis(sims, top, axis=0), 4
-                        ).ravel(order="F"),
+                        "neighbor_id": out_i.ravel(),
+                        "sim": (-out_d).ravel(),
                     }
                 )
 

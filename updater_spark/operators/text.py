@@ -880,8 +880,13 @@ def rrf_fuse(
 
 
 # url_normalize's tracking-parameter blocklist, module-level so the
-# DuckDB oracle generator replays the IDENTICAL pattern. RE2-safe.
-URL_TRACKING_PARAM = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)="
+# DuckDB oracle generator replays the IDENTICAL pattern. RE2-safe:
+# (?i) works in both Java regex and RE2. Case-insensitive and the
+# '=' optional (ADVICE r9): 'UTM_SOURCE=x', 'Fbclid=z' and a bare
+# '?utm_source' are the same tracking noise as the lowercase valued
+# forms — leaving them split otherwise-identical pages into distinct
+# dedup keys, the opposite of the operator's purpose.
+URL_TRACKING_PARAM = r"(?i)^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)(=|$)"
 
 
 def url_normalize(
@@ -901,8 +906,9 @@ def url_normalize(
     leading ``www.`` drops (dedup-oriented — aggressive for serving,
     right for corpus keys); trailing path slashes drop; the fragment
     drops; query parameters drop the tracking blocklist
-    (``URL_TRACKING_PARAM``: utm_*, fbclid, gclid, msclkid, ref),
-    then SORT lexicographically and rejoin. A row that does not look
+    (``URL_TRACKING_PARAM``: utm_*, fbclid, gclid, msclkid, ref —
+    case-insensitive, valued or bare), then SORT lexicographically
+    and rejoin. A row that does not look
     like ``scheme://authority...`` passes through trimmed-only (no
     guessing).
 
