@@ -6436,13 +6436,20 @@ def _wp_sql(vocab: list[str]) -> str:
             FROM documents
         ),
         words AS (
-            SELECT doc_id, wi, substr(w, 1, 32) AS w FROM (
+            SELECT doc_id, wi, substr(w, 1, 32) AS w,
+                   length(w) AS rawlen FROM (
                 SELECT doc_id,
                        unnest(regexp_split_to_array(trim(t), ' +')) AS w,
                        generate_subscripts(
                            regexp_split_to_array(trim(t), ' +'), 1) AS wi
                 FROM norm)
             WHERE w <> ''
+        ),
+        trunc AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN rawlen > 32 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_trunc
+            FROM words GROUP BY doc_id
         ),
         step AS (
             SELECT doc_id, wi, w, 1 AS pos, ''::VARCHAR AS out,
@@ -6475,8 +6482,10 @@ def _wp_sql(vocab: list[str]) -> str:
         )
         SELECT d.doc_id,
                COALESCE(p.pieces, '') AS pieces,
-               COALESCE(p.n_pieces, 0) AS n_pieces
+               COALESCE(p.n_pieces, 0) AS n_pieces,
+               COALESCE(tr.n_trunc, 0) AS n_truncated_words
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
+             LEFT JOIN trunc tr USING (doc_id)
     """
 
 
@@ -6524,13 +6533,20 @@ def _bpe_sql(
             FROM documents
         ),
         words AS (
-            SELECT doc_id, wi, substr(w, 1, {max_word_len}) AS w FROM (
+            SELECT doc_id, wi, substr(w, 1, {max_word_len}) AS w,
+                   length(w) AS rawlen FROM (
                 SELECT doc_id,
                        unnest(regexp_split_to_array(trim(t), {split_pat})) AS w,
                        generate_subscripts(
                            regexp_split_to_array(trim(t), {split_pat}), 1) AS wi
                 FROM norm)
             WHERE w <> ''
+        ),
+        trunc AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN rawlen > {max_word_len} THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_trunc
+            FROM words GROUP BY doc_id
         ),
         step AS (
             SELECT doc_id, wi, 0 AS n,
@@ -6569,8 +6585,10 @@ def _bpe_sql(
         )
         SELECT d.doc_id,
                COALESCE(p.pieces, '') AS pieces,
-               COALESCE(p.n_pieces, 0) AS n_pieces
+               COALESCE(p.n_pieces, 0) AS n_pieces,
+               COALESCE(tr.n_trunc, 0) AS n_truncated_words
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
+             LEFT JOIN trunc tr USING (doc_id)
     """
 
 

@@ -57,7 +57,29 @@ __all__ = [
     "synthetic_vocab",
     "wordpiece_vocab",
     "bpe_train",
+    "CJK_RANGES",
+    "CJK_CHAR_CLASS",
 ]
+
+# No-whitespace-script codepoint blocks for the byte-level
+# ``cjk_split`` pre-segmentation: Hiragana+Katakana, CJK Extension A,
+# CJK Unified Ideographs, Hangul syllables. Single source of truth —
+# the Spark/RE2 char class (\x{..} escapes parse in Java regex AND
+# RE2, so the DuckDB oracle replays the identical pattern) and the
+# Python-re twin (\uXXXX; Python re lacks \x{..}) both derive from
+# these ranges, so the three engines can never drift.
+CJK_RANGES = [
+    (0x3040, 0x30FF),
+    (0x3400, 0x4DBF),
+    (0x4E00, 0x9FFF),
+    (0xAC00, 0xD7AF),
+]
+CJK_CHAR_CLASS = (
+    "[" + "".join(f"\\x{{{a:04X}}}-\\x{{{b:04X}}}" for a, b in CJK_RANGES) + "]"
+)
+_CJK_PY_CLASS = (
+    "[" + "".join(f"\\u{a:04X}-\\u{b:04X}" for a, b in CJK_RANGES) + "]"
+)
 
 
 def synthetic_vocab(size: int) -> list[str]:
@@ -156,6 +178,7 @@ def bpe_train(
     n_merges: int = 20,
     max_word_len: int = 16,
     byte_level: bool = False,
+    cjk_split: bool = False,
 ) -> DataFrame:
     """BPE merge TRAINING (Sennrich et al. 2016) — learns the ranked
     merge list that ``bpe_tokenize`` applies, completing the tokenizer
@@ -194,11 +217,21 @@ def bpe_train(
     ASCII-whitespace split, start symbols = UTF-8 bytes as uppercase
     hex pairs) — the learned merges feed straight into the byte-level
     apply, completing the GPT-family lifecycle. Everything past the
-    start-symbol construction is alphabet-agnostic."""
+    start-symbol construction is alphabet-agnostic.
+
+    ``cjk_split`` (byte_level only) applies the same CJK space-pad
+    pre-split as ``bpe_tokenize`` — train and apply must use the SAME
+    word boundary or the learned merges see different pair statistics
+    than the apply path."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if cjk_split and not byte_level:
+        raise ValueError("cjk_split requires byte_level=True")
     if byte_level:
-        words_src = F.split(F.trim(F.col(text_col)), "[ \t\n\r]+")
+        base = F.col(text_col)
+        if cjk_split:
+            base = F.regexp_replace(base, f"({CJK_CHAR_CLASS})", " $1 ")
+        words_src = F.split(F.trim(base), "[ \t\n\r]+")
     else:
         norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
         words_src = F.split(F.trim(norm), " +")
@@ -284,6 +317,27 @@ def bpe_train(
     )
 
 
+def _n_truncated(raw_words: Column, max_word_len: int) -> Column:
+    """``n_truncated_words`` — how many words LOST characters to the
+    ``max_word_len`` truncation (VERDICT r9: on a spaceless script
+    the whitespace split yields one document-sized word and the
+    truncation silently drops all but ``max_word_len`` characters;
+    this column makes the cliff visible and countable — a nonzero
+    value on a CJK corpus says "use cjk_split / a char-aware split").
+    NULL text propagates (size() is -1 on NULL under legacy conf, so
+    the guard is explicit)."""
+    return (
+        F.when(
+            raw_words.isNotNull(),
+            F.size(
+                F.filter(raw_words, lambda x: F.length(x) > max_word_len)
+            ),
+        )
+        .cast("long")
+        .alias("n_truncated_words")
+    )
+
+
 def _vocab_by_char(vocab: list[str]):
     """First-char-keyed literal map: ``char -> array<struct<l,p>>``.
     All-literal ``create_map`` is constant-folded to ONE map object
@@ -359,17 +413,20 @@ def wordpiece_tokenize(
 
     by_char = _vocab_by_char(vocab)
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
-    words = F.filter(
-        F.transform(
-            F.split(F.trim(norm), " +"),
-            lambda x: F.substring(x, 1, max_word_len),
-        ),
-        lambda x: F.length(x) > 0,
+    raw_words = F.filter(
+        F.split(F.trim(norm), " +"), lambda x: F.length(x) > 0
     )
-    # materialize the per-word piece arrays ONCE: referencing the
-    # expression from two outputs would re-inline the whole fold per
-    # reference (the dedup.tokenize CollapseProject lesson)
-    out = df.withColumn("_words", words).withColumn(
+    # materialize the raw words and per-word piece arrays ONCE:
+    # referencing the expression from two outputs would re-inline the
+    # whole fold per reference (the dedup.tokenize CollapseProject
+    # lesson). Truncate-after-filter ≡ filter-after-truncate: substr
+    # never empties a non-empty word.
+    out = df.withColumn("_wraw", raw_words).withColumn(
+        "_words",
+        F.transform(
+            F.col("_wraw"), lambda x: F.substring(x, 1, max_word_len)
+        ),
+    ).withColumn(
         "_wp",
         F.transform(
             F.col("_words"),
@@ -388,6 +445,7 @@ def wordpiece_tokenize(
         )
         .cast("long")
         .alias("n_pieces"),
+        _n_truncated(F.col("_wraw"), max_word_len),
     )
 
 
@@ -425,7 +483,7 @@ def wordpiece_tokenize_arrow(
 
         strip = re.compile(r"[^a-z ]")
         for pdf in batches:
-            pieces_out, n_out = [], []
+            pieces_out, n_out, trunc_out = [], [], []
             for t in pdf[text_col]:
                 if t is None or (isinstance(t, float) and pd.isna(t)):
                     # byte-identical to the Catalyst fold: NULL text
@@ -433,11 +491,15 @@ def wordpiece_tokenize_arrow(
                     # does not coerce to an empty document
                     pieces_out.append(None)
                     n_out.append(None)
+                    trunc_out.append(None)
                     continue
                 norm = strip.sub("", t.lower())
                 total = 0
+                n_trunc = 0
                 word_pieces = []
                 for wd in norm.split():
+                    if len(wd) > max_word_len:
+                        n_trunc += 1
                     wd = wd[:max_word_len]
                     pos, n = 0, len(wd)
                     ps = []
@@ -452,16 +514,22 @@ def wordpiece_tokenize_arrow(
                     total += len(ps)
                 pieces_out.append(" ".join(word_pieces))
                 n_out.append(total)
+                trunc_out.append(n_trunc)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "pieces": pieces_out,
                     "n_pieces": pd.array(n_out, dtype="Int64"),
+                    "n_truncated_words": pd.array(trunc_out, dtype="Int64"),
                 }
             )
 
     return df.select(id_col, text_col).mapInPandas(
-        seg, schema=f"{id_col} {id_type}, pieces string, n_pieces long"
+        seg,
+        schema=(
+            f"{id_col} {id_type}, pieces string, n_pieces long,"
+            " n_truncated_words long"
+        ),
     )
 
 
@@ -574,6 +642,7 @@ def bpe_tokenize(
     id_col: str = "doc_id",
     max_word_len: int = 32,
     byte_level: bool = False,
+    cjk_split: bool = False,
 ) -> DataFrame:
     """Merge-ordered BPE apply (Sennrich et al. 2016) as a
     pure-Catalyst runtime fold — the other half of production
@@ -605,22 +674,39 @@ def bpe_tokenize(
     alphabet, e.g. ``("C3", "A9")`` fuses the two bytes of "é").
     ``max_word_len`` still truncates by CHARACTER before encoding
     (so the oracle's recursion sees identical words); the fold bound
-    becomes the octet count."""
+    becomes the octet count.
+
+    ``cjk_split`` (byte_level only): space-pad every CJK-block
+    codepoint (``CJK_CHAR_CLASS``: kana, CJK ideographs incl. ext A,
+    Hangul) BEFORE the whitespace split, so each becomes its own
+    "word" — the script-aware split that keeps a spaceless document
+    from arriving as ONE word and losing everything past
+    ``max_word_len`` chars to the truncation (the cliff
+    ``n_truncated_words`` counts). The byte alphabet already makes
+    every codepoint tokenizable; this makes the WORD boundary honest
+    too.
+
+    Output adds ``n_truncated_words`` — words that LOST characters
+    to the truncation (0 on healthy corpora; NULL text propagates)."""
     _validate_merges(merges)
     ranks = _merge_ranks(merges)
+    if cjk_split and not byte_level:
+        raise ValueError("cjk_split requires byte_level=True")
     if byte_level:
-        words_src = F.split(F.trim(F.col(text_col)), "[ \t\n\r]+")
+        base = F.col(text_col)
+        if cjk_split:
+            base = F.regexp_replace(base, f"({CJK_CHAR_CLASS})", " $1 ")
+        words_src = F.split(F.trim(base), "[ \t\n\r]+")
     else:
         norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
         words_src = F.split(F.trim(norm), " +")
-    words = F.filter(
+    raw_words = F.filter(words_src, lambda x: F.length(x) > 0)
+    out = df.withColumn("_wraw", raw_words).withColumn(
+        "_words",
         F.transform(
-            words_src,
-            lambda x: F.substring(x, 1, max_word_len),
+            F.col("_wraw"), lambda x: F.substring(x, 1, max_word_len)
         ),
-        lambda x: F.length(x) > 0,
-    )
-    out = df.withColumn("_words", words).withColumn(
+    ).withColumn(
         "_wp",
         F.transform(
             F.col("_words"),
@@ -639,6 +725,7 @@ def bpe_tokenize(
         )
         .cast("long")
         .alias("n_pieces"),
+        _n_truncated(F.col("_wraw"), max_word_len),
     )
 
 
@@ -649,15 +736,20 @@ def bpe_tokenize_arrow(
     id_col: str = "doc_id",
     max_word_len: int = 32,
     byte_level: bool = False,
+    cjk_split: bool = False,
 ) -> DataFrame:
     """Arrow twin of ``bpe_tokenize`` — byte-identical output with an
     O(1) dict probe per adjacent pair, for production merge tables
     where the literal map's linear ``GetMapValue`` scan dominates.
     ``byte_level`` mirrors the Catalyst flag: hex-pair byte symbols,
-    ASCII-whitespace word split, no normalization, UNK-free."""
+    ASCII-whitespace word split, no normalization, UNK-free;
+    ``cjk_split`` mirrors the script-aware CJK space-padding (the
+    Python-re char class derives from the same CJK_RANGES)."""
     import re
 
     _validate_merges(merges)
+    if cjk_split and not byte_level:
+        raise ValueError("cjk_split requires byte_level=True")
     rank_of = {f"{a} {b}": r for r, (a, b) in enumerate(merges)}
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -666,21 +758,28 @@ def bpe_tokenize_arrow(
 
         strip = re.compile(r"[^a-z ]")
         ws = re.compile(r"[ \t\n\r]+")
+        cjk = re.compile(f"({_CJK_PY_CLASS})")
         for pdf in batches:
-            pieces_out, n_out = [], []
+            pieces_out, n_out, trunc_out = [], [], []
             for t in pdf[text_col]:
                 if t is None or (isinstance(t, float) and pd.isna(t)):
                     # NULL propagates, matching the Catalyst fold
                     pieces_out.append(None)
                     n_out.append(None)
+                    trunc_out.append(None)
                     continue
                 if byte_level:
+                    if cjk_split:
+                        t = cjk.sub(r" \1 ", t)
                     wds = [w for w in ws.split(t.strip(" ")) if w]
                 else:
                     wds = strip.sub("", t.lower()).split()
                 total = 0
+                n_trunc = 0
                 word_pieces = []
                 for wd in wds:
+                    if len(wd) > max_word_len:
+                        n_trunc += 1
                     if byte_level:
                         hx = wd[:max_word_len].encode("utf-8").hex().upper()
                         ps = [hx[i : i + 2] for i in range(0, len(hx), 2)]
@@ -703,14 +802,20 @@ def bpe_tokenize_arrow(
                     total += len(ps)
                 pieces_out.append(" ".join(word_pieces))
                 n_out.append(total)
+                trunc_out.append(n_trunc)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "pieces": pieces_out,
                     "n_pieces": pd.array(n_out, dtype="Int64"),
+                    "n_truncated_words": pd.array(trunc_out, dtype="Int64"),
                 }
             )
 
     return df.select(id_col, text_col).mapInPandas(
-        seg, schema=f"{id_col} {id_type}, pieces string, n_pieces long"
+        seg,
+        schema=(
+            f"{id_col} {id_type}, pieces string, n_pieces long,"
+            " n_truncated_words long"
+        ),
     )
