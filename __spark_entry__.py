@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import os
+import string
 import sys
 from collections.abc import Callable
 
@@ -3927,6 +3928,65 @@ def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_tokenize(docs, "text", WP_VOCAB)
 
 
+UNI_V, UNI_ITERS, UNI_PLEN, UNI_WLEN = 60, 2, 3, 16
+
+
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/tokenizer.py::
+    unigram_train) — the SentencePiece family's EM half, completing
+    the production-tokenizer triple next to wordpiece_vocab (greedy)
+    and bpe_train (merge-ordered): seed the top-V frequency-ranked
+    substrings (+ all a-z), then hard-EM rounds of Viterbi
+    segmentation over the DISTINCT-WORD table and smoothed log-prob
+    re-estimation. Integer scaled log-probs make every DP sum exact
+    int64 arithmetic; the oracle unrolls the same EM rounds as
+    per-position DP CTE chains with the identical
+    (−lp, path)-lexicographic tie-break."""
+    from updater_spark.operators.tokenizer import unigram_train
+
+    docs = demo.load(spark, sf_dir, "documents")
+    return unigram_train(
+        docs,
+        "text",
+        vocab_size=UNI_V,
+        n_iters=UNI_ITERS,
+        max_piece_len=UNI_PLEN,
+        max_word_len=UNI_WLEN,
+    )
+
+
+def q_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply unigram-LM tokenization: Viterbi (max
+    log-prob) segmentation of every document under the corpus-trained
+    vocabulary (operators/tokenizer.py::unigram_tokenize — the
+    pure-Catalyst DP fold; unigram_tokenize_arrow is the
+    byte-identical deploy twin, pinned in tests). Output follows the
+    tokenizer-family contract plus lp_scaled, the document's integer
+    unigram-LM score. The train's vocab-sized collect feeds the
+    apply as a constant-folded literal map — corpus never leaves the
+    executors."""
+    from updater_spark.operators.tokenizer import (
+        unigram_tokenize,
+        unigram_train,
+    )
+
+    docs = demo.load(spark, sf_dir, "documents")
+    vocab_df = unigram_train(
+        docs,
+        "text",
+        vocab_size=UNI_V,
+        n_iters=UNI_ITERS,
+        max_piece_len=UNI_PLEN,
+        max_word_len=UNI_WLEN,
+    )
+    vocab = [
+        (r["piece"], r["logprob_scaled"]) for r in vocab_df.collect()
+    ]
+    return unigram_tokenize(
+        docs, "text", vocab, max_word_len=UNI_WLEN, max_piece_len=UNI_PLEN
+    )
+
+
 RP_DIM, RP_K, RP_SEED = 64, 16, 23
 
 
@@ -5729,6 +5789,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their existing relative order behind it (dict.update never
     # reorders existing keys). Historical rotations live in git.
     qs = {
+        # --- r10: new queries lead (no driver row yet) ---
+        "unigram_train": q_unigram_train,
+        "unigram_tokens": q_unigram_tokens,
         # --- r9: new queries lead (no driver row yet) ---
         "html_extract": q_html_extract,
         "bpe_bytes": q_bpe_bytes,
@@ -7186,6 +7249,206 @@ def _html_extract_sql() -> str:
     """
 
 
+def _unigram_viterbi_ctes(
+    prefix: str,
+    src: str,
+    vocab_cte: str,
+    max_piece_len: int,
+    max_word_len: int,
+) -> tuple[list[str], str]:
+    """DP CTE chain replaying ``_viterbi_word`` over a distinct-word
+    table ``src(w)``: {prefix}{t} holds each word's best (lp, path)
+    ending at position t; the composite arg_min key
+    ``printf('%015d', -lp) || path`` is the (−lp ASC, path ASC)
+    total order the Spark fold's array_min(struct(neg, path))
+    implements — −lp is non-negative (log-probs ≤ 0) and fixed-width,
+    so string order equals numeric order. Returns (ctes, seg_sql)
+    where seg_sql unions each word's final position."""
+    ctes = [
+        f"{prefix}0 AS (SELECT w, CAST(0 AS BIGINT) AS lp,"
+        f" '' AS path FROM {src})"
+    ]
+    for t in range(1, max_word_len + 1):
+        branches = []
+        for k in range(1, min(max_piece_len, t) + 1):
+            branches.append(
+                f"""SELECT d.w, d.lp + v.lp AS lp_new,
+                       CASE WHEN d.path = '' THEN v.piece
+                            ELSE d.path || '|' || v.piece END AS path_new
+                FROM {prefix}{t - k} d JOIN {vocab_cte} v
+                  ON v.piece = substr(d.w, {t - k + 1}, {k})
+                 AND length(v.piece) = {k}
+                WHERE length(d.w) >= {t}"""
+            )
+        union = "\nUNION ALL\n".join(branches)
+        ctes.append(
+            f"""{prefix}{t} AS MATERIALIZED (
+            SELECT w, arg_min(lp_new, skey) AS lp,
+                   arg_min(path_new, skey) AS path
+            FROM (
+                SELECT w, lp_new, path_new,
+                       printf('%015d', -lp_new) || path_new AS skey
+                FROM ({union}) cand
+            ) keyed
+            GROUP BY w
+        )"""
+        )
+    seg = "\nUNION ALL\n".join(
+        f"SELECT w, lp, path FROM {prefix}{t} WHERE length(w) = {t}"
+        for t in range(1, max_word_len + 1)
+    )
+    return ctes, seg
+
+
+def _unigram_sql(
+    kind: str,
+    vocab_size: int = UNI_V,
+    n_iters: int = UNI_ITERS,
+    max_piece_len: int = UNI_PLEN,
+    max_word_len: int = UNI_WLEN,
+) -> str:
+    """DuckDB replay of unigram_train / unigram_tokens: the EM rounds
+    unrolled (the _bpe_train_sql discipline) — seed counts, smoothed
+    integer log-probs (round(ln((u+1)/(Σu+|V|))*1e6), DuckDB ln is
+    the same glibc log the trainer's driver-side M-step calls), and
+    one Viterbi DP CTE chain per E-step over the distinct-word
+    table. ``kind``: 'train' returns (piece, logprob_scaled, usage);
+    'tokens' additionally segments every document under the final
+    vocabulary."""
+    letters = ", ".join(f"('{c}')" for c in string.ascii_lowercase)
+    ctes = [
+        f"""wf AS MATERIALIZED (
+            SELECT w, COUNT(*)::BIGINT AS freq FROM (
+                SELECT substr(w, 1, {max_word_len}) AS w FROM (
+                    SELECT unnest(regexp_split_to_array(trim(
+                        regexp_replace(lower(text), '[^a-z ]', '', 'g')),
+                        ' +')) AS w
+                    FROM documents) t
+                WHERE length(w) > 0)
+            GROUP BY w
+        )""",
+        f"""seedcnt AS MATERIALIZED (
+            SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+                SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+                       freq
+                FROM (SELECT w, freq,
+                             unnest(range(1, length(w) + 1)) AS i
+                      FROM wf) t,
+                     range(1, {max_piece_len} + 1) r(l)
+                WHERE i + l - 1 <= length(w))
+            GROUP BY piece
+        )""",
+        f"""sel AS (
+            SELECT piece FROM seedcnt
+            ORDER BY cnt DESC, piece ASC LIMIT {vocab_size}
+        )""",
+        f"letters(piece) AS (VALUES {letters})",
+        """mem0 AS (
+            SELECT piece FROM sel
+            UNION
+            SELECT piece FROM seedcnt WHERE length(piece) = 1
+            UNION
+            SELECT piece FROM letters
+        )""",
+        """mu0 AS MATERIALIZED (
+            SELECT m.piece, COALESCE(c.cnt, 0) AS usage
+            FROM mem0 m LEFT JOIN seedcnt c USING (piece)
+        )""",
+        """v0 AS MATERIALIZED (
+            SELECT piece,
+                   CAST(round(ln((usage + 1.0) /
+                        (SELECT CAST(SUM(usage) + COUNT(*) AS DOUBLE)
+                         FROM mu0)) * 1000000) AS BIGINT) AS lp
+            FROM mu0
+        )""",
+    ]
+    for it in range(1, n_iters + 1):
+        dp_ctes, seg = _unigram_viterbi_ctes(
+            f"d{it}_", "wf", f"v{it - 1}", max_piece_len, max_word_len
+        )
+        ctes += dp_ctes
+        ctes.append(f"seg{it} AS ({seg})")
+        ctes.append(
+            f"""usage{it} AS MATERIALIZED (
+            SELECT piece, CAST(SUM(freq) AS BIGINT) AS usage FROM (
+                SELECT wf.freq,
+                       unnest(string_split(s.path, '|')) AS piece
+                FROM seg{it} s JOIN wf USING (w))
+            GROUP BY piece
+        )"""
+        )
+        ctes.append(
+            f"""mem{it} AS (
+            SELECT piece FROM usage{it}
+            UNION
+            SELECT piece FROM v{it - 1} WHERE length(piece) = 1
+        )"""
+        )
+        ctes.append(
+            f"""mu{it} AS MATERIALIZED (
+            SELECT m.piece, COALESCE(u.usage, 0) AS usage
+            FROM mem{it} m LEFT JOIN usage{it} u USING (piece)
+        )"""
+        )
+        ctes.append(
+            f"""v{it} AS MATERIALIZED (
+            SELECT piece,
+                   CAST(round(ln((usage + 1.0) /
+                        (SELECT CAST(SUM(usage) + COUNT(*) AS DOUBLE)
+                         FROM mu{it})) * 1000000) AS BIGINT) AS lp
+            FROM mu{it}
+        )"""
+        )
+    if kind == "train":
+        final = f"""
+        SELECT m.piece, v.lp AS logprob_scaled, m.usage
+        FROM mu{n_iters} m JOIN v{n_iters} v USING (piece)"""
+        return "WITH " + ",\n".join(ctes) + final
+    ctes.append(
+        f"""dwords AS MATERIALIZED (
+            SELECT doc_id, wi, substr(w, 1, {max_word_len}) AS w,
+                   length(w) AS rawlen FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(t), ' +')) AS w,
+                       generate_subscripts(
+                           regexp_split_to_array(trim(t), ' +'), 1) AS wi
+                FROM (SELECT doc_id,
+                             regexp_replace(lower(text), '[^a-z ]', '',
+                                            'g') AS t
+                      FROM documents))
+            WHERE w <> ''
+        )"""
+    )
+    ctes.append("uw AS MATERIALIZED (SELECT DISTINCT w FROM dwords)")
+    dp_ctes, seg = _unigram_viterbi_ctes(
+        "a_", "uw", f"v{n_iters}", max_piece_len, max_word_len
+    )
+    ctes += dp_ctes
+    ctes.append(f"aseg AS ({seg})")
+    ctes.append(
+        f"""perdoc AS (
+            SELECT d.doc_id,
+                   string_agg(s.path, ' ' ORDER BY d.wi) AS pieces,
+                   CAST(SUM(length(string_split(s.path, '|'))) AS BIGINT)
+                       AS n_pieces,
+                   CAST(SUM(s.lp) AS BIGINT) AS lp_scaled,
+                   CAST(SUM(CASE WHEN d.rawlen > {max_word_len}
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_truncated_words
+            FROM dwords d JOIN aseg s USING (w)
+            GROUP BY d.doc_id
+        )"""
+    )
+    final = """
+        SELECT doc.doc_id,
+               COALESCE(p.pieces, '') AS pieces,
+               COALESCE(p.n_pieces, 0) AS n_pieces,
+               COALESCE(p.lp_scaled, 0) AS lp_scaled,
+               COALESCE(p.n_truncated_words, 0) AS n_truncated_words
+        FROM documents doc LEFT JOIN perdoc p USING (doc_id)"""
+    return "WITH " + ",\n".join(ctes) + final
+
+
 def oracle_sql() -> dict[str, str]:
     # NB: POWER(x, 0.25) is written sqrt(sqrt(x)) — IEEE sqrt is
     # correctly rounded everywhere, pow is libm-dependent (see
@@ -8061,6 +8324,8 @@ def oracle_sql() -> dict[str, str]:
                   WHERE doc_id % 40 IN (0, 17)) d
             LEFT JOIN scored s USING (doc_id)
         """,
+        "unigram_train": _unigram_sql("train"),
+        "unigram_tokens": _unigram_sql("tokens"),
         "html_extract": _html_extract_sql(),
         "url_canonical": _url_canonical_sql(),
         "encoding_quality": _encoding_quality_sql(),

@@ -620,3 +620,121 @@ def test_bpe_train_cjk_split_matches_apply_boundary(spark):
     # (count DESC, a ASC, b ASC) order picks ('97','A5') — 日's tail
     assert merges[0] == ("97", "A5")
     assert len(merges) == 2
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM (SentencePiece family)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_train_and_roundtrip(spark):
+    from updater_spark.operators.tokenizer import (
+        unigram_tokenize,
+        unigram_tokenize_arrow,
+        unigram_train,
+    )
+
+    rows = [(i, "the cat sat on the mat the cat") for i in range(6)] + [
+        (9, "zebra quilt 123 !!"),
+        (10, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab_df = unigram_train(
+        df, "text", vocab_size=30, n_iters=2, max_piece_len=3
+    )
+    vrows = vocab_df.collect()
+    vocab = [(r["piece"], r["logprob_scaled"]) for r in vrows]
+    pieces = {p for p, _ in vocab}
+    # coverage: all a-z present even though the corpus lacks most
+    import string as _s
+
+    assert set(_s.ascii_lowercase) <= pieces
+    # log-probs are negative integers; smoothed probs sum to ~1
+    import math
+
+    assert all(isinstance(lp, int) and lp < 0 for _, lp in vocab)
+    assert abs(sum(math.exp(lp / 1e6) for _, lp in vocab) - 1.0) < 0.01
+    # dominant corpus words survive EM as whole or near-whole pieces
+    assert "the" in pieces or "th" in pieces
+
+    out = {
+        r["doc_id"]: r for r in unigram_tokenize(df, "text", vocab).collect()
+    }
+    arr = {
+        r["doc_id"]: r
+        for r in unigram_tokenize_arrow(df, "text", vocab).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in arr.items()
+    }
+    # round-trip: pieces concatenate back to the normalized words
+    joined = out[0]["pieces"]
+    words = ["".join(w.split("|")) for w in joined.split(" ")]
+    assert words == "the cat sat on the mat the cat".split()
+    # lp is the exact integer sum of the chosen pieces' log-probs
+    lp_of = dict(vocab)
+    manual = sum(
+        lp_of[p] for w in out[0]["pieces"].split(" ") for p in w.split("|")
+    )
+    assert out[0]["lp_scaled"] == manual
+    # NULL text propagates
+    assert out[10]["pieces"] is None and out[10]["lp_scaled"] is None
+
+
+def test_unigram_viterbi_prefers_high_prob_piece(spark):
+    """Viterbi picks the MAX-probability segmentation, not greedy
+    longest-match: with lp(ab)+lp(c) > lp(abc), 'abc' splits."""
+    from updater_spark.operators.tokenizer import unigram_tokenize
+    import string as _s
+
+    vocab = [(c, -5_000_000) for c in _s.ascii_lowercase] + [
+        ("ab", -1_000_000),
+        ("abc", -2_500_000),
+    ]
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    out = unigram_tokenize(df, "text", vocab).collect()[0]
+    # ab+c = -6.0M < abc = -2.5M ... abc wins; flip the odds:
+    assert out["pieces"] == "abc"
+    vocab2 = [(c, -1_000_000) for c in _s.ascii_lowercase] + [
+        ("ab", -1_000_000),
+        ("abc", -9_000_000),
+    ]
+    out2 = unigram_tokenize(df, "text", vocab2).collect()[0]
+    assert out2["pieces"] == "ab|c"
+    assert out2["lp_scaled"] == -2_000_000
+
+
+def test_unigram_tie_breaks_by_path(spark):
+    """Equal total lp -> lexicographically smallest path, the
+    cross-engine total order."""
+    from updater_spark.operators.tokenizer import (
+        unigram_tokenize,
+        unigram_tokenize_arrow,
+    )
+    import string as _s
+
+    # 'aa': [a|a] = -2M; [aa] = -2M -> tie; 'a|a' < 'aa' ('|'=0x7C
+    # sorts after ASCII letters... 'a|a' vs 'aa': pos 2 '|' vs 'a',
+    # '|' > 'a', so 'aa' is the SMALLER path and must win)
+    vocab = [(c, -1_000_000) for c in _s.ascii_lowercase] + [
+        ("aa", -2_000_000)
+    ]
+    df = spark.createDataFrame([(0, "aa")], "doc_id long, text string")
+    for fn in (unigram_tokenize, unigram_tokenize_arrow):
+        out = fn(df, "text", vocab).collect()[0]
+        assert out["pieces"] == "aa", fn.__name__
+        assert out["lp_scaled"] == -2_000_000
+
+
+def test_unigram_vocab_validation(spark):
+    from updater_spark.operators.tokenizer import unigram_tokenize
+    import pytest as _pt
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="cover a-z"):
+        unigram_tokenize(df, "text", [("a", -1)])
+    import string as _s
+
+    dup = [(c, -1_000_000) for c in _s.ascii_lowercase] + [("a", -2)]
+    with _pt.raises(ValueError, match="duplicate"):
+        unigram_tokenize(df, "text", dup)

@@ -57,6 +57,9 @@ __all__ = [
     "synthetic_vocab",
     "wordpiece_vocab",
     "bpe_train",
+    "unigram_train",
+    "unigram_tokenize",
+    "unigram_tokenize_arrow",
     "CJK_RANGES",
     "CJK_CHAR_CLASS",
 ]
@@ -817,5 +820,358 @@ def bpe_tokenize_arrow(
         schema=(
             f"{id_col} {id_type}, pieces string, n_pieces long,"
             " n_truncated_words long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM (SentencePiece family) — EM-trained piece probabilities +
+# Viterbi segmentation (Kudo 2018), the third production tokenizer
+# family next to WordPiece (greedy longest-match) and BPE
+# (merge-ordered).
+# ---------------------------------------------------------------------------
+
+
+def _round_half_away(v: float) -> int:
+    """Half-away-from-zero to int — DuckDB's round() convention
+    (Python's built-in round is half-even and WOULD drift)."""
+    import math
+
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
+def _scaled_ln(num: float, den: float, scale: int = 1_000_000) -> int:
+    """round(ln(num/den) * scale) as the engine-portable INTEGER
+    log-prob (the logreg rounded-state discipline, taken one step
+    further: once the per-piece lp is an integer, every Viterbi DP
+    sum is exact int64 arithmetic — zero cross-engine float risk in
+    the hot path; the one ln per (piece, iteration) is glibc log in
+    both Python and DuckDB)."""
+    import math
+
+    return _round_half_away(math.log(num / den) * scale)
+
+
+def _viterbi_word(w: Column, lp_map: Column, max_piece_len: int) -> Column:
+    """Best-segmentation ``struct(lp long, path string)`` for one
+    normalized word — a pure-Catalyst forward DP fold: dp[i] = max
+    over k ≤ max_piece_len of dp[i-k] + lp(substr(i-k+1, k)), ties on
+    equal (integer) lp broken by LEXICOGRAPHICALLY SMALLEST path (a
+    total order both engines share; encoded as array_min over
+    struct(-lp, path)). The vocabulary must cover a-z, so position
+    i is always reachable via the k=1 candidate and the fold needs
+    no unreachable sentinel."""
+
+    def step(acc, i):
+        ks = F.sequence(F.lit(1), F.least(F.lit(max_piece_len), i))
+
+        def cand(k):
+            prev = F.element_at(acc, (i - k + 1).cast("int"))
+            piece = w.substr(i - k + 1, k)
+            plp = F.element_at(lp_map, piece)
+            return F.struct(
+                (-(prev["lp"] + plp)).alias("neg"),
+                F.when(prev["path"] == "", piece)
+                .otherwise(F.concat(prev["path"], F.lit("|"), piece))
+                .alias("path"),
+            )
+
+        cands = F.filter(
+            F.transform(ks, cand), lambda c: c["neg"].isNotNull()
+        )
+        best = F.array_min(cands)
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    (-best["neg"]).alias("lp"), best["path"].alias("path")
+                )
+            ),
+        )
+
+    init = F.array(
+        F.struct(F.lit(0).cast("long").alias("lp"), F.lit("").alias("path"))
+    )
+    dp = F.aggregate(F.sequence(F.lit(1), F.length(w)), init, step)
+    return F.element_at(dp, F.length(w) + 1)
+
+
+def _unigram_norm_words(text_col: str, max_word_len: int) -> Column:
+    """The shared wordpiece-family normalization: lowercase, strip to
+    [a-z ], split, drop empties, truncate to max_word_len."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+    raw = F.filter(F.split(F.trim(norm), " +"), lambda x: F.length(x) > 0)
+    return F.transform(raw, lambda x: F.substring(x, 1, max_word_len))
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 120,
+    n_iters: int = 2,
+    max_piece_len: int = 3,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, hard-EM/Viterbi
+    variant): seed the vocabulary with the top ``vocab_size``
+    frequency-ranked substrings (every single char always kept — the
+    coverage guarantee), then iterate: (E) Viterbi-segment the word
+    table under current piece log-probs, (M) re-estimate
+    ``lp(p) = ln((usage_p + 1) / (Σusage + |V|))`` (add-one smoothing
+    keeps never-used single chars finite) and drop non-single pieces
+    with zero usage. Hard EM (count only the BEST segmentation) is
+    the deterministic sibling of full forward-backward EM — the same
+    algorithmic family, exactly replayable cross-engine.
+
+    Determinism (what makes an exact DuckDB oracle possible): piece
+    log-probs are INTEGERS (``_scaled_ln``), so the Viterbi DP is
+    pure int64 arithmetic with a path-string tie-break; the M-step
+    runs DRIVER-side on the vocab-sized usage table (bounded collect,
+    the bpe_train discipline) with glibc log — the same libm DuckDB's
+    ``ln`` calls.
+
+    Scale shape: the corpus is touched ONCE (the word count); every
+    EM iteration runs on the DISTINCT-WORD frequency table (thousands
+    of rows at any corpus size — segmentation depends only on the
+    word), one narrow Viterbi fold + one vocab-sized groupBy each.
+    Per-iteration driver traffic is |vocab| rows.
+
+    Returns ``(piece, logprob_scaled, usage)`` — feed
+    ``[(piece, logprob_scaled), ...]`` straight into
+    ``unigram_tokenize``."""
+    if vocab_size < 1 or n_iters < 1 or max_piece_len < 1:
+        raise ValueError("vocab_size, n_iters, max_piece_len must be >= 1")
+    spark = df.sparkSession
+    words = _unigram_norm_words(text_col, max_word_len)
+    wf = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)  # reused every iteration
+    )
+    # seed substring counts (freq-weighted), distributed
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.length("w") - F.lit(1)),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.length("w") - i),
+                ),
+                lambda l: F.col("w").substr(i + F.lit(1), l),
+            ),
+        )
+    )
+    seedcnt = (
+        wf.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    top = seedcnt.orderBy(
+        F.col("cnt").desc(), F.col("piece").asc()
+    ).limit(vocab_size)
+    singles = seedcnt.filter(F.length("piece") == 1)
+    members = {r["piece"]: r["cnt"] for r in top.collect()}
+    members.update({r["piece"]: r["cnt"] for r in singles.collect()})
+    # ALL of a-z, even letters the corpus never contains: the apply
+    # contract requires total coverage, and add-one smoothing (same
+    # formula as the M-step) keeps their ln finite
+    for c in string.ascii_lowercase:
+        members.setdefault(c, 0)
+    total = sum(members.values()) + len(members)
+    vocab = {p: _scaled_ln(c + 1, total) for p, c in members.items()}
+    usage: dict[str, int] = {}
+    for _ in range(n_iters):
+        vmap = F.create_map(
+            *[F.lit(x) for p, lp in sorted(vocab.items()) for x in (p, lp)]
+        )
+        seg = wf.select(
+            "freq",
+            _viterbi_word(F.col("w"), vmap, max_piece_len)["path"].alias(
+                "path"
+            ),
+        )
+        usage = {
+            r["piece"]: r["u"]
+            for r in seg.select(
+                F.explode(F.split("path", r"\|")).alias("piece"), "freq"
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("u"))
+            .collect()
+        }
+        singles_set = {p for p in vocab if len(p) == 1}
+        member_set = set(usage) | singles_set
+        denom = sum(usage.values()) + len(member_set)
+        vocab = {
+            p: _scaled_ln(usage.get(p, 0) + 1, denom) for p in member_set
+        }
+    rows = sorted(
+        (p, vocab[p], usage.get(p, 0)) for p in vocab
+    )
+    return spark.createDataFrame(
+        rows, "piece string, logprob_scaled bigint, usage bigint"
+    )
+
+
+def _validate_unigram_vocab(vocab: list[tuple[str, int]]) -> None:
+    pieces = [p for p, _ in vocab]
+    missing = [c for c in string.ascii_lowercase if c not in pieces]
+    if missing:
+        raise ValueError(f"vocab must cover a-z; missing {missing}")
+    if len(set(pieces)) != len(pieces):
+        raise ValueError("vocab contains duplicate pieces")
+
+
+def unigram_tokenize(
+    df: DataFrame,
+    text_col: str,
+    vocab: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    max_word_len: int = 16,
+    max_piece_len: int | None = None,
+) -> DataFrame:
+    """Viterbi (max-log-prob) segmentation under a trained unigram
+    vocabulary — ``unigram_train``'s apply half, as a pure-Catalyst
+    DP fold (zero Python, no shuffle; the vocabulary rides the plan
+    as one constant-folded literal map, the wordpiece discipline).
+
+    ``vocab``: ``[(piece, logprob_scaled)]`` — integer scaled
+    log-probs, must cover a-z. Output matches the tokenizer-family
+    contract (``pieces``/``n_pieces``/``n_truncated_words``) plus
+    ``lp_scaled`` — the document's total segmentation log-prob (the
+    unigram LM score; integer, exactly portable).
+
+    Per-cursor cost is a linear probe of the literal map —
+    production vocabularies belong on ``unigram_tokenize_arrow``
+    (O(1) dict probes), byte-identical by construction."""
+    _validate_unigram_vocab(vocab)
+    if max_piece_len is None:
+        max_piece_len = max(len(p) for p, _ in vocab)
+    lp_map = F.create_map(
+        *[F.lit(x) for p, lp in sorted(vocab) for x in (p, lp)]
+    )
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+    raw_words = F.filter(
+        F.split(F.trim(norm), " +"), lambda x: F.length(x) > 0
+    )
+    out = df.withColumn("_wraw", raw_words).withColumn(
+        "_words",
+        F.transform(
+            F.col("_wraw"), lambda x: F.substring(x, 1, max_word_len)
+        ),
+    ).withColumn(
+        "_seg",
+        F.transform(
+            F.col("_words"),
+            lambda x: _viterbi_word(x, lp_map, max_piece_len),
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(F.col("_seg"), lambda s: s["path"]), " "
+        ).alias("pieces"),
+        F.aggregate(
+            F.transform(
+                F.col("_seg"), lambda s: F.size(F.split(s["path"], r"\|"))
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("n_pieces"),
+        F.aggregate(
+            F.transform(F.col("_seg"), lambda s: s["lp"]),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("lp_scaled"),
+        _n_truncated(F.col("_wraw"), max_word_len),
+    )
+
+
+def unigram_tokenize_arrow(
+    df: DataFrame,
+    text_col: str,
+    vocab: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    max_word_len: int = 16,
+    max_piece_len: int | None = None,
+) -> DataFrame:
+    """Arrow twin of ``unigram_tokenize`` — byte-identical output
+    with O(1) dict probes per DP candidate, the deploy path for
+    production vocabularies (the wordpiece/bpe twin discipline).
+    The tie-break replays the Catalyst fold exactly: candidates
+    minimized by ``(-lp, path)`` tuples (ASCII pieces, so Python and
+    UTF-8-binary string orders coincide)."""
+    import re
+
+    _validate_unigram_vocab(vocab)
+    if max_piece_len is None:
+        max_piece_len = max(len(p) for p, _ in vocab)
+    lp_of = dict(vocab)
+    id_type = df.schema[id_col].dataType.simpleString()
+    plen = max_piece_len
+
+    def seg_word(wd):
+        dp = [(0, "")]
+        for i in range(1, len(wd) + 1):
+            best = None
+            for k in range(1, min(plen, i) + 1):
+                piece = wd[i - k : i]
+                plp = lp_of.get(piece)
+                if plp is None:
+                    continue
+                prev_lp, prev_path = dp[i - k]
+                path = piece if prev_path == "" else prev_path + "|" + piece
+                cand = (-(prev_lp + plp), path)
+                if best is None or cand < best:
+                    best = cand
+            dp.append((-best[0], best[1]))
+        return dp[-1]
+
+    def run(batches):
+        import pandas as pd
+
+        strip = re.compile(r"[^a-z ]")
+        for pdf in batches:
+            pieces_out, n_out, lp_out, trunc_out = [], [], [], []
+            for t in pdf[text_col]:
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    pieces_out.append(None)
+                    n_out.append(None)
+                    lp_out.append(None)
+                    trunc_out.append(None)
+                    continue
+                total_n = 0
+                total_lp = 0
+                n_trunc = 0
+                word_paths = []
+                for wd in strip.sub("", t.lower()).split():
+                    if len(wd) > max_word_len:
+                        n_trunc += 1
+                    lp, path = seg_word(wd[:max_word_len])
+                    word_paths.append(path)
+                    total_n += path.count("|") + 1
+                    total_lp += lp
+                pieces_out.append(" ".join(word_paths))
+                n_out.append(total_n)
+                lp_out.append(total_lp)
+                trunc_out.append(n_trunc)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pieces": pieces_out,
+                    "n_pieces": pd.array(n_out, dtype="Int64"),
+                    "lp_scaled": pd.array(lp_out, dtype="Int64"),
+                    "n_truncated_words": pd.array(trunc_out, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_type}, pieces string, n_pieces long,"
+            " lp_scaled long, n_truncated_words long"
         ),
     )
