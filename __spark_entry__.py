@@ -3928,6 +3928,84 @@ def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_tokenize(docs, "text", WP_VOCAB)
 
 
+def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (operators/multimodal.py::
+    image_ahash + image_neardup_pairs): blob fixture from documents,
+    planted near-dup images (every 7th payload cloned with its first
+    5 chars uppercased — SAME length, so the stub codec's byte
+    striding is identical and only the touched pixels flip), 8×8
+    aHash, then the SimHash pigeonhole banding finds all pairs with
+    Hamming ≤ 8 (chunks=16 guarantees coverage to 15). The oracle
+    replays the hash with hex-pair byte arithmetic and verifies the
+    banded output against the FULL quadratic Hamming join — banding
+    must lose nothing under the guarantee."""
+    from updater_spark.operators.multimodal import (
+        image_ahash,
+        image_neardup_pairs,
+        make_blob_table,
+    )
+
+    docs = demo.load(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 5)),
+            F.expr("substring(text, 6)"),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    hashes = image_ahash(make_blob_table(corpus))
+    return image_neardup_pairs(hashes, max_hamming=8, chunks=16)
+
+
+def _image_dedup_sql() -> str:
+    """DuckDB replay of q_image_dedup_phash: hex-pair byte pixels,
+    strict >-mean threshold, two's-complement bit 63, exact quadratic
+    Hamming join (== the banded output under the pigeonhole
+    guarantee)."""
+    return """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000,
+                   upper(substr(text, 1, 5)) || substr(text, 6)
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        blobs AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM corpus
+        ),
+        strided AS (
+            SELECT doc_id, n, greatest(n // 64, 1) AS stride FROM blobs
+        ),
+        px AS (
+            SELECT b.doc_id,
+                   list_transform(
+                       range(least(64, (s.n + s.stride - 1) // s.stride)),
+                       j -> CAST('0x' || substr(b.h, 2 * (j * s.stride) + 1,
+                                                2) AS BIGINT)) AS ps
+            FROM blobs b JOIN strided s USING (doc_id)
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(
+                       range(len(ps)),
+                       j -> CASE WHEN ps[j + 1] >
+                                 (list_sum(ps) / CAST(len(ps) AS DOUBLE))
+                            THEN CASE WHEN j = 63
+                                 THEN -9223372036854775808
+                                 ELSE (CAST(1 AS BIGINT) << j) END
+                            ELSE 0 END)) AS BIGINT) AS ahash
+            FROM px
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 8
+    """
+
+
 UNI_V, UNI_ITERS, UNI_PLEN, UNI_WLEN = 60, 2, 3, 16
 
 
@@ -5792,6 +5870,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10: new queries lead (no driver row yet) ---
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
+        "image_dedup_phash": q_image_dedup_phash,
         # --- r9: new queries lead (no driver row yet) ---
         "html_extract": q_html_extract,
         "bpe_bytes": q_bpe_bytes,
@@ -8326,6 +8405,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unigram_train": _unigram_sql("train"),
         "unigram_tokens": _unigram_sql("tokens"),
+        "image_dedup_phash": _image_dedup_sql(),
         "html_extract": _html_extract_sql(),
         "url_canonical": _url_canonical_sql(),
         "encoding_quality": _encoding_quality_sql(),

@@ -124,3 +124,111 @@ def test_resize_images_rejects_unknown_codec(spark):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError, match="codec"):
         resize_images(make_blob_table(docs), codec="ffmpeg")
+
+
+def _py_ahash(b: bytes, grid: int = 8) -> int:
+    target = grid * grid
+    px = list(b[: : max(1, len(b) // target)][:target])
+    if not px:
+        return 0
+    m = sum(px) / len(px)
+    h = 0
+    for j, p in enumerate(px):
+        if p > m:
+            h |= 1 << j
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def test_image_ahash_matches_python_oracle(spark):
+    from updater_spark.operators.multimodal import image_ahash, make_blob_table
+
+    rows = [(i, f"payload number {i} " * (i + 1)) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["ahash"], r["n_px"])
+        for r in image_ahash(make_blob_table(docs)).collect()
+    }
+    for i, t in rows:
+        b = t.encode("utf-8")
+        want_px = len(b[: : max(1, len(b) // 64)][:64])
+        assert got[i] == (_py_ahash(b), want_px), i
+
+
+def test_image_neardup_banding_equals_exact(spark):
+    """The pigeonhole guarantee in practice: the banded candidate
+    path finds EVERY pair the quadratic Hamming join finds at
+    max_hamming < chunks."""
+    from updater_spark.operators.multimodal import (
+        image_ahash,
+        image_neardup_pairs,
+        make_blob_table,
+    )
+
+    base = [(i, f"some repeated image payload {i % 4} tail") for i in range(30)]
+    # planted near-dups: same length, first char case-flipped
+    planted = [(100 + i, t.capitalize()) for i, t in base[:10]]
+    docs = spark.createDataFrame(
+        base + planted, "doc_id long, text string"
+    )
+    hashes = image_ahash(make_blob_table(docs))
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_neardup_pairs(hashes, max_hamming=8, chunks=16).collect()
+    }
+    rows = {r["doc_id"]: r["ahash"] for r in hashes.collect()}
+    exact = {}
+    ids = sorted(rows)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                d = bin((rows[x] ^ rows[y]) & ((1 << 64) - 1)).count("1")
+                if d <= 8:
+                    exact[(x, y)] = d
+    assert banded == exact
+    # the planted clones are found
+    for i, _ in base[:10]:
+        assert (i, 100 + i) in banded
+
+
+def test_image_neardup_rejects_broken_pigeonhole(spark):
+    import pytest
+
+    from updater_spark.operators.multimodal import (
+        image_ahash,
+        image_neardup_pairs,
+        make_blob_table,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    hashes = image_ahash(make_blob_table(docs))
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup_pairs(hashes, max_hamming=16, chunks=16)
+
+
+def test_image_ahash_pil_codec(spark):
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from updater_spark.operators.multimodal import image_ahash
+
+    def png(shade: int) -> bytes:
+        img = Image.new("L", (16, 16), color=shade)
+        # one bright quadrant so the hash has structure
+        for x in range(8):
+            for y in range(8):
+                img.putpixel((x, y), 255)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, png(10)), (2, png(12))], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r["ahash"] for r in image_ahash(df, codec="pil").collect()}
+    # near-identical images -> near-identical hashes
+    d = bin((out[1] ^ out[2]) & ((1 << 64) - 1)).count("1")
+    assert d <= 4
