@@ -4136,6 +4136,142 @@ def q_nb_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nb_classify(spark, sf_dir, 12)
 
 
+LANGID_NMAX = 3
+
+
+def q_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID (operators/classifier.py::langid_train /
+    langid_score) — char-1..3-gram Naive Bayes, the CCNet-style
+    replacement for text_langid's stopword heuristic: whitespace runs
+    collapse to '_' (cross-word transitions become features), grams
+    feed the one-pass NB conditional count, scoring is one
+    broadcast-gated join. Trained on the doc_id%5!=0 split, scored on
+    the held-out rest; returns (doc_id, true lang, pred, margin).
+    The synthetic corpus draws tokens independently of lang (accuracy
+    ≈ prior here, as with nb_classifier) — exact train/score value
+    parity is what the oracle checks; the learnability proof on a
+    multi-script fixture lives in tests/test_langid.py."""
+    from updater_spark.operators.classifier import (
+        langid_score,
+        langid_train,
+    )
+
+    docs = demo.load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    model, meta = langid_train(
+        train, "lang", "text", labels=NB_LABELS, n_max=LANGID_NMAX
+    )
+    return langid_score(
+        test,
+        model,
+        meta,
+        id_col="doc_id",
+        text_col="text",
+        n_max=LANGID_NMAX,
+        keep_cols=("lang",),
+    )
+
+
+def _langid_sql(n_max: int = LANGID_NMAX) -> str:
+    """DuckDB replay of q_langid_trained: the gram-text bridge
+    (lower/trim, \\s+→'_', char 1..n_max grams space-joined — the
+    exact langid_gram_text construction, partial-gram edge included),
+    then the _nb_sql smoothing algebra verbatim (same operand order,
+    same fixed-label argmax chain)."""
+    k = len(NB_LABELS)
+    gram_lists = ", ".join(
+        f"list_transform(range(1, greatest(length(t) - {n} + 1, 1) + 1),"
+        f" i -> substr(t, CAST(i AS INT), {n}))"
+        for n in range(1, n_max + 1)
+    )
+    gramtext = (
+        f"array_to_string(flatten([{gram_lists}]), ' ')"
+    )
+    c_cols = ",\n               ".join(
+        f"SUM(CASE WHEN label = '{lbl}' THEN 1 ELSE 0 END) AS c_{i}"
+        for i, lbl in enumerate(NB_LABELS)
+    )
+    n_cols = ", ".join(f"SUM(c_{i}) AS n_{i}" for i in range(k))
+    ll_cols = ",\n               ".join(
+        f"ln((c_{i} + 1.0) / (n_{i} + 1.0 * v)) AS ll_{i}" for i in range(k)
+    )
+    pr_cols = ", ".join(
+        f"ln(SUM(CASE WHEN label = '{lbl}' THEN 1 ELSE 0 END)::DOUBLE"
+        f" / COUNT(*)) AS pr_{i}"
+        for i, lbl in enumerate(NB_LABELS)
+    )
+    sum_cols = ",\n               ".join(
+        f"SUM(CASE WHEN s.tok IS NULL THEN 0.0 ELSE "
+        f"COALESCE(m.ll_{i}, ln(1.0 / (c2.n_{i} + 1.0 * c2.v))) END) AS s_{i}"
+        for i in range(k)
+    )
+    post_cols = ", ".join(f"s_{i} + pr_{i} AS post_{i}" for i in range(k))
+    best = "greatest(" + ", ".join(f"post_{i}" for i in range(k)) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN post_{i} >= {best} THEN '{lbl}'"
+        for i, lbl in enumerate(NB_LABELS[:-1])
+    ) + f" ELSE '{NB_LABELS[-1]}' END"
+    arr = "[" + ", ".join(f"post_{i}" for i in range(k)) + "]"
+    return f"""
+        WITH normed AS (
+            SELECT doc_id, lang,
+                   regexp_replace(lower(trim(text)), '\\s+', '_', 'g') AS t
+            FROM documents
+        ),
+        gramtexts AS (
+            SELECT doc_id, lang,
+                   CASE WHEN t IS NULL THEN NULL ELSE {gramtext} END AS g
+            FROM normed
+        ),
+        train AS (
+            SELECT lang AS label, g FROM gramtexts WHERE doc_id % 5 <> 0
+        ),
+        test AS (
+            SELECT doc_id, lang, g FROM gramtexts WHERE doc_id % 5 = 0
+        ),
+        ttok AS (
+            SELECT label,
+                   unnest(regexp_split_to_array(trim(g), '\\s+')) AS tok
+            FROM train
+        ),
+        counts AS (
+            SELECT tok,
+               {c_cols}
+            FROM ttok GROUP BY tok
+        ),
+        consts AS (SELECT COUNT(*) AS v, {n_cols} FROM counts),
+        model AS (
+            SELECT tok,
+               {ll_cols}
+            FROM counts CROSS JOIN consts
+        ),
+        prior AS (SELECT {pr_cols} FROM train),
+        stok AS (
+            SELECT doc_id, lang,
+                   unnest(coalesce(regexp_split_to_array(trim(g), '\\s+'),
+                                   [NULL])) AS tok
+            FROM test
+        ),
+        sums AS (
+            SELECT s.doc_id, s.lang,
+               {sum_cols}
+            FROM stok s
+            LEFT JOIN model m USING (tok)
+            CROSS JOIN consts c2
+            GROUP BY s.doc_id, s.lang
+        ),
+        posts AS (
+            SELECT doc_id, lang, {post_cols}
+            FROM sums CROSS JOIN prior
+        )
+        SELECT doc_id, lang,
+               {pred} AS pred,
+               round({best} - list_sort({arr})[{k - 1}], 4) AS margin
+        FROM posts
+    """
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 distinctive terms by TF-IDF
     (operators/text.py::tfidf_top_terms). Integer-only ranking
@@ -5871,6 +6007,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
         "image_dedup_phash": q_image_dedup_phash,
+        "langid_trained": q_langid_trained,
         # --- r9: new queries lead (no driver row yet) ---
         "html_extract": q_html_extract,
         "bpe_bytes": q_bpe_bytes,
@@ -8406,6 +8543,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_train": _unigram_sql("train"),
         "unigram_tokens": _unigram_sql("tokens"),
         "image_dedup_phash": _image_dedup_sql(),
+        "langid_trained": _langid_sql(),
         "html_extract": _html_extract_sql(),
         "url_canonical": _url_canonical_sql(),
         "encoding_quality": _encoding_quality_sql(),

@@ -2788,13 +2788,19 @@ def anomaly_probe(n: int) -> None:
     print(json.dumps({"n_rows": n_rows, "anomaly_probe": res}))
 
 
-def bpetrain_probe(n: int, n_merges: int = 30) -> None:
+def bpetrain_probe(
+    n: int, n_merges: int = 30, byte_level: bool = False
+) -> None:
     """BPE training at scale: ``n`` synthetic docs (~20 words each
     from a ~40k-form Zipf-ish word distribution). The industrial
     question: after the ONE corpus-sized word count, every round runs
     on the |distinct words| frequency table — report that compression
-    ratio and the per-round cost. Usage:
-    ``python bench_scale.py 5000000 bpetrain [n_merges]``."""
+    ratio and the per-round cost. ``byte_level`` re-pins the probe on
+    the hex-pair byte alphabet (VERDICT r9 #7): symbols per word
+    double vs char level (3-6 letters → 6-12 hex pairs) and the
+    256-symbol alphabet densifies the pair table — the question is
+    whether the per-round cost stays frequency-table-bounded. Usage:
+    ``python bench_scale.py 2000000 bpetrain [n_merges] [bytes]``."""
     from updater_spark.operators.tokenizer import bpe_train
 
     spark = get_spark("bench_scale_bpetrain")
@@ -2840,7 +2846,7 @@ def bpetrain_probe(n: int, n_merges: int = 30) -> None:
     )
     n_docs = docs.count()
     t0 = time.time()
-    merges = bpe_train(docs, "text", n_merges=n_merges)
+    merges = bpe_train(docs, "text", n_merges=n_merges, byte_level=byte_level)
     got = merges.collect()
     wall = round(time.time() - t0, 2)
     n_words = (
@@ -2855,6 +2861,7 @@ def bpetrain_probe(n: int, n_merges: int = 30) -> None:
         json.dumps(
             {
                 "n_docs": n_docs,
+                "byte_level": byte_level,
                 "bpetrain_probe": {
                     "n_merges_learned": len(got),
                     "wall_sec": wall,
@@ -3450,6 +3457,135 @@ def budget_probe(n: int) -> None:
     print(json.dumps(res))
 
 
+def hybrid_probe(n: int, n_queries: int = 10_000) -> None:
+    """Hybrid retrieval end-to-end at scale (VERDICT r9 #8): ``n``
+    synthetic docs carrying BOTH a text column (Zipf-ish words, the
+    bpetrain generator) and a deterministic 16-dim embedding;
+    ``n_queries`` queries probe the lexical leg (bm25_topk), the
+    dense leg (ivf_topk over a 64-cell codebook), and rrf_fuse. The
+    claim to verify: the corpus never enters the fusion — only the
+    two legs' k-per-query rows do (reported as rows_into_fusion), so
+    fusion cost is O(queries·k) regardless of corpus size. Usage:
+    ``python bench_scale.py 1000000 hybrid [n_queries]``."""
+    from updater_spark.operators.similarity import ivf_topk
+    from updater_spark.operators.text import bm25_topk, rrf_fuse
+
+    spark = get_spark("bench_scale_hybrid")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _word(i):
+        wid = (
+            F.pow(
+                F.pmod(F.xxhash64("doc_id", i), F.lit(100_000))
+                / F.lit(100_000.0),
+                F.lit(2),
+            )
+            * F.lit(40_000)
+        ).cast("long")
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2) + F.pmod(wid, F.lit(4))),
+                lambda k: F.char(
+                    F.lit(97) + F.pmod(F.xxhash64(wid, k), F.lit(26))
+                ),
+            ),
+            "",
+        )
+
+    dim = 16
+    vec = F.array(
+        *[
+            (
+                F.pmod(F.xxhash64("doc_id", F.lit(d)), F.lit(2000))
+                / F.lit(1000.0)
+                - F.lit(1.0)
+            )
+            for d in range(dim)
+        ]
+    )
+    docs = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(20)), lambda i: _word(i)
+                ),
+                " ",
+            ),
+        )
+        .withColumn("embedding", vec)
+        .persist()
+    )
+    n_docs = docs.count()
+    stride = max(1, n // n_queries)
+    queries = docs.filter(F.col("doc_id") % stride == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.substring("text", 1, 60).alias("qtext"),
+    )
+    qvecs = docs.filter(F.col("doc_id") % stride == 0).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    nq = queries.count()
+    centroids = [
+        list(r["embedding"])
+        for r in docs.filter(F.col("doc_id") % 9973 == 5)
+        .orderBy("doc_id")
+        .limit(64)
+        .collect()
+    ]
+
+    timings = {}
+    t0 = time.time()
+    lex = bm25_topk(docs, queries, k=10).persist()
+    n_lex = lex.count()
+    timings["bm25_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    dense = (
+        ivf_topk(
+            docs.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            qvecs,
+            centroids,
+            k=10,
+            nprobe=4,
+        )
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+        .persist()
+    )
+    n_dense = dense.count()
+    timings["ann_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    fused = rrf_fuse([lex.select("qid", "doc_id", "rank"), dense], k=10)
+    n_fused = fused.count()
+    timings["fuse_sec"] = round(time.time() - t0, 2)
+    lex.unpersist()
+    dense.unpersist()
+    docs.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "n_queries": nq,
+                "hybrid_probe": {
+                    **timings,
+                    "total_sec": round(
+                        sum(timings.values()), 2
+                    ),
+                    "rows_into_fusion": n_lex + n_dense,
+                    "fused_rows": n_fused,
+                    "docs_x_queries": n_docs * nq,
+                },
+            }
+        )
+    )
+
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
@@ -3530,7 +3666,13 @@ if __name__ == "__main__":
         url_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "bpetrain":
         bpetrain_probe(
-            _n, int(sys.argv[3]) if len(sys.argv) > 3 else 30
+            _n,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 30,
+            byte_level=len(sys.argv) > 4 and sys.argv[4] == "bytes",
+        )
+    elif len(sys.argv) > 2 and sys.argv[2] == "hybrid":
+        hybrid_probe(
+            _n, int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
         )
     else:
         main(_n)

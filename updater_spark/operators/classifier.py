@@ -506,3 +506,111 @@ def classifier_eval(
         " precision double, recall double, f1 double, auc double,"
         " n_excluded long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained language ID — char-n-gram Naive Bayes (the CCNet-style
+# replacement for text.py's heuristic text_langid)
+# ---------------------------------------------------------------------------
+
+
+def langid_gram_text(
+    df: DataFrame, text_col: str, n_max: int = 3, out: str = "_lid_grams"
+) -> DataFrame:
+    """Bridge column for char-n-gram NB: the text's character 1..n_max
+    grams as ONE space-joined string, so the word-tokenizing
+    ``nb_train``/``nb_score`` machinery consumes character features
+    unchanged (grams never contain spaces — whitespace runs collapse
+    to '_' first, the classic langid boundary marker, making
+    cross-word transitions like 'e_t' real features).
+
+    Char grams are what make language ID TRAINABLE and script-robust
+    where the whitespace heuristic fails: a spaceless CJK document
+    has no "words" to look stopwords up in, but its char distribution
+    is unmistakable. substr counts codepoints in both engines (the
+    char_shingles_of guarantee), so the oracle replays grams exactly.
+
+    Map-only expansion (~3× text length in gram chars), fuses with
+    the scan; NULL text stays NULL so NB's explode_outer keeps the
+    doc priors-only. Texts shorter than n yield their single partial
+    gram per n (the char_shingles_of convention)."""
+    if n_max < 1:
+        raise ValueError("n_max must be >= 1")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", "_")
+    staged = df.withColumn("_lid_norm", norm)
+    t = F.col("_lid_norm")
+
+    def gram_fn(n):
+        # NOT `lambda i, n=n`: F.transform treats a two-parameter
+        # lambda as (element, index) and would bind n to the INDEX
+        return lambda i: t.substr(i, F.lit(n))
+
+    per_n = [
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1))
+            ),
+            gram_fn(n),
+        )
+        for n in range(1, n_max + 1)
+    ]
+    gram_string = F.concat_ws(" ", F.flatten(F.array(*per_n)))
+    return staged.withColumn(
+        out, F.when(t.isNull(), None).otherwise(gram_string)
+    ).drop("_lid_norm")
+
+
+def langid_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    labels: list[str],
+    n_max: int = 3,
+    smoothing: float = 1.0,
+    min_df: int = 1,
+    hash_bits: int | None = None,
+) -> tuple[DataFrame, NBModelMeta]:
+    """Char-n-gram Naive Bayes language-ID training — the TRAINED
+    operator CCNet-style pipelines use where ``text_langid``'s
+    stopword/charset heuristic stops working (unseen languages,
+    spaceless scripts). Pure composition: ``langid_gram_text`` turns
+    chars into features, ``nb_train`` does its ONE-shuffle
+    conditional-count pass — same scale shape, same exact-oracle
+    algebra, same hashing-trick bound for web-scale gram
+    vocabularies."""
+    return nb_train(
+        langid_gram_text(df, text_col, n_max),
+        label_col,
+        "_lid_grams",
+        labels,
+        smoothing=smoothing,
+        min_df=min_df,
+        hash_bits=hash_bits,
+    )
+
+
+def langid_score(
+    df: DataFrame,
+    model: DataFrame,
+    meta: NBModelMeta,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_max: int = 3,
+    keep_cols: tuple[str, ...] = (),
+    max_broadcast_vocab: int = 5_000_000,
+) -> DataFrame:
+    """Score documents with a ``langid_train`` model: one
+    broadcast-gated join + one groupBy(doc), returning
+    ``(id, *keep_cols, pred, margin)`` — ``margin`` is the
+    best-minus-runner-up log-posterior, the confidence knob a corpus
+    filter thresholds on. ``n_max`` must match training (the gram
+    feature space)."""
+    return nb_score(
+        langid_gram_text(df, text_col, n_max),
+        model,
+        meta,
+        id_col=id_col,
+        text_col="_lid_grams",
+        keep_cols=keep_cols,
+        max_broadcast_vocab=max_broadcast_vocab,
+    )
