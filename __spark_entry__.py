@@ -5933,72 +5933,73 @@ def q_events_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-9 driver window (VERDICT r8 "retire the r5-era debt"): the
 # driver's correctness gate samples the FIRST 50 registered queries,
 # so this list — applied over the full registry by _raw_queries —
-# IS the round's driver coverage. Composition: the 3 new r9 queries
-# (no row yet), every query whose code changed this round, the 29
-# queries whose last hard driver row is r5, and the alphabetical
-# head of the r6-era rows filling to 50. After r9, no query's last
-# driver row predates r6.
-_R9_WINDOW = [
-    # new in r9
-    "html_extract",
-    "bpe_bytes",
-    "hybrid_search",
-    "url_canonical",
-    "bpe_train_bytes",
-    "encoding_quality",
+# IS the round's driver coverage. Composition (the SURVEY §17 r10
+# rotation): the 4 new r10 queries, every query whose code or oracle
+# changed this round, then the alphabetical head of the 37 r6-era
+# rows filling to 50 (the 7 tail rows — text_boilerplate through
+# zorder_scan — roll to the r11 window; after r10 they are the ONLY
+# rows older than r7).
+_R10_WINDOW = [
+    # new in r10
+    "unigram_train",
+    "unigram_tokens",
+    "image_dedup_phash",
+    "langid_trained",
+    # code/oracle changed in r10 (ADVICE fixes, n_truncated_words
+    # schema change, shingle-unit threading, cosine tie fix)
     "classifier_eval",
-    "bpe_bytes_arrow",
-    # code changed in r9 (ADVICE fixes + arrow/byte-level rework)
-    "events_cep_pattern",
-    "dedup_text_model_free",
-    "pq_codes",
-    "budget_select",
-    "domain_quota",
-    "hard_negatives",
+    "url_canonical",
+    "sim_topk_arrow",
+    "hybrid_search",
     "bpe_tokens",
     "bpe_tokens_arrow",
-    # last driver row r5 (29)
-    "a1_counts",
-    "ann_index_maintained",
-    "ann_ivf_indexed",
-    "ann_ivf_topk",
-    "ann_lsh_multiprobe",
-    "ann_lsh_topk",
-    "dataset_split",
-    "dedup_embedding_neardup",
-    "doc_fingerprint",
-    "events_sessionize",
-    "multimodal_blob_meta",
-    "multimodal_decode_stub",
-    "multimodal_frames",
-    "multimodal_resize",
-    "pack_chunks",
-    "pack_greedy",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "rollup_revenue",
-    "s11_schema_introspection",
-    "set_ops",
-    "sim_topk_arrow",
-    "sim_topk_cosine",
-    "streaming_first_seen",
-    "text_langid",
-    "text_quality",
-    "text_stats",
-    "token_counts",
-    "window_topn",
+    "bpe_bytes",
+    "bpe_bytes_arrow",
+    "wordpiece_tokens",
+    "wordpiece_tokens_8k",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dup_spans",
+    "dedup_strip_spans",
     # last driver row r6 (alphabetical head, fills to 50)
-    "ann_index_retrain",
-    "asof_join_events",
-    "clustered_scan",
-    "corpus_quantiles",
-    "corpus_top_terms",
+    "decontam_bloom",
+    "decontam_ngram",
+    "dedup_clusters",
+    "dedup_incremental",
+    "embed_project",
+    "events_distinct_users",
+    "events_json_agg",
+    "events_running",
+    "fuzzy_join_parts",
+    "interval_join_events",
+    "ivm_join_view",
+    "leakage_safe_split",
+    "mixture_resample",
+    "pii_redact",
+    "pivot_events",
+    "quality_filter",
+    "revenue_cube",
+    "rollup_cdc_repair",
+    "rollup_multires",
+    "sample_stratified",
+    "scores_unpivot",
+    "shard_export",
+    "shuffle_order",
+    "skew_salted_join",
+    "streaming_join",
+    "streaming_join_outer",
+    "streaming_rollup",
+    "streaming_semantic",
+    "streaming_semantic_arrow",
+    "streaming_sessions",
 ]
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
-    # the FIRST 50 registered queries. The _R9_WINDOW list above pulls
+    # the FIRST 50 registered queries. The _R10_WINDOW list above pulls
     # this round's rotation to the front; the remaining queries keep
     # their existing relative order behind it (dict.update never
     # reorders existing keys). Historical rotations live in git.
@@ -6197,7 +6198,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "pq_codes": q_pq_codes,
     }
-    head = {name: qs[name] for name in _R9_WINDOW}
+    head = {name: qs[name] for name in _R10_WINDOW}
     head.update(qs)  # existing keys keep their values; order = window first
     return head
 

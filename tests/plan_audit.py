@@ -466,6 +466,25 @@ CHECKS = {
         "one stratum-keyed ranking window over a column-pruned scan "
         "— the domain_quota shape."
     ),
+    "unigram_tokens": (
+        "the Viterbi apply is a zero-exchange projection over the "
+        "scan — the trained vocabulary rides the plan as ONE "
+        "constant-folded literal map, and every DP sum is int64 "
+        "arithmetic inside the fold (training already happened in "
+        "the query fn's EM loop: one corpus word-count, then "
+        "distinct-word-sized iterations)."
+    ),
+    "image_dedup_phash": (
+        "payload bytes enter exactly ONE Arrow scan (the aHash "
+        "mapInPandas); everything after — pigeonhole banding, bucket "
+        "self-join, Hamming verify — carries 8-byte hashes only."
+    ),
+    "langid_trained": (
+        "scoring is the NB shape on char-gram features: gram "
+        "expansion fused with the scan, the vocab-sized model "
+        "BroadcastExchange'd, ONE doc-keyed aggregate — corpus text "
+        "never shuffles."
+    ),
 }
 # Not string-audited here, each for the same reason: the query fn
 # materializes its result through a temp store, so the returned plan
@@ -478,6 +497,11 @@ CHECKS = {
 # - streaming_rollup / rollup_cdc_repair: partition-pruned day
 #   overwrites asserted by mtime in tests/test_rollup_stream.py and
 #   tests/test_rollup.py (only touched day directories rewrite);
+# - unigram_train: the EM loop runs inside the query fn (bounded
+#   vocab-sized collects per iteration, the bpe_train discipline);
+#   the returned frame is a vocab-sized LocalTableScan — the
+#   distinct-word iteration shape is the same fold unigram_tokens'
+#   entry audits;
 # - cdc_schema_evolution / cdc_schema_replay: the epoch runs inside
 #   the query fn against a temp store (returned plan is a collect'd
 #   LocalTableScan); the interesting physical claims — rebase churn
