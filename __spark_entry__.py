@@ -3935,7 +3935,9 @@ def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 chars uppercased — SAME length, so the stub codec's byte
     striding is identical and only the touched pixels flip), 8×8
     aHash, then the SimHash pigeonhole banding finds all pairs with
-    Hamming ≤ 8 (chunks=16 guarantees coverage to 15). The oracle
+    Hamming ≤ 6 (chunks=8 guarantees coverage to 7, and the 8-BIT
+    blocks make buckets 16× more selective than 4-bit ones — the
+    planted flips touch ≤ 2 pixels, far inside the bound). The oracle
     replays the hash with hex-pair byte arithmetic and verifies the
     banded output against the FULL quadratic Hamming join — banding
     must lose nothing under the guarantee."""
@@ -3955,7 +3957,7 @@ def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.select("doc_id", "text").unionByName(planted)
     hashes = image_ahash(make_blob_table(corpus))
-    return image_neardup_pairs(hashes, max_hamming=8, chunks=16)
+    return image_neardup_pairs(hashes, max_hamming=6, chunks=8)
 
 
 def _image_dedup_sql() -> str:
@@ -4002,7 +4004,7 @@ def _image_dedup_sql() -> str:
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
         FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.ahash, b.ahash)) <= 8
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
     """
 
 
