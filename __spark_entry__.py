@@ -4067,6 +4067,35 @@ def q_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_tokens_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy twin of q_unigram_tokens (operators/tokenizer.py::
+    unigram_tokenize_arrow): identical training, identical output
+    contract, O(1) dict probes per DP candidate instead of the
+    Catalyst literal-map scan — the bpe_tokens/bpe_tokens_arrow twin
+    discipline (the Catalyst fold is the didactic plan: 9.1s vs
+    sub-second at sf0.1). Shares unigram_tokens' oracle verbatim."""
+    from updater_spark.operators.tokenizer import (
+        unigram_tokenize_arrow,
+        unigram_train,
+    )
+
+    docs = demo.load(spark, sf_dir, "documents")
+    vocab_df = unigram_train(
+        docs,
+        "text",
+        vocab_size=UNI_V,
+        n_iters=UNI_ITERS,
+        max_piece_len=UNI_PLEN,
+        max_word_len=UNI_WLEN,
+    )
+    vocab = [
+        (r["piece"], r["logprob_scaled"]) for r in vocab_df.collect()
+    ]
+    return unigram_tokenize_arrow(
+        docs, "text", vocab, max_word_len=UNI_WLEN, max_piece_len=UNI_PLEN
+    )
+
+
 RP_DIM, RP_K, RP_SEED = 64, 16, 23
 
 
@@ -5936,15 +5965,16 @@ def q_events_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver's correctness gate samples the FIRST 50 registered queries,
 # so this list — applied over the full registry by _raw_queries —
 # IS the round's driver coverage. Composition (the SURVEY §17 r10
-# rotation): the 4 new r10 queries, every query whose code or oracle
+# rotation): the 5 new r10 queries, every query whose code or oracle
 # changed this round, then the alphabetical head of the 37 r6-era
-# rows filling to 50 (the 7 tail rows — text_boilerplate through
-# zorder_scan — roll to the r11 window; after r10 they are the ONLY
-# rows older than r7).
+# rows filling to 50 (the 8 tail rows — streaming_sessions and
+# text_boilerplate through zorder_scan — roll to the r11 window;
+# after r10 they are the ONLY rows older than r7).
 _R10_WINDOW = [
     # new in r10
     "unigram_train",
     "unigram_tokens",
+    "unigram_tokens_arrow",
     "image_dedup_phash",
     "langid_trained",
     # code/oracle changed in r10 (ADVICE fixes, n_truncated_words
@@ -5995,7 +6025,6 @@ _R10_WINDOW = [
     "streaming_rollup",
     "streaming_semantic",
     "streaming_semantic_arrow",
-    "streaming_sessions",
 ]
 
 
@@ -6009,6 +6038,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10: new queries lead (no driver row yet) ---
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
+        "unigram_tokens_arrow": q_unigram_tokens_arrow,
         "image_dedup_phash": q_image_dedup_phash,
         "langid_trained": q_langid_trained,
         # --- r9: new queries lead (no driver row yet) ---
@@ -8545,6 +8575,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unigram_train": _unigram_sql("train"),
         "unigram_tokens": _unigram_sql("tokens"),
+        "unigram_tokens_arrow": _unigram_sql("tokens"),
         "image_dedup_phash": _image_dedup_sql(),
         "langid_trained": _langid_sql(),
         "html_extract": _html_extract_sql(),
