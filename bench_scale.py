@@ -3586,6 +3586,246 @@ def hybrid_probe(n: int, n_queries: int = 10_000) -> None:
 
 
 
+def dedupchar_probe(n: int) -> None:
+    """Char-unit near-dup at scale (the r10 CJK-honesty work's scale
+    question): ``n`` SPACELESS ~100-char docs — one giant "word"
+    each, invisible to the word unit — with every 100th doc a
+    near-copy of its neighbor (first 4 chars flipped, J ≈ 0.85 over
+    5-gram char shingles). Shingle volume is ~96 per doc vs ~18 for
+    word-unit 20-token docs (~5×, the documented price of honesty);
+    the question is whether the banding stays bounded. Usage:
+    ``python bench_scale.py 1000000 dedupchar``."""
+    from updater_spark.operators.dedup import (
+        band_hashes,
+        lsh_verified_pairs,
+        minhash_signatures,
+    )
+
+    spark = get_spark("bench_scale_dedupchar")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.range(0, n, numPartitions=64).withColumnRenamed(
+        "id", "doc_id"
+    )
+    near = F.col("doc_id") % 100 == 99  # copies of doc_id-1
+    src_id = F.when(near, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    chars = [
+        F.char(
+            F.lit(97)
+            + F.pmod(
+                F.xxhash64(
+                    F.col("doc_id") if i < 4 else src_id, F.lit(i)
+                ),
+                F.lit(26),
+            )
+        )
+        for i in range(100)
+    ]
+    docs = base.select("doc_id", F.concat(*chars).alias("text"))
+
+    pairs = lsh_verified_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.5, shingle_unit="char"
+    )
+    agg = pairs.groupBy().agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("jaccard").alias("min_j"),
+    )
+    warm = lsh_verified_pairs(
+        docs.filter(F.col("doc_id") < max(n // 100, 1000)),
+        "doc_id", "text", n=5, threshold=0.5, shingle_unit="char",
+    )
+    warm.groupBy().count().write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    row = agg.first()
+    wall = time.perf_counter() - t0
+
+    sizes = (
+        band_hashes(
+            minhash_signatures(
+                docs, "doc_id", "text", shingle_n=5, shingle_unit="char"
+            ),
+            16,
+        )
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.max("sz").alias("max"),
+            F.expr("percentile_approx(sz, 0.99)").alias("p99"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .first()
+    )
+    print(
+        json.dumps(
+            {
+                "n_docs": n,
+                "dedupchar_probe": {
+                    "wall_sec": round(wall, 3),
+                    "docs_per_sec": round(n / wall),
+                    "pairs_found": row["n_pairs"],
+                    "pairs_expected": n // 100,
+                    "min_jaccard": round(row["min_j"], 4),
+                    "bucket_sizes": {
+                        "max": int(sizes["max"]),
+                        "p99": int(sizes["p99"]),
+                        "n_buckets": int(sizes["n_buckets"]),
+                    },
+                },
+            }
+        )
+    )
+
+
+def unigramtrain_probe(n: int, n_iters: int = 2) -> None:
+    """Unigram-LM EM training at scale: same Zipf-ish corpus as
+    bpetrain_probe. The scale claim: after the ONE corpus word count,
+    every EM iteration runs on the distinct-word frequency table
+    (a Viterbi fold + one vocab-sized groupBy) — report the
+    corpus-to-state ratio and sec/iteration. Usage:
+    ``python bench_scale.py 2000000 unigramtrain [n_iters]``."""
+    from updater_spark.operators.tokenizer import unigram_train
+
+    spark = get_spark("bench_scale_unigramtrain")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _word(i):
+        wid = (
+            F.pow(
+                F.pmod(F.xxhash64("doc_id", i), F.lit(100_000))
+                / F.lit(100_000.0),
+                F.lit(2),
+            )
+            * F.lit(40_000)
+        ).cast("long")
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2) + F.pmod(wid, F.lit(4))),
+                lambda k: F.char(
+                    F.lit(97) + F.pmod(F.xxhash64(wid, k), F.lit(26))
+                ),
+            ),
+            "",
+        )
+
+    docs = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(20)), lambda i: _word(i)
+                ),
+                " ",
+            ),
+        )
+        .persist()
+    )
+    n_docs = docs.count()
+    t0 = time.time()
+    vocab = unigram_train(
+        docs, "text", vocab_size=200, n_iters=n_iters, max_piece_len=3
+    ).collect()
+    wall = round(time.time() - t0, 2)
+    n_words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
+        )
+        .agg(F.countDistinct("w"))
+        .collect()[0][0]
+    )
+    docs.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "unigramtrain_probe": {
+                    "n_iters": n_iters,
+                    "vocab_size_final": len(vocab),
+                    "wall_sec": wall,
+                    "sec_per_iter": round(wall / n_iters, 2),
+                    "distinct_words": n_words,
+                    "corpus_to_state_ratio": round(
+                        n_docs * 20 / max(n_words, 1), 1
+                    ),
+                    "docs_per_sec": int(n_docs / wall),
+                },
+            }
+        )
+    )
+
+
+def imagehash_probe(n: int) -> None:
+    """Perceptual image hash + banded near-dup at scale: ``n``
+    synthetic ~200-byte blobs, every 100th a same-length near-copy of
+    its neighbor (4 leading bytes flipped → ≤ 4 aHash bits). One
+    Arrow scan hashes payloads; the banding join carries 8-byte
+    hashes only. Usage: ``python bench_scale.py 10000000 image``."""
+    from updater_spark.operators.multimodal import (
+        image_ahash,
+        image_neardup_pairs,
+    )
+
+    spark = get_spark("bench_scale_imagehash")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.range(0, n, numPartitions=64).withColumnRenamed(
+        "id", "doc_id"
+    )
+    near = F.col("doc_id") % 100 == 99
+    src_id = F.when(near, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    chars = [
+        F.char(
+            F.lit(33)
+            + F.pmod(
+                F.xxhash64(
+                    F.col("doc_id") if i < 4 else src_id, F.lit(i)
+                ),
+                F.lit(90),
+            )
+        )
+        for i in range(200)
+    ]
+    blobs = base.select(
+        "doc_id", F.encode(F.concat(*chars), "UTF-8").alias("payload")
+    ).persist()
+    n_blobs = blobs.count()
+
+    hashes = image_ahash(blobs)
+    pairs = image_neardup_pairs(hashes, max_hamming=6, chunks=8)
+    agg = pairs.groupBy().agg(F.count(F.lit(1)).alias("n_pairs"))
+    # warm on a slice (codegen + Arrow worker startup)
+    image_ahash(blobs.filter(F.col("doc_id") < max(n // 100, 1000))).agg(
+        F.count(F.lit(1))
+    ).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    n_pairs = agg.first()["n_pairs"]
+    wall = time.perf_counter() - t0
+    # planted recall: how many (i-1, i) pairs with i%100==99 came out
+    planted = (
+        pairs.filter(
+            (F.col("id_b") == F.col("id_a") + 1)
+            & (F.col("id_b") % 100 == 99)
+        ).count()
+    )
+    blobs.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_blobs": n_blobs,
+                "imagehash_probe": {
+                    "wall_sec": round(wall, 3),
+                    "blobs_per_sec": round(n_blobs / wall),
+                    "pairs_found": int(n_pairs),
+                    "planted_found": int(planted),
+                    "planted_expected": n // 100,
+                },
+            }
+        )
+    )
+
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
@@ -3670,6 +3910,14 @@ if __name__ == "__main__":
             int(sys.argv[3]) if len(sys.argv) > 3 else 30,
             byte_level=len(sys.argv) > 4 and sys.argv[4] == "bytes",
         )
+    elif len(sys.argv) > 2 and sys.argv[2] == "dedupchar":
+        dedupchar_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "unigramtrain":
+        unigramtrain_probe(
+            _n, int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        )
+    elif len(sys.argv) > 2 and sys.argv[2] == "image":
+        imagehash_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "hybrid":
         hybrid_probe(
             _n, int(sys.argv[3]) if len(sys.argv) > 3 else 10_000

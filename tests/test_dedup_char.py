@@ -192,3 +192,113 @@ def test_char_strip_spans_removes_boilerplate(spark, cjk_df):
     for d in range(5, 20):
         assert out[d]["clean_text"] == originals[d]
         assert out[d]["kept_tokens"] == out[d]["n_tokens"]
+
+
+def test_char_unit_dedup_index_incremental(spark, tmp_path):
+    """The persistent CDC-maintained index honors the unit switch:
+    a char-unit index catches a spaceless near-dup arriving in a
+    LATER epoch, and the parameter-identity sidecar refuses a
+    mixed-unit probe (plus stays backward-compatible with legacy
+    word-unit sidecars lacking the key)."""
+    import json
+
+    import pytest
+
+    from updater_spark.operators.dedup_index import DedupIndex
+    from updater_spark.sources.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    base = spark.createDataFrame(_fixture()[:20])  # spaceless bases
+    idx = DedupIndex(store, "cjk", shingle_n=5, shingle_unit="char")
+    idx.bootstrap(base, "doc_id", "text")
+
+    # epoch 2: the planted near-dups arrive incrementally
+    delta = spark.createDataFrame(_fixture()[20:25])
+    pairs = idx.update(delta, "doc_id", "text").collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert PLANTED <= found
+
+    # unit mismatch refuses loudly
+    with pytest.raises(ValueError, match="stored parameters"):
+        DedupIndex(store, "cjk", shingle_n=5)._check_params()
+
+    # legacy sidecar (no shingle_unit key) == word unit
+    raw = json.loads(store.read_sidecar("cjk_sigs", "params"))
+    raw.pop("shingle_unit")
+    store.write_sidecar("cjk_sigs", "params", json.dumps(raw))
+    DedupIndex(
+        store, "cjk", shingle_n=5, shingle_unit="word"
+    )._check_params()  # must not raise
+
+
+def test_char_unit_decontamination(spark, cjk_df):
+    """Decontamination honesty on spaceless scripts: a CJK benchmark
+    sentence has NO word 13-grams to collide on (word unit finds
+    nothing), while char 40-grams catch every doc sharing the
+    planted 60-char run — including exact copies of benchmark docs."""
+    from updater_spark.operators.decontam import (
+        contamination,
+        decontaminate,
+    )
+
+    # benchmark = the shared boilerplate carrier + one full base doc
+    bench = spark.createDataFrame(
+        [r for r in _fixture() if r.doc_id in (0, 200)]
+    ).select("text")
+    word = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination(
+            cjk_df, bench, "doc_id", "text", n=13
+        ).collect()
+    }
+    # word unit on spaceless text: the whole doc is ONE partial
+    # 13-gram, so only EXACT copies of benchmark docs flag — the
+    # near-dup (100) and the partial-overlap carrier (201) slip
+    # through, the blindness the char unit fixes
+    assert word[0] and word[200]
+    assert not word[100] and not word[201]
+    # char n=20: the near-dup's clean runs between flips are 29
+    # chars, so 20-grams bridge them while 40-grams would not
+    char = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination(
+            cjk_df, bench, "doc_id", "text", n=20, shingle_unit="char"
+        ).collect()
+    }
+    # doc 0 (in the benchmark), its near-dup 100 (shares long exact
+    # runs), and both boilerplate carriers must flag
+    for d in (0, 100, 200, 201):
+        assert char[d], d
+    # unrelated base docs stay clean
+    for d in range(5, 20):
+        assert not char[d], d
+    clean = decontaminate(
+        cjk_df, bench, "doc_id", "text", n=20, shingle_unit="char"
+    )
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert {0, 100, 200, 201}.isdisjoint(kept)
+    assert set(range(5, 20)) <= kept
+
+
+def test_char_unit_contamination_bloom_matches_exact(spark, cjk_df):
+    from updater_spark.operators.decontam import (
+        contamination,
+        contamination_bloom,
+    )
+
+    bench = spark.createDataFrame(
+        [r for r in _fixture() if r.doc_id == 200]
+    ).select("text")
+    exact = sorted(
+        tuple(r)
+        for r in contamination(
+            cjk_df, bench, "doc_id", "text", n=40, shingle_unit="char"
+        ).collect()
+    )
+    bloom = sorted(
+        tuple(r)
+        for r in contamination_bloom(
+            cjk_df, bench, "doc_id", "text", n=40, shingle_unit="char"
+        ).collect()
+    )
+    assert exact == bloom  # no false negatives; FPs die in the verify

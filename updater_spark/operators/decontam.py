@@ -16,7 +16,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from updater_spark.operators.dedup import tokenize, word_shingles_of
+from updater_spark.operators.dedup import (
+    char_shingles_of,
+    normalize_ws,
+    tokenize,
+    word_shingles_of,
+)
+
+
+def _gram_source(df, text_col, n, shingle_unit):
+    """``(staged_df, grams_column)`` — unit-dispatched distinct
+    n-gram array with the token/normalized column pre-materialized
+    (the dedup.tokenize inline-trap rule). ``shingle_unit='char'``
+    makes decontamination honest on no-whitespace scripts (a CJK
+    benchmark sentence has no word 13-grams to collide on — use
+    char n ~ 40-60, the same overlap width); the unit MUST match
+    between corpus and benchmark, which the callers guarantee by
+    threading one parameter."""
+    if shingle_unit == "word":
+        return tokenize(df, text_col), word_shingles_of("_toks", n)
+    if shingle_unit == "char":
+        return (
+            df.withColumn("_norm", normalize_ws(text_col)),
+            char_shingles_of("_norm", n),
+        )
+    raise ValueError(
+        f"shingle_unit must be 'word' or 'char', got {shingle_unit!r}"
+    )
 
 
 def contamination(
@@ -26,6 +52,7 @@ def contamination(
     text_col: str,
     bench_text_col: str | None = None,
     n: int = 13,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """``(id_col, n_grams, n_hit_grams, contaminated)`` for every
     corpus doc: distinct word ``n``-grams, how many also occur
@@ -41,9 +68,11 @@ def contamination(
     # split-per-element trap — into a pushed-down Filter (measured
     # ~5× slower). Shingle arrays are never empty (≥1 partial gram),
     # so outer semantics are identical.
+    bench_staged, bench_sh = _gram_source(
+        benchmark, bench_text_col, n, shingle_unit
+    )
     bench_grams = (
-        tokenize(benchmark, bench_text_col)
-        .select(F.explode_outer(word_shingles_of("_toks", n)).alias("g"))
+        bench_staged.select(F.explode_outer(bench_sh).alias("g"))
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
@@ -53,11 +82,13 @@ def contamination(
     # gram build (the expensive part) is never duplicated across
     # branches (measured ~2× end-to-end vs a sizes⋈hits two-branch
     # plan at sf0.1).
+    corpus_staged, corpus_sh = _gram_source(
+        corpus, text_col, n, shingle_unit
+    )
     exploded = (
-        tokenize(corpus, text_col)
-        .select(
+        corpus_staged.select(
             F.col(id_col).alias("_id"),
-            word_shingles_of("_toks", n).alias("_grams"),
+            corpus_sh.alias("_grams"),
         )
         .select(
             "_id",
@@ -92,10 +123,12 @@ def decontaminate(
     text_col: str,
     bench_text_col: str | None = None,
     n: int = 13,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """The corpus minus contaminated docs (all original columns)."""
     dirty = contamination(
-        corpus, benchmark, id_col, text_col, bench_text_col, n
+        corpus, benchmark, id_col, text_col, bench_text_col, n,
+        shingle_unit,
     ).filter("contaminated")
     return corpus.join(
         dirty.select(F.col(id_col)), id_col, "anti"
@@ -149,6 +182,7 @@ def contamination_bloom(
     m_bits: int = 1 << 17,
     num_probes: int = 4,
     seed: int = 9000,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """``contamination`` with a Bloom prefilter — same exact output
     (Bloom filters have no false negatives; false positives die in the
@@ -176,20 +210,24 @@ def contamination_bloom(
     ~10k grams at ~2% — size ``m_bits`` to the benchmark (~10 bits
     per gram for 1%)."""
     bench_text_col = bench_text_col or text_col
+    bench_staged, bench_sh = _gram_source(
+        benchmark, bench_text_col, n, shingle_unit
+    )
     bench_grams = (
-        tokenize(benchmark, bench_text_col)
-        .select(F.explode_outer(word_shingles_of("_toks", n)).alias("g"))
+        bench_staged.select(F.explode_outer(bench_sh).alias("g"))
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
     arr = _bloom_array(bench_grams, "gh", m_bits, num_probes, seed)
     bloom = F.array(*[F.lit(x).cast("long") for x in arr])
 
+    corpus_staged, corpus_sh = _gram_source(
+        corpus, text_col, n, shingle_unit
+    )
     exploded = (
-        tokenize(corpus, text_col)
-        .select(
+        corpus_staged.select(
             F.col(id_col).alias("_id"),
-            word_shingles_of("_toks", n).alias("_grams"),
+            corpus_sh.alias("_grams"),
         )
         .select(
             "_id",

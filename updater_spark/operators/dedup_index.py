@@ -53,7 +53,12 @@ class DedupIndex:
         shingle_n: int = 3,
         seed: int = 7,
         max_bucket: int = 200,
+        shingle_unit: str = "word",
     ):
+        if shingle_unit not in ("word", "char"):
+            raise ValueError(
+                f"shingle_unit must be 'word' or 'char', got {shingle_unit!r}"
+            )
         self.store = store
         self.name = name
         self.num_hashes = num_hashes
@@ -61,8 +66,16 @@ class DedupIndex:
         self.shingle_n = shingle_n
         self.seed = seed
         self.max_bucket = max_bucket
+        self.shingle_unit = shingle_unit
 
-    PARAM_KEYS = ("num_hashes", "bands", "shingle_n", "seed", "max_bucket")
+    PARAM_KEYS = (
+        "num_hashes",
+        "bands",
+        "shingle_n",
+        "seed",
+        "max_bucket",
+        "shingle_unit",
+    )
 
     @property
     def _sigs_name(self) -> str:
@@ -99,6 +112,10 @@ class DedupIndex:
         if raw is None:
             return
         stored = json.loads(raw)
+        # sidecars written before the unit switch existed are
+        # word-unit by construction — fill the default instead of
+        # failing every legacy index on a missing key
+        stored.setdefault("shingle_unit", "word")
         mine = {k: getattr(self, k) for k in self.PARAM_KEYS}
         if stored != mine:
             raise ValueError(
@@ -112,7 +129,13 @@ class DedupIndex:
 
     def _sign(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return minhash_signatures(
-            docs, id_col, text_col, self.num_hashes, self.shingle_n, self.seed
+            docs,
+            id_col,
+            text_col,
+            self.num_hashes,
+            self.shingle_n,
+            self.seed,
+            shingle_unit=self.shingle_unit,
         )
 
     def bootstrap(
