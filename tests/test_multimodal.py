@@ -232,3 +232,42 @@ def test_image_ahash_pil_codec(spark):
     # near-identical images -> near-identical hashes
     d = bin((out[1] ^ out[2]) & ((1 << 64) - 1)).count("1")
     assert d <= 4
+
+
+def test_image_neardup_max_bucket_guard(spark):
+    """The skew guard: a degenerate exact-dup cluster (identical
+    payloads -> identical hashes -> one giant bucket) is dropped at
+    max_bucket, while near-dup pairs in small buckets survive — the
+    lsh_candidate_pairs contract carried to Hamming banding."""
+    from updater_spark.operators.multimodal import (
+        image_ahash,
+        image_neardup_pairs,
+        make_blob_table,
+    )
+
+    boiler = [(1000 + i, "identical boilerplate image payload") for i in range(40)]
+    diverse = [(i, f"diverse payload {i} with tail {i * 7}") for i in range(10)]
+    planted = [(100 + i, t.capitalize()) for i, t in diverse[:5]]
+    docs = spark.createDataFrame(
+        boiler + diverse + planted, "doc_id long, text string"
+    )
+    hashes = image_ahash(make_blob_table(docs))
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in image_neardup_pairs(
+            hashes, max_hamming=6, chunks=8, max_bucket=20
+        ).collect()
+    }
+    # no pair between two boilerplate clones survives the cap
+    assert not any(a >= 1000 and b >= 1000 for a, b in capped)
+    # the small-bucket planted pairs all survive
+    for i, _ in diverse[:5]:
+        assert (i, 100 + i) in capped
+    # uncapped finds the boilerplate cluster too (exact semantics)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in image_neardup_pairs(
+            hashes, max_hamming=6, chunks=8
+        ).collect()
+    }
+    assert (1000, 1001) in full and capped < full

@@ -601,12 +601,31 @@ def simhash(
 
 
 def simhash_near_pairs(
-    fingerprints: DataFrame, max_hamming: int = 3, chunks: int = 4
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` using
     the pigeonhole banding trick: split 64 bits into ``chunks`` blocks;
     any pair within distance < chunks must agree on ≥1 block → block
-    equality is the bucket key, exact Hamming verifies."""
+    equality is the bucket key, exact Hamming verifies.
+
+    SCALE CONTRACT (measured, PROBES_r10 ``imagehash_10m``): bucket
+    size is |corpus| / 2^(64/chunks) when fingerprints are
+    well-spread, and the candidate join is Σ bucket² — QUADRATIC in
+    the corpus when the hash distribution is near-uniform (the
+    adversarial worst case: 2M→50s but 10M→1504s on random payloads).
+    Real near-dup corpora concentrate duplicate mass in SMALL buckets
+    (similar inputs ⇒ equal blocks) while the giant buckets are
+    either uniform noise (no pairs under ``max_hamming`` anyway) or
+    degenerate exact-dup clusters that exact dedup should resolve
+    first — so at scale pass ``max_bucket`` (the
+    ``lsh_candidate_pairs`` guard): (chunk, block) buckets larger
+    than it are dropped, bounding the expansion; a pair is still
+    found if ANY of its agreeing blocks lands in a surviving bucket.
+    Default ``None`` = exact pigeonhole semantics (the cap changes
+    the recall contract, so callers opt in consciously)."""
     width = 64 // chunks
     mask = (1 << width) - 1
     blocks = fingerprints.select(
@@ -621,6 +640,16 @@ def simhash_near_pairs(
             )
         ).alias("chunk", "block"),
     )
+    if max_bucket is not None:
+        sizes = blocks.groupBy("chunk", "block").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        blocks = blocks.join(
+            sizes.filter(F.col("_bsz") <= max_bucket).select(
+                "chunk", "block"
+            ),
+            ["chunk", "block"],
+        )
     a = blocks.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "block"
     )

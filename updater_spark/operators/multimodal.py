@@ -323,14 +323,21 @@ def image_ahash(
 
 
 def image_neardup_pairs(
-    hashes: DataFrame, max_hamming: int = 8, chunks: int = 16
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    chunks: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs over aHash fingerprints — a direct reuse
     of the SimHash pigeonhole banding (dedup.py::simhash_near_pairs):
     64 bits split into ``chunks`` blocks, block equality buckets the
     candidates, exact Hamming verifies. ``chunks`` must exceed
     ``max_hamming`` for the pigeonhole guarantee (a pair within
-    distance < chunks agrees on ≥1 block). Returns
+    distance < chunks agrees on ≥1 block). At corpus scale pass
+    ``max_bucket`` — see simhash_near_pairs' measured scale contract:
+    the candidate join is quadratic in bucket size, and real image
+    corpora keep near-dup mass in small buckets while oversized ones
+    are noise or exact-dup clusters. Returns
     ``(id_a, id_b, hamming)`` keyed by doc_id."""
     if max_hamming >= chunks:
         raise ValueError(
@@ -342,4 +349,6 @@ def image_neardup_pairs(
     fps = hashes.select(
         F.col("doc_id").alias("id"), F.col("ahash").alias("simhash")
     )
-    return simhash_near_pairs(fps, max_hamming=max_hamming, chunks=chunks)
+    return simhash_near_pairs(
+        fps, max_hamming=max_hamming, chunks=chunks, max_bucket=max_bucket
+    )
