@@ -299,7 +299,13 @@ def dedup_probe(n: int) -> None:
                     "docs_per_sec": round(n / wall),
                     "pairs_found": row["n_pairs"],
                     "pairs_expected": n // 100,
-                    "min_jaccard": round(row["min_j"], 4),
+                    # min() over zero verified pairs is NULL — emit
+                    # null instead of crashing round(None)
+                    "min_jaccard": (
+                        round(row["min_j"], 4)
+                        if row["min_j"] is not None
+                        else None
+                    ),
                     "bucket_sizes": bucket_stats,
                 },
             }
@@ -3664,7 +3670,13 @@ def dedupchar_probe(n: int) -> None:
                     "docs_per_sec": round(n / wall),
                     "pairs_found": row["n_pairs"],
                     "pairs_expected": n // 100,
-                    "min_jaccard": round(row["min_j"], 4),
+                    # min() over zero verified pairs is NULL — emit
+                    # null instead of crashing round(None)
+                    "min_jaccard": (
+                        round(row["min_j"], 4)
+                        if row["min_j"] is not None
+                        else None
+                    ),
                     "bucket_sizes": {
                         "max": int(sizes["max"]),
                         "p99": int(sizes["p99"]),

@@ -302,3 +302,28 @@ def test_char_unit_contamination_bloom_matches_exact(spark, cjk_df):
         ).collect()
     )
     assert exact == bloom  # no false negatives; FPs die in the verify
+
+
+def test_char_simhash_drops_null_text_docs(spark, cjk_df):
+    """NULL-text docs must DROP from the char-unit fingerprint frame,
+    matching the word unit (ADVICE r10: explode_outer kept them as
+    tok=NULL rows, every NULL doc got the identical xxhash64-seed
+    fingerprint, and n_null docs produced O(n_null²) spurious
+    Hamming-0 pairs)."""
+    from pyspark.sql import functions as F
+
+    nulls = spark.createDataFrame(
+        [Row(doc_id=900, text=None), Row(doc_id=901, text=None),
+         Row(doc_id=902, text=None)],
+        "doc_id long, text string",
+    )
+    df = cjk_df.unionByName(nulls)
+    for unit in ("word", "char"):
+        fps = simhash(
+            df, "doc_id", "text", base_hash=md5_hash64, token_unit=unit
+        )
+        ids = {r["id"] for r in fps.select("id").collect()}
+        assert ids.isdisjoint({900, 901, 902}), unit
+        pairs = simhash_near_pairs(fps, max_hamming=0, chunks=16)
+        null_pairs = pairs.filter(F.col("id_a") >= 900).count()
+        assert null_pairs == 0, unit

@@ -94,3 +94,84 @@ def test_langid_null_text_scores_priors_only(spark):
     # equal priors (6 docs each) -> exact tie -> first label wins
     assert out[0]["pred"] == "en"
     assert out[0]["margin"] == pytest.approx(0.0)
+
+
+def test_langid_score_rejects_mismatched_n_max(spark):
+    """The meta records gram_n_max (ADVICE r10): scoring with a
+    different gram order silently degrades, so it must raise."""
+    df = spark.createDataFrame(_fixture())
+    model, meta = langid_train(df, "lang", "text", labels=["en", "fr", "zh"])
+    assert meta.gram_n_max == 3
+    with pytest.raises(ValueError, match="gram_n_max=3"):
+        langid_score(df, model, meta, n_max=2)
+    # legacy metas (gram_n_max=None, e.g. persisted pre-field or from
+    # a plain nb_train) skip the check
+    import dataclasses
+
+    legacy = dataclasses.replace(meta, gram_n_max=None)
+    assert langid_score(df, model, legacy, n_max=3).count() == len(_fixture())
+
+
+DE = [
+    "der schnelle braune fuchs springt ueber den faulen hund am fluss",
+    "sie sagte dass sie sich nach dem langen winter wiedersehen wuerden",
+    "dies ist ein weiterer deutscher satz mit haeufigen kleinen woertern",
+    "ein gutes buch und eine warme tasse tee machen den abend besser",
+    "wir gingen durch die altstadt und sprachen ueber das wetter",
+    "er konnte die schluessel heute morgen nirgendwo im haus finden",
+]
+ES = [
+    "el rapido zorro marron salta sobre el perro perezoso junto al rio",
+    "ella dijo que se volverian a ver despues de los largos meses de invierno",
+    "esta es otra frase espanola con palabras pequenas y comunes",
+    "un buen libro y una taza de te caliente hacen mejor la tarde",
+    "caminamos por el casco antiguo y hablamos sobre el tiempo",
+    "no pudo encontrar las llaves en ninguna parte de la casa esta manana",
+]
+JA = [
+    "すばやい茶色のきつねはなまけものの犬を飛びこえて川のそばを走る",
+    "彼女は長い冬が終わったらまた会いましょうと静かに言いました",
+    "これはよく使われる言葉を含むもうひとつの日本語の文章です",
+    "よい本とあたたかいお茶があれば夜の時間はもっと楽しくなる",
+    "わたしたちは古い町を歩きながら天気について話をしました",
+    "彼はけさ家のどこをさがしても鍵を見つけることができなかった",
+]
+
+
+def _fixture6():
+    """Six languages, two of them spaceless scripts (zh, ja) — the
+    pair the heuristic langid can neither tokenize nor tell apart by
+    stopwords (VERDICT r10 next-round #7)."""
+    rows = []
+    corpora = [("en", EN), ("fr", FR), ("zh", ZH), ("de", DE),
+               ("es", ES), ("ja", JA)]
+    for j, (lang, docs) in enumerate(corpora):
+        for i, t in enumerate(docs):
+            rows.append(Row(doc_id=i * 6 + j, lang=lang, text=t))
+    return rows
+
+
+def test_langid_six_languages_heldout_exact_and_hashed(spark):
+    """Held-out accuracy over 6 languages incl. BOTH spaceless
+    scripts, exact-vocab AND hashed-feature (hash_bits=18) variants —
+    the hashing trick bounds the model rows to 2^18 regardless of
+    gram-vocabulary growth, the web-scale deployment shape."""
+    rows = _fixture6()
+    df = spark.createDataFrame(rows)
+    train = df.filter("doc_id < 30")  # 5 docs per language
+    test = df.filter("doc_id >= 30")  # 1 held-out doc per language
+    labels = ["de", "en", "es", "fr", "ja", "zh"]
+    for bits in (None, 18):
+        model, meta = langid_train(
+            train, "lang", "text", labels=labels, hash_bits=bits
+        )
+        assert meta.gram_n_max == 3
+        if bits is not None:
+            # hashed model is BOUNDED: <= 2^bits rows no matter the vocab
+            assert model.count() <= 1 << bits
+        out = langid_score(test, model, meta, keep_cols=("lang",)).collect()
+        assert len(out) == 6
+        for r in out:
+            assert r["pred"] == r["lang"], (
+                bits, r["doc_id"], r["pred"], r["lang"])
+            assert r["margin"] > 0

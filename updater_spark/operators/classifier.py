@@ -71,6 +71,12 @@ class NBModelMeta:
     priors: dict[str, float]  # ln(docs_label / docs_total)
     oov: dict[str, float]  # ln(α / (N_label + α·V)) — unseen-token ll
     hash_bits: int | None = None
+    # set by langid_train only: the char-gram order the model was
+    # trained over. langid_score validates its n_max against this —
+    # a mismatch silently degrades predictions otherwise (the
+    # DedupIndex shingle_unit sidecar-validation discipline). None
+    # for plain word-token NB models and legacy metas.
+    gram_n_max: int | None = None
 
 
 def _bucketize(c, hash_bits: int | None):
@@ -577,8 +583,15 @@ def langid_train(
     chars into features, ``nb_train`` does its ONE-shuffle
     conditional-count pass — same scale shape, same exact-oracle
     algebra, same hashing-trick bound for web-scale gram
-    vocabularies."""
-    return nb_train(
+    vocabularies.
+
+    The returned meta records ``gram_n_max`` = this ``n_max``;
+    ``langid_score`` refuses a mismatched n_max (the gram feature
+    space is part of the model identity — scoring 1..2-grams against
+    a 1..3-gram model silently degrades instead of erroring)."""
+    import dataclasses
+
+    model, meta = nb_train(
         langid_gram_text(df, text_col, n_max),
         label_col,
         "_lid_grams",
@@ -587,6 +600,7 @@ def langid_train(
         min_df=min_df,
         hash_bits=hash_bits,
     )
+    return model, dataclasses.replace(meta, gram_n_max=n_max)
 
 
 def langid_score(
@@ -604,7 +618,19 @@ def langid_score(
     ``(id, *keep_cols, pred, margin)`` — ``margin`` is the
     best-minus-runner-up log-posterior, the confidence knob a corpus
     filter thresholds on. ``n_max`` must match training (the gram
-    feature space)."""
+    feature space); the meta carries ``gram_n_max`` from
+    ``langid_train`` and a mismatch raises here instead of silently
+    degrading. Metas from a plain ``nb_train`` call (or persisted
+    before the field existed) have ``gram_n_max=None`` and skip the
+    check — the legacy-sidecar convention."""
+    trained_n = getattr(meta, "gram_n_max", None)
+    if trained_n is not None and trained_n != n_max:
+        raise ValueError(
+            f"langid_score n_max={n_max} does not match the model's "
+            f"training gram order gram_n_max={trained_n}; pass "
+            f"n_max={trained_n} (the gram feature space is part of "
+            "the model identity)"
+        )
     return nb_score(
         langid_gram_text(df, text_col, n_max),
         model,

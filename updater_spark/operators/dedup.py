@@ -569,11 +569,21 @@ def simhash(
             ),
             lambda i: t.substr(i, F.lit(char_n)),
         )
+        # NULL-text docs must DROP, matching the word unit's contract
+        # (explode over tokens(NULL) drops the row). The char path
+        # previously used explode_outer, and a NULL doc survived as
+        # tok=NULL: xxhash64(NULL) returns the seed, so every NULL doc
+        # got the IDENTICAL fingerprint — pairwise Hamming-0 matches,
+        # O(n_null²) spurious pairs downstream. NB an explicit filter
+        # is required (not just plain explode): greatest() SKIPS
+        # nulls, so a NULL _norm still yields the array [NULL] and
+        # explode would emit the tok=NULL row anyway.
         feats = (
             df.withColumn("_norm", normalize_ws(text_col))
+            .filter(F.col("_norm").isNotNull())
             .select(
                 F.col(id_col).alias("id"),
-                F.explode_outer(grams).alias("tok"),
+                F.explode(grams).alias("tok"),
             )
         )
     else:

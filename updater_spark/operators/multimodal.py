@@ -325,7 +325,7 @@ def image_ahash(
 def image_neardup_pairs(
     hashes: DataFrame,
     max_hamming: int = 8,
-    chunks: int = 16,
+    chunks: int = 9,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs over aHash fingerprints — a direct reuse
@@ -333,12 +333,24 @@ def image_neardup_pairs(
     64 bits split into ``chunks`` blocks, block equality buckets the
     candidates, exact Hamming verifies. ``chunks`` must exceed
     ``max_hamming`` for the pigeonhole guarantee (a pair within
-    distance < chunks agrees on ≥1 block). At corpus scale pass
-    ``max_bucket`` — see simhash_near_pairs' measured scale contract:
-    the candidate join is quadratic in bucket size, and real image
-    corpora keep near-dup mass in small buckets while oversized ones
-    are noise or exact-dup clusters. Returns
-    ``(id_a, id_b, hamming)`` keyed by doc_id."""
+    distance < chunks agrees on ≥1 block).
+
+    Default ``chunks=9``: the SMALLEST block count satisfying the
+    pigeonhole bound for the default ``max_hamming=8``, giving 7-bit
+    blocks (128 bucket values per chunk). Wider block counts make the
+    candidate join explode: ``chunks=16`` means 4-bit blocks with only
+    16 distinct values per chunk, so EVERY bucket holds ~n/16 of the
+    corpus and the Σ bucket² join is ~n²/2 on ANY corpus — measured
+    9.2s → 1.5s at sf0.1 just moving 4-bit → 8-bit blocks. Fewer,
+    wider blocks = more selective buckets; pick the smallest
+    ``chunks`` > ``max_hamming`` unless you need looser distances.
+    At corpus scale ALSO pass ``max_bucket`` — see
+    simhash_near_pairs' measured scale contract: the candidate join
+    is quadratic in bucket size even with selective blocks when the
+    hash distribution is near-uniform, while real image corpora keep
+    near-dup mass in small buckets and oversized ones are noise or
+    exact-dup clusters. Returns ``(id_a, id_b, hamming)`` keyed by
+    doc_id."""
     if max_hamming >= chunks:
         raise ValueError(
             f"pigeonhole guarantee needs chunks > max_hamming, got "
