@@ -672,6 +672,116 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _spaceless_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-whitespace-script near-dup scenario (VERDICT r10 #1): every
+    5th document stripped of ALL whitespace with vowels translated
+    into CJK codepoints (mixed-script, genuinely multi-byte — the
+    codepoint-vs-byte trap a Latin-only fixture can't catch), plus a
+    near-dup copy of each (3 CJK chars appended → char-5-gram
+    Jaccard ≈ (L−4)/(L−1) ≈ 0.97 at L≈250). The word tokenizer sees
+    ONE token per doc here, so the word-unit pipeline provably finds
+    nothing (pytest-pinned in tests/test_dedup_char.py); the char
+    unit is the honest one."""
+    spaceless = (
+        demo.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.translate(
+                F.regexp_replace("text", r"\s+", ""),
+                "aeiou",
+                "一二三四五",
+            ).alias("text"),
+        )
+    )
+    copies = spaceless.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat("text", F.lit("甲乙丙")).alias("text"),
+    )
+    return spaceless.unionByName(copies)
+
+
+_SPACELESS_SQL = """
+    SELECT doc_id,
+           translate(regexp_replace(text, '\\s+', '', 'g'),
+                     'aeiou', '一二三四五') AS text
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+_CHAR_CORPUS_SQL = f"""
+    WITH spaceless AS ({_SPACELESS_SQL})
+    SELECT doc_id, text FROM spaceless
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || '甲乙丙' AS text
+    FROM spaceless
+"""
+
+
+def q_dedup_char_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-unit MinHash→LSH→exact-verify over the spaceless corpus —
+    the full at-scale near-dup pipeline on codepoint 5-grams, the
+    unit a CJK/Thai corpus needs where word shingles silently pass
+    every near-duplicate (updater_spark/operators/dedup.py:86,111).
+
+    Oracle = the exact char-5-gram Jaccard join at threshold 0.5
+    (the dedup_lsh_verified precedent): the LSH→verify composition
+    emits the same set whenever LSH recall is 1, and at 16 bands ×
+    4 rows the planted pairs' J≈0.97 gives a per-pair miss
+    probability of (1−0.97⁴)¹⁶ ≈ 4e−16."""
+    from updater_spark.operators.dedup import lsh_verified_pairs
+
+    pairs = lsh_verified_pairs(
+        _spaceless_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=5,
+        threshold=0.5,
+        shingle_unit="char",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_decontam_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-unit benchmark decontamination over spaceless text
+    (operators/decontam.py:27 _gram_source char dispatch): bench =
+    every 17th spaceless doc; planted partial-overlap carriers
+    (doc_id+200000) embed a 60-char bench prefix inside otherwise
+    unrelated text — the contamination mode the word unit PROVABLY
+    misses on spaceless docs (its 13-gram is the whole document, so
+    only exact whole-doc copies collide; pytest-pinned). Char
+    20-grams flag every carrier: a 60-char shared run contributes 41
+    shared grams."""
+    from updater_spark.operators.decontam import contamination
+
+    spaceless = (
+        demo.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.translate(
+                F.regexp_replace("text", r"\s+", ""),
+                "aeiou",
+                "一二三四五",
+            ).alias("text"),
+        )
+    )
+    bench = spaceless.filter(F.col("doc_id") % 17 == 0)
+    carriers = bench.select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.concat(
+            F.lit("無関係な前置きのうえ"),
+            F.substring("text", 1, 60),
+            F.lit("そして無関係な後書き甲乙丙丁"),
+        ).alias("text"),
+    )
+    corpus = spaceless.unionByName(carriers)
+    return contamination(
+        corpus, bench, "doc_id", "text", n=20, shingle_unit="char"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, Hamming ≤ 12, on the md5-portable
     64-bit token hash — the DuckDB oracle rebuilds the fingerprints
@@ -6035,6 +6145,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their existing relative order behind it (dict.update never
     # reorders existing keys). Historical rotations live in git.
     qs = {
+        # --- r11: new queries lead (VERDICT r10 #1/#3/#4 rows) ---
+        "dedup_char_lsh": q_dedup_char_lsh,
+        "decontam_char": q_decontam_char,
         # --- r10: new queries lead (no driver row yet) ---
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
@@ -10047,6 +10160,93 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = c.id_a
             JOIN sizes sb ON sb.doc_id = c.id_b
             WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+        """,
+        # char-unit twin of dedup_lsh_verified over the spaceless
+        # corpus: exact char-5-gram Jaccard is the oracle (LSH recall
+        # ≈ 1 − 4e−16 per planted pair at J≈0.97, 16 bands × 4 rows).
+        # substr counts CODEPOINTS in both engines — the contract the
+        # mixed CJK/Latin fixture exercises.
+        "dedup_char_lsh": f"""
+            WITH char_corpus AS ({_CHAR_CORPUS_SQL}),
+            norm AS (
+                SELECT doc_id,
+                       regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+                FROM char_corpus
+            ),
+            idx AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+                FROM norm
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, substr(t, i::INT, 5) AS shingle
+                FROM idx
+            ),
+            sizes AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+            ),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6)
+                       AS jaccard
+            FROM common c
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+        """,
+        # char-unit decontamination: the gram construction replayed
+        # over the spaceless corpus + planted partial-overlap
+        # carriers; bench grams come from the % 17 slice (carriers sit
+        # at +200000 and are excluded by the doc_id guard)
+        "decontam_char": f"""
+            WITH spaceless AS ({_SPACELESS_SQL}),
+            carriers AS (
+                SELECT doc_id + 200000 AS doc_id,
+                       '無関係な前置きのうえ' || substr(text, 1, 60)
+                           || 'そして無関係な後書き甲乙丙丁' AS text
+                FROM spaceless WHERE doc_id % 17 = 0
+            ),
+            corpus AS (
+                SELECT doc_id, text FROM spaceless
+                UNION ALL
+                SELECT doc_id, text FROM carriers
+            ),
+            norm AS (
+                SELECT doc_id,
+                       regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+                FROM corpus
+            ),
+            idx AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - 19, 1) + 1)) AS i
+                FROM norm
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, substr(t, i::INT, 20) AS gram
+                FROM idx
+            ),
+            sizes AS (
+                SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+            ),
+            bench AS (
+                SELECT DISTINCT gram FROM grams
+                WHERE doc_id % 17 = 0 AND doc_id < 200000
+            ),
+            hits AS (
+                SELECT g.doc_id, COUNT(*) AS n_hit_grams
+                FROM grams g JOIN bench b ON g.gram = b.gram
+                GROUP BY g.doc_id
+            )
+            SELECT s.doc_id, s.n_grams,
+                   COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+                   COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+            FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
         """,
         "text_stats": """
             WITH toked AS (
