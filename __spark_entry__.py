@@ -4070,6 +4070,87 @@ def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(hashes, max_hamming=6, chunks=8)
 
 
+def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-hash (dHash) image near-dup (multimodal.py::
+    image_dhash + image_neardup_pairs hash_col='dhash') — the robust
+    sibling of the aHash row: bits are horizontal-gradient SIGNS over
+    a 9×8 downsample, so non-uniform brightness shifts stay local
+    instead of flipping the whole mean-thresholded hash (robustness
+    pytest-pinned; this row pins the byte-exact packing both engines
+    replay). Same planted fixture as image_dedup_phash; oracle =
+    hex-pair pixel replay + FULL quadratic Hamming join, which the
+    banded output must equal under the pigeonhole guarantee."""
+    from updater_spark.operators.multimodal import (
+        image_dhash,
+        image_neardup_pairs,
+        make_blob_table,
+    )
+
+    docs = demo.load(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 5)),
+            F.expr("substring(text, 6)"),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    hashes = image_dhash(make_blob_table(corpus))
+    return image_neardup_pairs(
+        hashes, max_hamming=6, chunks=8, hash_col="dhash"
+    )
+
+
+def _image_dhash_sql() -> str:
+    """DuckDB replay of q_image_dedup_dhash: hex-pair byte pixels at
+    the 72-target stride, horizontal-gradient bit pack (bit r·8+c set
+    iff px[r·9+c+1] > px[r·9+c], pairs past a short payload stay 0),
+    two's-complement bit 63, exact quadratic Hamming join."""
+    return """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000,
+                   upper(substr(text, 1, 5)) || substr(text, 6)
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        blobs AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM corpus
+        ),
+        strided AS (
+            SELECT doc_id, n, greatest(n // 72, 1) AS stride FROM blobs
+        ),
+        px AS (
+            SELECT b.doc_id,
+                   list_transform(
+                       range(least(72, (s.n + s.stride - 1) // s.stride)),
+                       j -> CAST('0x' || substr(b.h, 2 * (j * s.stride) + 1,
+                                                2) AS BIGINT)) AS ps
+            FROM blobs b JOIN strided s USING (doc_id)
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(
+                       range(64),
+                       j -> CASE WHEN
+                                 (j // 8) * 9 + (j % 8) + 2 <= len(ps)
+                             AND ps[(j // 8) * 9 + (j % 8) + 2]
+                                 > ps[(j // 8) * 9 + (j % 8) + 1]
+                            THEN CASE WHEN j = 63
+                                 THEN -9223372036854775808
+                                 ELSE (CAST(1 AS BIGINT) << j) END
+                            ELSE 0 END)) AS BIGINT) AS dhash
+            FROM px
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    """
+
+
 def _image_dedup_sql() -> str:
     """DuckDB replay of q_image_dedup_phash: hex-pair byte pixels,
     strict >-mean threshold, two's-complement bit 63, exact quadratic
@@ -5287,6 +5368,39 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=5)
 
 
+def q_bm25_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-list-pruned BM25 (text.py::bm25_topk champion_n=32) —
+    the opt-in scale contract for Zipf-head posting lists (VERDICT
+    r10 #3: the exact join's full-posting fan-out was 159s of the
+    185s hybrid_1m probe). The documents table's 31-word vocabulary
+    is ALL head terms, so each doc gains two deterministic rare
+    terms (letters-only, keyed on doc_id % 150 — df ≈ N/150 ≪ 32,
+    lists the cut never touches) and queries carry them: the
+    retrieval shape champion lists are built for, where idf
+    concentrates decision mass in the short lists. The oracle models
+    the IDENTICAL cut (row_number over (tf desc, doc_id asc) ≤ 32 per
+    term, df/dl exact over the full postings), so the row is
+    value-exact, not a recall bound — recall-vs-exact lives in
+    tests/test_text.py::test_bm25_champion_list_prune."""
+    from updater_spark.operators.text import bm25_topk
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.pmod(F.col("doc_id"), F.lit(150))
+    c1 = F.char(F.lit(97) + F.pmod(m, F.lit(26)))
+    c2 = F.char(F.lit(97) + F.pmod(F.floor(m / F.lit(26)), F.lit(26)))
+    rare = F.concat(
+        F.lit(" uq"), c1, c2, F.lit("xx uq"), c1, c2, F.lit("yy")
+    )
+    enriched = docs.select(
+        "doc_id", F.concat("text", rare).alias("text")
+    )
+    queries = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.concat(F.substring("text", 1, 30), rare).alias("qtext"),
+    )
+    return bm25_topk(enriched, queries, k=5, champion_n=32)
+
+
 def _doc_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic URL fixture over documents (the testdata has no
     URL column): scheme/host case, default ports, www., tracking
@@ -6148,6 +6262,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r11: new queries lead (VERDICT r10 #1/#3/#4 rows) ---
         "dedup_char_lsh": q_dedup_char_lsh,
         "decontam_char": q_decontam_char,
+        "bm25_champion": q_bm25_champion,
+        "image_dedup_dhash": q_image_dedup_dhash,
         # --- r10: new queries lead (no driver row yet) ---
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
@@ -7956,6 +8072,83 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
         """,
+        # champion-list BM25: same Robertson algebra as bm25_search,
+        # over the rare-term-enriched corpus, with the champ CTE
+        # modeling the identical top-32-per-term cut (df/dl stay
+        # exact over the FULL postings — pruning changes which docs
+        # score, never how a surviving doc scores)
+        "bm25_champion": """
+            WITH rdocs AS (
+                SELECT doc_id,
+                       text || ' uq' || c1 || c2 || 'xx uq' || c1 || c2
+                            || 'yy' AS text,
+                       substr(text, 1, 30) || ' uq' || c1 || c2 || 'xx uq'
+                            || c1 || c2 || 'yy' AS qtext
+                FROM (
+                    SELECT doc_id, text,
+                           chr(CAST(97 + (doc_id % 150) % 26 AS INT)) AS c1,
+                           chr(CAST(97 + ((doc_id % 150) // 26) % 26 AS INT))
+                               AS c2
+                    FROM documents
+                )
+            ),
+            tok AS (
+                SELECT doc_id, lower(t) AS term
+                FROM rdocs,
+                     unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS u(t)
+                WHERE t <> ''
+            ),
+            posting AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            stats AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                FROM dl
+            ),
+            dfreq AS (
+                SELECT term, COUNT(*) AS df FROM posting GROUP BY 1
+            ),
+            champ AS (
+                SELECT doc_id, term, tf FROM (
+                    SELECT doc_id, term, tf,
+                           row_number() OVER (
+                               PARTITION BY term
+                               ORDER BY tf DESC, doc_id ASC
+                           ) AS cr
+                    FROM posting
+                ) WHERE cr <= 32
+            ),
+            qterms AS (
+                SELECT DISTINCT doc_id AS qid, lower(t) AS term
+                FROM rdocs,
+                     unnest(regexp_split_to_array(qtext, '[^A-Za-z]+')) AS u(t)
+                WHERE doc_id % 101 = 0 AND t <> ''
+            ),
+            scored AS (
+                SELECT q.qid, p.doc_id,
+                       round(SUM(
+                           ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                           * p.tf * 2.2
+                           / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                       ), 4) AS score
+                FROM qterms q
+                JOIN dfreq f USING (term)
+                JOIN champ p USING (term)
+                JOIN dl d ON p.doc_id = d.doc_id
+                CROSS JOIN stats s
+                GROUP BY q.qid, p.doc_id
+            )
+            SELECT qid, rank, doc_id, score FROM (
+                SELECT qid, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY score DESC, doc_id ASC
+                       ) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
         "cdc_type_evolution": """
             SELECT c_custkey, c_name,
                    round(c_acctbal + CASE WHEN c_custkey % 7 = 0
@@ -8690,6 +8883,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_tokens": _unigram_sql("tokens"),
         "unigram_tokens_arrow": _unigram_sql("tokens"),
         "image_dedup_phash": _image_dedup_sql(),
+        "image_dedup_dhash": _image_dhash_sql(),
         "langid_trained": _langid_sql(),
         "html_extract": _html_extract_sql(),
         "url_canonical": _url_canonical_sql(),

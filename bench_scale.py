@@ -3592,6 +3592,106 @@ def hybrid_probe(n: int, n_queries: int = 10_000) -> None:
 
 
 
+def hybridchamp_probe(
+    n: int, n_queries: int = 10_000, champion_n: int = 64
+) -> None:
+    """Champion-list BM25 vs exact at scale (VERDICT r10 #3): same
+    corpus/queries as ``hybrid_probe``, run the bm25 leg BOTH ways,
+    report wall per leg and recall@10 of the pruned leg against the
+    exact leg's top-10 sets. The claim to verify: the cut takes the
+    bm25 leg well under its exact cost (159s of the 185s hybrid_1m
+    probe was the Zipf-head posting join) at ~equal recall@10 —
+    head-term postings decide little under idf weighting, and the
+    rare-term lists that do decide are shorter than ``champion_n``
+    and therefore untouched. Usage:
+    ``python bench_scale.py 1000000 hybridchamp [n_queries]``."""
+    from updater_spark.operators.text import bm25_topk
+
+    spark = get_spark("bench_scale_hybridchamp")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _word(i):
+        wid = (
+            F.pow(
+                F.pmod(F.xxhash64("doc_id", i), F.lit(100_000))
+                / F.lit(100_000.0),
+                F.lit(2),
+            )
+            * F.lit(40_000)
+        ).cast("long")
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2) + F.pmod(wid, F.lit(4))),
+                lambda k: F.char(
+                    F.lit(97) + F.pmod(F.xxhash64(wid, k), F.lit(26))
+                ),
+            ),
+            "",
+        )
+
+    docs = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(20)), lambda i: _word(i)
+                ),
+                " ",
+            ),
+        )
+        .persist()
+    )
+    n_docs = docs.count()
+    stride = max(1, n // n_queries)
+    queries = docs.filter(F.col("doc_id") % stride == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.substring("text", 1, 60).alias("qtext"),
+    )
+    nq = queries.count()
+
+    t0 = time.time()
+    exact = bm25_topk(docs, queries, k=10).persist()
+    n_exact = exact.count()
+    exact_sec = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    champ = bm25_topk(
+        docs, queries, k=10, champion_n=champion_n
+    ).persist()
+    n_champ = champ.count()
+    champ_sec = round(time.time() - t0, 2)
+
+    hits = exact.select("qid", "doc_id").intersect(
+        champ.select("qid", "doc_id")
+    ).count()
+    docs.unpersist()
+    exact.unpersist()
+    champ.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "n_queries": nq,
+                "hybridchamp_probe": {
+                    "champion_n": champion_n,
+                    "bm25_exact_sec": exact_sec,
+                    "bm25_champion_sec": champ_sec,
+                    "speedup": round(exact_sec / champ_sec, 2)
+                    if champ_sec
+                    else None,
+                    "exact_rows": n_exact,
+                    "champion_rows": n_champ,
+                    "recall_at_10": round(hits / n_exact, 4)
+                    if n_exact
+                    else None,
+                },
+            }
+        )
+    )
+
+
 def dedupchar_probe(n: int) -> None:
     """Char-unit near-dup at scale (the r10 CJK-honesty work's scale
     question): ``n`` SPACELESS ~100-char docs — one giant "word"
@@ -3933,6 +4033,12 @@ if __name__ == "__main__":
     elif len(sys.argv) > 2 and sys.argv[2] == "hybrid":
         hybrid_probe(
             _n, int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
+        )
+    elif len(sys.argv) > 2 and sys.argv[2] == "hybridchamp":
+        hybridchamp_probe(
+            _n,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 10_000,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 64,
         )
     else:
         main(_n)

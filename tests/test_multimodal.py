@@ -271,3 +271,117 @@ def test_image_neardup_max_bucket_guard(spark):
         ).collect()
     }
     assert (1000, 1001) in full and capped < full
+
+
+def _py_dhash(b: bytes, grid: int = 8) -> int:
+    target = grid * (grid + 1)
+    px = list(b[:: max(1, len(b) // target)][:target])
+    h = 0
+    for j in range(grid * grid):
+        li = (j // grid) * (grid + 1) + (j % grid)
+        if li + 1 < len(px) and px[li + 1] > px[li]:
+            h |= 1 << j
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def test_image_dhash_matches_python_oracle(spark):
+    from updater_spark.operators.multimodal import image_dhash, make_blob_table
+
+    rows = [(i, f"payload number {i} " * (i + 1)) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dhash"], r["n_px"])
+        for r in image_dhash(make_blob_table(docs)).collect()
+    }
+    for i, t in rows:
+        b = t.encode("utf-8")
+        want_px = len(b[:: max(1, len(b) // 72)][:72])
+        assert got[i] == (_py_dhash(b), want_px), i
+
+
+def test_image_dhash_robust_where_ahash_flips(spark):
+    """The dHash robustness claim: brightening ONE region of the
+    image moves the global mean, so aHash flips bits in UNTOUCHED
+    regions too; dHash's neighbor-gradient bits flip only where the
+    edit is. Payload = 72 deterministic bytes (stride 1 — pseudo
+    pixels ARE the bytes); edit = +60 on bytes 0..17 (rows 0-1)."""
+    from pyspark.sql import functions as F
+
+    from updater_spark.operators.multimodal import image_dhash, image_ahash
+
+    base = bytes((i * 7) % 120 + 20 for i in range(72))
+    lit = bytes(min(b + 60, 255) for b in base[:18]) + base[18:]
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(lit))],
+        "doc_id long, payload binary",
+    )
+    d = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    a = {r["doc_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    mask = (1 << 64) - 1
+    d_ham = bin((d[1] ^ d[2]) & mask).count("1")
+    a_ham = bin((a[1] ^ a[2]) & mask).count("1")
+    # dHash damage is confined to rows 0-1 (bits 0..15): 48 bits of
+    # untouched rows identical
+    assert (d[1] ^ d[2]) & mask < (1 << 16), hex(d[1] ^ d[2])
+    # aHash flips bits OUTSIDE the edited region (mean moved)
+    assert (a[1] ^ a[2]) & mask >= (1 << 16), hex(a[1] ^ a[2])
+    assert d_ham < a_ham, (d_ham, a_ham)
+
+
+def test_image_dhash_banding_via_hash_col(spark):
+    """image_neardup_pairs(hash_col='dhash') bands dHash output the
+    same way: planted same-length case-flip clones are found and the
+    banded set equals the exact quadratic join."""
+    from updater_spark.operators.multimodal import (
+        image_dhash,
+        image_neardup_pairs,
+        make_blob_table,
+    )
+
+    base = [(i, f"some repeated image payload {i % 4} tail") for i in range(30)]
+    planted = [(100 + i, t.capitalize()) for i, t in base[:10]]
+    docs = spark.createDataFrame(base + planted, "doc_id long, text string")
+    hashes = image_dhash(make_blob_table(docs))
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_neardup_pairs(
+            hashes, max_hamming=8, chunks=16, hash_col="dhash"
+        ).collect()
+    }
+    rows = {r["doc_id"]: r["dhash"] for r in hashes.collect()}
+    exact = {}
+    ids = sorted(rows)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                h = bin((rows[x] ^ rows[y]) & ((1 << 64) - 1)).count("1")
+                if h <= 8:
+                    exact[(x, y)] = h
+    assert banded == exact
+
+
+def test_simhash_banding_warns_on_uniform_blowup(spark):
+    """warn_expansion ergonomics: a low threshold + no max_bucket
+    fires the RuntimeWarning naming the fix; passing max_bucket or
+    warn_expansion=None keeps it silent."""
+    import warnings
+
+    from updater_spark.operators.dedup import simhash_near_pairs
+
+    # 60 identical fingerprints: Σ bucket² = 16 chunks · 60² = 57600
+    fps = spark.range(60).select(
+        F.col("id"), F.lit(12345).cast("long").alias("simhash")
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        simhash_near_pairs(fps, max_hamming=3, chunks=16,
+                           warn_expansion=1000)
+        assert any("max_bucket" in str(x.message) for x in w), [
+            str(x.message) for x in w]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        simhash_near_pairs(fps, max_hamming=3, chunks=16,
+                           max_bucket=100, warn_expansion=1000).count()
+        simhash_near_pairs(fps, max_hamming=3, chunks=16,
+                           warn_expansion=None).count()
+        assert not [x for x in w if issubclass(x.category, RuntimeWarning)]

@@ -1,6 +1,8 @@
 """Text-analysis operators vs Python oracles."""
 
+import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from updater_spark.operators.text import (
     STOPWORDS_EN,
@@ -679,3 +681,72 @@ def test_web_ingestion_pipeline_composes(spark):
     assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 4]
     scored = quality_score(survivors.select("doc_id", "text"))
     assert scored.count() == 2
+
+
+def test_bm25_champion_list_prune(spark):
+    """Champion-list contract: champion_n >= n_docs is IDENTICAL to
+    exact; under a real cut, scores only ever DROP (a pruned posting
+    removes contributions, never adds); and on a corpus with
+    discriminative rare terms — the retrieval shape BM25 is built
+    for, where idf concentrates score mass in short posting lists
+    the cut never touches — recall@5 vs exact stays ~1 while only
+    Zipf-head posting lists are pruned. A tf-flat corpus with NO
+    rare terms (e.g. the tiny synthetic documents table) is the
+    documented worst case: every list is a head list, ties break by
+    doc_id, and pruning is arbitrary — champion_n is opt-in for
+    exactly that reason."""
+    from updater_spark.operators.text import bm25_topk
+
+    # 300 docs: 8 shared filler words (df=300 head terms) + 2 rare
+    # doc-specific terms (df<=2: doc i shares its "rare" tokens with
+    # doc i+150, making non-trivial cross-doc matches)
+    rows = []
+    for i in range(300):
+        filler = "alpha beta gamma delta epsilon zeta eta theta"
+        # letters only: _ascii_terms splits on non-alpha, so a
+        # digit-bearing token would shatter into common fragments
+        a, b = chr(97 + (i % 150) % 26), chr(97 + (i % 150) // 26)
+        rare = f"uq{a}{b}xx uq{a}{b}yy"
+        rows.append((i, f"{filler} {rare}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(i, "alpha beta uq{0}{1}xx uq{0}{1}yy".format(
+            chr(97 + (i % 150) % 26), chr(97 + (i % 150) // 26)))
+         for i in range(0, 300, 29)],
+        "qid long, qtext string",
+    )
+    exact = bm25_topk(docs, qs, k=5).collect()
+    # champion_n >= corpus size: the cut keeps every posting
+    full = bm25_topk(docs, qs, k=5, champion_n=1_000).collect()
+    key = lambda r: (r["qid"], r["rank"], r["doc_id"], r["score"])
+    assert sorted(map(key, full)) == sorted(map(key, exact))
+
+    pruned_rows = bm25_topk(docs, qs, k=5, champion_n=16).collect()
+    exact_score = {(r["qid"], r["doc_id"]): r["score"] for r in exact}
+    for r in pruned_rows:
+        k2 = (r["qid"], r["doc_id"])
+        if k2 in exact_score:
+            assert r["score"] <= exact_score[k2] + 1e-9, (k2, r["score"])
+    # recall@5: the rare-term postings (df<=2 << champion_n) are
+    # untouched, and they carry the idf mass that decides the top-5
+    exact_sets, pruned_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["doc_id"])
+    for r in pruned_rows:
+        pruned_sets.setdefault(r["qid"], set()).add(r["doc_id"])
+    recalls = [
+        len(exact_sets[q] & pruned_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    for q in exact_sets:
+        assert q in pruned_sets.get(q, set()), q  # self-retrieval survives
+
+
+def test_bm25_champion_rejects_bad_n(spark):
+    from updater_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "a")], "qid long, qtext string")
+    with pytest.raises(ValueError, match="champion_n"):
+        bm25_topk(docs, qs, champion_n=0).collect()

