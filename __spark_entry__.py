@@ -6194,67 +6194,70 @@ def q_events_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows filling to 50 (the 8 tail rows — streaming_sessions and
 # text_boilerplate through zorder_scan — roll to the r11 window;
 # after r10 they are the ONLY rows older than r7).
-_R10_WINDOW = [
-    # new in r10
-    "unigram_train",
-    "unigram_tokens",
-    "unigram_tokens_arrow",
-    "image_dedup_phash",
-    "langid_trained",
-    # code/oracle changed in r10 (ADVICE fixes, n_truncated_words
-    # schema change, shingle-unit threading, cosine tie fix)
-    "classifier_eval",
-    "url_canonical",
-    "sim_topk_arrow",
-    "hybrid_search",
-    "bpe_tokens",
-    "bpe_tokens_arrow",
-    "bpe_bytes",
-    "bpe_bytes_arrow",
-    "wordpiece_tokens",
-    "wordpiece_tokens_8k",
-    "dedup_minhash_lsh",
-    "dedup_lsh_verified",
-    "dedup_ngram_jaccard",
+_R11_WINDOW = [
+    # new in r11 (VERDICT r10 #1 char-unit rows, #3 champion prune,
+    # #4 dHash)
+    "dedup_char_lsh",
+    "decontam_char",
+    "bm25_champion",
+    "image_dedup_dhash",
+    # code-changed in r11 (simhash warn_expansion estimate pass,
+    # bm25_topk champion_n refactor, langid gram_n_max meta)
     "dedup_simhash",
-    "dup_spans",
-    "dedup_strip_spans",
-    # last driver row r6 (alphabetical head, fills to 50)
-    "decontam_bloom",
-    "decontam_ngram",
-    "dedup_clusters",
-    "dedup_incremental",
-    "embed_project",
-    "events_distinct_users",
-    "events_json_agg",
-    "events_running",
-    "fuzzy_join_parts",
-    "interval_join_events",
-    "ivm_join_view",
-    "leakage_safe_split",
-    "mixture_resample",
-    "pii_redact",
-    "pivot_events",
-    "quality_filter",
-    "revenue_cube",
-    "rollup_cdc_repair",
-    "rollup_multires",
-    "sample_stratified",
-    "scores_unpivot",
-    "shard_export",
-    "shuffle_order",
-    "skew_salted_join",
-    "streaming_join",
-    "streaming_join_outer",
-    "streaming_rollup",
-    "streaming_semantic",
-    "streaming_semantic_arrow",
+    "image_dedup_phash",
+    "bm25_search",
+    "hybrid_search",
+    "langid_trained",
+    # the 8 remaining r6-era rows (rotation retires r6 entirely)
+    "streaming_sessions",
+    "text_boilerplate",
+    "text_chunks",
+    "text_repetition",
+    "text_unigram_logprob",
+    "tfidf_top_terms",
+    "tribe_stats_repair",
+    "zorder_scan",
+    # r7 cohort alphabetical head (fills to 50; 6 r7 rows remain for
+    # r12, which laps the registry)
+    "a2_events_hourly",
+    "a3_tribe_stats_bootstrap",
+    "a3_tribe_stats_incremental",
+    "ann_ivf_filtered",
+    "ann_ivfpq_indexed",
+    "ann_ivfpq_maintained",
+    "ann_ivfpq_refined",
+    "ann_ivfpq_topk",
+    "cdc_dedup_incremental",
+    "cdc_full_cycle",
+    "cdc_schema_replay",
+    "changelog_replay",
+    "decontam_semantic",
+    "dedup_exact",
+    "j1_diff_classify",
+    "j1_diff_large",
+    "j2_semi_join_fetch",
+    "j3_tribe_active",
+    "j5_changelog",
+    "nb_classifier",
+    "nb_classifier_hashed",
+    "p2_scores",
+    "p4_name_normalize",
+    "pipeline_e2e",
+    "pq_adc_arrow",
+    "pq_adc_topk",
+    "q1_pricing_summary",
+    "s2_fingerprint",
+    "s5_merge_upsert",
+    "s7_apply_deletes",
+    "semantic_dedup",
+    "semantic_dedup_arrow",
+    "semantic_dedup_capped",
 ]
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness gate samples
-    # the FIRST 50 registered queries. The _R10_WINDOW list above pulls
+    # the FIRST 50 registered queries. The _R11_WINDOW list above pulls
     # this round's rotation to the front; the remaining queries keep
     # their existing relative order behind it (dict.update never
     # reorders existing keys). Historical rotations live in git.
@@ -6459,7 +6462,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "pq_codes": q_pq_codes,
     }
-    head = {name: qs[name] for name in _R10_WINDOW}
+    head = {name: qs[name] for name in _R11_WINDOW}
     head.update(qs)  # existing keys keep their values; order = window first
     return head
 

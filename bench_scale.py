@@ -3867,6 +3867,94 @@ def unigramtrain_probe(n: int, n_iters: int = 2) -> None:
     )
 
 
+def unigram8k_probe(n: int, vocab_size: int = 8000, n_iters: int = 1) -> None:
+    """Unigram-LM at PRODUCTION vocab (VERDICT r10 what's-missing #4:
+    the r10 probe ran |V|=177; wordpiece has its 8k precedent). Same
+    Zipf corpus as unigramtrain_probe; reports s/EM-iteration for
+    ``unigram_train`` at 8k pieces (the E-step Viterbi folds the
+    distinct-word table against an 8k literal map — vocab-size-linear
+    map probes, the measured reason the APPLY path belongs on arrow)
+    and pieces/s for ``unigram_tokenize_arrow`` over the full corpus
+    (O(1) dict probes — the deploy twin, byte-identical to Catalyst,
+    pinned at 8k in tests/test_tokenizer_unigram8k.py). Usage:
+    ``python bench_scale.py 500000 unigram8k [vocab] [iters]``."""
+    from updater_spark.operators.tokenizer import (
+        unigram_tokenize_arrow,
+        unigram_train,
+    )
+
+    spark = get_spark("bench_scale_unigram8k")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _word(i):
+        wid = (
+            F.pow(
+                F.pmod(F.xxhash64("doc_id", i), F.lit(100_000))
+                / F.lit(100_000.0),
+                F.lit(2),
+            )
+            * F.lit(40_000)
+        ).cast("long")
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2) + F.pmod(wid, F.lit(4))),
+                lambda k: F.char(
+                    F.lit(97) + F.pmod(F.xxhash64(wid, k), F.lit(26))
+                ),
+            ),
+            "",
+        )
+
+    docs = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(20)), lambda i: _word(i)
+                ),
+                " ",
+            ),
+        )
+        .persist()
+    )
+    n_docs = docs.count()
+    t0 = time.time()
+    vocab_rows = unigram_train(
+        docs, "text", vocab_size=vocab_size, n_iters=n_iters,
+        max_piece_len=5,
+    ).collect()
+    train_wall = round(time.time() - t0, 2)
+    vocab = [(r["piece"], r["logprob_scaled"]) for r in vocab_rows]
+
+    t0 = time.time()
+    n_pieces = (
+        unigram_tokenize_arrow(docs, "text", vocab)
+        .agg(F.sum("n_pieces"))
+        .collect()[0][0]
+    )
+    apply_wall = round(time.time() - t0, 2)
+    docs.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "unigram8k_probe": {
+                    "vocab_size_final": len(vocab),
+                    "n_iters": n_iters,
+                    "train_wall_sec": train_wall,
+                    "sec_per_iter": round(train_wall / n_iters, 2),
+                    "apply_arrow_wall_sec": apply_wall,
+                    "total_pieces": int(n_pieces),
+                    "pieces_per_sec": int(n_pieces / apply_wall),
+                    "docs_per_sec_apply": int(n_docs / apply_wall),
+                },
+            }
+        )
+    )
+
+
 def imagehash_probe(n: int) -> None:
     """Perceptual image hash + banded near-dup at scale: ``n``
     synthetic ~200-byte blobs, every 100th a same-length near-copy of
@@ -4024,6 +4112,12 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 2 and sys.argv[2] == "dedupchar":
         dedupchar_probe(_n)
+    elif len(sys.argv) > 2 and sys.argv[2] == "unigram8k":
+        unigram8k_probe(
+            _n,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 8000,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 1,
+        )
     elif len(sys.argv) > 2 and sys.argv[2] == "unigramtrain":
         unigramtrain_probe(
             _n, int(sys.argv[3]) if len(sys.argv) > 3 else 2

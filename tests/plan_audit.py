@@ -346,6 +346,39 @@ CHECKS = {
         "vocab/doc-sized rows, never the token stream; the query-set "
         "join broadcasts; the final top-k window runs per query id."
     ),
+    "bm25_champion": (
+        "the champion cut is ONE per-term row_number window that "
+        "Catalyst splits via WindowGroupLimit into a Partial "
+        "(map-side, BEFORE the exchange) and a Final limit — every "
+        "input partition pre-prunes to its local top-champion_n, so "
+        "the shuffle carries <= champion_n x n_partitions rows per "
+        "term and no task sorts a full Zipf-head posting list; the "
+        "query join then fans <= champion_n rows per term (measured "
+        "110s -> 29s at 1M x 10k, recall@10 0.97). df/dl aggregates "
+        "stay on the full postings."
+    ),
+    "dedup_char_lsh": (
+        "char shingles change shuffle WIDTH, not plan shape: the "
+        "same one-explode-one-groupBy signature pass, one (band, "
+        "hash) banding shuffle, and a verify join that touches "
+        "candidate pairs only — ~5x gram volume rides existing "
+        "exchanges (measured flat buckets at 1M/10M spaceless docs: "
+        "volume, not skew)."
+    ),
+    "decontam_char": (
+        "the benchmark gram-hash set folds to a broadcast; the "
+        "corpus side is ONE gram pass (explode carries the set size "
+        "alongside each gram) into a doc-keyed groupBy — no second "
+        "gram build, no corpus-text shuffle, same shape as the word "
+        "unit at ~n-fold gram width."
+    ),
+    "image_dedup_dhash": (
+        "one Arrow mapInPandas scan emits 8-byte hashes; the "
+        "banding join and the expansion-estimate aggregate only "
+        "ever touch (id, hash) rows — payloads never shuffle; "
+        "identical shape to image_dedup_phash, only the packing "
+        "differs."
+    ),
     "vocab_build": (
         "piece candidates explode once, then a two-level aggregate "
         "(partial counts map-side); the vocab_size cut is a window "

@@ -322,13 +322,13 @@ def bm25_topk(
     PROBES_r10 ``hybrid_1m``); the cut bounds the join at
     ``champion_n`` rows per term. df/idf and document lengths stay
     EXACT (computed over the full posting list — pruning changes
-    which docs score, never how a surviving doc scores). The cut
-    itself is two skew-bounded window passes: a per-input-partition
-    local top-N (the head term splits across partitions, so no
-    single task ever sorts a full Zipf-head posting list) feeding a
-    global top-N over ≤ champion_n × n_partitions rows per term —
-    exact, since the global top-N under the (tf, doc_id) total order
-    is a subset of the union of local top-Ns.
+    which docs score, never how a surviving doc scores). The cut is
+    ONE per-term row_number window that Catalyst's WindowGroupLimit
+    rule splits into a Partial (map-side, before the exchange) and a
+    Final limit — each input partition pre-prunes to its local
+    top-champion_n, so the shuffle carries ≤ champion_n ×
+    n_partitions rows per term and no task ever sorts a full
+    Zipf-head posting list.
 
     ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``; per matched term
     ``idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``, summed per
@@ -367,16 +367,20 @@ def bm25_topk(
     if champion_n is not None:
         if champion_n < 1:
             raise ValueError(f"champion_n must be >= 1, got {champion_n}")
-        order = [F.col("tf").desc(), F.col(id_col).asc()]
-        wl = Window.partitionBy("_cp", "term").orderBy(*order)
-        wg = Window.partitionBy("term").orderBy(*order)
+        # One per-term row_number window: Catalyst's WindowGroupLimit
+        # rule inserts a PARTIAL group limit BEFORE the exchange (and
+        # a Final one after), so every input partition pre-prunes to
+        # its local top-champion_n per term and the shuffle carries
+        # <= champion_n x n_partitions rows per term — no task ever
+        # sorts a full Zipf-head posting list (verified in the
+        # physical plan: WindowGroupLimit ... Partial / Final).
+        wg = Window.partitionBy("term").orderBy(
+            F.col("tf").desc(), F.col(id_col).asc()
+        )
         posting = (
-            posting.withColumn("_cp", F.spark_partition_id())
-            .withColumn("_lr", F.row_number().over(wl))
-            .filter(F.col("_lr") <= champion_n)
-            .withColumn("_gr", F.row_number().over(wg))
+            posting.withColumn("_gr", F.row_number().over(wg))
             .filter(F.col("_gr") <= champion_n)
-            .drop("_cp", "_lr", "_gr")
+            .drop("_gr")
         )
     qterms = queries.select(
         F.col(qid_col).alias("qid"),
