@@ -3463,7 +3463,9 @@ def budget_probe(n: int) -> None:
     print(json.dumps(res))
 
 
-def hybrid_probe(n: int, n_queries: int = 10_000) -> None:
+def hybrid_probe(
+    n: int, n_queries: int = 10_000, champion_n: int | None = None
+) -> None:
     """Hybrid retrieval end-to-end at scale (VERDICT r9 #8): ``n``
     synthetic docs carrying BOTH a text column (Zipf-ish words, the
     bpetrain generator) and a deterministic 16-dim embedding;
@@ -3471,8 +3473,12 @@ def hybrid_probe(n: int, n_queries: int = 10_000) -> None:
     dense leg (ivf_topk over a 64-cell codebook), and rrf_fuse. The
     claim to verify: the corpus never enters the fusion — only the
     two legs' k-per-query rows do (reported as rows_into_fusion), so
-    fusion cost is O(queries·k) regardless of corpus size. Usage:
-    ``python bench_scale.py 1000000 hybrid [n_queries]``."""
+    fusion cost is O(queries·k) regardless of corpus size. Pass
+    ``champion_n`` to run the lexical leg with the champion-list cut
+    (VERDICT r10 #3 follow-through: the r10 hybrid_1m end-to-end was
+    185s with the exact leg at 159s of it — this measures the fixed
+    pipeline with the cut in place rather than deriving it). Usage:
+    ``python bench_scale.py 1000000 hybrid [n_queries] [champion_n]``."""
     from updater_spark.operators.similarity import ivf_topk
     from updater_spark.operators.text import bm25_topk, rrf_fuse
 
@@ -3544,7 +3550,7 @@ def hybrid_probe(n: int, n_queries: int = 10_000) -> None:
 
     timings = {}
     t0 = time.time()
-    lex = bm25_topk(docs, queries, k=10).persist()
+    lex = bm25_topk(docs, queries, k=10, champion_n=champion_n).persist()
     n_lex = lex.count()
     timings["bm25_sec"] = round(time.time() - t0, 2)
     t0 = time.time()
@@ -3579,6 +3585,7 @@ def hybrid_probe(n: int, n_queries: int = 10_000) -> None:
                 "n_queries": nq,
                 "hybrid_probe": {
                     **timings,
+                    "champion_n": champion_n,
                     "total_sec": round(
                         sum(timings.values()), 2
                     ),
@@ -4126,7 +4133,9 @@ if __name__ == "__main__":
         imagehash_probe(_n)
     elif len(sys.argv) > 2 and sys.argv[2] == "hybrid":
         hybrid_probe(
-            _n, int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
+            _n,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 10_000,
+            int(sys.argv[4]) if len(sys.argv) > 4 else None,
         )
     elif len(sys.argv) > 2 and sys.argv[2] == "hybridchamp":
         hybridchamp_probe(

@@ -575,6 +575,42 @@ def test_rrf_fuse_ties_break_by_id_and_guards(spark):
         rrf_fuse([a, b], rrf_k=0)
 
 
+def test_rrf_fuse_validate_unique(spark):
+    import pytest as _pytest
+
+    from updater_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 7, 1), (1, 5, 2)], "qid long, doc_id long, rank long"
+    )
+    # list 1 repeats (qid=1, doc_id=9) — a contract violation that
+    # silently inflates rrf_score and n_sources without validation
+    dup = spark.createDataFrame(
+        [(1, 9, 1), (1, 9, 2), (1, 3, 3)],
+        "qid long, doc_id long, rank long",
+    )
+    with _pytest.raises(ValueError, match=r"list 1 is not rank-unique"):
+        rrf_fuse([a, dup], validate_unique=True)
+    # clean inputs pass validation and fuse identically to default
+    b = dup.filter("rank != 2")
+    validated = sorted(
+        (r["doc_id"], r["rrf_score"], r["rank"])
+        for r in rrf_fuse([a, b], k=4, validate_unique=True).collect()
+    )
+    plain = sorted(
+        (r["doc_id"], r["rrf_score"], r["rank"])
+        for r in rrf_fuse([a, b], k=4).collect()
+    )
+    assert validated == plain and len(validated) == 4
+    # without validation the duplicated pair double-counts — the trap
+    # the flag exists to catch
+    bad = {
+        r["doc_id"]: r["n_sources"]
+        for r in rrf_fuse([a, dup], k=4).collect()
+    }
+    assert bad[9] == 2
+
+
 def test_url_normalize_hand_values(spark):
     from updater_spark.operators.text import url_normalize
 

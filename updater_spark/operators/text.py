@@ -868,6 +868,7 @@ def rrf_fuse(
     id_col: str = "doc_id",
     rank_col: str = "rank",
     round_digits: int = 6,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) —
     the standard hybrid-retrieval combiner: given N ranked lists over
@@ -893,8 +894,13 @@ def rrf_fuse(
     Input contract: each list must be rank-UNIQUE per (query, doc) —
     the shape every top-k operator here emits. A duplicated pair
     inside one list would sum both contributions and inflate
-    ``n_sources``; this is not validated (it would cost a pass over
-    inputs that are correct by construction).
+    ``n_sources``. ``validate_unique=True`` enforces it with one
+    eager duplicate-count per list (inputs are k-per-query-sized, so
+    the pass is cheap — but it IS an action, and an uncached
+    upstream plan recomputes for the real fusion; cache first or
+    leave it off for inputs correct by construction, which all
+    call sites here are). On violation it raises naming the
+    offending list index and one example (qid, doc_id).
 
     Returns ``(qid, doc_id, rrf_score, n_sources, rank)``."""
     from pyspark.sql import Window
@@ -905,6 +911,22 @@ def rrf_fuse(
         )
     if rrf_k < 1 or k < 1:
         raise ValueError(f"k and rrf_k must be >= 1, got k={k} rrf_k={rrf_k}")
+    if validate_unique:
+        for i, p in enumerate(ranked):
+            dup = (
+                p.groupBy(qid_col, id_col)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"rrf_fuse: ranked list {i} is not rank-unique per "
+                    f"({qid_col}, {id_col}): e.g. "
+                    f"({dup[0][qid_col]}, {dup[0][id_col]}) appears "
+                    f"{dup[0]['_n']} times"
+                )
     parts = ranked[0].select(qid_col, id_col, rank_col)
     for p in ranked[1:]:
         parts = parts.unionByName(p.select(qid_col, id_col, rank_col))
