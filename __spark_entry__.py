@@ -5568,6 +5568,37 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram LM (operators/text.py::backoff_logprob,
+    Brants et al. 2007): counts trained on the lang='en' slice score
+    EVERY document through the 3-leg backoff chain — seen trigram →
+    discounted seen (w2,w3) bigram → add-k unigram floor. The
+    production perplexity filter bigram_logprob approximates; the
+    oracle replays the identical chain in SQL."""
+    docs = demo.load(spark, sf_dir, "documents")
+    from updater_spark.operators.text import backoff_logprob
+
+    return backoff_logprob(docs, train_filter=F.col("lang") == "en")
+
+
+def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet §4.3 head/middle/tail cut (operators/text.py::
+    score_buckets over backoff_logprob): exact tercile thresholds of
+    the backoff score computed in ONE agg job and folded back as
+    literals, then a map-side label — no global sort/ntile over the
+    corpus. Spark ``percentile`` and DuckDB ``quantile_cont`` agree
+    only to an ulp on interpolated positions (measured: 2/500 rows
+    flipped buckets unrounded), so BOTH engines round thresholds to
+    the scores' own 4-digit precision, which a tercile interpolation
+    point over 4-digit scores cannot straddle (score_buckets
+    docstring has the argument)."""
+    docs = demo.load(spark, sf_dir, "documents")
+    from updater_spark.operators.text import backoff_logprob, score_buckets
+
+    scored = backoff_logprob(docs, train_filter=F.col("lang") == "en")
+    return score_buckets(scored)
+
+
 def q_cdc_type_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC TYPE evolution (plans/cdc.py, ADVICE r7): the source
     re-types a column between epochs with unchanged names (bigint
@@ -6196,11 +6227,13 @@ def q_events_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 # after r10 they are the ONLY rows older than r7).
 _R11_WINDOW = [
     # new in r11 (VERDICT r10 #1 char-unit rows, #3 champion prune,
-    # #4 dHash)
+    # #4 dHash; continuation: Stupid Backoff LM + CCNet tercile cut)
     "dedup_char_lsh",
     "decontam_char",
     "bm25_champion",
     "image_dedup_dhash",
+    "text_backoff_lm",
+    "lm_perplexity_buckets",
     # code-changed in r11 (simhash warn_expansion estimate pass,
     # bm25_topk champion_n refactor, langid gram_n_max meta)
     "dedup_simhash",
@@ -6217,7 +6250,7 @@ _R11_WINDOW = [
     "tfidf_top_terms",
     "tribe_stats_repair",
     "zorder_scan",
-    # r7 cohort alphabetical head (fills to 50; 6 r7 rows remain for
+    # r7 cohort alphabetical head (fills to 50; 8 r7 rows remain for
     # r12, which laps the registry)
     "a2_events_hourly",
     "a3_tribe_stats_bootstrap",
@@ -6250,8 +6283,6 @@ _R11_WINDOW = [
     "s5_merge_upsert",
     "s7_apply_deletes",
     "semantic_dedup",
-    "semantic_dedup_arrow",
-    "semantic_dedup_capped",
 ]
 
 
@@ -6262,11 +6293,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their existing relative order behind it (dict.update never
     # reorders existing keys). Historical rotations live in git.
     qs = {
-        # --- r11: new queries lead (VERDICT r10 #1/#3/#4 rows) ---
+        # --- r11: new queries lead (VERDICT r10 #1/#3/#4 rows, then
+        # the round-11 continuation: Stupid Backoff LM + CCNet cut) ---
         "dedup_char_lsh": q_dedup_char_lsh,
         "decontam_char": q_decontam_char,
         "bm25_champion": q_bm25_champion,
         "image_dedup_dhash": q_image_dedup_dhash,
+        "text_backoff_lm": q_text_backoff_lm,
+        "lm_perplexity_buckets": q_lm_perplexity_buckets,
         # --- r10: new queries lead (no driver row yet) ---
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
@@ -7930,6 +7964,77 @@ def _unigram_sql(
     return "WITH " + ",\n".join(ctes) + final
 
 
+# Stupid Backoff trigram LM (text.py::backoff_logprob) replayed in
+# DuckDB. Float-parity notes: every 0.4 is CAST AS DOUBLE — DuckDB
+# parses a bare 0.4 as DECIMAL(2,1) and decimal-exact products differ
+# from Spark's double 0.4 (not binary-representable) by an ulp; 0.5
+# IS binary-exact so the add-k terms can stay bare (the bigram-LM
+# precedent). Division/grouping order mirrors the Column expression
+# exactly: ((0.4*c23)/c2) and (((0.4*0.4)*x)/d).
+_BACKOFF_CTES = """
+    WITH toked AS MATERIALIZED (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    doc_tg AS MATERIALIZED (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, len(toks) - 1)) AS i
+              FROM toked WHERE len(toks) >= 3)
+    ),
+    train AS MATERIALIZED (
+        SELECT toks FROM toked WHERE lang = 'en'
+    ),
+    tri AS MATERIALIZED (
+        SELECT w1, w2, w3, COUNT(*) AS c123 FROM (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+            FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+                  FROM train WHERE len(toks) >= 3)
+        ) GROUP BY 1, 2, 3
+    ),
+    bi AS MATERIALIZED (
+        SELECT w1, w2, COUNT(*) AS c12 FROM (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                  FROM train WHERE len(toks) >= 2)
+        ) GROUP BY 1, 2
+    ),
+    uni AS MATERIALIZED (
+        SELECT t, COUNT(*) AS c FROM (
+            SELECT unnest(toks) AS t FROM train
+        ) WHERE t <> '' GROUP BY 1
+    ),
+    nv AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
+                  CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    scored AS MATERIALIZED (
+        SELECT g.doc_id, COUNT(*) AS n_trigrams,
+               round(AVG(ln(CASE
+                   WHEN t.c123 IS NOT NULL
+                       THEN t.c123 / CAST(b12.c12 AS DOUBLE)
+                   WHEN b23.c12 IS NOT NULL
+                       THEN CAST(0.4 AS DOUBLE) * b23.c12
+                            / CAST(u2.c AS DOUBLE)
+                   ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                        * (COALESCE(u3.c, 0) + 0.5)
+                        / ((SELECT n FROM nv) + 0.5 * (SELECT v FROM nv))
+               END)), 4) AS avg_logprob
+        FROM doc_tg g
+        LEFT JOIN tri t ON g.w1 = t.w1 AND g.w2 = t.w2 AND g.w3 = t.w3
+        LEFT JOIN bi b12 ON g.w1 = b12.w1 AND g.w2 = b12.w2
+        LEFT JOIN bi b23 ON g.w2 = b23.w1 AND g.w3 = b23.w2
+        LEFT JOIN uni u2 ON g.w2 = u2.t
+        LEFT JOIN uni u3 ON g.w3 = u3.t
+        GROUP BY g.doc_id
+    ),
+    backoff AS (
+        SELECT d.doc_id, COALESCE(s.n_trigrams, 0) AS n_trigrams,
+               s.avg_logprob
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # NB: POWER(x, 0.25) is written sqrt(sqrt(x)) — IEEE sqrt is
     # correctly rounded everywhere, pow is libm-dependent (see
@@ -8782,6 +8887,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
                    s.avg_logprob
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "text_backoff_lm": _BACKOFF_CTES
+        + "SELECT doc_id, n_trigrams, avg_logprob FROM backoff",
+        "lm_perplexity_buckets": _BACKOFF_CTES
+        + """
+            , th AS (
+                -- thresholds rounded to the scores' own 4-digit
+                -- precision (score_buckets thresh_digits): raw
+                -- interpolation agrees with Spark only to an ulp
+                SELECT round(quantile_cont(avg_logprob,
+                                 0.3333333333333333), 4) AS t1,
+                       round(quantile_cont(avg_logprob,
+                                 0.6666666666666666), 4) AS t2
+                FROM backoff WHERE avg_logprob IS NOT NULL
+            )
+            SELECT doc_id, n_trigrams, avg_logprob,
+                   CASE WHEN avg_logprob IS NULL THEN NULL
+                        WHEN avg_logprob >= (SELECT t2 FROM th)
+                            THEN 'head'
+                        WHEN avg_logprob >= (SELECT t1 FROM th)
+                            THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM backoff
         """,
         "dsir_incremental": """
             WITH docs AS MATERIALIZED (

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from updater_spark.operators.dedup import tokens
+from updater_spark.operators.tokenizer import _round_half_away
 
 # Tiny marker-word lists for the n-gram/stopword language heuristic.
 # Deliberately short and deterministic — mirrored verbatim in the
@@ -699,6 +700,205 @@ def unigram_logprob(
         )
     )
     return scored
+
+
+def backoff_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_filter=None,
+    alpha: float = 0.4,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean trigram log-score under a Stupid Backoff LM
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation") — the production-shaped perplexity quality filter:
+    CCNet's recipe with the unnormalized backoff score web-scale LMs
+    actually use (no discounting pass, counts only). Per trigram
+    position::
+
+        S(w3|w1,w2) = c123 / c12                       if c123 > 0
+                    = alpha   * c23 / c2               elif c23 > 0
+                    = alpha^2 * (c3 + k) / (N + k*V)   otherwise
+
+    with counts from the ``train_filter`` slice (the trusted-subset
+    recipe — CCNet trains on Wikipedia; None = self-perplexity), N/V
+    the train token total / vocabulary, and the final leg add-k
+    smoothed so OOV words score smoothly instead of -inf. The backoff
+    chain is exactly why this beats ``bigram_logprob`` as a filter:
+    a fluent held-out sentence keeps hitting seen trigrams, while
+    shuffled-but-common-word soup falls through to the penalized legs.
+
+    Scale shape: three partial-combining count aggregates over the
+    exploded gram streams (shuffles carry the gram VOCABULARY of the
+    train slice — CCNet-sized, not corpus-sized), then five left
+    joins back on gram keys (vocab-sized right sides, AQE broadcasts
+    the small ones) and one per-doc agg. N and V — two scalars —
+    fold on the driver as literals (the ``unigram_logprob`` stance:
+    no scalar-subquery cartesian in the plan). Docs with < 3 tokens
+    return ``n_trigrams = 0`` and a NULL score.
+
+    Returns ``(id, n_trigrams, avg_logprob)`` rounded to 4 decimals
+    (cross-engine float-sum tolerance)."""
+    train = df.filter(train_filter) if train_filter is not None else df
+
+    def _grams(frame: DataFrame, n: int, *keep):
+        names = [f"w{j + 1}" for j in range(n)]
+        t = frame.select(*keep, tokens(text_col).alias("_toks"))
+        typ = "array<struct<" + ",".join(f"{c}:string" for c in names) + ">>"
+        grams = F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1)),
+                lambda i: F.struct(
+                    *[
+                        F.element_at("_toks", i + F.lit(j)).alias(c)
+                        for j, c in enumerate(names)
+                    ]
+                ),
+            ),
+        ).otherwise(F.array().cast(typ))
+        return t.select(*keep, F.explode(grams).alias("_g")).select(
+            *keep, *[F.col(f"_g.{c}").alias(c) for c in names]
+        )
+
+    tri_cnt = (
+        _grams(train, 3)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_c123"))
+    )
+    bi_cnt = (
+        _grams(train, 2)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+    )
+    # tokens('') is [''] (the split-on-empty quirk) — the empty token
+    # only arises in 1-token docs, which form no grams; keep it out of
+    # the unigram table so N and V stay honest (bigram_logprob's rule)
+    uni_cnt = (
+        train.select(F.explode(tokens(text_col)).alias("_tok"))
+        .filter(F.col("_tok") != "")
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    row = uni_cnt.agg(
+        F.sum("_c1").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
+    if not row or not row["n"]:
+        raise ValueError("train set has no tokens; nothing to model")
+    n_total, v = float(row["n"]), float(row["v"])
+
+    doc_tg = _grams(df, 3, F.col(id_col))
+    bi23 = bi_cnt.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("_c12").alias("_c23"),
+    )
+    uni2 = uni_cnt.select(F.col("_tok").alias("w2"), F.col("_c1").alias("_c2"))
+    uni3 = uni_cnt.select(F.col("_tok").alias("w3"), F.col("_c1").alias("_c3"))
+    score = (
+        F.when(F.col("_c123").isNotNull(), F.col("_c123") / F.col("_c12"))
+        .when(
+            F.col("_c23").isNotNull(),
+            F.lit(alpha) * F.col("_c23") / F.col("_c2"),
+        )
+        .otherwise(
+            F.lit(alpha * alpha)
+            * (F.coalesce(F.col("_c3"), F.lit(0)) + F.lit(add_k))
+            / F.lit(n_total + add_k * v)
+        )
+    )
+    scored = (
+        doc_tg.join(tri_cnt, ["w1", "w2", "w3"], "left")
+        .join(bi_cnt, ["w1", "w2"], "left")
+        .join(bi23, ["w2", "w3"], "left")
+        .join(uni2, "w2", "left")
+        .join(uni3, "w3", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg(F.log(score)), 4).alias("avg_logprob"),
+        )
+    )
+    # docs with < 3 tokens emit no trigram rows — reattach with NULLs
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            "avg_logprob",
+        )
+    )
+
+
+def score_buckets(
+    scored: DataFrame,
+    score_col: str = "avg_logprob",
+    probs: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+    out: str = "bucket",
+    thresh_digits: int | None = 4,
+) -> DataFrame:
+    """CCNet-style percentile bucketing over any per-document score:
+    compute ``len(probs)`` EXACT percentile thresholds over the
+    non-NULL scores, then label every row map-side — ``labels[i]``
+    covers scores in [t_{i-1}, t_i), the last label taking
+    ``score >= t_last`` (boundary scores promote). NULL scores get a
+    NULL bucket. This is the scale-correct filter shape (CCNet §4.3
+    cuts the corpus into head/middle/tail at perplexity terciles):
+    ONE single-column aggregate job computes the thresholds, which
+    fold back into the plan as literals, so the labeling pass is a
+    pure map — no global sort, no ntile window over the corpus.
+
+    ``percentile`` is exact (linear interpolation) and buffers the
+    score column on one executor; for >1e9 docs switch to
+    ``approx_percentile`` and accept sketch-accuracy thresholds (the
+    labeling stays exact either way). ``thresh_digits`` rounds the
+    interpolated thresholds (half-away-from-zero — Spark/DuckDB
+    round()) to the SCORE column's own precision before comparing:
+    cross-engine percentile interpolation agrees only to an ulp
+    (measured: Spark ``percentile`` vs DuckDB ``quantile_cont``
+    differ in the last bit on tercile positions), and an unrounded
+    threshold turns that ulp into a bucket flip for every score
+    exactly at the boundary. Over d-digit scores a tercile
+    interpolation point keeps ≥ (10^-d)/6 distance from any rounding
+    boundary, so rounding both engines' thresholds to d digits makes
+    the cut deterministic. (A plain median over evenly-spaced scores
+    CAN land exactly on a half boundary — knife-edge by nature; pass
+    thresh_digits=None to compare raw.) Raises if ``labels`` is not
+    one longer than ``probs``, or if no non-NULL scores exist."""
+    if len(labels) != len(probs) + 1:
+        raise ValueError(
+            f"need len(labels) == len(probs) + 1, got {len(labels)} labels "
+            f"for {len(probs)} thresholds"
+        )
+    if sorted(probs) != list(probs):
+        raise ValueError(f"probs must be ascending, got {probs!r}")
+    arr = ", ".join(repr(p) for p in probs)
+    row = (
+        scored.filter(F.col(score_col).isNotNull())
+        .agg(F.expr(f"percentile({score_col}, array({arr}))").alias("t"))
+        .first()
+    )
+    if row is None or row["t"] is None:
+        raise ValueError(f"no non-NULL {score_col!r} values to bucket")
+    thresholds = list(row["t"])
+    if thresh_digits is not None:
+        scale = 10.0 ** thresh_digits
+        thresholds = [
+            _round_half_away(t * scale) / scale for t in thresholds
+        ]
+    expr = F.lit(labels[0])
+    for t, lab in zip(thresholds, labels[1:]):
+        expr = F.when(F.col(score_col) >= F.lit(t), F.lit(lab)).otherwise(
+            expr
+        )
+    expr = (
+        F.when(F.col(score_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(expr)
+    )
+    return scored.withColumn(out, expr)
 
 
 def pmi_collocations(
