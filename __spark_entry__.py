@@ -1605,6 +1605,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_clusters(corpus, pairs, "doc_id")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (operators/clusters.py::
+    resolve_clusters_best): same pair graph + components as
+    dedup_clusters, but the keeper is the LONGEST cluster member
+    (RefinedWeb's rule), ties → min id. Discriminating by
+    construction: _cluster_corpus's near-copies APPEND tokens, so the
+    keep-longest keeper differs from dedup_clusters' min-id keeper in
+    every multi-member cluster."""
+    from updater_spark.operators.clusters import resolve_clusters_best
+    from updater_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = _cluster_corpus(spark, sf_dir).withColumn(
+        "q_len", F.length("text").cast("long")
+    )
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    return resolve_clusters_best(corpus, pairs, "doc_id", "q_len")
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition fractions (dup word / 2-gram / 3-gram
     occurrence ratios) — shuffle-free scan-fused projection."""
@@ -4038,6 +4056,23 @@ def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_tokenize(docs, "text", WP_VOCAB)
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility/compression report (operators/
+    tokenizer.py::tokenizer_fertility) over the wordpiece demo vocab:
+    pieces-per-word and chars-per-piece by lang — the vocabulary-
+    coverage check a multilingual corpus build runs before committing
+    to a tokenizer. Oracle wraps the wordpiece recursive-CTE replay
+    in the per-group aggregate."""
+    from updater_spark.operators.tokenizer import (
+        tokenizer_fertility,
+        wordpiece_tokenize,
+    )
+
+    docs = demo.load(spark, sf_dir, "documents")
+    tok = wordpiece_tokenize(docs, "text", WP_VOCAB)
+    return tokenizer_fertility(docs, tok, ("lang",))
+
+
 def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (operators/multimodal.py::
     image_ahash + image_neardup_pairs): blob fixture from documents,
@@ -6234,6 +6269,8 @@ _R11_WINDOW = [
     "image_dedup_dhash",
     "text_backoff_lm",
     "lm_perplexity_buckets",
+    "dedup_keep_best",
+    "tokenizer_fertility",
     # code-changed in r11 (simhash warn_expansion estimate pass,
     # bm25_topk champion_n refactor, langid gram_n_max meta)
     "dedup_simhash",
@@ -6250,7 +6287,7 @@ _R11_WINDOW = [
     "tfidf_top_terms",
     "tribe_stats_repair",
     "zorder_scan",
-    # r7 cohort alphabetical head (fills to 50; 8 r7 rows remain for
+    # r7 cohort alphabetical head (fills to 50; 10 r7 rows remain for
     # r12, which laps the registry)
     "a2_events_hourly",
     "a3_tribe_stats_bootstrap",
@@ -6281,8 +6318,6 @@ _R11_WINDOW = [
     "q1_pricing_summary",
     "s2_fingerprint",
     "s5_merge_upsert",
-    "s7_apply_deletes",
-    "semantic_dedup",
 ]
 
 
@@ -6301,6 +6336,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_dhash": q_image_dedup_dhash,
         "text_backoff_lm": q_text_backoff_lm,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
+        "dedup_keep_best": q_dedup_keep_best,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # --- r10: new queries lead (no driver row yet) ---
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
@@ -6854,6 +6891,36 @@ def _generated_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": minhash_sql,
         "embed_project": _rp_sql(),
         "wordpiece_tokens": _wp_sql(WP_VOCAB),
+        "tokenizer_fertility": f"""
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(nw) AS BIGINT) AS n_words,
+                   CAST(SUM(np) AS BIGINT) AS n_pieces,
+                   CAST(SUM(nc) AS BIGINT) AS n_chars,
+                   CASE WHEN SUM(nw) > 0
+                        THEN round(CAST(SUM(np) AS BIGINT)
+                                   / CAST(SUM(nw) AS DOUBLE), 6)
+                   END AS fertility,
+                   CASE WHEN SUM(np) > 0
+                        THEN round(CAST(SUM(nc) AS BIGINT)
+                                   / CAST(SUM(np) AS DOUBLE), 6)
+                   END AS chars_per_piece
+            FROM (
+                SELECT d.lang, w.n_pieces AS np,
+                       len(list_filter(
+                           regexp_split_to_array(
+                               trim(regexp_replace(lower(d.text),
+                                        '[^a-z ]', '', 'g')), ' +'),
+                           x -> x <> '')) AS nw,
+                       length(replace(
+                           regexp_replace(lower(d.text),
+                                          '[^a-z ]', '', 'g'),
+                           ' ', '')) AS nc
+                FROM documents d
+                JOIN ({_wp_sql(WP_VOCAB)}) w ON d.doc_id = w.doc_id
+            )
+            GROUP BY lang
+        """,
         "wordpiece_tokens_8k": _wp_sql(_wp_vocab_8k()),
         "bpe_tokens": _bpe_sql(BPE_MERGES),
         "bpe_tokens_arrow": _bpe_sql(BPE_MERGES),
@@ -10970,6 +11037,20 @@ def oracle_sql() -> dict[str, str]:
               ON l.event_id = m.event_id
         """,
         "dedup_clusters": _CLUSTERS_CTES + _CLUSTERS_SELECT,
+        "dedup_keep_best": _CLUSTERS_CTES
+        + """
+            , scored AS (
+                SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS q_len,
+                       COALESCE(k.component, c.doc_id) AS cluster_id
+                FROM corpus c LEFT JOIN comps k ON c.doc_id = k.id
+            )
+            SELECT doc_id, q_len, cluster_id,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY q_len DESC NULLS LAST, doc_id ASC) = 1
+                       AS is_keeper
+            FROM scored
+        """,
         "text_repetition": """
             WITH toked AS (
                 SELECT doc_id,

@@ -101,6 +101,56 @@ def test_resolve_clusters_keepers_and_singletons(spark):
     assert sorted(keepers) == [1, 7, 9]
 
 
+def test_resolve_clusters_best_argmax_and_ties(spark):
+    from updater_spark.operators.clusters import resolve_clusters_best
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, q=0.2),   # cluster {1,2,3}: 2 has max score
+            Row(doc_id=2, q=0.9),
+            Row(doc_id=3, q=0.9),   # tie with 2 → min id 2 wins
+            Row(doc_id=7, q=None),  # singleton with NULL score: kept
+            Row(doc_id=8, q=None),  # cluster {8,9}: NULL loses to 0.1
+            Row(doc_id=9, q=0.1),
+        ],
+        "doc_id long, q double",
+    )
+    pairs = _pairs_df(spark, [(1, 2), (2, 3), (8, 9)])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in resolve_clusters_best(docs, pairs, "doc_id", "q").collect()
+    }
+    assert got == {
+        1: (1, False),
+        2: (1, True),
+        3: (1, False),
+        7: (7, True),
+        8: (8, False),
+        9: (8, True),
+    }
+    # exactly one keeper per cluster, always
+    from collections import Counter
+
+    per_cluster = Counter(c for c, k in got.values() if k)
+    clusters = {c for c, _ in got.values()}
+    assert per_cluster == {c: 1 for c in clusters}
+
+
+def test_resolve_clusters_best_all_null_falls_back_to_min_id(spark):
+    from updater_spark.operators.clusters import resolve_clusters_best
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=4, q=None), Row(doc_id=5, q=None)],
+        "doc_id long, q double",
+    )
+    pairs = _pairs_df(spark, [(4, 5)])
+    got = {
+        r["doc_id"]: r["is_keeper"]
+        for r in resolve_clusters_best(docs, pairs, "doc_id", "q").collect()
+    }
+    assert got == {4: True, 5: False}
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     """Near-dup pairs must land in the SAME split — the property a
     per-doc split violates (train/test contamination via near-copies)."""

@@ -205,6 +205,51 @@ def _run_bpe(spark, texts, merges=MERGES, arrow=False, **kw):
     }
 
 
+def test_tokenizer_fertility_oracle(spark):
+    from updater_spark.operators.tokenizer import tokenizer_fertility
+
+    docs = [
+        Row(doc_id=0, lang="en", text="scan the ring"),
+        Row(doc_id=1, lang="en", text="abc ring ring!"),
+        Row(doc_id=2, lang="fr", text="zz qq"),
+        Row(doc_id=3, lang="de", text="123 ..."),  # no letters at all
+    ]
+    df = spark.createDataFrame(docs)
+    tok = wordpiece_tokenize(df, "text", VOCAB)
+    got = {
+        r["lang"]: r
+        for r in tokenizer_fertility(df, tok, ("lang",)).collect()
+    }
+    # python oracle from the same _py_tok reference
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for d in docs:
+        norm = "".join(
+            c for c in d.text.lower() if c in string.ascii_lowercase + " "
+        )
+        words = [w for w in norm.split() if w]
+        _, n_pieces = _py_tok(d.text, VOCAB)
+        a = agg[d.lang]
+        a[0] += 1
+        a[1] += len(words)
+        a[2] += n_pieces
+        a[3] += sum(len(w) for w in words)
+    for lang, (nd, nw, np_, nc) in agg.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_words"], r["n_pieces"], r["n_chars"]) == (
+            nd, nw, np_, nc,
+        ), lang
+        if nw:
+            assert r["fertility"] == round(np_ / nw, 6)
+            assert r["chars_per_piece"] == round(nc / np_, 6)
+        else:
+            assert r["fertility"] is None
+            assert r["chars_per_piece"] is None
+    # sanity: 'zz qq' shatters to characters → fertility 2.0 for fr
+    assert got["fr"]["fertility"] == 2.0
+
+
 def test_bpe_merge_order_examples(spark):
     got = _run_bpe(spark, ["table", "fast order", "xyz", ""])
     # merges chain: t+a, ta+b, tab+l, tabl+e

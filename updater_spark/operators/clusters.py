@@ -122,3 +122,51 @@ def resolve_clusters(
         )
         .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def resolve_clusters_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware canonical selection: like ``resolve_clusters``
+    but the keeper is the cluster member with the HIGHEST
+    ``score_col`` (ties → min id), not the min id. This is what the
+    crawl pipelines actually ship — RefinedWeb keeps the longest
+    member of a dup cluster, FineWeb the highest-quality-scored one —
+    because near-dup clusters mix truncated/boilerplate-wrapped
+    variants of one page and min-id keeps an arbitrary variant.
+
+    Returns ``(id_col, score_col, cluster_id, is_keeper)``. NULL
+    scores lose to any non-NULL score (desc NULLS LAST in both
+    engines); an all-NULL cluster falls back to the min-id rule via
+    the tie-break.
+
+    Scale shape: the same hash-min component rounds, then ONE
+    row_number window partitioned by cluster_id — cluster sizes are
+    dup-group sizes (bounded small by construction; a banding cap
+    upstream bounds them hard), so no skewed window partitions.
+    Catalyst's WindowGroupLimit pushes the rank-1 cut map-side."""
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs, id_a, id_b).withColumnRenamed(
+        "id", id_col
+    )
+    assigned = (
+        df.select(id_col, score_col)
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            score_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    return assigned.withColumn(
+        "is_keeper", F.row_number().over(w) == F.lit(1)
+    )

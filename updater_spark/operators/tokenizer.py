@@ -452,6 +452,67 @@ def wordpiece_tokenize(
     )
 
 
+def tokenizer_fertility(
+    df: DataFrame,
+    tokenized: DataFrame,
+    group_cols: tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_pieces_col: str = "n_pieces",
+) -> DataFrame:
+    """Per-group tokenizer-quality profile — the fertility report every
+    tokenizer paper tables (e.g. XLM-R, §Appendix: pieces/word by
+    language) and every multilingual corpus build checks before
+    committing to a vocabulary: a language whose fertility is 2× the
+    corpus mean is under-served by the vocab (its words shatter into
+    characters) and will train badly at fixed sequence length.
+
+    ``tokenized`` is any per-doc frame carrying ``n_pieces_col``
+    (wordpiece_tokenize / bpe_tokenize / unigram_tokenize output —
+    the operator composes with the whole family). Word and char
+    counts use the family's shared letters-only normalization
+    (lower → strip non-[a-z ] → split; word truncation ignored, so
+    chars_per_piece reads ≤ true coverage on >32-char words).
+
+    Returns per group: ``n_docs, n_words, n_pieces, n_chars,
+    fertility`` (pieces per word), ``chars_per_piece`` (compression),
+    ratios rounded to 6 and NULL when the denominator is 0.
+
+    Scale shape: one map-side projection per doc (no explode — word
+    and char counts fold inside the array expressions), one join to
+    ``tokenized`` on the id (co-partitioned if both sides came from
+    the same scan), one tiny group agg. Ratios derive from the SUMS,
+    so partial aggregation stays exact."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+    words = F.filter(
+        F.split(F.trim(norm), " +"), lambda x: F.length(x) > 0
+    )
+    per_doc = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in group_cols],
+        F.size(words).cast("long").alias("_nw"),
+        F.length(F.array_join(words, "")).cast("long").alias("_nc"),
+    ).join(
+        tokenized.select(
+            F.col(id_col), F.col(n_pieces_col).cast("long").alias("_np")
+        ),
+        id_col,
+    )
+    sum_w, sum_p, sum_c = F.sum("_nw"), F.sum("_np"), F.sum("_nc")
+    return per_doc.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        sum_w.alias("n_words"),
+        sum_p.alias("n_pieces"),
+        sum_c.alias("n_chars"),
+        F.when(
+            sum_w > 0, F.round(sum_p / sum_w, 6)
+        ).alias("fertility"),
+        F.when(
+            sum_p > 0, F.round(sum_c / sum_p, 6)
+        ).alias("chars_per_piece"),
+    )
+
+
 def wordpiece_tokenize_arrow(
     df: DataFrame,
     text_col: str,
