@@ -629,6 +629,23 @@ def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=5)
 
 
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (operators/similarity.py::sq_train/
+    sq_assign/sq_topk): per-dim min/max codebook → int8 codes →
+    asymmetric cosine top-5 (full-precision queries, dequantized
+    corpus). The whole pipeline replays in SQL: min/max are exact on
+    doubles, the floor(+0.5) quantizer and the affine dequant use
+    identical op order in both engines, and the cosine follows the
+    sim_topk_cosine round-4 precedent."""
+    from updater_spark.operators.similarity import sq_assign, sq_topk, sq_train
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    model = sq_train(emb)
+    codes = sq_assign(emb, model)
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    return sq_topk(queries_df, codes, model, k=5)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5.
 
@@ -6271,6 +6288,7 @@ _R11_WINDOW = [
     "lm_perplexity_buckets",
     "dedup_keep_best",
     "tokenizer_fertility",
+    "ann_sq8_topk",
     # code-changed in r11 (simhash warn_expansion estimate pass,
     # bm25_topk champion_n refactor, langid gram_n_max meta)
     "dedup_simhash",
@@ -6287,7 +6305,7 @@ _R11_WINDOW = [
     "tfidf_top_terms",
     "tribe_stats_repair",
     "zorder_scan",
-    # r7 cohort alphabetical head (fills to 50; 10 r7 rows remain for
+    # r7 cohort alphabetical head (fills to 50; 11 r7 rows remain for
     # r12, which laps the registry)
     "a2_events_hourly",
     "a3_tribe_stats_bootstrap",
@@ -6317,7 +6335,6 @@ _R11_WINDOW = [
     "pq_adc_topk",
     "q1_pricing_summary",
     "s2_fingerprint",
-    "s5_merge_upsert",
 ]
 
 
@@ -6338,6 +6355,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
         "dedup_keep_best": q_dedup_keep_best,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "ann_sq8_topk": q_ann_sq8_topk,
         # --- r10: new queries lead (no driver row yet) ---
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
@@ -10773,6 +10791,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+        """,
+        "ann_sq8_topk": """
+            WITH c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            elems AS (
+                SELECT vec_id, unnest(v) AS x,
+                       generate_subscripts(v, 1) AS i
+                FROM c
+            ),
+            stats AS (
+                SELECT i, MIN(x) AS mn, MAX(x) AS mx
+                FROM elems GROUP BY i
+            ),
+            codes AS (
+                SELECT e.vec_id, e.i, s.mn, s.mx,
+                       CASE WHEN s.mx - s.mn <= 0 THEN 0
+                            ELSE CAST(LEAST(GREATEST(
+                                floor((e.x - s.mn) / (s.mx - s.mn)
+                                      * 255.0 + 0.5), 0), 255) AS BIGINT)
+                       END AS code
+                FROM elems e JOIN stats s ON e.i = s.i
+            ),
+            deq AS (
+                SELECT vec_id,
+                       list(mn + code * ((mx - mn) / 255.0)
+                            ORDER BY i) AS xh
+                FROM codes GROUP BY vec_id
+            ),
+            q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id % 25 = 0
+            ),
+            scored AS (
+                SELECT query_id, d.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(qv, d.xh), 4) AS sim
+                FROM q CROSS JOIN deq d
+                WHERE query_id <> d.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id)
+                           AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, sim, rank
+            FROM ranked WHERE rank <= 5
         """,
         "multimodal_blob_meta": """
             SELECT doc_id,

@@ -180,6 +180,146 @@ def cosine_topk_arrow(
     )
 
 
+class SQModel:
+    """Per-dimension affine int8 codebook: ``mins[i]``/``maxs[i]``
+    bound dimension i over the training corpus. 2·d doubles — the
+    whole 'index' is two literal arrays, vs PQ's k·d codebook."""
+
+    def __init__(self, mins: list[float], maxs: list[float]):
+        if len(mins) != len(maxs):
+            raise ValueError("mins/maxs length mismatch")
+        self.mins = [float(v) for v in mins]
+        self.maxs = [float(v) for v in maxs]
+
+    @property
+    def dim(self) -> int:
+        return len(self.mins)
+
+
+def sq_train(
+    corpus: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> SQModel:
+    """Train scalar (SQ8) quantization: per-dimension min/max over the
+    corpus — the int8 compression every production vector store ships
+    (FAISS ScalarQuantizer, Milvus/Qdrant "scalar quantization"):
+    4 B/dim float32 → 1 B/dim code at ~0.99+ recall@10, so a 100 TB
+    embedding corpus scores from a 25 TB scan.
+
+    Scale shape: ONE aggregate job with 2·d partial-combining min/max
+    expressions (``element_at`` per dim — no explode, no shuffle of
+    the vectors; only d-length partial states merge). min/max are
+    order-insensitive and EXACT on doubles, so the model replays
+    bit-identically in any engine — no float-sum drift in training.
+    The 2·d-double model folds back as plan literals (the IVF/PQ
+    codebook stance: the corpus is never re-shuffled to use it)."""
+    if dim is None:
+        probe = corpus.select(F.size(vec_col).alias("d")).first()
+        if probe is None:
+            raise ValueError("empty corpus; nothing to train")
+        dim = probe["d"]
+    v = as_double(F.col(vec_col))
+    row = corpus.agg(
+        *[F.min(F.element_at(v, i + 1)).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(F.element_at(v, i + 1)).alias(f"mx{i}") for i in range(dim)],
+    ).first()
+    return SQModel(
+        [row[f"mn{i}"] for i in range(dim)],
+        [row[f"mx{i}"] for i in range(dim)],
+    )
+
+
+def sq_assign(
+    corpus: DataFrame,
+    model: SQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each vector to its SQ8 code array: ``code_i =
+    clamp(floor((x_i - min_i) / span_i * 255 + 0.5), 0, 255)``
+    (half-away rounding, written as floor(+0.5) so both engines use
+    the identical primitive); a zero-span (constant) dimension codes
+    to 0 and dequantizes back to the constant. Returns ``(id_col,
+    sq_code: array<int>)``.
+
+    The int array keeps codes engine-portable for the oracle; the
+    deploy format packs them to a d-byte binary column (1 B/dim) —
+    the arithmetic is unchanged, only the container. Map-only:
+    d clamp expressions per row, whole-stage codegen, no shuffle."""
+    v = as_double(F.col(vec_col))
+
+    def code(i: int) -> Column:
+        span = model.maxs[i] - model.mins[i]
+        if span <= 0.0:
+            return F.lit(0)
+        x = F.element_at(v, i + 1)
+        raw = F.floor(
+            (x - F.lit(model.mins[i])) / F.lit(span) * F.lit(255.0)
+            + F.lit(0.5)
+        )
+        return F.least(
+            F.greatest(raw, F.lit(0)), F.lit(255)
+        ).cast("int")
+
+    return corpus.select(
+        F.col(id_col),
+        F.array(*[code(i) for i in range(model.dim)]).alias("sq_code"),
+    )
+
+
+def sq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    model: SQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Asymmetric SQ8 cosine top-k: the FULL-precision query against
+    DEQUANTIZED corpus codes ``x̂_i = min_i + code_i · span_i/255``
+    (ADC — the query never loses precision, only the stored corpus
+    does). Same contract as ``cosine_topk``: ``(query_id,
+    neighbor_id, sim, rank)``, rounded-sim-then-id ordering,
+    self-matches excluded.
+
+    Scale shape identical to the brute-force baseline (broadcast
+    query side, one corpus scan) — SQ8 changes the BYTES scanned
+    (4×) not the plan; compose with the IVF cell restriction for the
+    sub-linear scan path, exactly as FAISS pairs IVF with SQ."""
+    steps = [
+        (model.maxs[i] - model.mins[i]) / 255.0 for i in range(model.dim)
+    ]
+    dequant = F.array(
+        *[
+            F.lit(model.mins[i])
+            + F.element_at(F.col("sq_code"), i + 1) * F.lit(steps[i])
+            for i in range(model.dim)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        unit(as_double(F.col(vec_col))).alias("qv"),
+    )
+    c = codes.select(
+        F.col(id_col).alias("neighbor_id"), dequant.alias("_xh")
+    ).select("neighbor_id", unit(F.col("_xh")).alias("cv"))
+    sim = dot(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 11) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG-driven, reproducible
     in the pure-Python test oracle without numpy RNG state)."""
