@@ -646,6 +646,25 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_topk(queries_df, codes, model, k=5)
 
 
+def q_ann_sq8_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 deploy twin (similarity.py::sq_topk_arrow): the same
+    codebook/codes/ranking as ann_sq8_topk, but the corpus scan
+    carries the int8 CODES and each Arrow batch dequantizes + GEMMs —
+    nothing corpus-sized cached. Shares ann_sq8_topk's oracle (the
+    sim_topk_arrow precedent)."""
+    from updater_spark.operators.similarity import (
+        sq_assign,
+        sq_topk_arrow,
+        sq_train,
+    )
+
+    emb = demo.load(spark, sf_dir, "embeddings")
+    model = sq_train(emb)
+    codes = sq_assign(emb, model)
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    return sq_topk_arrow(queries_df, codes, model, k=5)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5.
 
@@ -6289,6 +6308,7 @@ _R11_WINDOW = [
     "dedup_keep_best",
     "tokenizer_fertility",
     "ann_sq8_topk",
+    "ann_sq8_arrow",
     # code-changed in r11 (simhash warn_expansion estimate pass,
     # bm25_topk champion_n refactor, langid gram_n_max meta)
     "dedup_simhash",
@@ -6305,7 +6325,7 @@ _R11_WINDOW = [
     "tfidf_top_terms",
     "tribe_stats_repair",
     "zorder_scan",
-    # r7 cohort alphabetical head (fills to 50; 11 r7 rows remain for
+    # r7 cohort alphabetical head (fills to 50; 12 r7 rows remain for
     # r12, which laps the registry)
     "a2_events_hourly",
     "a3_tribe_stats_bootstrap",
@@ -6334,7 +6354,6 @@ _R11_WINDOW = [
     "pq_adc_arrow",
     "pq_adc_topk",
     "q1_pricing_summary",
-    "s2_fingerprint",
 ]
 
 
@@ -6356,6 +6375,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "tokenizer_fertility": q_tokenizer_fertility,
         "ann_sq8_topk": q_ann_sq8_topk,
+        "ann_sq8_arrow": q_ann_sq8_arrow,
         # --- r10: new queries lead (no driver row yet) ---
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
@@ -11595,6 +11615,7 @@ def oracle_sql() -> dict[str, str]:
     # the Arrow GEMM brute force is exact with the same output
     # contract as the Catalyst twin — one oracle serves both
     sqls["sim_topk_arrow"] = sqls["sim_topk_cosine"]
+    sqls["ann_sq8_arrow"] = sqls["ann_sq8_topk"]
     # Arrow-gather ADC shares the literal-table ADC's exact contract
     sqls["pq_adc_arrow"] = sqls["pq_adc_topk"]
     # the disk-backed index search returns exactly the in-memory

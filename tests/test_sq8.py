@@ -85,6 +85,25 @@ def test_sq_topk_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.9, recall
 
 
+def test_sq_topk_arrow_matches_catalyst(spark, sf_dir):
+    from updater_spark.operators.similarity import sq_topk_arrow
+
+    emb = _load_emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    m = sq_train(emb)
+    codes = sq_assign(emb, m)
+
+    def rows(df):
+        return {
+            (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+            for r in df.collect()
+        }
+
+    cat = rows(sq_topk(queries, codes, m, k=5))
+    arr = rows(sq_topk_arrow(queries, codes, m, k=5))
+    assert cat == arr
+
+
 def test_sq_model_validation():
     with pytest.raises(ValueError, match="mismatch"):
         SQModel([0.0], [1.0, 2.0])

@@ -282,10 +282,17 @@ def sq_topk(
     neighbor_id, sim, rank)``, rounded-sim-then-id ordering,
     self-matches excluded.
 
-    Scale shape identical to the brute-force baseline (broadcast
-    query side, one corpus scan) — SQ8 changes the BYTES scanned
-    (4×) not the plan; compose with the IVF cell restriction for the
-    sub-linear scan path, exactly as FAISS pairs IVF with SQ."""
+    The dequantized unit-vector projection is persist()ed before the
+    query join — the ``unit`` CAUTION in action: CollapseProject
+    otherwise inlines the whole dequant+normalize expression tree
+    into the join output and re-evaluates it PER CANDIDATE PAIR
+    (measured 141s → 4s at sf0.1, the semantic_dedup 20× lesson).
+    That cache holds full-width doubles, which defeats SQ8's 4× scan
+    saving — so this is the didactic oracle twin; the deploy path is
+    ``sq_topk_arrow``, which streams the CODES and dequantizes per
+    Arrow batch so the 1 B/dim representation is what crosses the
+    scan. Compose with the IVF cell restriction for sub-linear
+    probes, exactly as FAISS pairs IVF with SQ."""
     steps = [
         (model.maxs[i] - model.mins[i]) / 255.0 for i in range(model.dim)
     ]
@@ -300,9 +307,13 @@ def sq_topk(
         F.col(id_col).alias("query_id"),
         unit(as_double(F.col(vec_col))).alias("qv"),
     )
-    c = codes.select(
-        F.col(id_col).alias("neighbor_id"), dequant.alias("_xh")
-    ).select("neighbor_id", unit(F.col("_xh")).alias("cv"))
+    c = (
+        codes.select(
+            F.col(id_col).alias("neighbor_id"), dequant.alias("_xh")
+        )
+        .select("neighbor_id", unit(F.col("_xh")).alias("cv"))
+        .persist()
+    )
     sim = dot(F.col("qv"), F.col("cv"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -316,6 +327,80 @@ def sq_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sq_topk_arrow(
+    queries: DataFrame,
+    codes: DataFrame,
+    model: SQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "sq_code",
+    k: int = 5,
+    max_query_rows: int | None = None,
+) -> DataFrame:
+    """SQ8 deploy path: Arrow-batched asymmetric scoring over the
+    CODE column — the corpus that crosses the scan is the 1 B/dim
+    int8 representation; each batch dequantizes ``mins + codes *
+    steps`` in numpy (identical elementwise affine as the Catalyst
+    twin — no float-sum reorder in the dequant itself), unit-
+    normalizes, and scores one ``C @ Q.T`` GEMM. Same output
+    contract as ``sq_topk``; rounds before the batch-local top-k and
+    ties by id (the cosine_topk_arrow/ADVICE-r9 discipline), a
+    window finishes globally on k·|Q|-sized locals. This is the FAISS
+    IVF-SQ scan loop expressed as mapInPandas — nothing corpus-sized
+    is cached or shuffled."""
+    import numpy as np
+    import pandas as pd
+
+    qids, qm = _collect_unit_queries(
+        queries, id_col, vec_col, max_rows=max_query_rows or MAX_QUERY_ROWS
+    )
+    mins = np.array(model.mins, dtype=np.float64)
+    steps = np.array(
+        [(mx - mn) / 255.0 for mn, mx in zip(model.mins, model.maxs)],
+        dtype=np.float64,
+    )
+    out_schema = "query_id long, neighbor_id long, sim double"
+    q_block = 1024
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf[code_col].tolist(), dtype=np.float64)
+            cm = mins + cm * steps  # exact per-element affine dequant
+            norms = np.linalg.norm(cm, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            cm = cm / norms
+            ids = pdf[id_col].to_numpy()
+            n_local = min(k + 1, len(ids))
+            for q0 in range(0, len(qids), q_block):
+                qb = qm[q0 : q0 + q_block]
+                sims = cm @ qb.T
+                neg = -np.round(sims.T, 4)
+                out_d, out_i = _adc_local_topk(neg, ids, n_local)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            qids[q0 : q0 + q_block], n_local
+                        ),
+                        "neighbor_id": out_i.ravel(),
+                        "sim": (-out_d).ravel(),
+                    }
+                )
+
+    local = codes.select(id_col, code_col).mapInPandas(
+        score, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 

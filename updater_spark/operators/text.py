@@ -731,9 +731,12 @@ def backoff_logprob(
 
     Scale shape: three partial-combining count aggregates over the
     exploded gram streams (shuffles carry the gram VOCABULARY of the
-    train slice — CCNet-sized, not corpus-sized), then five left
-    joins back on gram keys (vocab-sized right sides, AQE broadcasts
-    the small ones) and one per-doc agg. N and V — two scalars —
+    train slice — CCNet-sized, not corpus-sized). The three backoff
+    legs are then pre-divided into per-gram SCORE tables on the
+    vocab side (vocab-sized joins among the count tables), so the
+    corpus trigram stream takes exactly THREE left joins — tri, bi,
+    uni score probes, AQE-broadcast — and one coalesce down the
+    backoff chain, then one per-doc agg. N and V — two scalars —
     fold on the driver as literals (the ``unigram_logprob`` stance:
     no scalar-subquery cartesian in the plan). Docs with < 3 tokens
     return ``n_trigrams = 0`` and a NULL score.
@@ -789,30 +792,38 @@ def backoff_logprob(
     n_total, v = float(row["n"]), float(row["v"])
 
     doc_tg = _grams(df, 3, F.col(id_col))
-    bi23 = bi_cnt.select(
-        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
-        F.col("_c12").alias("_c23"),
+    # pre-divide each leg into a per-gram score table (vocab-sized
+    # joins among the COUNT tables): the corpus stream then probes
+    # three score tables and coalesces down the chain — the division
+    # operands are identical longs either way, so values (and the
+    # oracle) are unchanged; only the plan shape is
+    denom = n_total + add_k * v
+    tri_score = tri_cnt.join(bi_cnt, ["w1", "w2"]).select(
+        "w1", "w2", "w3", (F.col("_c123") / F.col("_c12")).alias("_s3")
     )
-    uni2 = uni_cnt.select(F.col("_tok").alias("w2"), F.col("_c1").alias("_c2"))
-    uni3 = uni_cnt.select(F.col("_tok").alias("w3"), F.col("_c1").alias("_c3"))
-    score = (
-        F.when(F.col("_c123").isNotNull(), F.col("_c123") / F.col("_c12"))
-        .when(
-            F.col("_c23").isNotNull(),
-            F.lit(alpha) * F.col("_c23") / F.col("_c2"),
-        )
-        .otherwise(
+    bi_score = bi_cnt.join(
+        uni_cnt.withColumnRenamed("_tok", "w1"), "w1"
+    ).select(
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        (F.lit(alpha) * F.col("_c12") / F.col("_c1")).alias("_s2"),
+    )
+    uni_score = uni_cnt.select(
+        F.col("_tok").alias("w3"),
+        (
             F.lit(alpha * alpha)
-            * (F.coalesce(F.col("_c3"), F.lit(0)) + F.lit(add_k))
-            / F.lit(n_total + add_k * v)
-        )
+            * (F.col("_c1") + F.lit(add_k))
+            / F.lit(denom)
+        ).alias("_s1"),
+    )
+    oov = alpha * alpha * add_k / denom
+    score = F.coalesce(
+        F.col("_s3"), F.col("_s2"), F.col("_s1"), F.lit(oov)
     )
     scored = (
-        doc_tg.join(tri_cnt, ["w1", "w2", "w3"], "left")
-        .join(bi_cnt, ["w1", "w2"], "left")
-        .join(bi23, ["w2", "w3"], "left")
-        .join(uni2, "w2", "left")
-        .join(uni3, "w3", "left")
+        doc_tg.join(tri_score, ["w1", "w2", "w3"], "left")
+        .join(bi_score, ["w2", "w3"], "left")
+        .join(uni_score, "w3", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
@@ -839,6 +850,7 @@ def score_buckets(
     labels: tuple[str, ...] = ("tail", "middle", "head"),
     out: str = "bucket",
     thresh_digits: int | None = 4,
+    cache_scored: bool = True,
 ) -> DataFrame:
     """CCNet-style percentile bucketing over any per-document score:
     compute ``len(probs)`` EXACT percentile thresholds over the
@@ -867,7 +879,15 @@ def score_buckets(
     the cut deterministic. (A plain median over evenly-spaced scores
     CAN land exactly on a half boundary — knife-edge by nature; pass
     thresh_digits=None to compare raw.) Raises if ``labels`` is not
-    one longer than ``probs``, or if no non-NULL scores exist."""
+    one longer than ``probs``, or if no non-NULL scores exist.
+
+    ``cache_scored`` persists the input before the threshold action:
+    the threshold agg and the labeled output otherwise BOTH recompute
+    the (typically expensive — a whole LM scoring pass) upstream
+    (measured 83s → 30s on the backoff pipeline at sf0.1). The cache
+    is the narrow per-doc score frame, not the gram stream; at >1e9
+    docs prefer writing the scored frame to storage between the two
+    passes and pass cache_scored=False."""
     if len(labels) != len(probs) + 1:
         raise ValueError(
             f"need len(labels) == len(probs) + 1, got {len(labels)} labels "
@@ -875,6 +895,8 @@ def score_buckets(
         )
     if sorted(probs) != list(probs):
         raise ValueError(f"probs must be ascending, got {probs!r}")
+    if cache_scored:
+        scored = scored.persist()
     arr = ", ".join(repr(p) for p in probs)
     row = (
         scored.filter(F.col(score_col).isNotNull())
