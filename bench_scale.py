@@ -4033,6 +4033,202 @@ def imagehash_probe(n: int) -> None:
 
 
 
+def backofflm_probe(n: int, train_pct: int = 10) -> None:
+    """Stupid Backoff LM scoring at scale: ``n`` synthetic ~20-word
+    docs from the bpetrain Zipf-ish ~40k-form vocabulary; the train
+    slice is every ``100/train_pct``-th doc (the CCNet trusted-subset
+    shape). The scale claim under test: the three count-table
+    shuffles carry the TRAIN slice's gram vocabulary (bounded by
+    gram-form diversity), never the corpus token stream, and the
+    score pass is gram-keyed joins + one per-doc agg. Report wall,
+    docs/s, and the state-table sizes vs corpus tokens. Usage:
+    ``python bench_scale.py 2000000 backofflm [train_pct]``."""
+    from updater_spark.operators.text import backoff_logprob
+
+    spark = get_spark("bench_scale_backofflm")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _word(i):
+        wid = (
+            F.pow(
+                F.pmod(F.xxhash64("doc_id", i), F.lit(100_000))
+                / F.lit(100_000.0),
+                F.lit(2),
+            )
+            * F.lit(40_000)
+        ).cast("long")
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2) + F.pmod(wid, F.lit(4))),
+                lambda k: F.char(
+                    F.lit(97) + F.pmod(F.xxhash64(wid, k), F.lit(26))
+                ),
+            ),
+            "",
+        )
+
+    docs = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(20)), lambda i: _word(i)
+                ),
+                " ",
+            ),
+        )
+        .persist()
+    )
+    n_docs = docs.count()
+    mod = max(100 // train_pct, 1)
+    train_pred = F.col("doc_id") % mod == 0
+
+    t0 = time.time()
+    scored = backoff_logprob(docs, train_filter=train_pred)
+    scored.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+
+    # state-table sizes: the gram vocabularies the shuffles carry
+    toks = docs.filter(train_pred).select(
+        F.split(F.trim("text"), " +").alias("t")
+    )
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i),
+                    F.element_at("t", i + F.lit(1)),
+                    F.element_at("t", i + F.lit(2)),
+                ),
+            )
+        ).alias("g")
+    )
+    n_tri = grams.agg(F.countDistinct("g")).first()[0]
+    n_uni = (
+        toks.select(F.explode("t").alias("w"))
+        .agg(F.countDistinct("w"))
+        .first()[0]
+    )
+    docs.unpersist()
+    corpus_tokens = n_docs * 20
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "backofflm_probe": {
+                    "wall_sec": round(wall, 2),
+                    "docs_per_sec": round(n_docs / wall),
+                    "train_pct": train_pct,
+                    "corpus_tokens": corpus_tokens,
+                    "train_distinct_unigrams": n_uni,
+                    "train_distinct_trigrams": n_tri,
+                    "corpus_to_state_ratio": round(
+                        corpus_tokens / max(n_tri, 1), 1
+                    ),
+                },
+            }
+        )
+    )
+
+
+def sq8_probe(
+    n: int, dim: int = 64, n_queries: int = 100, topk_n: int | None = None
+) -> None:
+    """SQ8 at scale: synthetic ``n``×``dim`` corpus (hash-derived
+    doubles in [-1, 1]). Three legs: (a) train — ONE agg with 2·dim
+    partial-combining min/max expressions over the full corpus, no
+    shuffle of vectors; (b) assign — the map-only d-expression
+    quantize projection, noop-written (the leg that scans 100 TB);
+    (c) search — the ARROW deploy twins end-to-end on a ``topk_n``
+    sub-corpus: sq_topk_arrow (codes scanned, per-batch dequant +
+    GEMM) timed against cosine_topk_arrow (full-float GEMM), plus
+    recall@10 of the quantized path vs exact. Usage:
+    ``python bench_scale.py 2000000 sq8 [dim]``."""
+    from updater_spark.operators.similarity import (
+        cosine_topk_arrow,
+        sq_assign,
+        sq_topk_arrow,
+        sq_train,
+    )
+
+    spark = get_spark("bench_scale_sq8")
+    spark.sparkContext.setLogLevel("ERROR")
+    if topk_n is None:
+        topk_n = n  # arrow GEMM handles the full corpus
+
+    vec = F.array(
+        *[
+            (
+                F.pmod(F.xxhash64("vec_id", F.lit(i)), F.lit(2001))
+                - F.lit(1000)
+            )
+            / F.lit(1000.0)
+            for i in range(dim)
+        ]
+    )
+    corpus = (
+        spark.range(0, n, numPartitions=64)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("embedding", vec)
+        .persist()
+    )
+    corpus.count()
+
+    t0 = time.time()
+    model = sq_train(corpus, dim=dim)
+    train_wall = time.time() - t0
+
+    t0 = time.time()
+    sq_assign(corpus, model).write.format("noop").mode("overwrite").save()
+    assign_wall = time.time() - t0
+
+    sub = corpus.filter(F.col("vec_id") < topk_n).persist()
+    sub.count()
+    sub_codes = sq_assign(sub, model).persist()
+    sub_codes.count()
+    queries = sub.filter(
+        F.col("vec_id") % max(topk_n // n_queries, 1) == 0
+    )
+    t0 = time.time()
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq_topk_arrow(queries, sub_codes, model, k=10).collect()
+    }
+    topk_wall = time.time() - t0
+    t0 = time.time()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_arrow(sub, queries, k=10).collect()
+    }
+    exact_wall = time.time() - t0
+    recall = len(approx & exact) / max(len(exact), 1)
+    corpus.unpersist()
+    sub.unpersist()
+    sub_codes.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_vectors": n,
+                "sq8_probe": {
+                    "dim": dim,
+                    "train_sec": round(train_wall, 2),
+                    "assign_sec": round(assign_wall, 2),
+                    "assign_vecs_per_sec": round(n / assign_wall),
+                    "topk_corpus": topk_n,
+                    "topk_queries": n_queries,
+                    "sq_arrow_topk_sec": round(topk_wall, 2),
+                    "exact_arrow_topk_sec": round(exact_wall, 2),
+                    "recall_at_10_vs_exact": round(recall, 4),
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     _n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     if len(sys.argv) > 2 and sys.argv[2] == "bucketed":
@@ -4143,5 +4339,11 @@ if __name__ == "__main__":
             int(sys.argv[3]) if len(sys.argv) > 3 else 10_000,
             int(sys.argv[4]) if len(sys.argv) > 4 else 64,
         )
+    elif len(sys.argv) > 2 and sys.argv[2] == "backofflm":
+        backofflm_probe(
+            _n, int(sys.argv[3]) if len(sys.argv) > 3 else 10
+        )
+    elif len(sys.argv) > 2 and sys.argv[2] == "sq8":
+        sq8_probe(_n, int(sys.argv[3]) if len(sys.argv) > 3 else 64)
     else:
         main(_n)

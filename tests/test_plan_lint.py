@@ -22,6 +22,11 @@ BNLJ_ALLOWED = {
     # must stay exact to hash-match its oracle; the bucketed scale
     # path is recall-tested in tests/test_similarity.py
     "dedup_embedding_neardup",
+    # the SQ8 didactic Catalyst twin (sq_topk): the same deliberate
+    # broadcast cross product as sim_topk_cosine, scoring dequantized
+    # codes; ann_sq8_arrow is the deploy path (mapInPandas scan over
+    # the int8 codes — no join at all) and shares the exact oracle
+    "ann_sq8_topk",
     # a 1-row x 1-row combine of two global aggregates (the HLL
     # estimate row + the exact-distinct row, joined only for the
     # recorded rel_err): the literal join key constant-folds away and
