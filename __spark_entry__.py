@@ -4018,7 +4018,11 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     next to wordpiece's greedy longest match: every document's words
     start as characters and repeatedly take the LOWEST-RANK adjacent
     merge (leftmost first), a pure-Catalyst runtime fold against a
-    constant-folded literal rank map, zero UDFs, zero shuffles. The
+    constant-folded literal rank map, zero UDFs. Since r11 the fold
+    runs once per DISTINCT word (the guide-§8 decide-small/reattach
+    shape: explode → distinct → fold → join back — measured 31
+    distinct words vs 270k instances at sf0.1), so the two reattach
+    exchanges carry word keys and piece strings, never text. The
     oracle replays the merge loop with a recursive CTE whose
     arg_min((rank, position)) equals the fold's struct array_min —
     byte-identical pieces, both engines."""
@@ -4081,7 +4085,8 @@ def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match subword tokenization
     (operators/tokenizer.py): every document segmented against a
     literal vocabulary by a pure-Catalyst runtime fold (no UDF — the
-    plan lint holds), emitting the full piece string and the piece
+    plan lint holds; since r11 the fold runs once per DISTINCT word,
+    reattached by join), emitting the full piece string and the piece
     count. The oracle replays the segmentation with a recursive CTE
     whose arg_max tie-break (padded length ‖ piece) equals the
     struct (len, piece) array_max — byte-identical pieces, both
@@ -4301,7 +4306,8 @@ def q_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-apply unigram-LM tokenization: Viterbi (max
     log-prob) segmentation of every document under the corpus-trained
     vocabulary (operators/tokenizer.py::unigram_tokenize — the
-    pure-Catalyst DP fold; unigram_tokenize_arrow is the
+    pure-Catalyst DP fold, since r11 evaluated once per DISTINCT word
+    and reattached by join; unigram_tokenize_arrow is the
     byte-identical deploy twin, pinned in tests). Output follows the
     tokenizer-family contract plus lp_scaled, the document's integer
     unigram-LM score. The train's vocab-sized collect feeds the

@@ -1,5 +1,8 @@
 """Greedy longest-match (WordPiece-style) subword tokenizer as a
-pure-Catalyst fold — no UDF, no shuffle, exact SQL oracle.
+pure-Catalyst fold — no UDF, exact SQL oracle. By default the fold
+runs once per DISTINCT word (``_memoized_apply`` — two narrow
+exchanges instead of per-instance evaluation; ``distinct_words=False``
+restores the original zero-shuffle per-instance plan).
 
 Why: token accounting is the unit of record for LLM training data,
 and the cheap proxies in text.py (whitespace + a BPE-ish regex
@@ -341,6 +344,136 @@ def _n_truncated(raw_words: Column, max_word_len: int) -> Column:
     )
 
 
+def _memoized_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    raw_words: Column,
+    word_seg,
+    max_word_len: int,
+    with_lp: bool = False,
+) -> DataFrame:
+    """Distinct-word memoization for the Catalyst tokenizer folds —
+    the spark_optimization_guide §8 shape (decide on small rows,
+    reattach): segmentation depends ONLY on the (truncated) word, so
+    the expensive per-word DP fold runs once per DISTINCT word
+    instead of once per word INSTANCE, and the results are joined
+    back and reassembled per document. Zipf/Heaps corpora make the
+    distinct-word table orders of magnitude smaller than the instance
+    stream (measured 31 distinct vs 270,704 instances on the sf0.1
+    fixture — a 8,732× cut in fold evaluations; real web corpora sit
+    near |V| ≈ O(N^0.5)), and AQE turns the reattach join into a
+    broadcast once the distinct stage's true size is known.
+
+    ``word_seg``: Column(word) -> struct with ``path`` (pieces
+    '|'-joined) and, when ``with_lp``, ``lp``. The piece count is
+    derived here from ``path`` (pieces never contain '|': [a-z] in
+    the letter alphabets, hex pairs in the byte alphabet), so the
+    expensive fold is referenced as few times as possible — every
+    reference re-inlines the whole fold expression (the
+    CollapseProject lesson below).
+
+    Cost trade (vs the zero-shuffle per-instance fold): two extra
+    exchanges — the distinct over bare words and the per-doc
+    regroup of (pos, path) rows, both carrying only word keys and
+    piece strings, never document text. The fold itself is the
+    dominant term at every scale where the vocabulary is sublinear
+    in the corpus.
+
+    Requires ``id_col`` to be unique per row (the regroup is a
+    groupBy on it) — true for every caller in this repo; the
+    ``distinct_words=False`` escape hatch keeps the original
+    per-instance fold for frames where it is not.
+
+    NULL text keeps NULL outputs and zero-word docs keep ''/0
+    outputs: ``posexplode_outer`` emits one NULL-word row for both,
+    the left join leaves ``_seg`` NULL, and a ``text IS NULL`` flag
+    disambiguates at the end.
+
+    The RAW (untruncated) words are what explode; truncation and the
+    overlong-word indicator are per-instance projections AFTER the
+    Generate. Anything computed from the words ARRAY would be
+    collapsed below/above the Generate by CollapseProject and
+    re-evaluate the regexp+split chain once per word INSTANCE —
+    measured 6× slower than the per-instance fold it replaced when
+    ``n_truncated_words`` was written that way; deriving it from the
+    exploded stream (Σ overlong indicators) keeps the text parsed
+    once per document."""
+    tnull = F.col(text_col).isNull()
+    ex = df.select(
+        F.col(id_col),
+        tnull.alias("_tnull"),
+        F.posexplode_outer(raw_words).alias("_pos", "_wr"),
+    ).select(
+        F.col(id_col),
+        "_tnull",
+        "_pos",
+        F.substring(F.col("_wr"), 1, max_word_len).alias("_w"),
+        # NULL on the no-word sentinel row (length(NULL) is NULL) —
+        # sum() skips it, so empty docs aggregate to NULL, coalesced
+        # to 0 below
+        (F.length("_wr") > max_word_len).cast("int").alias("_tr"),
+    )
+    seg = (
+        ex.select("_w")
+        .where(F.col("_w").isNotNull())
+        .distinct()
+        .select("_w", word_seg(F.col("_w")).alias("_seg"))
+    )
+    joined = ex.join(seg, "_w", "left")
+    parts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("_pos").alias("p"), F.col("_seg")["path"].alias("s")
+            )
+        )
+    )
+    aggs = [
+        F.array_join(F.transform(parts, lambda x: x["s"]), " ").alias(
+            "_pieces"
+        ),
+        # explicit NULL-seg guard: with ANSI off size(NULL) is -1
+        # (legacy sizeOfNull), which would poison the empty-doc sum
+        F.sum(
+            F.when(
+                F.col("_seg").isNotNull(),
+                F.size(F.split(F.col("_seg")["path"], r"\|")),
+            )
+        )
+        .cast("long")
+        .alias("_np"),
+        # constant within each doc's group (it rode the explode), so
+        # max is an exact, deterministic carry
+        F.max("_tnull").alias("_tn"),
+        F.sum("_tr").alias("_trs"),
+    ]
+    if with_lp:
+        aggs.insert(2, F.sum(F.col("_seg")["lp"]).cast("long").alias("_lp"))
+    g = joined.groupBy(id_col).agg(*aggs)
+    notnull = ~F.col("_tn")
+    cols = [
+        F.col(id_col),
+        F.when(notnull, F.coalesce(F.col("_pieces"), F.lit(""))).alias(
+            "pieces"
+        ),
+        F.when(notnull, F.coalesce(F.col("_np"), F.lit(0)))
+        .cast("long")
+        .alias("n_pieces"),
+    ]
+    if with_lp:
+        cols.append(
+            F.when(notnull, F.coalesce(F.col("_lp"), F.lit(0)))
+            .cast("long")
+            .alias("lp_scaled")
+        )
+    cols.append(
+        F.when(notnull, F.coalesce(F.col("_trs"), F.lit(0)))
+        .cast("long")
+        .alias("n_truncated_words")
+    )
+    return g.select(*cols)
+
+
 def _vocab_by_char(vocab: list[str]):
     """First-char-keyed literal map: ``char -> array<struct<l,p>>``.
     All-literal ``create_map`` is constant-folded to ONE map object
@@ -402,12 +535,18 @@ def wordpiece_tokenize(
     vocab: list[str],
     id_col: str = "doc_id",
     max_word_len: int = 32,
+    distinct_words: bool = True,
 ) -> DataFrame:
     """Per document: ``pieces`` (words ' '-joined, pieces '|'-joined
     within a word) and ``n_pieces``.
 
     ``vocab`` must include every single letter a–z (total-coverage
-    requirement above) and contain no duplicates."""
+    requirement above) and contain no duplicates.
+
+    ``distinct_words=True`` (default) runs the greedy fold once per
+    DISTINCT truncated word and reattaches by join
+    (``_memoized_apply`` — requires unique ``id_col``); ``False``
+    keeps the original zero-shuffle per-instance fold."""
     missing = [c for c in string.ascii_lowercase if c not in vocab]
     if missing:
         raise ValueError(f"vocab must cover a-z; missing {missing}")
@@ -419,6 +558,17 @@ def wordpiece_tokenize(
     raw_words = F.filter(
         F.split(F.trim(norm), " +"), lambda x: F.length(x) > 0
     )
+    if distinct_words:
+        def word_seg(w):
+            return F.struct(
+                F.array_join(
+                    _tok_word(w, by_char, max_word_len), "|"
+                ).alias("path")
+            )
+
+        return _memoized_apply(
+            df, id_col, text_col, raw_words, word_seg, max_word_len
+        )
     # materialize the raw words and per-word piece arrays ONCE:
     # referencing the expression from two outputs would re-inline the
     # whole fold per reference (the dedup.tokenize CollapseProject
@@ -546,6 +696,11 @@ def wordpiece_tokenize_arrow(
         import pandas as pd
 
         strip = re.compile(r"[^a-z ]")
+        # per-task word memo (the HF-tokenizer token-cache shape):
+        # segmentation depends only on the truncated word, and Zipf
+        # makes repeats dominate; capped so adversarial all-unique
+        # streams cannot grow it unboundedly
+        memo: dict[str, tuple[str, int]] = {}
         for pdf in batches:
             pieces_out, n_out, trunc_out = [], [], []
             for t in pdf[text_col]:
@@ -565,17 +720,22 @@ def wordpiece_tokenize_arrow(
                     if len(wd) > max_word_len:
                         n_trunc += 1
                     wd = wd[:max_word_len]
-                    pos, n = 0, len(wd)
-                    ps = []
-                    while pos < n:
-                        for k in range(min(max_len, n - pos), 0, -1):
-                            cand = wd[pos : pos + k]
-                            if cand in vs:
-                                ps.append(cand)
-                                pos += k
-                                break
-                    word_pieces.append("|".join(ps))
-                    total += len(ps)
+                    hit = memo.get(wd)
+                    if hit is None:
+                        pos, n = 0, len(wd)
+                        ps = []
+                        while pos < n:
+                            for k in range(min(max_len, n - pos), 0, -1):
+                                cand = wd[pos : pos + k]
+                                if cand in vs:
+                                    ps.append(cand)
+                                    pos += k
+                                    break
+                        hit = ("|".join(ps), len(ps))
+                        if len(memo) < 1 << 20:
+                            memo[wd] = hit
+                    word_pieces.append(hit[0])
+                    total += hit[1]
                 pieces_out.append(" ".join(word_pieces))
                 n_out.append(total)
                 trunc_out.append(n_trunc)
@@ -707,6 +867,7 @@ def bpe_tokenize(
     max_word_len: int = 32,
     byte_level: bool = False,
     cjk_split: bool = False,
+    distinct_words: bool = True,
 ) -> DataFrame:
     """Merge-ordered BPE apply (Sennrich et al. 2016) as a
     pure-Catalyst runtime fold — the other half of production
@@ -765,6 +926,20 @@ def bpe_tokenize(
         norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
         words_src = F.split(F.trim(norm), " +")
     raw_words = F.filter(words_src, lambda x: F.length(x) > 0)
+    if distinct_words:
+        # fold once per DISTINCT truncated word, reattach by join
+        # (_memoized_apply; requires unique id_col) — the merge loop
+        # is O(len²·|merges|) per evaluation, the dominant term
+        def word_seg(w):
+            return F.struct(
+                F.array_join(
+                    _bpe_word(w, ranks, max_word_len, byte_level), "|"
+                ).alias("path")
+            )
+
+        return _memoized_apply(
+            df, id_col, text_col, raw_words, word_seg, max_word_len
+        )
     out = df.withColumn("_wraw", raw_words).withColumn(
         "_words",
         F.transform(
@@ -823,6 +998,8 @@ def bpe_tokenize_arrow(
         strip = re.compile(r"[^a-z ]")
         ws = re.compile(r"[ \t\n\r]+")
         cjk = re.compile(f"({_CJK_PY_CLASS})")
+        # per-task word memo (capped; see wordpiece_tokenize_arrow)
+        memo: dict[str, tuple[str, int]] = {}
         for pdf in batches:
             pieces_out, n_out, trunc_out = [], [], []
             for t in pdf[text_col]:
@@ -844,26 +1021,34 @@ def bpe_tokenize_arrow(
                 for wd in wds:
                     if len(wd) > max_word_len:
                         n_trunc += 1
-                    if byte_level:
-                        hx = wd[:max_word_len].encode("utf-8").hex().upper()
-                        ps = [hx[i : i + 2] for i in range(0, len(hx), 2)]
-                    else:
-                        ps = list(wd[:max_word_len])
-                    while len(ps) > 1:
-                        best_r, best_i = None, None
-                        for i in range(len(ps) - 1):
-                            r = rank_of.get(f"{ps[i]} {ps[i + 1]}")
-                            if r is not None and (
-                                best_r is None or r < best_r
-                            ):
-                                best_r, best_i = r, i
-                        if best_i is None:
-                            break
-                        ps[best_i : best_i + 2] = [
-                            ps[best_i] + ps[best_i + 1]
-                        ]
-                    word_pieces.append("|".join(ps))
-                    total += len(ps)
+                        wd = wd[:max_word_len]
+                    hit = memo.get(wd)
+                    if hit is None:
+                        if byte_level:
+                            hx = wd.encode("utf-8").hex().upper()
+                            ps = [
+                                hx[i : i + 2] for i in range(0, len(hx), 2)
+                            ]
+                        else:
+                            ps = list(wd)
+                        while len(ps) > 1:
+                            best_r, best_i = None, None
+                            for i in range(len(ps) - 1):
+                                r = rank_of.get(f"{ps[i]} {ps[i + 1]}")
+                                if r is not None and (
+                                    best_r is None or r < best_r
+                                ):
+                                    best_r, best_i = r, i
+                            if best_i is None:
+                                break
+                            ps[best_i : best_i + 2] = [
+                                ps[best_i] + ps[best_i + 1]
+                            ]
+                        hit = ("|".join(ps), len(ps))
+                        if len(memo) < 1 << 20:
+                            memo[wd] = hit
+                    word_pieces.append(hit[0])
+                    total += hit[1]
                 pieces_out.append(" ".join(word_pieces))
                 n_out.append(total)
                 trunc_out.append(n_trunc)
@@ -1091,6 +1276,7 @@ def unigram_tokenize(
     id_col: str = "doc_id",
     max_word_len: int = 16,
     max_piece_len: int | None = None,
+    distinct_words: bool = True,
 ) -> DataFrame:
     """Viterbi (max-log-prob) segmentation under a trained unigram
     vocabulary — ``unigram_train``'s apply half, as a pure-Catalyst
@@ -1116,6 +1302,20 @@ def unigram_tokenize(
     raw_words = F.filter(
         F.split(F.trim(norm), " +"), lambda x: F.length(x) > 0
     )
+    if distinct_words:
+        # Viterbi once per DISTINCT truncated word, reattach by join
+        # (_memoized_apply; requires unique id_col) — the DP fold's
+        # O(len·plen) literal-map probes are the dominant term
+        def word_seg(w):
+            # the fold's struct(lp, path) already carries both fields
+            # _memoized_apply reads — return it as-is so the fold is
+            # referenced exactly once
+            return _viterbi_word(w, lp_map, max_piece_len)
+
+        return _memoized_apply(
+            df, id_col, text_col, raw_words, word_seg, max_word_len,
+            with_lp=True,
+        )
     out = df.withColumn("_wraw", raw_words).withColumn(
         "_words",
         F.transform(
@@ -1195,6 +1395,8 @@ def unigram_tokenize_arrow(
         import pandas as pd
 
         strip = re.compile(r"[^a-z ]")
+        # per-task word memo (capped; see wordpiece_tokenize_arrow)
+        memo: dict[str, tuple[int, str]] = {}
         for pdf in batches:
             pieces_out, n_out, lp_out, trunc_out = [], [], [], []
             for t in pdf[text_col]:
@@ -1211,7 +1413,13 @@ def unigram_tokenize_arrow(
                 for wd in strip.sub("", t.lower()).split():
                     if len(wd) > max_word_len:
                         n_trunc += 1
-                    lp, path = seg_word(wd[:max_word_len])
+                        wd = wd[:max_word_len]
+                    hit = memo.get(wd)
+                    if hit is None:
+                        hit = seg_word(wd)
+                        if len(memo) < 1 << 20:
+                            memo[wd] = hit
+                    lp, path = hit
                     word_paths.append(path)
                     total_n += path.count("|") + 1
                     total_lp += lp
