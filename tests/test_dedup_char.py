@@ -327,3 +327,27 @@ def test_char_simhash_drops_null_text_docs(spark, cjk_df):
         pairs = simhash_near_pairs(fps, max_hamming=0, chunks=16)
         null_pairs = pairs.filter(F.col("id_a") >= 900).count()
         assert null_pairs == 0, unit
+
+
+def test_char_gram_split_stays_materialized(spark, cjk_df):
+    """The O(len·n) gram build depends on split() running once per
+    DOCUMENT, not once per array element: CollapseProject will inline
+    a single-reference non-cheap split into the transform lambda,
+    where it re-splits the whole string per gram — measured as a
+    2.5–5× regression on dedup_char_lsh/decontam_char (r11). The
+    size(_chars)-derived sequence bound gives the chars column a
+    second reference, which blocks the collapse; this test pins that
+    plan shape (split in its own Project node, never inside a
+    lambdafunction)."""
+    from updater_spark.operators.dedup import shingles_frame
+
+    plan = (
+        shingles_frame(cjk_df, "doc_id", "text", n=5, shingle_unit="char")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "lambdafunction" in plan
+    for line in plan.splitlines():
+        if "lambdafunction" in line:
+            assert "split(" not in line, line

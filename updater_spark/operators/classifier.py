@@ -539,31 +539,32 @@ def langid_gram_text(
     Map-only expansion (~3× text length in gram chars), fuses with
     the scan; NULL text stays NULL so NB's explode_outer keeps the
     doc priors-only. Texts shorter than n yield their single partial
-    gram per n (the char_shingles_of convention)."""
+    gram per n (the char_shingles_of convention).
+
+    r11: grams come from O(1) slices of a pre-materialized
+    split-to-chars column instead of per-position ``substr`` —
+    ``substr(i, n)`` re-scans the UTF-8 bytes from the start to find
+    codepoint ``i``, making the old build O(len²) per document; this
+    projection was measured as 3.7 s of langid_trained's 6.5 s at
+    sf0.1 (1.6× faster with slices, byte-identical gram strings —
+    the ``_char_grams`` shared helper)."""
     if n_max < 1:
         raise ValueError("n_max must be >= 1")
+    from updater_spark.operators.dedup import _char_grams
+
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", "_")
-    staged = df.withColumn("_lid_norm", norm)
+    staged = df.withColumn("_lid_norm", norm).withColumn(
+        "_lid_chars", F.split(F.col("_lid_norm"), "")
+    )
     t = F.col("_lid_norm")
-
-    def gram_fn(n):
-        # NOT `lambda i, n=n`: F.transform treats a two-parameter
-        # lambda as (element, index) and would bind n to the INDEX
-        return lambda i: t.substr(i, F.lit(n))
-
     per_n = [
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1))
-            ),
-            gram_fn(n),
-        )
+        _char_grams(t, F.col("_lid_chars"), n)
         for n in range(1, n_max + 1)
     ]
     gram_string = F.concat_ws(" ", F.flatten(F.array(*per_n)))
     return staged.withColumn(
         out, F.when(t.isNull(), None).otherwise(gram_string)
-    ).drop("_lid_norm")
+    ).drop("_lid_norm", "_lid_chars")
 
 
 def langid_train(

@@ -37,8 +37,10 @@ def _gram_source(df, text_col, n, shingle_unit):
         return tokenize(df, text_col), word_shingles_of("_toks", n)
     if shingle_unit == "char":
         return (
-            df.withColumn("_norm", normalize_ws(text_col)),
-            char_shingles_of("_norm", n),
+            df.withColumn("_norm", normalize_ws(text_col)).withColumn(
+                "_chars", F.split(F.col("_norm"), "")
+            ),
+            char_shingles_of("_norm", n, "_chars"),
         )
     raise ValueError(
         f"shingle_unit must be 'word' or 'char', got {shingle_unit!r}"

