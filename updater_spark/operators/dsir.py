@@ -365,26 +365,47 @@ def hashed_text_embedding(
     cnts = feats.groupBy(id_col, "bucket").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
+    # Signs depend ONLY on the bucket id, and the bucket space is
+    # fixed at 2^hash_bits — so the md5 sign derivation runs once per
+    # BUCKET in a B-row broadcast table instead of dim times per
+    # (doc, bucket) row (r11; the old inline shape evaluated
+    # md5+conv+substring dim·|cnts| times — 24M evaluations at sf0.1
+    # against 4096 buckets). Same sign values, same per-row products,
+    # integer sums — bit-identical output.
     hexstr = F.md5(F.col("bucket").cast("string").cast("binary"))
+    signs_tbl = (
+        df.sparkSession.range(1 << hash_bits)
+        .select(F.col("id").alias("bucket"))
+        .select(
+            "bucket",
+            F.array(
+                *[
+                    F.when(
+                        F.conv(F.substring(hexstr, j + 1, 1), 16, 10)
+                        .cast("int")
+                        .bitwiseAND(F.lit(1))
+                        == 0,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for j in range(dim)
+                ]
+            ).alias("_signs"),
+        )
+    )
     scale = 1.0 / float(dim) ** 0.5
     sums = [
         F.round(
-            F.sum(
-                F.col("_cnt")
-                * F.when(
-                    F.conv(F.substring(hexstr, j + 1, 1), 16, 10)
-                    .cast("int")
-                    .bitwiseAND(F.lit(1))
-                    == 0,
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
-            )
+            F.sum(F.col("_cnt") * F.element_at("_signs", j + 1))
             * F.lit(scale),
             round_digits,
         ).alias(f"_v{j}")
         for j in range(dim)
     ]
-    vecs = cnts.groupBy(id_col).agg(*sums)
+    vecs = (
+        cnts.join(F.broadcast(signs_tbl), "bucket")
+        .groupBy(id_col)
+        .agg(*sums)
+    )
     out = vecs.select(
         F.col(id_col),
         F.array(*[F.col(f"_v{j}") for j in range(dim)]).alias("embedding"),

@@ -48,14 +48,25 @@ def unit(a: Column) -> Column:
     norms per candidate pair (O(n·m)) is the difference between a
     linear and a quadratic norm bill in every top-k / near-dup scan.
 
-    CAUTION: the norm aggregate sits inside the transform lambda, so
-    Catalyst re-evaluates it PER ELEMENT (O(d^2) per row) wherever
-    this expression is inlined rather than read from a materialized
-    column. Fine in a projection that is scanned once; a join that
-    fans the expression out per candidate pair must persist() the
-    projected column first (see semantic_dedup — 20x measured)."""
-    n = norm(a)
-    return F.transform(a, lambda x: x / n)
+    The norm fold runs ONCE per row via ``aggregate``'s *finish*
+    lambda (r11): the old shape captured the norm aggregate inside
+    the transform lambda, where Catalyst re-evaluated it PER ELEMENT
+    — O(d²) interpreted fold work per row (4096 lambda evals at
+    d=64 vs 128 now), silently multiplied wherever the expression
+    was inlined. Same accumulation order (left-to-right x², sqrt,
+    per-element divide), so values are bit-identical; empty → [] and
+    NULL → NULL edges unchanged.
+
+    CAUTION still holds one level up: a join that fans this whole
+    expression out per candidate pair pays the O(d) fold per PAIR —
+    persist() the projected column first (see semantic_dedup — 20x
+    measured)."""
+    return F.aggregate(
+        a,
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+        lambda ss: F.transform(a, lambda x: x / F.sqrt(ss)),
+    )
 
 
 def cosine_topk(

@@ -131,12 +131,15 @@ def wordpiece_vocab(
     strip to ``[a-z ]``, words truncated to ``max_word_len``), so the
     built vocab feeds straight into it.
 
-    Scale shape: the piece expansion is a per-row ``flatten(transform(
-    sequence…))`` — NARROW, no shuffle, ≤ max_word_len×max_piece_len
-    pieces per word at scan speed; the count is one two-level
-    ``groupBy(piece)`` partial agg; top-V is ``TakeOrderedAndProject``
-    (per-partition heaps, V rows to the driver — never a full sort).
-    Zero UDFs, exact DuckDB oracle.
+    Scale shape (r11): words collapse to the DISTINCT word-frequency
+    table first (one narrow word count — Heaps-law sublinear in the
+    corpus), and the ≤ max_word_len×max_piece_len piece expansion
+    runs once per distinct word with counts as ``sum(freq)`` — at
+    sf0.1 that is 2.8k exploded piece rows instead of 24M (270,704
+    word instances over 31 distinct words; counts identical since a
+    piece's corpus count is Σ_word freq·multiplicity). Top-V is
+    ``TakeOrderedAndProject`` (per-partition heaps, V rows to the
+    driver — never a full sort). Zero UDFs, exact DuckDB oracle.
 
     Returns ``(piece, cnt)``, the selected vocabulary."""
     if vocab_size < 1:
@@ -149,7 +152,11 @@ def wordpiece_vocab(
         ),
         lambda x: F.length(x) > 0,
     )
-    w = df.select(F.explode(words).alias("w"))
+    w = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_freq"))
+    )
     pieces = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.length("w") - F.lit(1)),
@@ -169,9 +176,9 @@ def wordpiece_vocab(
         )
     )
     return (
-        w.select(F.explode(pieces).alias("piece"))
+        w.select(F.explode(pieces).alias("piece"), "_freq")
         .groupBy("piece")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_freq").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
         .orderBy(F.col("cnt").desc(), F.col("piece").asc())
         .limit(vocab_size)
