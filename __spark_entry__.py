@@ -5251,8 +5251,13 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = demo.load(spark, sf_dir, "events")
     from updater_spark.operators.timeseries import ewma
 
+    # applyInPandas is opaque to column pruning (guide §4.1): without
+    # this select the whole events row — including the props JSON
+    # string, most of the table's bytes — crosses the Arrow boundary
+    # both ways just to be dropped by the final projection (r11)
     res = ewma(
-        events, "user_id", "ts", "value", alpha=0.3,
+        events.select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", alpha=0.3,
         order_cols=["event_id"],
     )
     return res.select(

@@ -173,3 +173,39 @@ def test_ohlc_bars_hand_values(spark):
     assert (b11["open"], b11["close"], b11["n"]) == (5.0, 5.0, 1)
     b12 = out[(8, 12)]
     assert (b12["open"], b12["close"]) == (10.0, 20.0)
+
+
+def test_ewma_repartition_single_exchange_and_identical(spark):
+    """The scale-adaptive repartition ahead of the grouped-Python
+    stage (r11: AQE sizes the key exchange by BYTES and coalesced the
+    CPU-bound pandas stage to 2 tasks on 32 cores) must (a) leave the
+    values bit-identical to the AQE-sized path and (b) satisfy
+    applyInPandas' clustered-distribution requirement itself — one
+    Exchange in the plan, not two."""
+    from updater_spark.operators.timeseries import ewma
+
+    rows = [
+        Row(k=i % 7, ts=_ts(1 + i // 24 % 20, i % 24), id=i, v=float(i % 13))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    base = {
+        (r["k"], r["id"]): r["ewma"]
+        for r in ewma(
+            df, "k", "ts", "v", alpha=0.3, order_cols=["id"],
+            num_partitions=0,
+        ).collect()
+    }
+    tuned = ewma(
+        df, "k", "ts", "v", alpha=0.3, order_cols=["id"],
+        num_partitions=8,
+    )
+    got = {(r["k"], r["id"]): r["ewma"] for r in tuned.collect()}
+    assert got == base
+    plan = tuned._jdf.queryExecution().executedPlan().toString()
+    # the explicit repartition IS the applyInPandas distribution —
+    # no second ENSURE_REQUIREMENTS exchange may appear (the plan
+    # string holds AQE's initial+final copies, so count the origin
+    # tags rather than the word Exchange)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "ENSURE_REQUIREMENTS" not in plan, plan

@@ -164,6 +164,7 @@ def ewma(
     alpha: float,
     order_cols: list[str] | None = None,
     out_col: str = "ewma",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Per-key exponentially weighted moving average,
     ``y_t = α·x_t + (1−α)·y_{t−1}`` with ``y_0 = x_0`` (pandas
@@ -184,7 +185,19 @@ def ewma(
 
     NULL values propagate NULL for their own row and are SKIPPED by
     the decay (pandas ``ignore_na=False`` semantics kept: decay
-    still advances over the gap)."""
+    still advances over the gap).
+
+    ``num_partitions``: the grouped-Python stage is CPU-bound in the
+    worker (per-group pandas dispatch), but AQE sizes the exchange
+    by BYTES and coalesces the byte-light key shuffle down to a few
+    partitions — measured 2 tasks on 32 cores at sf0.1 (3.1 s; 1.1 s
+    with the explicit repartition, identical rows). The default
+    derives from the cluster (2×defaultParallelism — scale-adaptive,
+    not a local constant); the explicit repartition SATISFIES the
+    applyInPandas clustered-distribution requirement, so the plan
+    still carries exactly one exchange (pinned by
+    tests/test_timeseries_part.py). Pass an int to override, or
+    ``0`` to keep the AQE-sized behavior."""
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
 
@@ -204,6 +217,11 @@ def ewma(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
         + [f"`{out_col}` double"]
     )
+    n_parts = num_partitions
+    if n_parts is None:
+        n_parts = 2 * df.sparkSession.sparkContext.defaultParallelism
+    if n_parts:
+        df = df.repartition(n_parts, key_col)
     return df.groupBy(key_col).applyInPandas(_smooth, schema=schema)
 
 
