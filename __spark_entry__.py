@@ -719,7 +719,7 @@ def _spaceless_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing (pytest-pinned in tests/test_dedup_char.py); the char
     unit is the honest one."""
     spaceless = (
-        demo.load(spark, sf_dir, "documents")
+        demo.load_parallel(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
         .select(
             "doc_id",
@@ -792,7 +792,7 @@ def q_decontam_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     from updater_spark.operators.decontam import contamination
 
     spaceless = (
-        demo.load(spark, sf_dir, "documents")
+        demo.load_parallel(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
         .select(
             "doc_id",
@@ -4028,7 +4028,7 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical pieces, both engines."""
     from updater_spark.operators.tokenizer import bpe_tokenize
 
-    docs = demo.load(spark, sf_dir, "documents")
+    docs = demo.load_parallel(spark, sf_dir, "documents")
     return bpe_tokenize(docs, "text", BPE_MERGES)
 
 
@@ -4318,7 +4318,7 @@ def q_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_train,
     )
 
-    docs = demo.load(spark, sf_dir, "documents")
+    docs = demo.load_parallel(spark, sf_dir, "documents")
     vocab_df = unigram_train(
         docs,
         "text",
@@ -4455,7 +4455,7 @@ def q_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         langid_train,
     )
 
-    docs = demo.load(spark, sf_dir, "documents")
+    docs = demo.load_parallel(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 5 != 0)
     test = docs.filter(F.col("doc_id") % 5 == 0)
     model, meta = langid_train(
@@ -5783,7 +5783,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scanned, never shuffled wide."""
     from updater_spark.operators.dsir import dsir_select
 
-    docs = demo.load(spark, sf_dir, "documents")
+    docs = demo.load_parallel(spark, sf_dir, "documents")
     return dsir_select(
         docs, docs.filter(F.col("lang") == "en"), k=200, hash_bits=12
     )
@@ -6033,7 +6033,7 @@ def q_text_embed_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from updater_spark.operators.dsir import hashed_text_embedding
 
     emb = hashed_text_embedding(
-        demo.load(spark, sf_dir, "documents"), dim=16
+        demo.load_parallel(spark, sf_dir, "documents"), dim=16
     )
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("j", "v")
@@ -6199,7 +6199,7 @@ def q_dedup_text_model_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     from updater_spark.operators.dsir import hashed_text_embedding
     from updater_spark.operators.similarity import kmeans_lloyd
 
-    docs = demo.load(spark, sf_dir, "documents")
+    docs = demo.load_parallel(spark, sf_dir, "documents")
     # persist: the k-means loop (init collect + per-iter aggregates +
     # final assignment) and the two-sided pair join would otherwise
     # recompute the embed lineage ~8x

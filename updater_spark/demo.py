@@ -33,6 +33,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` plus scale-adaptive scan parallelism for CPU-heavy map
+    chains (r11, guide §2.5 "input skew"): a sub-split-size local
+    parquet (one file, one row group) scans as ONE task, serializing
+    expensive per-row expression work — the char-gram build measured
+    2.4 s on 1 task vs 0.8 s repartitioned across 32 at sf0.1. The
+    repartition fires only when the scan has fewer partitions than
+    ``defaultParallelism`` (derived from the cluster, not a constant);
+    at real scale inputs arrive in many splits and this is a no-op.
+    Row-content is unchanged — only placement — so every oracle value
+    is identical; the shuffle moves the sub-split file once.
+
+    Applied SELECTIVELY, not blanket: only at entry sites where the
+    A/B measured a win (char-gram / tokenizer-fold / hashing chains:
+    langid_trained 4.41→1.13 s, dedup_char_lsh 2.72→1.30 s). Queries
+    that consume the docs scan through several branches (bm25/hybrid/
+    backoff: +1.2 s each) or whose per-row work is light relative to
+    the added round-robin exchange (the near-dup family: +0.5–0.8 s)
+    measured slower and keep the plain ``load``."""
+    df = load(spark, sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as parquet TIMESTAMP with no
     timezone, which Spark 4 reads as TIMESTAMP_NTZ — a type
