@@ -6236,25 +6236,39 @@ def q_dedup_text_model_free(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + F.element_at(F.col(x), j) * F.element_at(F.col(y), j)
         return acc
 
-    withv = asg.join(emb, "vec_id").select(
-        "vec_id", "cluster", "embedding"
+    # norm once per ROW on a persisted (bounded, n-row) normed table,
+    # then self-join: the two pair-join branches previously each
+    # re-evaluated the whole assignment subtree (arrow k-means assign
+    # + join + norm) per execution — ReuseExchange does not unify the
+    # two alias-renamed branches — so every timed run paid the arrow
+    # boundary twice before any pair work (r11; measured 6.7 s in-run
+    # → the pair join alone is 1.4 s once the normed table is
+    # materialized). Same floats in the same order: _n is the
+    # identical unrolled fold the per-branch norms computed.
+    withv = (
+        asg.join(emb, "vec_id")
+        .select("vec_id", "cluster", "embedding")
+        .withColumn("_n", F.sqrt(_unrolled_dot("embedding", "embedding")))
+        .filter(F.col("_n") > 0)
+        .persist()
     )
     a = withv.select(
         F.col("vec_id").alias("id_a"),
         "cluster",
         F.col("embedding").alias("_va"),
-    ).withColumn("_na", F.sqrt(_unrolled_dot("_va", "_va")))
+        F.col("_n").alias("_na"),
+    )
     b = withv.select(
         F.col("vec_id").alias("id_b"),
         "cluster",
         F.col("embedding").alias("_vb"),
-    ).withColumn("_nb", F.sqrt(_unrolled_dot("_vb", "_vb")))
+        F.col("_n").alias("_nb"),
+    )
     sim = F.round(
         _unrolled_dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), 4
     )
     return (
-        a.filter(F.col("_na") > 0)
-        .join(b.filter(F.col("_nb") > 0), "cluster")
+        a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.95)

@@ -351,13 +351,29 @@ def bm25_topk(
     Returns ``(qid, rank, doc_id, score)``."""
     from pyspark.sql import Window
 
-    terms = df.select(
-        F.col(id_col), F.explode(_ascii_terms(text_col)).alias("term")
+    # pre-apply the join-key not-null filters the optimizer would
+    # push down ANYWAY (the scored join keys on term and id): with
+    # them already in the shared subtree, the posting branches under
+    # dfreq / dl / the query join stay canonically IDENTICAL and
+    # ReuseExchange can unify them — without this, per-branch pushed
+    # isnotnull() filters make each branch re-tokenize the corpus
+    # (r11, guide §2.4; explode never yields NULL terms and ids are
+    # keys, so the filters drop nothing)
+    terms = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.explode(_ascii_terms(text_col)).alias("term"))
+        .filter(F.col("term").isNotNull())
     )
     posting = terms.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # dl/dfreq derive from `posting`, NOT from `terms` (r11, guide
+    # §2.4): dl = Σ tf per doc is the same integer as counting the
+    # raw token stream, so every consumer shares the ONE tokenize +
+    # (id, term) aggregate subtree, and the dl aggregate's input is
+    # the (already partially combined) posting table rather than the
+    # full token stream.
+    dl = posting.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     n_docs, avgdl = dl.agg(
         F.count(F.lit(1)), F.sum("dl")
     ).collect()[0]
