@@ -324,3 +324,37 @@ def test_strip_dup_spans(spark):
     assert out[2]["clean_text"] == "nine ten"
     assert out[3]["clean_text"] == "totally unrelated words here today"
     assert out[3]["kept_tokens"] == out[3]["n_tokens"] == 5
+
+
+def test_simhash_near_pairs_lowest_chunk_dedup(spark):
+    """r11: the candidate distinct() was replaced by a
+    lowest-agreeing-chunk filter — a pair agreeing on MANY blocks
+    (identical fingerprints agree on all of them) must still surface
+    exactly once, and the uncapped plan must carry no aggregation
+    above the candidate join (the Σ bucket² stream pipelines straight
+    into the Hamming verify)."""
+    from pyspark.sql import functions as F
+
+    fps = spark.createDataFrame(
+        [
+            Row(id=1, simhash=7),          # dup pair: agree on every chunk
+            Row(id=2, simhash=7),
+            Row(id=3, simhash=7 | (1 << 40)),  # near pair vs 1/2
+            Row(id=4, simhash=-1),         # far from everything
+        ]
+    ).select("id", F.col("simhash").cast("long").alias("simhash"))
+    out = simhash_near_pairs(fps, max_hamming=3, chunks=4)
+    rows = out.collect()
+    pairs = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in rows)
+    assert pairs == [(1, 2, 0), (1, 3, 1), (2, 3, 1)]
+    # exactly-once emission is pre-verify: the candidate stream itself
+    # must already be distinct (count pairs before the hamming filter)
+    assert len(rows) == len(set((r["id_a"], r["id_b"]) for r in rows))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in plan and "Aggregate" not in plan
+    # capped path keeps the distinct() semantics (a dropped bucket can
+    # eat the lowest agreeing chunk) — same result on this tiny frame
+    capped = simhash_near_pairs(fps, max_hamming=3, chunks=4, max_bucket=10)
+    assert sorted(
+        (r["id_a"], r["id_b"], r["hamming"]) for r in capped.collect()
+    ) == pairs

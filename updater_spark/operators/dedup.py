@@ -782,12 +782,54 @@ def simhash_near_pairs(
     b = blocks.select(
         F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "block"
     )
-    cand = (
-        a.join(b, ["chunk", "block"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    # lowest-agreeing-chunk dedup instead of distinct() (r11, guide
+    # §2.4): a pair agreeing on several blocks surfaces once per
+    # agreeing chunk, and the old distinct() shuffled the FULL
+    # Σ bucket² candidate stream (32 B/row) to drop the repeats. Both
+    # fingerprints are already on the joined row, so "is this the
+    # pair's first agreeing chunk" is a pure expression — keep the
+    # row only when NO chunk before this one agrees — and the
+    # candidate stream pipelines straight into the Hamming verify
+    # with zero exchanges. Same pair set, emitted exactly once.
+    # (With max_bucket set, a dropped bucket can eat a pair's lowest
+    # agreeing chunk, so surviving occurrences keep the guard: any
+    # EARLIER agreeing block must sit in a dropped-oversized bucket.)
+    # flat CASE over the chunk id — higher-order exists()/slice()
+    # lambdas run interpreted per candidate row (measured 6× slower
+    # than the distinct() they replaced); a WHEN chain of bitwise
+    # compares stays in whole-stage codegen and each row evaluates
+    # only its own branch's ≤ chunks−1 comparisons
+    def _agree(c: int) -> Column:
+        return F.shiftright(F.col("sh_a"), c * width).bitwiseAND(
+            F.lit(mask)
+        ) == F.shiftright(F.col("sh_b"), c * width).bitwiseAND(F.lit(mask))
+
+    earlier_agree = F.when(F.col("chunk") == 0, F.lit(False))
+    for c in range(1, chunks):
+        any_earlier = _agree(0)
+        for c2 in range(1, c):
+            any_earlier = any_earlier | _agree(c2)
+        earlier_agree = earlier_agree.when(F.col("chunk") == c, any_earlier)
+    earlier_agree = earlier_agree.otherwise(F.lit(False))
+    if max_bucket is not None:
+        # under the cap, "earlier chunk agrees" only suppresses this
+        # occurrence if that earlier bucket SURVIVED the cap — join
+        # the surviving (chunk, block) keys of the pair's earlier
+        # agreeing chunks is corpus-shaped; instead keep the exact
+        # distinct() semantics on the (already cap-reduced) stream.
+        cand = (
+            a.join(b, ["chunk", "block"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .distinct()
+        )
+    else:
+        cand = (
+            a.join(b, ["chunk", "block"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(~earlier_agree)
+            .select("id_a", "id_b", "sh_a", "sh_b")
+        )
     # long, not int: stable schema across engines (bit_count is int32
     # in Spark, BIGINT in most SQL engines)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
