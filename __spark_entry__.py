@@ -681,13 +681,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
+    # persist: the signature table (n × 64 longs, the bounded
+    # artifact every production LSH pipeline materializes) feeds the
+    # banding AND both sides of the slot-match estimate join — left
+    # lazy each execution re-shingles and re-hashes the corpus three
+    # times (r11; the dedup_text_model_free persist discipline)
     sigs = minhash_signatures(
         _near_dup_corpus(spark, sf_dir),
         "doc_id",
         "text",
         num_hashes=64,
         base_hash=md5_hash32,
-    )
+    ).persist()
     pairs = lsh_candidate_pairs(sigs, bands=16, band_hash=md5_hash32)
     est = minhash_jaccard_estimate(sigs, pairs)
     return est.filter(F.col("est_jaccard") >= 0.5).select(
@@ -703,7 +708,8 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from updater_spark.operators.dedup import lsh_verified_pairs
 
     pairs = lsh_verified_pairs(
-        _near_dup_corpus(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text", n=3,
+        threshold=0.5, persist_shingles=True,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -773,6 +779,7 @@ def q_dedup_char_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=5,
         threshold=0.5,
         shingle_unit="char",
+        persist_shingles=True,
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -5784,8 +5791,14 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from updater_spark.operators.dsir import dsir_select
 
     docs = demo.load_parallel(spark, sf_dir, "documents")
+    # materialize_model pins the bounded 4096-row log-ratio table as
+    # a local relation (r11): without it every execution re-tokenized
+    # BOTH corpora twice more just to rebuild the same model — the
+    # scoring scan is now the only corpus pass (the k-means-centroid /
+    # unigram-vocab train-collect discipline; values bit-identical)
     return dsir_select(
-        docs, docs.filter(F.col("lang") == "en"), k=200, hash_bits=12
+        docs, docs.filter(F.col("lang") == "en"), k=200, hash_bits=12,
+        materialize_model=True,
     )
 
 

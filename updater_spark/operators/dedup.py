@@ -298,6 +298,7 @@ def minhash_signatures(
     seed: int = 7,
     base_hash=None,
     shingle_unit: str = "word",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, signature array<long>)`` — element i is min over
     shingles of ((a_i * (base_hash(shingle) ^ r_i) + b_i) mod p).
@@ -322,8 +323,9 @@ def minhash_signatures(
     # explode_outer: plain explode's inferred size>0 filter re-inlines
     # the gram build below the token projection (see tokenize
     # docstring); shingle arrays are never empty so outer ≡ inner.
-    base = shingles_frame(
-        df, id_col, text_col, shingle_n, shingle_unit
+    base = (
+        shingles if shingles is not None
+        else shingles_frame(df, id_col, text_col, shingle_n, shingle_unit)
     ).select(
         "id",
         F.explode_outer("sh").alias("shingle"),
@@ -441,6 +443,7 @@ def lsh_verified_pairs(
     bands: int = 16,
     seed: int = 7,
     shingle_unit: str = "word",
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """THE at-scale near-dup pipeline: MinHash+LSH proposes candidate
     pairs (sub-quadratic), exact n-gram Jaccard verifies ONLY those
@@ -455,14 +458,27 @@ def lsh_verified_pairs(
     output, with identical jaccard values on every emitted pair
     (asserted in tests/test_dedup.py). ``shingle_unit='char'`` (with
     n ≈ 5) runs the same pipeline over codepoint n-grams — the
-    honest unit for no-whitespace scripts."""
+    honest unit for no-whitespace scripts.
+
+    ``persist_shingles`` (r11, opt-in): build the per-doc shingle
+    frame ONCE and persist it (MEMORY_AND_DISK) — it feeds the
+    signature aggregate AND both sides of the verify join, so the
+    lazy default re-normalizes and re-shingles the corpus three
+    times per execution. The persisted frame is corpus-shaped
+    (≈ the text rewritten as grams): opt in when memory+disk can
+    hold it, exactly like materializing the signature table in a
+    production pipeline. Values are identical either way."""
+    sh = shingles_frame(df, id_col, text_col, n, shingle_unit)
+    if persist_shingles:
+        sh = sh.persist()
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, n, seed,
-        shingle_unit=shingle_unit,
+        shingle_unit=shingle_unit, shingles=sh,
     )
     cand = lsh_candidate_pairs(sigs, bands)
     return verify_pairs_exact(
-        df, cand, id_col, text_col, n, threshold, shingle_unit
+        df, cand, id_col, text_col, n, threshold, shingle_unit,
+        shingles=sh,
     )
 
 
@@ -474,13 +490,17 @@ def verify_pairs_exact(
     n: int = 3,
     threshold: float = 0.5,
     shingle_unit: str = "word",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY for the given candidate
     ``pairs`` (columns id_a, id_b) — the refine step after any
     sub-quadratic candidate generator (one-shot LSH, the incremental
     index, SimHash banding). Each side's shingle set is built once and
     joined in by id; cost is O(|pairs|), never O(n²)."""
-    sh = shingles_frame(df, id_col, text_col, n, shingle_unit)
+    sh = (
+        shingles if shingles is not None
+        else shingles_frame(df, id_col, text_col, n, shingle_unit)
+    )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(

@@ -175,6 +175,7 @@ def dsir_weights(
     alpha: float = 1.0,
     round_digits: int = 4,
     hasher: str = "md5",
+    materialize_model: bool = False,
 ) -> DataFrame:
     """Per-document log importance weight: ``(id, n_feats,
     log_weight)`` — the sum of bucket log-ratios over the document's
@@ -187,6 +188,17 @@ def dsir_weights(
     ratios = dsir_log_ratios(
         raw, target, id_col, text_col, hash_bits, alpha, hasher
     )
+    if materialize_model:
+        # the model is bounded at 2^hash_bits rows by construction
+        # (the "2B longs of state" contract) — pin it as a local
+        # relation so the scoring pass is the ONLY corpus scan: left
+        # lazy, every execution re-tokenizes BOTH corpora twice more
+        # just to rebuild the same B-row table (r11; the k-means /
+        # unigram-vocab train-collect discipline). collect() →
+        # createDataFrame round-trips Python floats as IEEE doubles,
+        # bit-exact.
+        spark = raw.sparkSession
+        ratios = spark.createDataFrame(ratios.collect(), ratios.schema)
     feats = hashed_ngram_buckets(raw, id_col, text_col, hash_bits, hasher)
     scored = (
         feats.join(F.broadcast(ratios), "bucket")
@@ -226,6 +238,7 @@ def dsir_select(
     round_digits: int = 4,
     key_digits: int = 6,
     hasher: str = "md5",
+    materialize_model: bool = False,
 ) -> DataFrame:
     """Select ``k`` documents from ``raw`` with probability ∝ their
     importance weight, without replacement (Gumbel top-k over the log
@@ -238,7 +251,8 @@ def dsir_select(
     if k < 1:
         raise ValueError("k must be >= 1")
     weights = dsir_weights(
-        raw, target, id_col, text_col, hash_bits, alpha, round_digits, hasher
+        raw, target, id_col, text_col, hash_bits, alpha, round_digits,
+        hasher, materialize_model,
     )
     key = F.round(
         F.col("log_weight") + _gumbel(id_col, salt), key_digits
