@@ -2565,9 +2565,6 @@ def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     set still comes from the unfiltered centroid geometry, so the
     oracle is the standard IVF replay with the predicate on the
     candidate side."""
-    import shutil
-    import tempfile
-
     from updater_spark.operators.ann_index import IvfIndex
     from updater_spark.sources.store import TableStore
 
