@@ -141,3 +141,34 @@ def test_score_buckets_validation(spark):
     empty = df.filter(F.col("avg_logprob").isNull())
     with pytest.raises(ValueError, match="non-NULL"):
         score_buckets(empty)
+
+
+def test_backoff_single_gram_pass_plan(spark):
+    """The r11 single-pass rewrite must build ALL THREE gram-order
+    count tables from ONE tokenize+explode of the train slice: the
+    executed plan reads the persisted combined count table (one
+    InMemoryTableScan per score-table reference) and the only
+    Generate (explode) nodes are the ONE tagged train gram stream —
+    inside the cached relation — plus the doc-side trigram stream.
+    Before the rewrite the plan held a separate tokenize+explode
+    subtree per order (3 over train + 1 over docs)."""
+    df = spark.createDataFrame(LM_DOCS)
+    res = backoff_logprob(df, train_filter=F.col("lang") == "en")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the five score-table references all read the ONE persisted
+    # combined count table (toString re-prints the cached subtree
+    # under each reference; at runtime it computes once)
+    assert plan.count("InMemoryTableScan") == 5
+    # every train-side explode is the single TAGGED stream
+    # (explode(concat(...)) — the cached build plan, printed per
+    # reference); exactly one untagged explode remains: the doc-side
+    # trigram stream. A per-order gram pass would show an untagged
+    # explode per order.
+    gens = [ln for ln in plan.splitlines() if "Generate explode(" in ln]
+    untagged = [ln for ln in gens if "explode(concat(" not in ln]
+    assert len(untagged) == 1, untagged
+    # and the values still match the unrolled-Counter oracle path
+    # (the sibling tests); spot-pin one leg here so a plan-only
+    # regression can't slip through a green assertion
+    got = {r["doc_id"]: r for r in res.collect()}
+    assert got[13]["n_trigrams"] == 0 and got[13]["avg_logprob"] is None

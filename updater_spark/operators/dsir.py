@@ -135,14 +135,28 @@ def dsir_log_ratios(
             .agg(F.count(F.lit(1)).alias(out))
         )
 
-    t_cnt = counts(target, "_t")
-    r_cnt = counts(raw, "_r")
-    t_total = t_cnt.agg(F.sum("_t")).first()[0] or 0
-    r_total = r_cnt.agg(F.sum("_r")).first()[0] or 0
+    # The count tables are bounded at B rows by construction, and the
+    # totals were ALREADY a driver action at build time — so collect
+    # the counts themselves and derive the totals in Python (same
+    # integers). Before, the `.agg(sum)` action ran each count job
+    # once for the total and the ratio plan then re-ran the SAME
+    # count subtree (= one more tokenize+explode scan of each corpus)
+    # per execution; pinning the collected rows as local relations
+    # makes each corpus scan happen exactly once (r11, guide §1.2
+    # "don't compute what you throw away" — the dsir_select
+    # materialize_model discipline pushed down to the model builder).
+    t_df = counts(target, "_t")
+    r_df = counts(raw, "_r")
+    t_rows = t_df.collect()
+    r_rows = r_df.collect()
+    t_total = sum(row["_t"] for row in t_rows)
+    r_total = sum(row["_r"] for row in r_rows)
     if t_total == 0 or r_total == 0:
         raise ValueError(
             f"empty feature stream (target={t_total}, raw={r_total})"
         )
+    t_cnt = spark.createDataFrame(t_rows, t_df.schema)
+    r_cnt = spark.createDataFrame(r_rows, r_df.schema)
     all_b = spark.range(b_count).select(F.col("id").alias("bucket"))
     t_denom = float(t_total + alpha * b_count)
     r_denom = float(r_total + alpha * b_count)
@@ -307,14 +321,23 @@ def corpus_divergence(
             .agg(F.count(F.lit(1)).alias(out))
         )
 
-    a_cnt = counts(a, "_a")
-    b_cnt = counts(b, "_b")
-    a_total = a_cnt.agg(F.sum("_a")).first()[0] or 0
-    b_total = b_cnt.agg(F.sum("_b")).first()[0] or 0
+    # Same bounded-collect discipline as dsir_log_ratios (r11): the
+    # totals were already a build-time action per side; collecting
+    # the B-row count tables instead makes each corpus side scan
+    # ONCE — before, the per-bucket join re-ran both count subtrees
+    # (= one more tokenize+explode scan of each corpus) at execution.
+    a_df = counts(a, "_a")
+    b_df = counts(b, "_b")
+    a_rows = a_df.collect()
+    b_rows = b_df.collect()
+    a_total = sum(row["_a"] for row in a_rows)
+    b_total = sum(row["_b"] for row in b_rows)
     if a_total == 0 or b_total == 0:
         raise ValueError(
             f"empty feature stream (a={a_total}, b={b_total})"
         )
+    a_cnt = spark.createDataFrame(a_rows, a_df.schema)
+    b_cnt = spark.createDataFrame(b_rows, b_df.schema)
     all_b = spark.range(b_count).select(F.col("id").alias("bucket"))
     pa = (F.coalesce(F.col("_a"), F.lit(0)) + F.lit(alpha)) / F.lit(
         float(a_total + alpha * b_count)

@@ -302,6 +302,7 @@ def bm25_topk(
     b: float = 0.75,
     round_digits: int = 4,
     champion_n: int | None = None,
+    persist_posting: bool = True,
 ) -> DataFrame:
     """BM25 top-k retrieval (Robertson & Zaragoza 2009) — the lexical
     search primitive training-data pipelines use for hard-negative
@@ -343,7 +344,10 @@ def bm25_topk(
     Scale shape: postings/doc-length/df are the classic three
     aggregates over the exploded term stream (all partial-combine
     map-side, shuffles carry vocab- or doc-sized rows, never the
-    token stream); the query set joins the postings on ``term`` —
+    token stream), dl/df derived from — and by default sharing one
+    persisted copy of — the posting table so the corpus tokenizes
+    once per query (``persist_posting``); the query set joins the
+    postings on ``term`` —
     query sets are small by construction, so AQE broadcasts them —
     and the per-query top-k window partitions by query. The one
     scalar collected is (N, avgdl).
@@ -367,6 +371,18 @@ def bm25_topk(
     posting = terms.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    if persist_posting:
+        # Materialize the posting table once (r11, guide §2.4/§5):
+        # the (N, avgdl) collect below already executes the
+        # tokenize+aggregate subtree — persisting it means dl, df and
+        # the query join all read the SAME computed postings instead
+        # of re-tokenizing the corpus per branch (ReuseExchange only
+        # unifies the branches at AQE runtime, and not across the
+        # separate (N, avgdl) job at all). This is the artifact a
+        # production IR system materializes anyway; MEMORY_AND_DISK
+        # spills at scale, and `persist_posting=False` restores the
+        # recompute-per-branch plan.
+        posting = posting.persist()
     # dl/dfreq derive from `posting`, NOT from `terms` (r11, guide
     # §2.4): dl = Σ tf per doc is the same integer as counting the
     # raw token stream, so every consumer shares the ONE tokenize +
@@ -745,11 +761,13 @@ def backoff_logprob(
     a fluent held-out sentence keeps hitting seen trigrams, while
     shuffled-but-common-word soup falls through to the penalized legs.
 
-    Scale shape: three partial-combining count aggregates over the
-    exploded gram streams (shuffles carry the gram VOCABULARY of the
-    train slice — CCNet-sized, not corpus-sized). The three backoff
-    legs are then pre-divided into per-gram SCORE tables on the
-    vocab side (vocab-sized joins among the count tables), so the
+    Scale shape: ONE tokenize+explode pass over the train slice
+    emits all three gram orders tagged, and one partial-combining
+    count aggregate collapses them to the (persisted, vocab-sized)
+    per-order count table — the shuffle carries the gram VOCABULARY
+    of the train slice, CCNet-sized, not corpus-sized. The three
+    backoff legs are then pre-divided into per-gram SCORE tables on
+    the vocab side (vocab-sized joins among the count slices), so the
     corpus trigram stream takes exactly THREE left joins — tri, bi,
     uni score probes, AQE-broadcast — and one coalesce down the
     backoff chain, then one per-doc agg. N and V — two scalars —
@@ -781,24 +799,72 @@ def backoff_logprob(
             *keep, *[F.col(f"_g.{c}").alias(c) for c in names]
         )
 
-    tri_cnt = (
-        _grams(train, 3)
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("_c123"))
+    # ONE tokenize+explode+shuffle pass builds ALL THREE gram-order
+    # count tables (r11, guide §2.4 "remove shuffles outright"): each
+    # order's gram list is computed exactly as the old per-order
+    # passes did (same token array, same element_at windows, same
+    # empty-token filter on the unigram leg — tokens('') is [''], the
+    # split-on-empty quirk, and 1-token docs form no grams), tagged
+    # with its order and concatenated BEFORE the single explode. The
+    # train slice is scanned/tokenized once instead of three times,
+    # one combined partial-agg shuffle replaces three, and the
+    # persisted count table (vocab-sized — the same rows the three
+    # separate tables held, plus a 1-byte tag) is sliced per order,
+    # so the score-table joins and the N/V action never re-scan the
+    # corpus. Counts are identical integers, so every score — and
+    # the oracle — is unchanged.
+    _gtyp = "array<struct<_n:int,w1:string,w2:string,w3:string>>"
+    _nul = F.lit(None).cast("string")
+
+    def _tagged(n: int):
+        if n == 1:
+            return F.transform(
+                F.filter(F.col("_toks"), lambda t: t != F.lit("")),
+                lambda t: F.struct(
+                    F.lit(1).alias("_n"),
+                    t.alias("w1"),
+                    _nul.alias("w2"),
+                    _nul.alias("w3"),
+                ),
+            )
+        return F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("_n"),
+                    *[
+                        (
+                            F.element_at("_toks", i + F.lit(j))
+                            if j < n
+                            else _nul
+                        ).alias(f"w{j + 1}")
+                        for j in range(3)
+                    ],
+                ),
+            ),
+        ).otherwise(F.array().cast(_gtyp))
+
+    gram_cnt = (
+        train.select(tokens(text_col).alias("_toks"))
+        .select(
+            F.explode(
+                F.concat(_tagged(3), _tagged(2), _tagged(1))
+            ).alias("_g")
+        )
+        .select("_g.*")
+        .groupBy("_n", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist()
     )
-    bi_cnt = (
-        _grams(train, 2)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("_c12"))
+    tri_cnt = gram_cnt.filter(F.col("_n") == 3).select(
+        "w1", "w2", "w3", F.col("_c").alias("_c123")
     )
-    # tokens('') is [''] (the split-on-empty quirk) — the empty token
-    # only arises in 1-token docs, which form no grams; keep it out of
-    # the unigram table so N and V stay honest (bigram_logprob's rule)
-    uni_cnt = (
-        train.select(F.explode(tokens(text_col)).alias("_tok"))
-        .filter(F.col("_tok") != "")
-        .groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("_c1"))
+    bi_cnt = gram_cnt.filter(F.col("_n") == 2).select(
+        "w1", "w2", F.col("_c").alias("_c12")
+    )
+    uni_cnt = gram_cnt.filter(F.col("_n") == 1).select(
+        F.col("w1").alias("_tok"), F.col("_c").alias("_c1")
     )
     row = uni_cnt.agg(
         F.sum("_c1").alias("n"), F.count(F.lit(1)).alias("v")
