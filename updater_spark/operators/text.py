@@ -302,7 +302,7 @@ def bm25_topk(
     b: float = 0.75,
     round_digits: int = 4,
     champion_n: int | None = None,
-    persist_posting: bool = True,
+    persist_posting: bool = False,
 ) -> DataFrame:
     """BM25 top-k retrieval (Robertson & Zaragoza 2009) — the lexical
     search primitive training-data pipelines use for hard-negative
@@ -344,9 +344,11 @@ def bm25_topk(
     Scale shape: postings/doc-length/df are the classic three
     aggregates over the exploded term stream (all partial-combine
     map-side, shuffles carry vocab- or doc-sized rows, never the
-    token stream), dl/df derived from — and by default sharing one
-    persisted copy of — the posting table so the corpus tokenizes
-    once per query (``persist_posting``); the query set joins the
+    token stream), dl/df derived from the ONE posting subtree;
+    ``persist_posting`` (opt-in) pins that subtree as a cached table
+    so the corpus tokenizes once per query — measured a WIN only
+    when postings are bounded (see the inline note; the full-corpus
+    cache was 1.7× slower at 1M docs). The query set joins the
     postings on ``term`` —
     query sets are small by construction, so AQE broadcasts them —
     and the per-query top-k window partitions by query. The one
@@ -372,16 +374,23 @@ def bm25_topk(
         F.count(F.lit(1)).alias("tf")
     )
     if persist_posting:
-        # Materialize the posting table once (r11, guide §2.4/§5):
-        # the (N, avgdl) collect below already executes the
-        # tokenize+aggregate subtree — persisting it means dl, df and
-        # the query join all read the SAME computed postings instead
-        # of re-tokenizing the corpus per branch (ReuseExchange only
-        # unifies the branches at AQE runtime, and not across the
-        # separate (N, avgdl) job at all). This is the artifact a
-        # production IR system materializes anyway; MEMORY_AND_DISK
-        # spills at scale, and `persist_posting=False` restores the
-        # recompute-per-branch plan.
+        # OPT-IN posting materialization (r11, guide §2.4 vs §5): the
+        # (N, avgdl) collect below already executes the tokenize+
+        # aggregate subtree, so persisting it means dl, df and the
+        # query join all read the SAME computed postings instead of
+        # re-tokenizing the corpus per branch (ReuseExchange only
+        # unifies branches at AQE runtime, never across the separate
+        # (N, avgdl) job). MEASURED BOTH WAYS at 1M docs × 10k
+        # queries (hybridchamp probe): persist-ON made the EXACT leg
+        # 1.7× SLOWER (110 → 183 s) — the full posting table is
+        # corpus-sized, and caching it trades two cheap codegen-fused
+        # recomputes for three cache materialization/read passes plus
+        # storage-memory pressure (the guide §5 caching warning,
+        # measured) — while the champion-cut leg (bounded postings)
+        # was flat. Hence DEFAULT OFF; opt in when the posting table
+        # is bounded (champion-cut, small corpora, or memory to
+        # spare). Values are row-identical either way (pinned by the
+        # package-boundary check).
         posting = posting.persist()
     # dl/dfreq derive from `posting`, NOT from `terms` (r11, guide
     # §2.4): dl = Σ tf per doc is the same integer as counting the
