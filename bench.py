@@ -328,8 +328,21 @@ def run(only: list[str] | None = None) -> None:
     # SECOND, SHORT summary line AFTER the full dict (VERDICT r5 #5):
     # the driver's tail capture truncates long output from the FRONT,
     # which lost exec_total + ~29 queries in BENCH_r04/r05 (parsed=
-    # null both rounds). Totals + slowest-10 in <1 KB, printed last,
-    # survive any tail window.
+    # null both rounds). Printed last so it survives the tail window.
+    #
+    # r12 (VERDICT r11 #1b): the summary line now ALSO carries a
+    # per-query "queries" dict so the driver can compute a real
+    # round-over-round per-query table (PERF_r11.per_query was empty
+    # because only this line survives the tail capture). The capture
+    # window is 2000 chars (BENCH_r04..r11 artifacts all record
+    # len(tail)==2000) while the FULL 194-query dict serializes to
+    # ~4.6 KB — it cannot fit, so the summary's "queries" holds as
+    # many entries as fit under a hard line budget, slowest first
+    # (the rows that carry round-over-round signal; sub-0.3 s rows
+    # are inside the sf0.1 noise band anyway, VERDICT r11 §noise).
+    # The complete dict stays in the FIRST line (the original
+    # contract line), unchanged — additions only, nothing removed:
+    # slowest10 and every r11 summary key keep their exact meaning.
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
@@ -345,8 +358,21 @@ def run(only: list[str] | None = None) -> None:
         "cdc_bootstrap_sec": out["cdc_bootstrap_sec"],
         "cdc_incremental_sec": out["cdc_incremental_sec"],
         "slowest10": slowest,
+        "queries": {},
     }
-    print(json.dumps(summary, allow_nan=False))
+    # fill "queries" slowest-first until the serialized line would
+    # exceed the budget; compact separators buy ~15% more entries.
+    # 1900 leaves margin for the trailing newline inside the 2000-char
+    # window — a summary line that outgrows the window is UNPARSEABLE
+    # (front-truncated), which is strictly worse than a partial dict.
+    line_budget = 1900
+    ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    for name, secs in ranked:
+        summary["queries"][name] = round(secs, 2)
+        if len(json.dumps(summary, separators=(",", ":"))) > line_budget:
+            del summary["queries"][name]
+            break
+    print(json.dumps(summary, separators=(",", ":"), allow_nan=False))
 
 
 if __name__ == "__main__":

@@ -122,7 +122,14 @@ def dsir_log_ratios(
     every bucket gets a ratio, including ones seen in neither corpus
     (their smoothed ratio, -ln((T+αB)/(R+αB)), is what a held-out
     feature must score). Both totals fold on the driver as literals —
-    the unigram_logprob stance: no scalar-subquery cartesian."""
+    the unigram_logprob stance: no scalar-subquery cartesian.
+
+    Driver-memory note (ADVICE r11): the two count tables are
+    COLLECTED (2^hash_bits rows each) to pin them as local relations,
+    so driver memory is O(2^hash_bits). The DSIR paper's operating
+    range (and every caller here) uses hash_bits ≤ 16 (≤ 64k rows,
+    ~1 MB); hash_bits ≥ ~26 would collect tens of millions of rows —
+    size the driver accordingly or shrink the bucket space."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     b_count = 1 << hash_bits

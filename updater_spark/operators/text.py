@@ -348,8 +348,11 @@ def bm25_topk(
     ``persist_posting`` (opt-in) pins that subtree as a cached table
     so the corpus tokenizes once per query — measured a WIN only
     when postings are bounded (see the inline note; the full-corpus
-    cache was 1.7× slower at 1M docs). The query set joins the
-    postings on ``term`` —
+    cache was 1.7× slower at 1M docs). The cache must outlive the
+    returned lazy plan, so it is never unpersisted here: long-lived
+    sessions should unpersist after their terminal action (ADVICE
+    r11 — the ``score_buckets``/``cache_scored`` caveat). The query
+    set joins the postings on ``term`` —
     query sets are small by construction, so AQE broadcasts them —
     and the per-query top-k window partitions by query. The one
     scalar collected is (N, avgdl).
@@ -783,6 +786,15 @@ def backoff_logprob(
     fold on the driver as literals (the ``unigram_logprob`` stance:
     no scalar-subquery cartesian in the plan). Docs with < 3 tokens
     return ``n_trigrams = 0`` and a NULL score.
+
+    Cache lifetime (ADVICE r11): the vocab-sized count table is
+    ``persist()``-ed and must outlive the returned LAZY plan, so this
+    function never unpersists it. In a long-lived session that calls
+    this repeatedly, unpersist after the terminal action via
+    ``spark.catalog.clearCache()`` or by tracking
+    ``df.sparkSession.catalog`` — the same caveat as
+    ``score_buckets``'s ``cache_scored`` and ``bm25_topk``'s
+    ``persist_posting``.
 
     Returns ``(id, n_trigrams, avg_logprob)`` rounded to 4 decimals
     (cross-engine float-sum tolerance)."""
