@@ -3949,6 +3949,21 @@ def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # base names, every name-gram a larger prefix admits costs
     # ~300 banded candidates per row (k=2 measured ~3× slower for
     # that reason alone; tests cover k=2 correctness).
+    # r12 re-audit: q=5/q=6 probed (identical rows + row-hash, the
+    # operator is exact for every valid q) — WALL-NEUTRAL at 32 AND
+    # 8 cores (2.77/2.92 s and 4.21/4.22 s isolated best-of-3), and
+    # q=5 only trims distinct candidates 3.14M→2.95M while RAISING
+    # pre-distinct joined rows 3.42M→5.03M (the larger k·q+1 prefix
+    # admits an extra ~300-row name gram per string): the ×250
+    # candidate over-expansion here is POSITIONALLY-COMPATIBLE
+    # digit-prefix collisions ('#123' pairs every key sharing the
+    # 3-digit prefix at the same offset), which no q fixes — cutting
+    # it would need a pair-keyed gram-count aggregate that costs
+    # exactly what the existing distinct() costs. The per-side
+    # dense_rank prefix windows are already WindowGroupLimit
+    # Partial+Final-pruned (plans/r12/fuzzy_join_parts_before.txt
+    # nodes 26/29, 61/64), so the r11-verdict window→aggregate
+    # rewrite has nothing left to win; q=4 stays.
     return fuzzy_join(
         left, right, "lid", "a_name", "rid", "b_name", max_dist=1, q=4
     )

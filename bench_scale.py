@@ -3673,9 +3673,30 @@ def hybridchamp_probe(
     hits = exact.select("qid", "doc_id").intersect(
         champ.select("qid", "doc_id")
     ).count()
-    docs.unpersist()
-    exact.unpersist()
-    champ.unpersist()
+    champ_rows = set(map(tuple, champ.collect()))
+
+    # r12 (VERDICT r11 #7): the champion leg once more with
+    # persist_posting=True — the r11 probe found the full-posting
+    # cache 1.7× SLOWER for the exact leg but flat for the champion
+    # leg; the keep/drop rule is ≥1.1× here, else default stays OFF.
+    # CACHE ISOLATION: the persist-off leg's RESULT is cached above
+    # and its canonicalized plan equals this leg's, so Spark's
+    # CacheManager would silently substitute it (measured: 33.6 s →
+    # 3.95 s of pure cache read); clear every cache and re-pin the
+    # corpus before timing.
+    spark.catalog.clearCache()
+    docs.persist()
+    docs.count()
+    t0 = time.time()
+    champ_p = bm25_topk(
+        docs, queries, k=10, champion_n=champion_n,
+        persist_posting=True,
+    ).persist()
+    n_champ_p = champ_p.count()
+    champ_persist_sec = round(time.time() - t0, 2)
+    champ_p_rows = set(map(tuple, champ_p.collect()))
+    rows_equal = champ_rows == champ_p_rows
+    spark.catalog.clearCache()
     print(
         json.dumps(
             {
@@ -3685,11 +3706,14 @@ def hybridchamp_probe(
                     "champion_n": champion_n,
                     "bm25_exact_sec": exact_sec,
                     "bm25_champion_sec": champ_sec,
+                    "bm25_champion_persist_sec": champ_persist_sec,
+                    "persist_rows_equal": rows_equal,
                     "speedup": round(exact_sec / champ_sec, 2)
                     if champ_sec
                     else None,
                     "exact_rows": n_exact,
                     "champion_rows": n_champ,
+                    "champion_persist_rows": n_champ_p,
                     "recall_at_10": round(hits / n_exact, 4)
                     if n_exact
                     else None,

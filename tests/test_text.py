@@ -786,3 +786,36 @@ def test_bm25_champion_rejects_bad_n(spark):
     qs = spark.createDataFrame([(1, "a")], "qid long, qtext string")
     with pytest.raises(ValueError, match="champion_n"):
         bm25_topk(docs, qs, champion_n=0).collect()
+
+
+@pytest.mark.parametrize("champion_n", [None, 3])
+def test_bm25_persist_posting_identical(spark, champion_n):
+    """persist_posting is a pure execution-plan toggle (ADVICE r11):
+    the cached-posting path must return row-identical results to the
+    recompute path, for both the exact and the champion-cut legs —
+    a regression in the persist branch (row identity or the shared
+    single-tokenize subtree) would otherwise go undetected."""
+    from updater_spark.operators.text import bm25_topk
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the lazy dog sleeps all day the dog",
+        3: "quick foxes and quick dogs",
+        4: "a completely unrelated document about spark",
+        5: "dog dog dog dog",
+        6: None,
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame(
+        [(100, "quick dog quick"), (200, "spark"), (300, "fox day")],
+        "qid long, qtext string",
+    )
+    off = bm25_topk(docs, qs, k=3, champion_n=champion_n)
+    on = bm25_topk(
+        docs, qs, k=3, champion_n=champion_n, persist_posting=True
+    )
+    assert sorted(map(tuple, off.collect())) == sorted(
+        map(tuple, on.collect())
+    )
