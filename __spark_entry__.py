@@ -1845,7 +1845,22 @@ def _cdc_dedup_epochs(
     store = TableStore(spark, os.path.join(root, "store"))
     spec = TableSpec(name="docs_cdc", primary_key="doc_id")
     eng = CdcEngine(store)
-    idx = DedupIndex(store, "docsidx")
+    # bands=32 (2 rows/band; r12 inherited-state correctness fix):
+    # this query's oracle is the EXACT all-pairs jaccard >= 0.5 join,
+    # so the LSH candidate stage must have recall 1 on every true
+    # pair of the fixed corpora. The epoch-2 interaction of a
+    # modified original (" qq") with its near-copy (" zz yy xx")
+    # plants J = 0.75 pairs, and at 16 bands x 4 rows a J = 0.75
+    # pair misses ALL bands with p = (1-0.75^4)^16 ~= 0.23% — the
+    # sf0.001 corpus hits exactly that event on (150, 100150),
+    # failing the oracle there on the r11 tree too. At 32 x 2 the
+    # miss probability is (1-0.75^2)^32 ~= 3e-12 and every true pair
+    # at every shipped SF is found (verified exhaustively vs the
+    # exact oracle at sf0.001/0.01/0.1); candidates are a superset
+    # of the 16-band ones, and the exact-jaccard verify keeps the
+    # output equal to the oracle set, so the sf0.01/sf0.1 results
+    # are byte-identical to r11's.
+    idx = DedupIndex(store, "docsidx", bands=32)
 
     epoch_pairs = []
     for i, src in enumerate((docs, src1, src2)):
@@ -6399,6 +6414,7 @@ _R12_WINDOW = [
     # (b) code-touched this round
     "fuzzy_join_parts",
     "bm25_champion",
+    "cdc_dedup_incremental",
     # (c) stalest rows: last certified r7 (streaming_ann above)
     "s2_fingerprint",
     "s5_merge_upsert",
@@ -6429,7 +6445,6 @@ _R12_WINDOW = [
     "events_transitions",
     "graph_communities",
     "graph_pagerank",
-    "graph_ppr",
 ]
 
 
